@@ -1,0 +1,40 @@
+"""Declared query registry — the SURVEY §2.14 correctness contract.
+
+Each query is registered under a stable name with (a) a PySpark callable
+``(spark, sf_dir) -> DataFrame`` and (b) where SQL-expressible, a DuckDB
+oracle string over the same Parquet tables. The driver hash-compares the two
+at sf0.01; ``tests/test_queries_oracle.py`` does the same locally at sf0.001.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    """Register a declared query; ``sql=None`` marks it rows-only checked
+    (non-SQL-expressible, e.g. hash-dependent LSH or streaming state)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module (registration side effects)."""
+    from nimhdfstore_spark.queries import core  # noqa: F401
+
+    for mod in ("dedup", "similarity", "text", "multimodal", "stream"):
+        try:
+            __import__(f"nimhdfstore_spark.queries.{mod}")
+        except ImportError:
+            pass

@@ -1,0 +1,456 @@
+"""Q1-Q16 — reference-parity declared queries (SURVEY §2.14).
+
+Positional reads run against the driver Parquet with an on-the-fly canonical
+``_rowid``; mutation queries (Q9-Q12) exercise the real :class:`Store`
+snapshot-rewrite path against a scratch copy (FIXTURES.md F6) and are
+verified against a purely relational DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.rowid import ROWID
+from nimhdfstore_spark.store import Store
+from nimhdfstore_spark.tables import CANONICAL, load, load_pos, rowid_over
+
+SCRATCH_ROOT = os.environ.get("NIMHDFSTORE_SCRATCH", "/tmp/nimhdfstore_scratch")
+
+# canonical cross-engine type names (Spark simpleString → oracle-facing name)
+_TYPE_CANON = {
+    "long": "bigint",
+    "bigint": "bigint",
+    "int": "int",
+    "integer": "int",
+    "smallint": "smallint",
+    "tinyint": "tinyint",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "boolean": "boolean",
+    "binary": "binary",
+}
+
+_LI_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+_CUST_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+_ORD_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def scratch_store(spark, name: str) -> Store:
+    return Store(spark, os.path.join(SCRATCH_ROOT, name))
+
+
+# --------------------------------------------------------------------------
+# Q1 — S4 full-table scan (reference toSeq, nimtables.nim:140-147)
+# --------------------------------------------------------------------------
+
+_Q1_SQL = f"SELECT * FROM ({rowid_over('lineitem')}) ORDER BY {ROWID}"
+
+
+@query("q01_full_scan", _Q1_SQL)
+def q01(spark, sf_dir):
+    return load_pos(spark, sf_dir, "lineitem").orderBy(ROWID)
+
+
+# --------------------------------------------------------------------------
+# Q2 — S5 open-table handle: count + schema introspection
+# (H5TBget_table_info/H5TBget_field_info, nimtables.nim:111-131)
+# --------------------------------------------------------------------------
+
+_Q2_FIELDS = [
+    ("l_orderkey", "bigint"), ("l_partkey", "bigint"), ("l_suppkey", "bigint"),
+    ("l_linenumber", "int"), ("l_quantity", "double"),
+    ("l_extendedprice", "double"), ("l_discount", "double"), ("l_tax", "double"),
+    ("l_returnflag", "string"), ("l_linestatus", "string"),
+    ("l_shipdate", "timestamp"),
+]
+_Q2_VALUES = ", ".join(f"('{n}', '{t}')" for n, t in _Q2_FIELDS)
+_Q2_SQL = (
+    f"SELECT field_name, field_type, (SELECT COUNT(*) FROM lineitem) AS n_rows "
+    f"FROM (VALUES {_Q2_VALUES}) t(field_name, field_type) ORDER BY field_name"
+)
+
+
+@query("q02_count_schema", _Q2_SQL)
+def q02(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem")
+    n = df.count()
+    rows = [
+        (f.name, _TYPE_CANON.get(f.dataType.simpleString(), f.dataType.simpleString()), n)
+        for f in df.schema.fields
+    ]
+    schema = StructType([
+        StructField("field_name", StringType()),
+        StructField("field_type", StringType()),
+        StructField("n_rows", LongType()),
+    ])
+    return spark.createDataFrame(rows, schema).orderBy("field_name")
+
+
+# --------------------------------------------------------------------------
+# Q3-Q5 — P1/P2/P3 point, backwards-index, slice (nimtables.nim:149-171)
+# --------------------------------------------------------------------------
+
+@query("q03_point_read",
+       f"SELECT * FROM ({rowid_over('lineitem')}) WHERE {ROWID} = 4711")
+def q03(spark, sf_dir):
+    return load_pos(spark, sf_dir, "lineitem").where(F.col(ROWID) == 4711)
+
+
+@query(
+    "q04_backwards_index",
+    f"SELECT * FROM ({rowid_over('lineitem')}) "
+    f"WHERE {ROWID} >= (SELECT COUNT(*) FROM lineitem) - 2 ORDER BY {ROWID}",
+)
+def q04(spark, sf_dir):
+    df = load_pos(spark, sf_dir, "lineitem")
+    n = df.count()
+    return df.where(F.col(ROWID) >= n - 2).orderBy(ROWID)
+
+
+@query(
+    "q05_slice",
+    f"SELECT * FROM ({rowid_over('lineitem')}) "
+    f"WHERE {ROWID} BETWEEN 100 AND 199 ORDER BY {ROWID}",
+)
+def q05(spark, sf_dir):
+    return (
+        load_pos(spark, sf_dir, "lineitem")
+        .where(F.col(ROWID).between(100, 199))
+        .orderBy(ROWID)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — P4 strided hyperslab + column projection
+# (nimhdf5/datasets.nim:1601-1645; pruning analog of chunk intersection)
+# --------------------------------------------------------------------------
+
+@query(
+    "q06_hyperslab",
+    f"SELECT {ROWID}, l_quantity, l_extendedprice FROM ({rowid_over('lineitem')}) "
+    f"WHERE {ROWID} >= 1000 AND {ROWID} < 1000 + 50*7 "
+    f"AND ({ROWID} - 1000) % 7 = 0 ORDER BY {ROWID}",
+)
+def q06(spark, sf_dir):
+    from nimhdfstore_spark.operators import positional
+
+    df = load_pos(spark, sf_dir, "lineitem")
+    return (
+        df.where(positional.hyperslab(offset=1000, count=50, stride=7))
+        .select(ROWID, "l_quantity", "l_extendedprice")
+        .orderBy(ROWID)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — P5 explicit coordinate-set selection (datasets.nim:806-860)
+# --------------------------------------------------------------------------
+
+@query(
+    "q07_point_set",
+    f"SELECT * FROM ({rowid_over('lineitem')}) "
+    f"WHERE {ROWID} IN (3, 17, 4242, 0, 59999 % (SELECT COUNT(*) FROM lineitem)) "
+    f"ORDER BY {ROWID}",
+)
+def q07(spark, sf_dir):
+    from nimhdfstore_spark.operators import positional
+
+    df = load_pos(spark, sf_dir, "lineitem")
+    n = df.count()
+    return df.where(positional.element_set([3, 17, 4242, 0, 59999 % n], n)).orderBy(ROWID)
+
+
+# --------------------------------------------------------------------------
+# Q8 — P9 type-cast projection over the Q5 slice (datasets.nim:775-804)
+# --------------------------------------------------------------------------
+
+@query(
+    "q08_cast_projection",
+    f"SELECT {ROWID}, CAST(l_quantity AS DOUBLE) AS l_quantity_d, "
+    f"CAST(l_orderkey AS DOUBLE) AS l_orderkey_d FROM ({rowid_over('lineitem')}) "
+    f"WHERE {ROWID} BETWEEN 100 AND 199 ORDER BY {ROWID}",
+)
+def q08(spark, sf_dir):
+    df = load_pos(spark, sf_dir, "lineitem").where(F.col(ROWID).between(100, 199))
+    return df.select(
+        F.col(ROWID),
+        F.col("l_quantity").cast("double").alias("l_quantity_d"),
+        F.col("l_orderkey").cast("double").alias("l_orderkey_d"),
+    ).orderBy(ROWID)
+
+
+# --------------------------------------------------------------------------
+# Q9 — M1 append (nimtables.nim:173-175): sentinel copy of the first 100
+# orders rows appended to a scratch copy; result = total count + tail-3.
+# --------------------------------------------------------------------------
+
+_Q9_APP_COLS = "o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+_Q9_SQL = f"""
+WITH base AS ({rowid_over('orders')}),
+cnt AS (SELECT COUNT(*) AS c FROM orders),
+app AS (
+  SELECT {ROWID} + c AS {ROWID}, {_Q9_APP_COLS}
+  FROM base, cnt WHERE {ROWID} < 100
+),
+m AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+SELECT m.*, (SELECT COUNT(*) FROM m) AS total_count
+FROM m WHERE {ROWID} >= (SELECT COUNT(*) FROM m) - 3 ORDER BY {ROWID}
+"""
+
+
+@query("q09_append", _Q9_SQL)
+def q09(spark, sf_dir):
+    store = scratch_store(spark, f"q09-{os.path.basename(sf_dir)}")
+    t = store.put("orders_scratch", load_pos(spark, sf_dir, "orders"), overwrite=True)
+    head = (
+        t.df()
+        .where(F.col(ROWID) < 100)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000))
+    )
+    t.append(head, n=100)
+    total = t.nrows
+    return (
+        t.df()
+        .where(F.col(ROWID) >= total - 3)
+        .withColumn("total_count", F.lit(total).cast("long"))
+        .orderBy(ROWID)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — M5 insert at position (nimtables.nim:229-233): 2 synthetic rows at
+# _rowid=3 of a customer scratch; result = rows 2..6. Synthetic rows per
+# FIXTURES.md F6 (keys >= 1e9, defaults elsewhere).
+# --------------------------------------------------------------------------
+
+_SYN_CUST = "'synthetic', CAST(0 AS INTEGER), CAST(0.0 AS DOUBLE), 'synthetic'"
+_Q10_SQL = f"""
+WITH base AS ({rowid_over('customer')}),
+ins AS (
+  SELECT * FROM (VALUES
+    (CAST(3 AS BIGINT), CAST(1000000000 AS BIGINT), {_SYN_CUST}),
+    (CAST(4 AS BIGINT), CAST(1000000001 AS BIGINT), {_SYN_CUST})
+  ) t({ROWID}, c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+),
+m AS (
+  SELECT * FROM base WHERE {ROWID} < 3
+  UNION ALL SELECT * FROM ins
+  UNION ALL SELECT {ROWID} + 2 AS {ROWID}, c_custkey, c_name, c_nationkey,
+                   c_acctbal, c_mktsegment
+            FROM base WHERE {ROWID} >= 3
+)
+SELECT * FROM m WHERE {ROWID} BETWEEN 2 AND 6 ORDER BY {ROWID}
+"""
+
+
+def _synthetic_customers(spark, keys):
+    schema = StructType([
+        StructField("c_custkey", LongType()),
+        StructField("c_name", StringType()),
+        StructField("c_nationkey", IntegerType()),
+        StructField("c_acctbal", DoubleType()),
+        StructField("c_mktsegment", StringType()),
+    ])
+    rows = [(k, "synthetic", 0, 0.0, "synthetic") for k in keys]
+    return spark.createDataFrame(rows, schema)
+
+
+@query("q10_insert", _Q10_SQL)
+def q10(spark, sf_dir):
+    store = scratch_store(spark, f"q10-{os.path.basename(sf_dir)}")
+    t = store.put("customer_scratch", load_pos(spark, sf_dir, "customer"), overwrite=True)
+    t.insert(3, _synthetic_customers(spark, [1_000_000_000, 1_000_000_001]), n=2)
+    return t.df().where(F.col(ROWID).between(2, 6)).orderBy(ROWID)
+
+
+# --------------------------------------------------------------------------
+# Q11 — M4 delete slice (nimtables.nim:202-227): delete rows 10..19; result
+# = new count + renumbered rows 5..14.
+# --------------------------------------------------------------------------
+
+_Q11_SQL = f"""
+WITH base AS ({rowid_over('customer')}),
+kept AS (
+  SELECT * FROM base WHERE {ROWID} < 10
+  UNION ALL SELECT {ROWID} - 10 AS {ROWID}, c_custkey, c_name, c_nationkey,
+                   c_acctbal, c_mktsegment
+            FROM base WHERE {ROWID} > 19
+)
+SELECT kept.*, (SELECT COUNT(*) FROM kept) AS total_count
+FROM kept WHERE {ROWID} BETWEEN 5 AND 14 ORDER BY {ROWID}
+"""
+
+
+@query("q11_delete", _Q11_SQL)
+def q11(spark, sf_dir):
+    store = scratch_store(spark, f"q11-{os.path.basename(sf_dir)}")
+    t = store.put("customer_scratch", load_pos(spark, sf_dir, "customer"), overwrite=True)
+    t.delete(10, 19)
+    return (
+        t.df()
+        .where(F.col(ROWID).between(5, 14))
+        .withColumn("total_count", F.lit(t.nrows).cast("long"))
+        .orderBy(ROWID)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — M2 update at position (nimtables.nim:177-185): overwrite row 7 with
+# a synthetic row; result = rows 5..9.
+# --------------------------------------------------------------------------
+
+_Q12_SQL = f"""
+WITH base AS ({rowid_over('customer')}),
+m AS (
+  SELECT * FROM base WHERE {ROWID} <> 7
+  UNION ALL SELECT CAST(7 AS BIGINT), CAST(1000000000 AS BIGINT), {_SYN_CUST}
+)
+SELECT * FROM m WHERE {ROWID} BETWEEN 5 AND 9 ORDER BY {ROWID}
+"""
+
+
+@query("q12_update", _Q12_SQL)
+def q12(spark, sf_dir):
+    store = scratch_store(spark, f"q12-{os.path.basename(sf_dir)}")
+    t = store.put("customer_scratch", load_pos(spark, sf_dir, "customer"), overwrite=True)
+    t.update(7, _synthetic_customers(spark, [1_000_000_000]))
+    return t.df().where(F.col(ROWID).between(5, 9)).orderBy(ROWID)
+
+
+# --------------------------------------------------------------------------
+# Q13 — S10/M6 catalog ops (nimtables.nim:40-58,106-109; FIXTURES.md F2):
+# create `particles` + `particles2`, drop `particles2`, list keys.
+# --------------------------------------------------------------------------
+
+_Q13_SQL = "SELECT 'particles' AS key"
+
+
+def _particles(spark):
+    """F1 golden fixture (reference tests.nim:11-25)."""
+    rows = [(i, 1, 100.0, 20.0) for i in range(1, 14)]
+    schema = StructType([
+        StructField("lati", LongType()),
+        StructField("longi", LongType()),
+        StructField("pressure", DoubleType()),
+        StructField("temperature", DoubleType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+@query("q13_catalog", _Q13_SQL)
+def q13(spark, sf_dir):
+    store = scratch_store(spark, f"q13-{os.path.basename(sf_dir)}")
+    for k in store.keys():
+        store.drop(k)
+    p = _particles(spark)
+    store.put("particles", p, order_by=["lati"], overwrite=True)
+    store.put("particles2", p, order_by=["lati"], overwrite=True)
+    store.drop("particles2")
+    return spark.createDataFrame([(k,) for k in store.keys()], "key string")
+
+
+# --------------------------------------------------------------------------
+# Q14 — P7 variable-length (array) columns (nimhdf5/datasets.nim:1023-1115;
+# FIXTURES.md F3): vals[j] = id + j/10.0, len = id % 7, round-tripped
+# through a store table.
+# --------------------------------------------------------------------------
+
+_Q14_SQL = (
+    "SELECT id, list_transform(range(id % 7), j -> id + j/10.0) AS vals "
+    "FROM range(1000) t(id) ORDER BY id"
+)
+
+
+def _vlen_df(spark):
+    n = F.col("id") % 7
+    vals = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), (n - 1).cast("int")),
+            lambda j: F.col("id") + j / F.lit(10.0),
+        ),
+    ).otherwise(F.array().cast("array<double>"))
+    return spark.range(1000).select(F.col("id"), vals.alias("vals"))
+
+
+@query("q14_vlen", _Q14_SQL)
+def q14(spark, sf_dir):
+    store = scratch_store(spark, f"q14-{os.path.basename(sf_dir)}")
+    t = store.put("vlen", _vlen_df(spark), order_by=["id"], overwrite=True)
+    return t.df().select("id", "vals").orderBy("id")
+
+
+_Q14B_SQL = (
+    "SELECT t.id, CAST(s.j AS BIGINT) AS j, t.id + s.j/10.0 AS val "
+    "FROM range(1000) t(id), range(7) s(j) WHERE s.j < t.id % 7 ORDER BY t.id, s.j"
+)
+
+
+@query("q14b_vlen_exploded", _Q14B_SQL)
+def q14b(spark, sf_dir):
+    df = _vlen_df(spark)
+    return df.select(
+        "id", F.posexplode("vals").alias("j", "val")
+    ).withColumn("j", F.col("j").cast("long")).orderBy("id", "j")
+
+
+# --------------------------------------------------------------------------
+# Q15 — A1/A2 attributes (nimhdf5/attributes.nim:207-437): set table-level
+# metadata, read back sorted (key, value) pairs.
+# --------------------------------------------------------------------------
+
+_Q15_SQL = (
+    "SELECT * FROM (VALUES ('source', 'survey'), ('version', '1')) "
+    "t(attr_key, attr_value) ORDER BY attr_key"
+)
+
+
+@query("q15_attributes", _Q15_SQL)
+def q15(spark, sf_dir):
+    store = scratch_store(spark, f"q15-{os.path.basename(sf_dir)}")
+    t = store.put("particles", _particles(spark), order_by=["lati"], overwrite=True)
+    t.set_attrs(source="survey", version=1)
+    t2 = store.table("particles")  # re-open: attrs persist in catalog
+    rows = sorted((k, str(v)) for k, v in t2.attrs.items())
+    return spark.createDataFrame(rows, "attr_key string, attr_value string")
+
+
+# --------------------------------------------------------------------------
+# Q16 — C1-C3 compression invariance (nimtables.nim:60-89; filters.nim:29-96):
+# the Q1 result is byte-identical across none/snappy/zstd codecs.
+# --------------------------------------------------------------------------
+
+@query("q16_compression", _Q1_SQL)
+def q16(spark, sf_dir):
+    store = scratch_store(spark, f"q16-{os.path.basename(sf_dir)}")
+    src = load_pos(spark, sf_dir, "lineitem")
+    reads = {}
+    for codec in ("none", "snappy", "zstd"):
+        t = store.put(f"li_{codec}", src, codec=codec, overwrite=True)
+        reads[codec] = t.df()
+    base = reads["snappy"]
+    for codec in ("none", "zstd"):
+        if reads[codec].exceptAll(base).limit(1).count() != 0:
+            raise AssertionError(f"codec {codec} read differs from snappy")
+    return reads["zstd"].orderBy(ROWID)

@@ -1,0 +1,441 @@
+"""Keyed store of positional tables on Parquet — the reference's HDFStore
+surface (nimtables.nim:13-236) re-expressed Spark-first.
+
+Layout (one store = one root directory; one table = one subdirectory):
+
+    root/
+      <table>/
+        _meta.json            # catalog entry: current snapshot, count, codec,
+                              # attributes, canonical order, link target
+        snap-00000000/        # immutable Parquet snapshot, sorted by _rowid
+        snap-00000001/        # produced by a mutation; pointer swap in meta
+
+Mutations (append / insert / update / delete, reference nimtables.nim:173-233)
+are deterministic rewrites: build the mutated DataFrame with *arithmetic*
+``_rowid`` shifts (no global re-rank), write a new snapshot sorted by
+``_rowid``, then atomically swap the ``_meta.json`` pointer (poor-man's ACID;
+readers of the old snapshot are unaffected). Because files are written sorted
+by ``_rowid``, Parquet row-group min/max stats on ``_rowid`` let Catalyst
+prune untouched row groups for every positional predicate — the Spark analog
+of HDF5 touching only intersecting chunks.
+
+Scale notes (100 TB): snapshots rewrite the whole table in this round-1
+implementation; the planned hardening (SURVEY §7.1 M8) prunes the rewrite to
+files whose ``_rowid`` range intersects the mutation and re-bases the rest via
+per-file offset metadata. Appends already avoid rewriting: they add files.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import shutil
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from nimhdfstore_spark.operators import positional
+from nimhdfstore_spark.rowid import ROWID, with_rowid
+
+_VALID_KEY = re.compile(r"^[A-Za-z0-9_\-./]+$")
+_SNAP = "snap-{:08d}"
+
+#: rows per output file for snapshot writes; at 100 TB this bounds task/file
+#: size (~a few hundred MB of parquet per file for typical row widths).
+DEFAULT_ROWS_PER_FILE = 4_000_000
+
+CODECS = {"none", "uncompressed", "snappy", "gzip", "zstd", "lz4"}
+
+
+class StoreError(Exception):
+    pass
+
+
+def _codec_name(codec: str) -> str:
+    codec = codec.lower()
+    if codec not in CODECS:
+        raise StoreError(f"unsupported codec {codec!r}; pick from {sorted(CODECS)}")
+    return "uncompressed" if codec == "none" else codec
+
+
+class Store:
+    """Keyed catalog of positional tables (reference ``HDFStore``,
+    nimtables.nim:13-19,60-89). Modes collapse to directory semantics:
+    the store directory is created on first write; ``overwrite=True`` in
+    :meth:`put` replaces a table like ``hdOverwrite``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        codec: str = "snappy",
+        rows_per_file: int = DEFAULT_ROWS_PER_FILE,
+    ) -> None:
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.codec = _codec_name(codec)
+        self.rows_per_file = rows_per_file
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- catalog ops (S10, M6-M9; nimtables.nim:40-58,106-109) --------------
+
+    def keys(self) -> list[str]:
+        """Sorted table names. Unlike the reference (whose in-memory ``dsets``
+        list goes stale after delete, nimtables.nim:106-109), this always
+        reflects the directory catalog."""
+        out = []
+        for dirpath, dirnames, filenames in os.walk(self.root):
+            if "_meta.json" in filenames:
+                out.append(os.path.relpath(dirpath, self.root))
+                dirnames.clear()
+        return sorted(out)
+
+    def __contains__(self, name: str) -> bool:
+        return os.path.isfile(self._meta_path(name))
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def __getitem__(self, name: str) -> "Table":
+        return self.table(name)
+
+    def __setitem__(self, name: str, df: DataFrame) -> None:
+        # CTAS with rowid = incoming order of a pre-sorted/pre-rowid'd frame,
+        # matching the reference's ``store[name] = rows`` (nimtables.nim:94-104).
+        self.put(name, df, overwrite=True)
+
+    def __delitem__(self, name: str) -> None:
+        self.drop(name)
+
+    def table(self, name: str, expect_schema: StructType | None = None) -> "Table":
+        meta = self._read_meta(name)
+        while "link_to" in meta:  # M9 hardlink (files.nim:363-390)
+            name = meta["link_to"]
+            meta = self._read_meta(name)
+        t = Table(self, name, meta)
+        if expect_schema is not None:
+            t.check_compatibility(expect_schema)
+        return t
+
+    def drop(self, name: str) -> None:
+        """M6/M7 — dropping an unknown key is an explicit error (the
+        reference silently no-ops, nimtables.nim:106-109; SURVEY §2.9 calls
+        that out as a quirk not to replicate)."""
+        if name not in self:
+            raise StoreError(f"no such table: {name!r}")
+        shutil.rmtree(self._table_dir(name))
+
+    def copy(self, src: str, dst: str) -> None:
+        """M8 — object copy (h5util.nim:159-209) as a snapshot re-write."""
+        t = self.table(src)
+        self.put(dst, t.df(), overwrite=True, _precounted=t.nrows)
+
+    def link(self, target: str, link_name: str) -> None:
+        """M9 — hardlink: alias catalog entry resolving to ``target``."""
+        if target not in self:
+            raise StoreError(f"no such table: {target!r}")
+        if link_name in self:
+            raise StoreError(f"key exists: {link_name!r}")
+        os.makedirs(self._table_dir(link_name), exist_ok=True)
+        self._write_meta(link_name, {"link_to": target})
+
+    # -- CTAS (S3; nimtables.nim:94-104) ------------------------------------
+
+    def put(
+        self,
+        name: str,
+        df: DataFrame,
+        order_by: Sequence[str] | None = None,
+        codec: str | None = None,
+        overwrite: bool = False,
+        attrs: dict[str, Any] | None = None,
+        _precounted: int | None = None,
+    ) -> "Table":
+        """Create table ``name`` from ``df``.
+
+        ``_rowid`` is taken from the input when present (caller-defined
+        positions), else assigned as the rank under ``order_by``; with
+        neither, insertion order is undefined in a distributed frame, so a
+        canonical order is required.
+        """
+        if not _VALID_KEY.match(name):
+            raise StoreError(f"bad table name: {name!r}")
+        if name in self and not overwrite:
+            raise StoreError(f"key exists: {name!r} (pass overwrite=True)")
+        if ROWID in df.columns:
+            body = df
+        elif order_by:
+            body = with_rowid(df, order_by)
+        else:
+            raise StoreError(
+                "input has no _rowid and no order_by was given; a canonical "
+                "order is required for stable row positions"
+            )
+        count = _precounted if _precounted is not None else body.count()
+        tdir = self._table_dir(name)
+        if os.path.isdir(tdir):
+            shutil.rmtree(tdir)
+        meta = {
+            "current": _SNAP.format(0),
+            "count": count,
+            "codec": _codec_name(codec) if codec else self.codec,
+            "attrs": dict(attrs or {}),
+            "order_by": list(order_by or []),
+        }
+        self._write_files(name, meta["current"], body, count, meta["codec"])
+        self._write_meta(name, meta)
+        return Table(self, name, meta)
+
+    # -- internals ----------------------------------------------------------
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_meta.json")
+
+    def _read_meta(self, name: str) -> dict:
+        try:
+            with open(self._meta_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise StoreError(f"no such table: {name!r}") from None
+
+    def _write_meta(self, name: str, meta: dict) -> None:
+        # atomic pointer swap: tmp + rename
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._meta_path(name))
+
+    def _write_files(
+        self, name: str, snap: str, body: DataFrame, count: int, codec: str
+    ) -> None:
+        nparts = max(1, math.ceil(max(count, 1) / self.rows_per_file))
+        out = (
+            body.repartitionByRange(nparts, F.col(ROWID))
+            .sortWithinPartitions(ROWID)
+        )
+        (
+            out.write.mode("overwrite")
+            .option("compression", codec)
+            .parquet(os.path.join(self._table_dir(name), snap))
+        )
+
+
+class Table:
+    """Typed positional table handle (reference ``HDFTable[T]``,
+    nimtables.nim:20-28,111-131). Reads are lazy DataFrames; positional ops
+    compile to ``_rowid`` predicates (operators/positional.py)."""
+
+    def __init__(self, store: Store, name: str, meta: dict) -> None:
+        self.store = store
+        self.name = name
+        self._meta = meta
+
+    # -- schema / catalog ----------------------------------------------------
+
+    @property
+    def nrows(self) -> int:
+        """Record count from catalog metadata (H5TBget_table_info analog,
+        nimtables.nim:115,235-236) — no job."""
+        return int(self._meta["count"])
+
+    @property
+    def codec(self) -> str:
+        return self._meta["codec"]
+
+    @property
+    def snapshot_path(self) -> str:
+        return os.path.join(self.store._table_dir(self.name), self._meta["current"])
+
+    def df(self) -> DataFrame:
+        return self.store.spark.read.parquet(self.snapshot_path)
+
+    @property
+    def schema(self) -> StructType:
+        return StructType([f for f in self.df().schema.fields if f.name != ROWID])
+
+    def check_compatibility(self, expected: StructType) -> None:
+        """``checkCompatiblity`` analog (nimtables.nim:133-138): field count,
+        names, and types must match the declared schema."""
+        actual = self.schema
+        if [(f.name, f.dataType) for f in actual.fields] != [
+            (f.name, f.dataType) for f in expected.fields
+        ]:
+            raise StoreError(
+                f"schema mismatch for {self.name!r}:\n"
+                f"  stored:   {actual.simpleString()}\n"
+                f"  expected: {expected.simpleString()}"
+            )
+
+    # -- attributes (A1-A5; nimhdf5/attributes.nim:207-545) ------------------
+
+    @property
+    def attrs(self) -> dict[str, Any]:
+        return dict(self._meta.get("attrs", {}))
+
+    def set_attrs(self, **kv: Any) -> None:
+        self._meta.setdefault("attrs", {}).update(kv)
+        self.store._write_meta(self.name, self._meta)
+
+    def del_attr(self, key: str) -> None:
+        try:
+            del self._meta["attrs"][key]
+        except KeyError:
+            raise StoreError(f"no attribute {key!r} on {self.name!r}") from None
+        self.store._write_meta(self.name, self._meta)
+
+    # -- positional reads (P1-P9) -------------------------------------------
+
+    def row(self, i: int) -> DataFrame:
+        return self.df().where(positional.point(i, self.nrows))
+
+    def slice(self, a: int, b: int) -> DataFrame:
+        """Inclusive slice with negative-index support (table[a..b] /
+        table[^k] semantics, nimtables.nim:154-171)."""
+        return (
+            self.df()
+            .where(positional.slice_range(a, b, self.nrows))
+            .orderBy(ROWID)
+        )
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            return self.row(key)
+        if isinstance(key, slice):
+            if key.step not in (None, 1):
+                stop = key.stop if key.stop is not None else self.nrows
+                start = key.start or 0
+                n = max(0, math.ceil((stop - start) / key.step))
+                return self.hyperslab(start, n, stride=key.step)
+            # python slice: stop-exclusive → inclusive b-1
+            start = key.start or 0
+            stop = key.stop if key.stop is not None else self.nrows
+            return self.slice(start, stop - 1)
+        raise TypeError(f"bad index: {key!r}")
+
+    def hyperslab(
+        self, offset: int, count: int, stride: int = 1, block: int = 1,
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        df = self.df().where(positional.hyperslab(offset, count, stride, block))
+        if columns:
+            df = df.select(ROWID, *columns)
+        return df.orderBy(ROWID)
+
+    def elements(self, coords: Sequence[int]) -> DataFrame:
+        return (
+            self.df()
+            .where(positional.element_set(coords, self.nrows))
+            .orderBy(ROWID)
+        )
+
+    def read_as(self, casts: dict[str, str]) -> DataFrame:
+        return positional.read_as(self.df().orderBy(ROWID), casts)
+
+    def to_pandas(self):
+        """Full-scan round-trip (S4 ``toSeq``, nimtables.nim:140-147)."""
+        return self.df().orderBy(ROWID).toPandas()
+
+    # -- mutation as rewrite (M1-M5; nimtables.nim:173-233) ------------------
+
+    def _resolve(self, i: int) -> int:
+        return i + self.nrows if i < 0 else i
+
+    def _new_rows(self, df: DataFrame, start: int, n: int | None) -> tuple[DataFrame, int]:
+        """Position incoming rows at ``start..start+n-1``.
+
+        If the frame carries a ``_rowid`` it is re-based onto the splice
+        point (caller-defined local order). Otherwise the rows are numbered
+        by their arrival order on a single partition — mutation payloads are
+        driver-built and small; bulk loads go through :meth:`Store.put`.
+        """
+        if n is None:
+            n = df.count()
+        if ROWID in df.columns:
+            base = df.agg(F.min(ROWID).alias("m")).collect()[0]["m"] or 0
+            body = df.withColumn(
+                ROWID, (F.col(ROWID) - F.lit(base) + F.lit(start)).cast("long")
+            )
+        else:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(F.lit(1)).orderBy(F.monotonically_increasing_id())
+            body = df.coalesce(1).withColumn(
+                ROWID, (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
+            )
+        cols = [ROWID] + [c for c in df.columns if c != ROWID]
+        return body.select(*cols), n
+
+    def _commit(self, body: DataFrame, count: int) -> None:
+        cur = int(self._meta["current"].split("-")[1])
+        snap = _SNAP.format(cur + 1)
+        self.store._write_files(self.name, snap, body, count, self.codec)
+        old = self.snapshot_path
+        self._meta.update(current=snap, count=count)
+        self.store._write_meta(self.name, self._meta)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def append(self, df: DataFrame, n: int | None = None) -> None:
+        """M1 — append at end (nimtables.nim:173-175). Adds files to a new
+        snapshot without renumbering existing rows."""
+        start = self.nrows
+        new, n = self._new_rows(df, start, n)
+        self._commit(self.df().unionByName(new), start + n)
+
+    def insert(self, i: int, df: DataFrame, n: int | None = None) -> None:
+        """M5 — splice at position ``i`` (nimtables.nim:229-233); suffix
+        rowids shift arithmetically (no re-rank). Unlike the reference, the
+        count is updated (its in-memory ``nrecords`` forgets to bump —
+        SURVEY §2.9 quirk) and position 0 is insertable (no ``assert n>0``)."""
+        i = self._resolve(i)
+        if not 0 <= i <= self.nrows:
+            raise StoreError(f"insert position {i} out of range 0..{self.nrows}")
+        new, n = self._new_rows(df, i, n)
+        old = self.df()
+        r = F.col(ROWID)
+        body = (
+            old.where(r < i)
+            .unionByName(new)
+            .unionByName(
+                old.where(r >= i).withColumn(ROWID, (r + F.lit(n)).cast("long"))
+            )
+        )
+        self._commit(body, self.nrows + n)
+
+    def delete(self, a: int, b: int | None = None) -> None:
+        """M4 — delete row or inclusive slice (nimtables.nim:202-227);
+        suffix shifts down arithmetically."""
+        a = self._resolve(a)
+        b = a if b is None else self._resolve(b)
+        if not (0 <= a <= b < self.nrows):
+            raise StoreError(f"delete range {a}..{b} out of range")
+        k = b - a + 1
+        old = self.df()
+        r = F.col(ROWID)
+        body = old.where(r < a).unionByName(
+            old.where(r > b).withColumn(ROWID, (r - F.lit(k)).cast("long"))
+        )
+        self._commit(body, self.nrows - k)
+
+    def update(self, i: int, df: DataFrame, b: int | None = None) -> None:
+        """M2/M3 — overwrite row ``i`` or slice ``i..b`` (nimtables.nim:
+        177-200). The replacement must cover the region exactly (the
+        reference leaves shape vs data.len unchecked — quirk not kept)."""
+        a = self._resolve(i)
+        b = a if b is None else self._resolve(b)
+        if not (0 <= a <= b < self.nrows):
+            raise StoreError(f"update range {a}..{b} out of range")
+        new, n = self._new_rows(df, a, None)
+        if n != b - a + 1:
+            raise StoreError(f"update covers {b - a + 1} rows but got {n}")
+        old = self.df()
+        body = old.where(~F.col(ROWID).between(a, b)).unionByName(new)
+        self._commit(body, self.nrows)

@@ -1,0 +1,163 @@
+"""Store/Table unit tests — the reference's test strategy (SURVEY §5) scaled:
+golden round-trips against an in-memory oracle (here a Python list), plus a
+seeded randomized mutation-sequence property test (list oracle), mirroring
+the reference's 13-row `data: seq[Particle]` pattern (tests.nim:11-112)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType,
+)
+
+from nimhdfstore_spark.rowid import ROWID, with_rowid
+from nimhdfstore_spark.store import Store, StoreError
+
+SCHEMA = StructType([
+    StructField("lati", LongType()),
+    StructField("longi", LongType()),
+    StructField("pressure", DoubleType()),
+    StructField("temperature", DoubleType()),
+])
+
+
+def particles(spark, n=13, start=1):
+    rows = [(i, 1, 100.0, 20.0) for i in range(start, start + n)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def rows_of(df):
+    return [tuple(r) for r in df.orderBy(ROWID).drop(ROWID).collect()]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return Store(spark, str(tmp_path / "store"))
+
+
+def test_roundtrip_and_catalog(store, spark):
+    p = particles(spark)
+    store.put("particles", p, order_by=["lati"])
+    store.put("particles2", p, order_by=["lati"])
+    assert store.keys() == ["particles", "particles2"]
+    assert "particles" in store and "nope" not in store
+    t = store["particles"]
+    assert t.nrows == 13
+    assert rows_of(t.df()) == [(i, 1, 100.0, 20.0) for i in range(1, 14)]
+    store.drop("particles2")
+    assert store.keys() == ["particles"]
+    with pytest.raises(StoreError):
+        store.drop("particles2")  # unknown drop is an error, not a no-op
+
+
+def test_schema_check_and_attrs(store, spark):
+    store.put("p", particles(spark), order_by=["lati"])
+    t = store.table("p", expect_schema=SCHEMA)
+    bad = StructType(SCHEMA.fields[:-1])
+    with pytest.raises(StoreError):
+        store.table("p", expect_schema=bad)
+    t.set_attrs(source="survey", version=1)
+    assert store.table("p").attrs == {"source": "survey", "version": 1}
+    t.del_attr("version")
+    assert store.table("p").attrs == {"source": "survey"}
+    with pytest.raises(StoreError):
+        t.del_attr("nope")
+
+
+def test_positional_reads(store, spark):
+    store.put("p", particles(spark), order_by=["lati"])
+    t = store["p"]
+    assert rows_of(t.row(0)) == [(1, 1, 100.0, 20.0)]
+    assert rows_of(t.row(-1)) == [(13, 1, 100.0, 20.0)]     # table[^1]
+    assert rows_of(t[3:6]) == [(4, 1, 100.0, 20.0), (5, 1, 100.0, 20.0),
+                               (6, 1, 100.0, 20.0)]
+    assert rows_of(t.slice(-2, -1)) == [(12, 1, 100.0, 20.0),
+                                        (13, 1, 100.0, 20.0)]
+    assert [r["lati"] for r in t.hyperslab(1, 4, stride=3).collect()] == [2, 5, 8, 11]
+    assert [r["lati"] for r in t.hyperslab(0, 2, stride=5, block=2).collect()] == [1, 2, 6, 7]
+    assert [r["lati"] for r in t.elements([0, 5, -1]).collect()] == [1, 6, 13]
+    cast = t.read_as({"lati": "double"})
+    assert cast.schema["lati"].dataType.simpleString() == "double"
+
+
+def test_mutations(store, spark):
+    store.put("p", particles(spark), order_by=["lati"])
+    t = store["p"]
+    t.append(particles(spark, n=2, start=14))
+    assert t.nrows == 15
+    assert rows_of(t.slice(-2, -1)) == [(14, 1, 100.0, 20.0), (15, 1, 100.0, 20.0)]
+    t.delete(-3, -1)
+    assert t.nrows == 12
+    assert rows_of(t.row(-1)) == [(12, 1, 100.0, 20.0)]
+    t.insert(3, particles(spark, n=2, start=100))
+    assert t.nrows == 14
+    assert rows_of(t.slice(2, 5)) == [
+        (3, 1, 100.0, 20.0), (100, 1, 100.0, 20.0),
+        (101, 1, 100.0, 20.0), (4, 1, 100.0, 20.0)]
+    t.update(0, particles(spark, n=1, start=999))  # row 0 mutable (quirk fixed)
+    assert rows_of(t.row(0)) == [(999, 1, 100.0, 20.0)]
+    with pytest.raises(StoreError):
+        t.update(0, particles(spark, n=2, start=5))  # shape checked
+    with pytest.raises(StoreError):
+        t.delete(t.nrows)
+
+
+def test_copy_and_link(store, spark):
+    store.put("a", particles(spark), order_by=["lati"])
+    store.copy("a", "b")
+    assert rows_of(store["b"].df()) == rows_of(store["a"].df())
+    store.link("a", "alias_a")
+    assert store["alias_a"].name == "a"
+    assert sorted(store.keys()) == ["a", "alias_a", "b"]
+
+
+def test_codec_invariance(store, spark):
+    p = particles(spark, n=50)
+    base = None
+    for codec in ("none", "snappy", "zstd", "gzip"):
+        store.put(f"p_{codec}", p, order_by=["lati"], codec=codec, overwrite=True)
+        got = rows_of(store[f"p_{codec}"].df())
+        base = base or got
+        assert got == base
+
+
+def test_rowid_strategies_agree(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = with_rowid(df, ["c_custkey"], strategy="window")
+    b = with_rowid(df.repartition(8), ["c_custkey"], strategy="offsets")
+    assert a.select(ROWID, "c_custkey").subtract(b.select(ROWID, "c_custkey")).count() == 0
+
+
+def test_randomized_mutation_sequence_vs_list_oracle(store, spark):
+    rng = random.Random(42)
+    store.put("p", particles(spark, n=20), order_by=["lati"])
+    t = store["p"]
+    oracle = [(i, 1, 100.0, 20.0) for i in range(1, 21)]
+    next_key = 1000
+    for step in range(8):
+        op = rng.choice(["append", "insert", "delete", "update"])
+        if op == "append":
+            k = rng.randint(1, 3)
+            t.append(particles(spark, n=k, start=next_key))
+            oracle.extend((i, 1, 100.0, 20.0) for i in range(next_key, next_key + k))
+            next_key += k
+        elif op == "insert":
+            i = rng.randint(0, len(oracle))
+            t.insert(i, particles(spark, n=1, start=next_key))
+            oracle.insert(i, (next_key, 1, 100.0, 20.0))
+            next_key += 1
+        elif op == "delete":
+            a = rng.randint(0, len(oracle) - 2)
+            b = min(len(oracle) - 1, a + rng.randint(0, 2))
+            t.delete(a, b)
+            del oracle[a : b + 1]
+        else:
+            i = rng.randint(0, len(oracle) - 1)
+            t.update(i, particles(spark, n=1, start=next_key))
+            oracle[i] = (next_key, 1, 100.0, 20.0)
+            next_key += 1
+        assert t.nrows == len(oracle), f"step {step} ({op}): count"
+    assert rows_of(t.df()) == oracle
