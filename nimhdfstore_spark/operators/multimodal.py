@@ -1,0 +1,109 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with a typed metadata struct —
+the pattern that scales: bytes stay in Arrow buffers end-to-end, decode
+happens executor-side in batched Pandas UDFs (``mapInPandas``), and Spark
+never interprets the payload. The decode libraries (PIL/librosa/av) are not
+in this container, so the actual pixel/sample decoding is STUBBED: with the
+libs absent, ``decode_meta`` computes a deterministic fake (pure function of
+the bytes — so it is testable and oracle-checkable), and the transform stubs
+raise ``NotImplementedError``. The Spark-side plumbing — schema, batching,
+UDF signatures, partitioning — is real and tested.
+
+Reference tie-in: HDF5's image API (S13, hl/H5IMpublic.nim:26-56) and opaque
+type class (wrapper/H5Tpublic.nim:44) are this surface's ancestors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+try:  # decode stack is optional; absent in this container
+    import PIL.Image  # type: ignore  # noqa: F401
+
+    HAVE_IMAGE_LIBS = True
+except ImportError:
+    HAVE_IMAGE_LIBS = False
+
+#: metadata carried alongside every media payload
+MEDIA_META = StructType([
+    StructField("mime", StringType()),
+    StructField("n_bytes", LongType()),
+])
+
+DECODED_META = StructType([
+    StructField("doc_id", LongType()),
+    StructField("mime", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("first_byte", IntegerType()),
+])
+
+
+def pack_binary(df: DataFrame, id_col: str, text_col: str, mime: str = "application/octet-stream") -> DataFrame:
+    """Wrap a source column as (id, payload binary, meta struct) — the
+    canonical multimodal row shape. Test data has no real media, so the
+    payload is the UTF-8 encoding of a text column; with real images this is
+    `spark.read.format("binaryFile")` output instead."""
+    payload = F.encode(F.col(text_col), "utf-8").cast(BinaryType())
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_meta(df: DataFrame) -> DataFrame:
+    """Executor-side batched "decode": extract per-payload metadata via
+    ``mapInPandas`` (Arrow batches of binary). With real imaging libs this
+    would open the image header; the deterministic fake derives
+    width/height from the byte length (width = n % 64, height = (n//64) % 64)
+    and exposes the first byte — all pure functions of the payload so the
+    DuckDB oracle can verify the full pipeline."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            n = payloads.map(lambda b: 0 if b is None else len(b))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["meta"].map(lambda m: m["mime"]),
+                "n_bytes": n.astype("int64"),
+                "width": (n % 64).astype("int32"),
+                "height": ((n // 64) % 64).astype("int32"),
+                "first_byte": payloads.map(
+                    lambda b: int(b[0]) if b else -1
+                ).astype("int32"),
+            })
+
+    return df.mapInPandas(batches, schema=DECODED_META)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Batched image resize (mapInPandas over payload bytes). Requires the
+    imaging stack — STUB in this container."""
+    if not HAVE_IMAGE_LIBS:
+        raise NotImplementedError(
+            "image decode libraries (PIL) are not installed in this "
+            "environment; resize_images is plumbing-complete but stubbed"
+        )
+    raise NotImplementedError("real decode path not implemented yet")
+
+
+def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
+    """Video frame sampling stub — same contract as resize_images."""
+    raise NotImplementedError(
+        "video decode libraries are not installed in this environment; "
+        "sample_frames is plumbing-complete but stubbed"
+    )

@@ -1,0 +1,123 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies over ``array<float>``:
+
+- ``brute_force_topk`` — broadcast the (small) probe set against the corpus,
+  cosine in codegen, per-probe top-k via a partitioned window. The baseline
+  and the recall oracle.
+- ``ivf_topk`` — IVF-style: pick deterministic centroids, assign every
+  corpus vector to its nearest centroid (broadcast centroid join — one
+  narrow pass), then search only each probe's ``nprobe`` nearest clusters.
+  At 100 TB the corpus pass is a single broadcast-join scan and the search
+  touches ``nprobe/num_centroids`` of the data; cluster assignment is
+  write-once (store it partitioned by cluster id for pruning).
+
+No Python UDFs anywhere — cosine is zip_with/aggregate (functions/vector.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.functions.vector import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Top-k cosine neighbors per probe. Output: (probe_id, neighbor_id,
+    cosine, rank) with deterministic (cosine desc, neighbor_id) ranking."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    joined = F.broadcast(p).crossJoin(c)
+    if not include_self:
+        joined = joined.where(F.col("probe_id") != F.col("neighbor_id"))
+    sim = joined.withColumn("cosine", F.round(cosine(F.col("pv"), F.col("cv")), 6))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the centroid table, rank by
+    cosine, keep rank 1. Output: (id, vec, cluster_id)."""
+    cent = centroids.select(
+        F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centv")
+    )
+    joined = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).crossJoin(F.broadcast(cent))
+    sim = joined.withColumn("csim", cosine(F.col("vec"), F.col("centv")))
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cluster_id"))
+    return (
+        sim.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("id", "vec", "cluster_id")
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame,
+    every: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic centroid pick: every ``every``-th vector by id — a
+    seedless stand-in for k-means (which would be an iterative refinement of
+    exactly this assignment join)."""
+    return corpus.where(F.col(id_col) % every == 0)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    every: int = 50,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: search only each probe's ``nprobe`` nearest clusters."""
+    cents = deterministic_centroids(corpus, every, id_col)
+    assigned = assign_clusters(corpus, cents, id_col, vec_col)
+
+    cent = cents.select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centv"))
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
+    psim = F.broadcast(p).crossJoin(F.broadcast(cent)).withColumn(
+        "csim", cosine(F.col("pv"), F.col("centv"))
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("cluster_id"))
+    probe_clusters = (
+        psim.withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") <= nprobe)
+        .select("probe_id", "pv", "cluster_id")
+    )
+    cand = probe_clusters.join(assigned, "cluster_id").where(
+        F.col("probe_id") != F.col("id")
+    )
+    sim = cand.withColumn("cosine", F.round(cosine(F.col("pv"), F.col("vec")), 6))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
+    )

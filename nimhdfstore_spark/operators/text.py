@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines — all built-in
+`pyspark.sql.functions` (JVM-side, codegen-friendly; no Python UDFs), so they
+scan 100 TB at parquet-read speed with full column pruning.
+
+Operators: tokenization, token counting, quality scoring, n-gram language ID
+heuristic, and polynomial document fingerprinting. Each has an exact ANSI-SQL
+twin (see queries/text.py) so the DuckDB oracle validates values, not just
+shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: small cross-language stopword/marker sets for the language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "los", "es", "que"],
+}
+#: deterministic priority for score ties (alphabetical)
+LANG_ORDER = ["de", "en", "es", "fr"]
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+FP_MOD = 1_000_000_007
+FP_MUL = 31
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased alnum tokens (whitespace + punctuation split; a BPE-ish
+    regex boundary). SQL twin: list_filter(string_split_regex(lower(t),
+    '[^a-z0-9]+'), x -> x != '')."""
+    arr = F.split(F.lower(_c(text)), "[^a-z0-9]+")
+    return F.filter(arr, lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def alpha_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z ]", ""))
+    return alpha / F.greatest(F.length(t), F.lit(1))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    tok = tokens(text)
+    stops = F.size(F.filter(tok, lambda x: x.isin(STOPWORDS)))
+    return stops / F.greatest(F.size(tok), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length, alphabetic purity,
+    stopword share — the classic cheap pre-filter for web-scale corpora."""
+    n_tok = token_count(text)
+    len_term = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_term
+        + F.lit(0.3) * alpha_ratio(text)
+        + F.lit(0.3) * stopword_ratio(text)
+    )
+    return F.round(score, 6)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    tok = F.array_distinct(tokens(text))
+    return {
+        lang: F.size(F.filter(tok, lambda x: x.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """N-gram/stopword language-ID heuristic. ``zh`` when CJK codepoints are
+    present; otherwise the marker-set argmax with alphabetical tiebreak."""
+    t = _c(text)
+    scores = lang_scores(text)
+    best = None
+    best_lang = F.lit(LANG_ORDER[0])
+    for lang in LANG_ORDER:
+        s = scores[lang]
+        if best is None:
+            best = s
+        else:
+            is_better = s > best
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best = F.when(is_better, s).otherwise(best)
+    has_cjk = t.rlike("[\\u4e00-\\u9fff]")
+    return F.when(has_cjk, F.lit("zh")).otherwise(
+        F.when(best == 0, F.lit("und")).otherwise(best_lang)
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Polynomial rolling hash over the codepoints of the normalized
+    (lowercased, token-joined) text: h = fold(h*31 + ascii(c)) mod 1e9+7.
+    Engine-independent by construction (vs xxhash64, whose seeds don't
+    match across engines); SQL twin uses list_reduce."""
+    norm = F.concat_ws(" ", tokens(text))
+    chars = F.filter(F.split(norm, ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_MUL + x) % FP_MOD,
+    )

@@ -1,0 +1,57 @@
+"""Streaming declared queries (north-star QX5): watermarked tumbling-window
+counts over ``events`` as a real Structured Streaming job, its batch twin,
+and per-user sessionization (gaps-and-islands)."""
+
+from __future__ import annotations
+
+from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.streaming import (
+    sessionize_batch,
+    tumbling_counts_batch,
+    tumbling_counts_stream,
+)
+from nimhdfstore_spark.tables import load
+
+_X_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("x60_stream_tumbling_window", _X_TUMBLING_SQL)
+def x_stream_tumbling(spark, sf_dir):
+    return tumbling_counts_stream(spark, sf_dir, window="10 minutes", watermark="1 hour")
+
+
+@query("x61_batch_tumbling_window", _X_TUMBLING_SQL)
+def x_batch_tumbling(spark, sf_dir):
+    return tumbling_counts_batch(load(spark, sf_dir, "events"))
+
+
+_X_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+@query("x62_sessionize", _X_SESSION_SQL)
+def x_sessionize(spark, sf_dir):
+    return sessionize_batch(load(spark, sf_dir, "events"), gap_minutes=30)

@@ -1,0 +1,136 @@
+"""Text-analysis declared queries (north-star QX4 + extensions) over the
+``documents`` table, each with an exact-value DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.operators import text as T
+from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.tables import load
+
+# shared SQL fragments (DuckDB) — must mirror operators/text.py exactly
+_SQL_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_SQL_STOPS = "['the','a','and','of','to','in','is','it']"
+
+
+# --------------------------------------------------------------------------
+# QX4 — token counting: top-20 tokens by frequency
+# --------------------------------------------------------------------------
+
+_X_TOKENS_SQL = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+@query("x20_text_top_tokens", _X_TOKENS_SQL)
+def x_top_tokens(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# quality scoring: length/punct/stopword heuristics per document
+# --------------------------------------------------------------------------
+
+_X_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  ROUND(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  ROUND(len(list_filter(toks, x -> list_contains({_SQL_STOPS}, x)))
+        / greatest(len(toks), 1), 6) AS stop_ratio,
+  ROUND(0.4 * least(len(toks) / 20.0, 1.0)
+      + 0.3 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+               / greatest(length(text), 1))
+      + 0.3 * (len(list_filter(toks, x -> list_contains({_SQL_STOPS}, x)))
+               / greatest(len(toks), 1)), 6) AS quality
+FROM t ORDER BY doc_id
+"""
+
+
+@query("x21_text_quality", _X_QUALITY_SQL)
+def x_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.alpha_ratio("text"), 6).alias("alpha_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stop_ratio"),
+        T.quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# language-ID heuristic (marker-set argmax + CJK detection)
+# --------------------------------------------------------------------------
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(list_distinct({_SQL_TOKENS}), "
+        f"x -> list_contains([{lst}], x)))"
+    )
+
+
+_X_LANGID_SQL = f"""
+WITH s AS (
+  SELECT doc_id, text,
+    {_marker_sql('de')} AS sde, {_marker_sql('en')} AS sen,
+    {_marker_sql('es')} AS ses, {_marker_sql('fr')} AS sfr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+       WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+       WHEN sde = greatest(sde, sen, ses, sfr) THEN 'de'
+       WHEN sen = greatest(sde, sen, ses, sfr) THEN 'en'
+       WHEN ses = greatest(sde, sen, ses, sfr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
+
+
+@query("x22_text_langid", _X_LANGID_SQL)
+def x_langid(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id("text").alias("lang_pred")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# document fingerprint (polynomial rolling hash — engine-independent)
+# --------------------------------------------------------------------------
+
+_X_FP_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split(array_to_string({_SQL_TOKENS}, ' '), ''), c -> c != ''),
+      c -> CAST(ascii(c) AS BIGINT)) AS codes
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(codes) = 0 THEN 0
+       ELSE list_reduce(codes, (acc, x) -> (acc * {T.FP_MUL} + x) % {T.FP_MOD})
+  END AS fingerprint
+FROM t ORDER BY doc_id
+"""
+
+
+@query("x23_text_fingerprint", _X_FP_SQL)
+def x_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.fingerprint("text").alias("fingerprint")
+    ).orderBy("doc_id")

@@ -1,0 +1,116 @@
+"""Structured Streaming over the append-only ``events`` table.
+
+The reference's closest capability is FFI-only packet tables / dataset-watch
+(H5PT*, hl/H5PTpublic.nim:33-94; H5LD*, hl/H5LDpublic.nim:26-32) — an
+append-only log with a read cursor. Spark's native form is
+``readStream`` over an append-only directory + windowed aggregation with
+watermarks (SURVEY §2.10); this module provides that, plus batch twins whose
+semantics are identical (and DuckDB-oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _event_ts(df: DataFrame) -> DataFrame:
+    # events ts arrives as bigint nanos (see tables.normalize_events_ts) or
+    # as a timestamp; either way produce a TIMESTAMP column for
+    # watermarks/windows (session tz is UTC, instants unchanged).
+    from nimhdfstore_spark.tables import normalize_events_ts
+
+    df = normalize_events_ts(df)
+    return df.withColumn("ts_t", F.col("ts").cast("timestamp"))
+
+
+def tumbling_counts_stream(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window event counts, executed as a real
+    Structured Streaming job (availableNow trigger → in-memory sink) and
+    returned as a finished DataFrame.
+
+    Late data beyond ``watermark`` is dropped by the engine; ``complete``
+    output mode materializes every window (an ``append``-mode sink would
+    hold back windows newer than max(ts) - watermark — with a finite
+    backfill that's the last hour forever).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(events_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    agg = (
+        _event_ts(stream)
+        .withWatermark("ts_t", watermark)
+        .groupBy(F.window("ts_t", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("n_events"),
+        )
+    )
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start")
+
+
+def tumbling_counts_batch(events: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """Batch twin of the streaming aggregation (same built-in window fn)."""
+    return (
+        _event_ts(events)
+        .groupBy(F.window("ts_t", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("n_events"),
+        )
+        .orderBy("window_start")
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessionization (gaps-and-islands): a new session starts when
+    the gap to the previous event exceeds ``gap_minutes``. One shuffle on
+    user_id; windows are per-user (no global sort). Output: one row per
+    session with bounds and event count."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -22,7 +22,26 @@ CANONICAL: dict[str, list[str]] = {
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def normalize_events_ts(df: DataFrame):
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    with ``nanosAsLong`` it arrives as bigint nanos. Truncate to micros —
+    exactly what DuckDB's reader does — and make it a proper timestamp."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def load_pos(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -1,0 +1,76 @@
+"""Extension-operator semantics that the DuckDB oracle can't check:
+LSH recall vs the exact path, IVF recall vs brute force, multimodal stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.operators import dedup as D
+from nimhdfstore_spark.operators import multimodal as M
+from nimhdfstore_spark.operators import similarity as S
+from nimhdfstore_spark.tables import load
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.6
+        ).collect()
+    }
+    assert exact, "calibration: exact pairs expected at tau=0.7"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"MinHash-LSH recall {recall:.2f} < 0.8"
+
+
+def test_simhash_finds_exact_duplicates(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    dup = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(dup)
+    pairs = D.simhash_pairs(both, "doc_id", "text", max_hamming=0).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    missing = [
+        (i, i + 10_000) for i in range(50) if (i, i + 10_000) not in found
+    ]
+    assert not missing, f"simhash missed exact duplicates: {missing[:5]}"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    bf = S.brute_force_topk(emb, probes, k=10).collect()
+    ivf = S.ivf_topk(emb, probes, k=10, every=50, nprobe=4).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(bf_sets[p] & ivf_sets.get(p, set())) / len(bf_sets[p]) for p in bf_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"IVF mean recall {mean_recall:.2f} too low"
+
+
+def test_multimodal_stubs_and_plumbing(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(20)
+    packed = M.pack_binary(docs, "doc_id", "text")
+    assert [f.name for f in packed.schema.fields] == ["doc_id", "payload", "meta"]
+    assert packed.schema["payload"].dataType.simpleString() == "binary"
+    decoded = M.decode_meta(packed)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.width == r.n_bytes % 64
+        assert r.height == (r.n_bytes // 64) % 64
+    with pytest.raises(NotImplementedError):
+        M.resize_images(packed, 32, 32)
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(packed, 10)
