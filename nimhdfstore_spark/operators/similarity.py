@@ -33,16 +33,31 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k cosine neighbors per probe. Output: (probe_id, neighbor_id,
     cosine, rank) with deterministic (cosine desc, neighbor_id) ranking."""
+    from nimhdfstore_spark.functions.vector import dot, l2_norm
+
+    # norms once per side (O(n)), not per pair: dot/(np*nc) is bit-identical
+    # to dot/(sqrt(pp)*sqrt(cc)).
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
+        l2_norm(vec_col).alias("pn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
     )
     joined = F.broadcast(p).crossJoin(c)
     if not include_self:
         joined = joined.where(F.col("probe_id") != F.col("neighbor_id"))
-    sim = joined.withColumn("cosine", F.round(cosine(F.col("pv"), F.col("cv")), 6))
+    sim = joined.withColumn(
+        "cosine",
+        F.round(
+            F.when(
+                (F.col("pn") > 0) & (F.col("cn") > 0),
+                dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn")),
+            ),
+            6,
+        ),
+    )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -61,18 +76,28 @@ def assign_clusters(
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the centroid table, rank by
     cosine, keep rank 1. Output: (id, vec, cluster_id)."""
+    from nimhdfstore_spark.functions.vector import dot, l2_norm
+
     cent = centroids.select(
-        F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centv")
+        F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centv"),
+        l2_norm(vec_col).alias("centn"),
     )
     joined = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("vn"),
     ).crossJoin(F.broadcast(cent))
-    sim = joined.withColumn("csim", cosine(F.col("vec"), F.col("centv")))
+    sim = joined.withColumn(
+        "csim",
+        F.when(
+            (F.col("vn") > 0) & (F.col("centn") > 0),
+            dot(F.col("vec"), F.col("centv")) / (F.col("vn") * F.col("centn")),
+        ),
+    )
     w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cluster_id"))
     return (
         sim.withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
-        .select("id", "vec", "cluster_id")
+        .select("id", "vec", F.col("vn"), "cluster_id")
     )
 
 
@@ -97,11 +122,16 @@ def ivf_topk(
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF ANN: search only each probe's ``nprobe`` nearest clusters."""
+    from nimhdfstore_spark.functions.vector import dot, l2_norm
+
     cents = deterministic_centroids(corpus, every, id_col)
     assigned = assign_clusters(corpus, cents, id_col, vec_col)
 
     cent = cents.select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centv"))
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"))
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
+        l2_norm(vec_col).alias("pn"),
+    )
     psim = F.broadcast(p).crossJoin(F.broadcast(cent)).withColumn(
         "csim", cosine(F.col("pv"), F.col("centv"))
     )
@@ -109,12 +139,21 @@ def ivf_topk(
     probe_clusters = (
         psim.withColumn("r", F.row_number().over(wp))
         .where(F.col("r") <= nprobe)
-        .select("probe_id", "pv", "cluster_id")
+        .select("probe_id", "pv", "pn", "cluster_id")
     )
     cand = probe_clusters.join(assigned, "cluster_id").where(
         F.col("probe_id") != F.col("id")
     )
-    sim = cand.withColumn("cosine", F.round(cosine(F.col("pv"), F.col("vec")), 6))
+    sim = cand.withColumn(
+        "cosine",
+        F.round(
+            F.when(
+                (F.col("pn") > 0) & (F.col("vn") > 0),
+                dot(F.col("pv"), F.col("vec")) / (F.col("pn") * F.col("vn")),
+            ),
+            6,
+        ),
+    )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("id"))
     return (
         sim.withColumn("rank", F.row_number().over(w))

@@ -445,12 +445,20 @@ def q15(spark, sf_dir):
 def q16(spark, sf_dir):
     store = scratch_store(spark, f"q16-{os.path.basename(sf_dir)}")
     src = load_pos(spark, sf_dir, "lineitem")
-    reads = {}
+    reads, sums = {}, {}
     for codec in ("none", "snappy", "zstd"):
         t = store.put(f"li_{codec}", src, codec=codec, overwrite=True)
         reads[codec] = t.df()
-    base = reads["snappy"]
-    for codec in ("none", "zstd"):
-        if reads[codec].exceptAll(base).limit(1).count() != 0:
-            raise AssertionError(f"codec {codec} read differs from snappy")
+        # order-insensitive per-table checksum in one scan: count + XOR of
+        # full-row hashes (cheaper than exceptAll's join-shuffle).
+        df = reads[codec]
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+            ).alias("h"),
+        ).collect()[0]
+        sums[codec] = (row["n"], row["h"])
+    if len(set(sums.values())) != 1:
+        raise AssertionError(f"codec round-trips differ: {sums}")
     return reads["zstd"].orderBy(ROWID)

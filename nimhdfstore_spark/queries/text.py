@@ -27,9 +27,13 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 
 @query("x20_text_top_tokens", _X_TOKENS_SQL)
 def x_top_tokens(spark, sf_dir):
+    # explode(split) + WHERE instead of a filter() HOF: same result, but the
+    # whole pipeline stays in whole-stage codegen (HOF lambdas are
+    # interpreted and pay a large first-use JIT cost).
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(T.tokens("text")).alias("token"))
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"))
+        .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("token"))

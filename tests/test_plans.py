@@ -1,0 +1,82 @@
+"""Physical-plan quality gates — the 100 TB design assertions (SURVEY §4):
+positional predicates must reach the Parquet scan of store tables (row-group
+pruning), projections must prune columns, and small sides must broadcast.
+A plan regression here is a scale bug even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.operators.similarity import brute_force_topk
+from nimhdfstore_spark.store import Store
+from nimhdfstore_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def li_store(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("plans") / "store"
+    store = Store(spark, str(root))
+    from nimhdfstore_spark.tables import load_pos
+
+    store.put("lineitem", load_pos(spark, sf_dir, "lineitem"))
+    return store
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rowid_predicate_pushdown(li_store):
+    t = li_store["lineitem"]
+    plan = _plan(t.slice(100, 199))
+    assert "PushedFilters" in plan and "_rowid" in plan.split("PushedFilters")[1], (
+        f"positional slice did not push _rowid to the scan:\n{plan[:2000]}"
+    )
+
+
+def test_column_pruning(li_store):
+    t = li_store["lineitem"]
+    df = t.hyperslab(0, 10, stride=5, columns=["l_quantity"])
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema, (
+        f"projection read more columns than needed: {read_schema}"
+    )
+
+
+def test_point_read_prunes_row_groups(li_store):
+    # point read must be a scan-with-filter, not a global sort/window
+    t = li_store["lineitem"]
+    plan = _plan(t.row(4711))
+    assert "Window" not in plan, "point read should not re-rank the table"
+    assert "PushedFilters" in plan
+
+
+def test_ann_broadcasts_probes(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5)
+    plan = _plan(brute_force_topk(emb, probes, k=10))
+    assert "Broadcast" in plan, f"probe side not broadcast:\n{plan[:1500]}"
+
+
+def test_snapshot_files_sorted_by_rowid(li_store, spark):
+    # files written sorted ⇒ parquet row-group min/max on _rowid are tight ⇒
+    # the pushdown above actually prunes IO, not just rows
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = li_store["lineitem"]
+    ranges = []
+    for f in glob.glob(t.snapshot_path + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        i = cols["_rowid"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            ranges.append((st.min, st.max))
+    ranges.sort()
+    for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
+        assert a_max < b_min, f"overlapping _rowid row-groups: {ranges}"
