@@ -123,8 +123,10 @@ def q03(spark, sf_dir):
     f"WHERE {ROWID} >= (SELECT COUNT(*) FROM lineitem) - 2 ORDER BY {ROWID}",
 )
 def q04(spark, sf_dir):
+    from nimhdfstore_spark.tables import table_nrows
+
     df = load_pos(spark, sf_dir, "lineitem")
-    n = df.count()
+    n = table_nrows(sf_dir, "lineitem")  # footer count — no scan job
     return df.where(F.col(ROWID) >= n - 2).orderBy(ROWID)
 
 
@@ -175,9 +177,10 @@ def q06(spark, sf_dir):
 )
 def q07(spark, sf_dir):
     from nimhdfstore_spark.operators import positional
+    from nimhdfstore_spark.tables import table_nrows
 
     df = load_pos(spark, sf_dir, "lineitem")
-    n = df.count()
+    n = table_nrows(sf_dir, "lineitem")  # footer count — no scan job
     return df.where(positional.element_set([3, 17, 4242, 0, 59999 % n], n)).orderBy(ROWID)
 
 
@@ -444,7 +447,10 @@ def q15(spark, sf_dir):
 @query("q16_compression", _Q1_SQL)
 def q16(spark, sf_dir):
     store = scratch_store(spark, f"q16-{os.path.basename(sf_dir)}")
-    src = load_pos(spark, sf_dir, "lineitem")
+    # persist: the same rowid'd frame is written 3× (once per codec) — cache
+    # it instead of recomputing the rank sort per write. Deliberate for this
+    # codec-invariance check; a 100 TB single write wouldn't cache.
+    src = load_pos(spark, sf_dir, "lineitem").persist()
     reads, sums = {}, {}
     for codec in ("none", "snappy", "zstd"):
         t = store.put(f"li_{codec}", src, codec=codec, overwrite=True)
@@ -459,6 +465,7 @@ def q16(spark, sf_dir):
             ).alias("h"),
         ).collect()[0]
         sums[codec] = (row["n"], row["h"])
+    src.unpersist()
     if len(set(sums.values())) != 1:
         raise AssertionError(f"codec round-trips differ: {sums}")
     return reads["zstd"].orderBy(ROWID)

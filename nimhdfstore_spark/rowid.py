@@ -24,6 +24,7 @@ change the resulting rank.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -51,12 +52,22 @@ def with_rowid(
     if ROWID in df.columns:
         df = df.drop(ROWID)
     if strategy == "auto":
-        # Few input partitions ⇒ small data ⇒ the single-task window sort is
-        # cheaper than spinning up Arrow/Python workers. Many partitions ⇒
-        # the data is big enough that a global window would serialize on one
-        # task ⇒ use the prefix-sum path. Partition count is plan metadata,
-        # no job runs.
-        strategy = "window" if df.rdd.getNumPartitions() <= 8 else "offsets"
+        # Small data ⇒ the single-task window sort beats spinning up
+        # Arrow/Python workers; big or unknown ⇒ a global window would
+        # serialize on one task, so use the prefix-sum path. Decided from
+        # plan metadata only (no job): driver-local frames are tiny by
+        # construction, otherwise Catalyst's sizeInBytes estimate.
+        _UNKNOWN = (1 << 63) - 1
+        if df.isLocal():
+            strategy = "window"
+        else:
+            try:
+                size = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:
+                size = _UNKNOWN
+            strategy = "window" if size < (256 << 20) else "offsets"
     if strategy == "window":
         w = Window.orderBy(*[F.col(c) for c in order_by])
         out = df.withColumn(
@@ -104,6 +115,97 @@ def with_rowid(
 
     out = sorted_df.mapInPandas(assign, schema=schema)
     return out.select(ROWID, *df.columns)
+
+
+def sorted_parquet_bases(path: str, keys: Sequence[str]) -> list[tuple[str, int, int]] | None:
+    """If the Parquet data at ``path`` is provably sorted by ``keys``, return
+    ``[(file_path, base_rowid, rows)]``; else ``None``.
+
+    Verification is two-level: (a) footer row-group min/max stats must be
+    non-overlapping in key order across and within files (conservative on
+    multi-column keys: a first-key tie at a boundary must be disambiguated by
+    the second key's stats, else reject); (b) the key columns are scanned
+    columnar (pyarrow) to confirm within-row-group order. (b) is cheap here
+    (integer key columns only); at 100 TB it would run once as a distributed
+    per-file job with the verdict cached in table metadata.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    if not files:
+        return None
+    per_file = []  # (first_key_min, file, rows)
+    try:
+        for f in files:
+            pf = pq.ParquetFile(f)
+            md = pf.metadata
+            if md.num_rows == 0:
+                continue
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            prev = None  # (max_k0, max_k1) of previous row group
+            for rg in range(md.num_row_groups):
+                st0 = md.row_group(rg).column(idx[keys[0]]).statistics
+                if st0 is None or not st0.has_min_max:
+                    return None
+                if prev is not None:
+                    if st0.min < prev[0]:
+                        return None
+                    if st0.min == prev[0]:
+                        if len(keys) < 2:
+                            pass  # duplicate k0 across boundary, 1-key: order is fine
+                        else:
+                            st1 = md.row_group(rg).column(idx[keys[1]]).statistics
+                            if st1 is None or st1.min < prev[1]:
+                                return None
+                prev = (
+                    st0.max,
+                    md.row_group(rg).column(idx[keys[1]]).statistics.max
+                    if len(keys) > 1 else None,
+                )
+            first = pf.metadata.row_group(0).column(idx[keys[0]]).statistics.min
+            per_file.append((first, f, md.num_rows))
+            # (b) full key-column order check
+            import pandas as pd
+
+            cols = pq.read_table(f, columns=list(keys)).to_pandas()
+            if not cols.equals(cols.sort_values(list(keys), ignore_index=True)):
+                return None
+    except (KeyError, TypeError, AttributeError):
+        return None
+    per_file.sort()
+    out, base = [], 0
+    for _, f, rows in per_file:
+        out.append((f, base, rows))
+        base += rows
+    return out
+
+
+def rowid_from_sorted_parquet(
+    spark, path: str, keys: Sequence[str], bases: list[tuple[str, int, int]]
+) -> DataFrame:
+    """``_rowid`` for key-sorted Parquet with **no shuffle and no Python**:
+    rank = per-file base offset (driver prefix-sum over footer row counts) +
+    the scan-provided ``_metadata.row_index``. The pattern a 1000-executor
+    cluster wants: rowid becomes a pure projection on the scan."""
+    df = spark.read.parquet(path)
+    cols = df.columns
+    if len(bases) == 1:
+        out = df.select(
+            F.col("_metadata.row_index").cast("long").alias(ROWID), *cols
+        )
+        return out
+    base_df = spark.createDataFrame(
+        [(f"file://{f}" if not f.startswith("file:") else f, b) for f, b, _ in bases],
+        "__fp string, __base long",
+    )
+    m = df.select(F.col("_metadata.file_path").alias("__fp"),
+                  F.col("_metadata.row_index").alias("__ri"), *cols)
+    joined = m.join(F.broadcast(base_df), "__fp")
+    return joined.select(
+        (F.col("__base") + F.col("__ri")).cast("long").alias(ROWID), *cols
+    )
 
 
 def next_rowid_start(df: DataFrame) -> int:

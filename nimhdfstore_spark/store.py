@@ -19,10 +19,15 @@ by ``_rowid``, Parquet row-group min/max stats on ``_rowid`` let Catalyst
 prune untouched row groups for every positional predicate — the Spark analog
 of HDF5 touching only intersecting chunks.
 
-Scale notes (100 TB): snapshots rewrite the whole table in this round-1
-implementation; the planned hardening (SURVEY §7.1 M8) prunes the rewrite to
-files whose ``_rowid`` range intersects the mutation and re-bases the rest via
-per-file offset metadata. Appends already avoid rewriting: they add files.
+Scale notes (100 TB): mutations are file-pruned (SURVEY §7.1 M8). Stored
+``_rowid`` is always global, so a mutation only has to rewrite the files whose
+``_rowid`` range it touches: append rewrites nothing, update rewrites just the
+file(s) containing the overwritten range, and insert/delete rewrite the suffix
+from the splice point (positions after it shift — that data movement is
+inherent to positional semantics). Untouched files are *hardlinked* into the
+new snapshot directory — the local-FS stand-in for an object-store manifest
+that would list reused files by reference; per-file ``_rowid`` ranges live in
+``_meta.json`` so pruning needs no footer reads on the hot path.
 """
 
 from __future__ import annotations
@@ -133,7 +138,7 @@ class Store:
     def copy(self, src: str, dst: str) -> None:
         """M8 — object copy (h5util.nim:159-209) as a snapshot re-write."""
         t = self.table(src)
-        self.put(dst, t.df(), overwrite=True, _precounted=t.nrows)
+        self.put(dst, t.df(), overwrite=True)
 
     def link(self, target: str, link_name: str) -> None:
         """M9 — hardlink: alias catalog entry resolving to ``target``."""
@@ -154,7 +159,6 @@ class Store:
         codec: str | None = None,
         overwrite: bool = False,
         attrs: dict[str, Any] | None = None,
-        _precounted: int | None = None,
     ) -> "Table":
         """Create table ``name`` from ``df``.
 
@@ -176,18 +180,20 @@ class Store:
                 "input has no _rowid and no order_by was given; a canonical "
                 "order is required for stable row positions"
             )
-        count = _precounted if _precounted is not None else body.count()
         tdir = self._table_dir(name)
         if os.path.isdir(tdir):
             shutil.rmtree(tdir)
         meta = {
             "current": _SNAP.format(0),
-            "count": count,
             "codec": _codec_name(codec) if codec else self.codec,
             "attrs": dict(attrs or {}),
             "order_by": list(order_by or []),
         }
-        self._write_files(name, meta["current"], body, count, meta["codec"])
+        self._write_files(name, meta["current"], body, meta["codec"])
+        # count + per-file rowid catalog come from the written footers —
+        # no separate count job (which would recompute the whole sort).
+        meta["files"] = self._scan_ranges(os.path.join(tdir, meta["current"]))
+        meta["count"] = sum(e["rows"] for e in meta["files"])
         self._write_meta(name, meta)
         return Table(self, name, meta)
 
@@ -214,17 +220,44 @@ class Store:
             json.dump(meta, f, indent=1, sort_keys=True)
         os.replace(tmp, self._meta_path(name))
 
-    def _write_files(
-        self, name: str, snap: str, body: DataFrame, count: int, codec: str
-    ) -> None:
-        nparts = max(1, math.ceil(max(count, 1) / self.rows_per_file))
-        out = (
-            body.repartitionByRange(nparts, F.col(ROWID))
-            .sortWithinPartitions(ROWID)
-        )
+    def _scan_ranges(self, snap_dir: str) -> list[dict]:
+        """Per-file ``_rowid`` (lo, hi, rows) from Parquet footers, sorted by
+        ``lo``. Run once per snapshot commit and cached in ``_meta.json`` —
+        mutations prune against this catalog, never against footer reads
+        (the analog of HDF5's chunk index; at 100 TB this is the manifest)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in sorted(glob.glob(os.path.join(snap_dir, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            idx = next(
+                i for i in range(md.num_columns) if md.schema.column(i).name == ROWID
+            )
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            out.append(
+                {"name": os.path.basename(f), "lo": int(lo), "hi": int(hi),
+                 "rows": md.num_rows}
+            )
+        out.sort(key=lambda e: e["lo"])
+        return out
+
+    def _write_files(self, name: str, snap: str, body: DataFrame, codec: str) -> None:
+        # Range-shuffle on _rowid (AQE picks the partition count), sort within
+        # partitions, and cap rows per output file: sorted non-overlapping
+        # files without needing a row count up front.
+        out = body.repartitionByRange(F.col(ROWID)).sortWithinPartitions(ROWID)
         (
             out.write.mode("overwrite")
             .option("compression", codec)
+            .option("maxRecordsPerFile", self.rows_per_file)
             .parquet(os.path.join(self._table_dir(name), snap))
         )
 
@@ -374,61 +407,110 @@ class Table:
         cols = [ROWID] + [c for c in df.columns if c != ROWID]
         return body.select(*cols), n
 
-    def _commit(self, body: DataFrame, count: int) -> None:
+    def _ranges(self) -> list[dict]:
+        """Per-file ``_rowid`` catalog of the current snapshot."""
+        files = self._meta.get("files")
+        if files is None:  # meta written before file catalogs existed
+            files = self.store._scan_ranges(self.snapshot_path)
+        return files
+
+    def _read_files(self, entries: list[dict]) -> DataFrame:
+        paths = [os.path.join(self.snapshot_path, e["name"]) for e in entries]
+        return self.store.spark.read.parquet(*paths)
+
+    def _commit_pruned(
+        self,
+        keep: list[dict],
+        rewrite: DataFrame | None,
+        rewrite_count: int,
+    ) -> None:
+        """Commit a new snapshot = hardlinked ``keep`` files + the written-out
+        ``rewrite`` frame. Only ``rewrite_count`` rows move; everything in
+        ``keep`` is reused byte-for-byte (hardlink locally; by manifest
+        reference on an object store). Spark part-file names embed a job UUID,
+        so freshly written files never collide with linked ones. The new
+        count and file catalog come from the written footers."""
+        store = self.store
         cur = int(self._meta["current"].split("-")[1])
         snap = _SNAP.format(cur + 1)
-        self.store._write_files(self.name, snap, body, count, self.codec)
-        old = self.snapshot_path
-        self._meta.update(current=snap, count=count)
-        self.store._write_meta(self.name, self._meta)
-        shutil.rmtree(old, ignore_errors=True)
+        old_dir = self.snapshot_path
+        new_dir = os.path.join(store._table_dir(self.name), snap)
+        if rewrite is not None and rewrite_count > 0:
+            store._write_files(self.name, snap, rewrite, self.codec)
+        else:
+            os.makedirs(new_dir, exist_ok=True)
+        for e in keep:
+            os.link(
+                os.path.join(old_dir, e["name"]), os.path.join(new_dir, e["name"])
+            )
+        files = store._scan_ranges(new_dir)
+        self._meta.update(
+            current=snap, count=sum(e["rows"] for e in files), files=files
+        )
+        store._write_meta(self.name, self._meta)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     def append(self, df: DataFrame, n: int | None = None) -> None:
-        """M1 — append at end (nimtables.nim:173-175). Adds files to a new
-        snapshot without renumbering existing rows."""
+        """M1 — append at end (nimtables.nim:173-175). Existing files are all
+        reused; only the new rows are written."""
         start = self.nrows
         new, n = self._new_rows(df, start, n)
-        self._commit(self.df().unionByName(new), start + n)
+        self._commit_pruned(self._ranges(), new, n)
 
     def insert(self, i: int, df: DataFrame, n: int | None = None) -> None:
         """M5 — splice at position ``i`` (nimtables.nim:229-233); suffix
-        rowids shift arithmetically (no re-rank). Unlike the reference, the
-        count is updated (its in-memory ``nrecords`` forgets to bump —
-        SURVEY §2.9 quirk) and position 0 is insertable (no ``assert n>0``)."""
+        rowids shift arithmetically (no re-rank), so only files from the
+        splice point on are rewritten. Unlike the reference, the count is
+        updated (its in-memory ``nrecords`` forgets to bump — SURVEY §2.9
+        quirk) and position 0 is insertable (no ``assert n>0``)."""
         i = self._resolve(i)
         if not 0 <= i <= self.nrows:
             raise StoreError(f"insert position {i} out of range 0..{self.nrows}")
         new, n = self._new_rows(df, i, n)
-        old = self.df()
+        ranges = self._ranges()
+        keep = [e for e in ranges if e["hi"] < i]
+        touched = [e for e in ranges if e["hi"] >= i]
         r = F.col(ROWID)
-        body = (
-            old.where(r < i)
-            .unionByName(new)
-            .unionByName(
-                old.where(r >= i).withColumn(ROWID, (r + F.lit(n)).cast("long"))
+        if touched:
+            old = self._read_files(touched)
+            body = (
+                old.where(r < i)
+                .unionByName(new)
+                .unionByName(
+                    old.where(r >= i).withColumn(ROWID, (r + F.lit(n)).cast("long"))
+                )
             )
-        )
-        self._commit(body, self.nrows + n)
+        else:
+            body = new
+        rewrite_count = sum(e["rows"] for e in touched) + n
+        self._commit_pruned(keep, body, rewrite_count)
 
     def delete(self, a: int, b: int | None = None) -> None:
         """M4 — delete row or inclusive slice (nimtables.nim:202-227);
-        suffix shifts down arithmetically."""
+        suffix shifts down arithmetically. Files entirely before ``a`` are
+        reused; the rest rewrite."""
         a = self._resolve(a)
         b = a if b is None else self._resolve(b)
         if not (0 <= a <= b < self.nrows):
             raise StoreError(f"delete range {a}..{b} out of range")
         k = b - a + 1
-        old = self.df()
+        ranges = self._ranges()
+        keep = [e for e in ranges if e["hi"] < a]
+        touched = [e for e in ranges if e["hi"] >= a]
+        old = self._read_files(touched)
         r = F.col(ROWID)
         body = old.where(r < a).unionByName(
             old.where(r > b).withColumn(ROWID, (r - F.lit(k)).cast("long"))
         )
-        self._commit(body, self.nrows - k)
+        rewrite_count = sum(e["rows"] for e in touched) - k
+        self._commit_pruned(keep, body, rewrite_count)
 
     def update(self, i: int, df: DataFrame, b: int | None = None) -> None:
         """M2/M3 — overwrite row ``i`` or slice ``i..b`` (nimtables.nim:
-        177-200). The replacement must cover the region exactly (the
-        reference leaves shape vs data.len unchecked — quirk not kept)."""
+        177-200). Positions don't shift, so only the file(s) containing
+        ``a..b`` rewrite — a point update on a 100 TB table moves one file.
+        The replacement must cover the region exactly (the reference leaves
+        shape vs data.len unchecked — quirk not kept)."""
         a = self._resolve(i)
         b = a if b is None else self._resolve(b)
         if not (0 <= a <= b < self.nrows):
@@ -436,6 +518,10 @@ class Table:
         new, n = self._new_rows(df, a, None)
         if n != b - a + 1:
             raise StoreError(f"update covers {b - a + 1} rows but got {n}")
-        old = self.df()
+        ranges = self._ranges()
+        keep = [e for e in ranges if e["hi"] < a or e["lo"] > b]
+        touched = [e for e in ranges if e["hi"] >= a and e["lo"] <= b]
+        old = self._read_files(touched)
         body = old.where(~F.col(ROWID).between(a, b)).unionByName(new)
-        self._commit(body, self.nrows)
+        rewrite_count = sum(e["rows"] for e in touched)
+        self._commit_pruned(keep, body, rewrite_count)

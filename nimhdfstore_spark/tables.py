@@ -44,9 +44,40 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+#: memo of sorted_parquet_bases verdicts per (path, keys) — the footer/key
+#: verification is deterministic for immutable test data, no need to re-run
+_SORTED_CACHE: dict[tuple[str, tuple[str, ...]], object] = {}
+
+
 def load_pos(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """Table with its canonical ``_rowid`` attached."""
-    return with_rowid(load(spark, sf_dir, table), CANONICAL[table])
+    """Table with its canonical ``_rowid`` attached.
+
+    Fast path: when the Parquet is provably sorted by the canonical key
+    (footer + key-column verification, memoized), ``_rowid`` is a pure
+    projection of ``_metadata.row_index`` + per-file base offsets — no
+    shuffle, no Python. ``events`` is excluded: its canonical key uses the
+    micros-truncated timestamp, whose ties can reorder relative to the raw
+    nanos file order."""
+    from nimhdfstore_spark.rowid import rowid_from_sorted_parquet, sorted_parquet_bases
+
+    keys = CANONICAL[table]
+    if table != "events":
+        path = f"{sf_dir}/{table}.parquet"
+        ck = (path, tuple(keys))
+        if ck not in _SORTED_CACHE:
+            _SORTED_CACHE[ck] = sorted_parquet_bases(path, keys)
+        bases = _SORTED_CACHE[ck]
+        if bases:
+            return rowid_from_sorted_parquet(spark, path, keys, bases)
+    return with_rowid(load(spark, sf_dir, table), keys)
+
+
+def table_nrows(sf_dir: str, table: str) -> int:
+    """Record count from Parquet footers — the catalog lookup the reference
+    does with ``H5TBget_table_info`` (nimtables.nim:115): no scan job."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
 
 
 def rowid_over(table: str) -> str:

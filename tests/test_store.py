@@ -131,6 +131,47 @@ def test_rowid_strategies_agree(spark, sf_dir):
     assert a.select(ROWID, "c_custkey").subtract(b.select(ROWID, "c_custkey")).count() == 0
 
 
+def _inodes(t):
+    import glob
+    import os
+
+    return {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in glob.glob(t.snapshot_path + "/*.parquet")
+        if os.path.getsize(f) > 0
+    }
+
+
+def test_mutations_reuse_untouched_files(spark, tmp_path):
+    # 200 rows / 20-per-file = 10 files; a mutation must rewrite ONLY files
+    # whose _rowid range it touches (hardlink reuse elsewhere) — the M8 scale
+    # property that makes a point update on a 100 TB table move one file.
+    store = Store(spark, str(tmp_path / "store"), rows_per_file=20)
+    store.put("p", particles(spark, n=200), order_by=["lati"])
+    t = store["p"]
+    before = _inodes(t)
+    assert len(before) >= 8
+
+    t.append(particles(spark, n=5, start=900))  # append rewrites nothing
+    after = _inodes(t)
+    assert set(before).issubset(set(after))
+    assert all(after[k] == v for k, v in before.items())
+
+    before = _inodes(t)
+    t.update(55, particles(spark, n=1, start=901))  # touches one file
+    after = _inodes(t)
+    reused = [k for k, v in before.items() if after.get(k) == v]
+    assert len(before) - len(reused) == 1, "update should rewrite exactly 1 file"
+
+    before = _inodes(t)
+    t.delete(150, 152)  # prefix (rowid < 150) reused, suffix rewritten
+    after = _inodes(t)
+    reused = [k for k, v in before.items() if after.get(k) == v]
+    assert len(reused) >= 7, f"delete near tail should reuse the prefix: {len(reused)}"
+    assert rows_of(t.row(55)) == [(901, 1, 100.0, 20.0)]
+    assert t.nrows == 202
+
+
 def test_randomized_mutation_sequence_vs_list_oracle(store, spark):
     rng = random.Random(42)
     store.put("p", particles(spark, n=20), order_by=["lati"])
