@@ -1,0 +1,95 @@
+"""Q17-Q19 — n-dim dataset parity queries (SURVEY §2 S6-S9, P4-P6, M10-M14).
+
+The dataset is a positional table with ``_rowid`` = row-major linear index
+(datasets.py); the oracle recomputes the same coordinate arithmetic over
+DuckDB ``range()``, so these check both the selection algebra and the
+store round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.datasets import Dataset, create_dataset
+from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.queries.core import scratch_store
+from nimhdfstore_spark.rowid import ROWID
+
+# 3-d dataset 20×8×5, value = linear index as double; hyperslab
+# offset=(2,1,0) count=(5,3,2) stride=(3,2,2) block=1.
+_Q17_SQL = f"""
+WITH cells AS (
+  SELECT id AS {ROWID}, CAST(id AS DOUBLE) AS value,
+         (id // 40) % 20 AS i0, (id // 5) % 8 AS i1, id % 5 AS i2
+  FROM range(800) t(id)
+)
+SELECT i0, i1, i2, value, {ROWID} FROM cells
+WHERE i0 >= 2 AND i0 < 15 AND (i0 - 2) % 3 = 0
+  AND i1 >= 1 AND i1 < 6 AND (i1 - 1) % 2 = 0
+  AND i2 >= 0 AND i2 < 3 AND i2 % 2 = 0
+ORDER BY {ROWID}
+"""
+
+
+def _linear_dataset(spark, sf_dir, name, n, shape):
+    store = scratch_store(spark, f"{name}-{os.path.basename(sf_dir)}")
+    df = spark.range(n).select(
+        F.col("id").alias(ROWID), F.col("id").cast("double").alias("value")
+    )
+    t = store.put("dset", df, overwrite=True, attrs={"shape": shape})
+    return Dataset(t)
+
+
+@query("q17_dataset_hyperslab", _Q17_SQL)
+def q17(spark, sf_dir):
+    ds = _linear_dataset(spark, sf_dir, "q17", 800, [20, 8, 5])
+    return ds.hyperslab(offset=[2, 1, 0], count=[5, 3, 2], stride=[3, 2, 2])
+
+
+# coordinate write into a 10×10 dataset, then element + slice readback
+_Q18_SQL = f"""
+WITH cells AS (
+  SELECT id AS {ROWID},
+         CASE id WHEN 23 THEN 111.0 WHEN 55 THEN 222.0 WHEN 99 THEN 333.0
+                 ELSE CAST(id AS DOUBLE) END AS value,
+         (id // 10) % 10 AS i0, id % 10 AS i1
+  FROM range(100) t(id)
+)
+SELECT i0, i1, value, {ROWID} FROM cells
+WHERE {ROWID} IN (23, 55, 99) OR i0 = 5
+ORDER BY {ROWID}
+"""
+
+
+@query("q18_dataset_coord_write", _Q18_SQL)
+def q18(spark, sf_dir):
+    ds = _linear_dataset(spark, sf_dir, "q18", 100, [10, 10])
+    ds.write_coords([(2, 3), (5, 5), (9, 9)], [111.0, 222.0, 333.0])
+    points = ds.elements([(2, 3), (5, 5), (9, 9)])
+    row5 = ds[5]  # whole row i0=5 (index broadcast, P6)
+    return points.unionByName(row5).dropDuplicates([ROWID]).orderBy(ROWID)
+
+
+# resize: grow 6×4 → 8×4 zero-filled, then shrink to 3×4; append rows (M11)
+_Q19_SQL = f"""
+WITH cells AS (
+  SELECT id AS {ROWID}, CAST(id AS DOUBLE) AS value,
+         (id // 4) % 8 AS i0, id % 4 AS i1
+  FROM range(24) t(id)
+  UNION ALL
+  SELECT 24 + id, 900.0 + id, 6 + (id // 4), id % 4 FROM range(8) t(id)
+)
+SELECT i0, i1, value, {ROWID} FROM cells WHERE i0 < 5 OR i0 >= 6
+ORDER BY {ROWID}
+"""
+
+
+@query("q19_dataset_resize_append", _Q19_SQL)
+def q19(spark, sf_dir):
+    ds = _linear_dataset(spark, sf_dir, "q19", 24, [6, 4])
+    ds.add([[900.0 + j + 4 * i for j in range(4)] for i in range(2)])  # 8×4
+    assert ds.shape == [8, 4]
+    sel = ds.hyperslab([0, 0], [5, 4]).unionByName(ds.hyperslab([6, 0], [2, 4]))
+    return sel.orderBy(ROWID)

@@ -505,6 +505,31 @@ class Table:
         rewrite_count = sum(e["rows"] for e in touched) - k
         self._commit_pruned(keep, body, rewrite_count)
 
+    def update_rows(self, df: DataFrame) -> None:
+        """Scatter update: replace the rows whose ``_rowid`` values appear in
+        ``df`` (final positions; payload schema = table schema). Positions
+        don't shift, so only the files containing a targeted ``_rowid``
+        rewrite — M13 coordinate-write (nimhdf5/datasets.nim:1117-1275) with
+        HDF5's touched-chunks-only behavior. Payloads are driver-sized (the
+        reference marshals them in memory too); at scale, sort the ids and
+        binary-search the file catalog instead of the linear probe."""
+        ids = [r[ROWID] for r in df.select(ROWID).collect()]
+        if not ids:
+            return
+        if len(ids) != len(set(ids)):
+            raise StoreError("duplicate _rowid in update payload")
+        if min(ids) < 0 or max(ids) >= self.nrows:
+            raise StoreError(f"update _rowid out of range 0..{self.nrows - 1}")
+        touched, keep = [], []
+        for e in self._ranges():
+            if any(e["lo"] <= i <= e["hi"] for i in ids):
+                touched.append(e)
+            else:
+                keep.append(e)
+        old = self._read_files(touched)
+        body = old.where(~F.col(ROWID).isin(ids)).unionByName(df)
+        self._commit_pruned(keep, body, sum(e["rows"] for e in touched))
+
     def update(self, i: int, df: DataFrame, b: int | None = None) -> None:
         """M2/M3 — overwrite row ``i`` or slice ``i..b`` (nimtables.nim:
         177-200). Positions don't shift, so only the file(s) containing
