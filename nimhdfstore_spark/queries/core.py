@@ -444,6 +444,27 @@ def q15(spark, sf_dir):
 # the Q1 result is byte-identical across none/snappy/zstd codecs.
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Q20 — M15 schema evolution (H5TBinsert_field/H5TBdelete_field,
+# hl/H5TBpublic.nim:120-125): add a defaulted column, drop another.
+# --------------------------------------------------------------------------
+
+_Q20_SQL = f"""
+SELECT CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS {ROWID},
+       n_nationkey, n_regionkey, CAST(1 AS BIGINT) AS n_flag
+FROM nation ORDER BY {ROWID}
+"""
+
+
+@query("q20_schema_evolution", _Q20_SQL)
+def q20(spark, sf_dir):
+    store = scratch_store(spark, f"q20-{os.path.basename(sf_dir)}")
+    t = store.put("nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True)
+    t.add_field("n_flag", "long", 1)
+    t.drop_field("n_name")
+    return t.df().orderBy(ROWID)
+
+
 @query("q16_compression", _Q1_SQL)
 def q16(spark, sf_dir):
     store = scratch_store(spark, f"q16-{os.path.basename(sf_dir)}")

@@ -55,3 +55,17 @@ FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq
 @query("x62_sessionize", _X_SESSION_SQL)
 def x_sessionize(spark, sf_dir):
     return sessionize_batch(load(spark, sf_dir, "events"), gap_minutes=30)
+
+
+_X_STATEFUL_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("x63_stateful_user_totals", _X_STATEFUL_SQL)
+def x_stateful_user_totals(spark, sf_dir):
+    from nimhdfstore_spark.streaming import user_totals_stateful_stream
+
+    return user_totals_stateful_stream(spark, sf_dir)

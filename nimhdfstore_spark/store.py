@@ -505,6 +505,30 @@ class Table:
         rewrite_count = sum(e["rows"] for e in touched) - k
         self._commit_pruned(keep, body, rewrite_count)
 
+    # -- schema evolution (M15; hl/H5TBpublic.nim:120-125) -------------------
+
+    def add_field(self, name: str, dtype: str, default: Any = None) -> None:
+        """M15 ``H5TBinsert_field``: add a column with a default. A schema
+        change touches every file by definition — full rewrite is inherent,
+        not an implementation shortcut."""
+        if name in self.df().columns:
+            raise StoreError(f"field exists: {name!r}")
+        body = self.df().withColumn(name, F.lit(default).cast(dtype))
+        self._commit_pruned([], body, self.nrows)
+
+    def drop_field(self, name: str) -> None:
+        """M15 ``H5TBdelete_field``: remove a column (never ``_rowid``)."""
+        if name == ROWID or name not in self.df().columns:
+            raise StoreError(f"cannot drop field {name!r}")
+        self._commit_pruned([], self.df().drop(name), self.nrows)
+
+    def compact(self) -> None:
+        """Rewrite the snapshot into optimally-sized files. Repeated small
+        appends/mutations fragment the file catalog; compaction restores
+        ``rows_per_file`` sizing and tight ``_rowid`` row-group stats (the
+        maintenance job a 100 TB deployment schedules off-peak)."""
+        self._commit_pruned([], self.df(), self.nrows)
+
     def update_rows(self, df: DataFrame) -> None:
         """Scatter update: replace the rows whose ``_rowid`` values appear in
         ``df`` (final positions; payload schema = table schema). Positions

@@ -86,6 +86,67 @@ def tumbling_counts_batch(events: DataFrame, window: str = "10 minutes") -> Data
     )
 
 
+def user_totals_stateful_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value sum) maintained in keyed state
+    across micro-batches — the Structured Streaming form of a packet-table
+    cursor with per-key accumulators (H5PT*, hl/H5PTpublic.nim:33-94).
+
+    State is per user_id (hash-partitioned across executors; at scale the
+    state store shards with the key space). The batch-equivalent semantics
+    (GROUP BY user_id) make it oracle-checkable; a single ``availableNow``
+    batch over the fixture emits exactly one row per user, and the final
+    aggregation collapses re-emissions defensively if the engine ever splits
+    the backfill into multiple batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(events_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"user_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("total_value", "n_events"), 6).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user sessionization (gaps-and-islands): a new session starts when
     the gap to the previous event exceeds ``gap_minutes``. One shuffle on
