@@ -33,7 +33,8 @@ def load_all() -> None:
     """Import every query module (registration side effects)."""
     from nimhdfstore_spark.queries import core  # noqa: F401
 
-    for mod in ("datasets", "dedup", "similarity", "text", "multimodal", "stream"):
+    for mod in ("datasets", "dedup", "relational", "similarity", "text",
+                "multimodal", "stream"):
         try:
             __import__(f"nimhdfstore_spark.queries.{mod}")
         except ImportError:

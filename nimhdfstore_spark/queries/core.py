@@ -93,8 +93,10 @@ _Q2_SQL = (
 
 @query("q02_count_schema", _Q2_SQL)
 def q02(spark, sf_dir):
+    from nimhdfstore_spark.tables import table_nrows
+
     df = load(spark, sf_dir, "lineitem")
-    n = df.count()
+    n = table_nrows(sf_dir, "lineitem")  # footer count (H5TBget_table_info)
     rows = [
         (f.name, _TYPE_CANON.get(f.dataType.simpleString(), f.dataType.simpleString()), n)
         for f in df.schema.fields

@@ -1,0 +1,106 @@
+"""X70-X72 — relational extension queries (SURVEY §2.3/§2.4 stance: joins and
+aggregations are extension surface the reference lacks entirely; Catalyst
+provides them, and these queries pin the *plans* a 100 TB cluster needs).
+
+- x70: dim join → the small side MUST broadcast (no shuffle of the fact
+  table); asserted in tests/test_plans.py.
+- x71: fact-fact join → shuffle(sort-merge or AQE-chosen) on the join key,
+  with partial aggregation pushed below the shuffle.
+- x72: TPC-H Q1-shaped rollup over lineitem — the canonical scan-heavy
+  aggregate; whole-stage codegen end-to-end, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.tables import load
+
+_X70_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+@query("x70_broadcast_dim_join", _X70_SQL)
+def x70(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_X71_SQL = """
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+
+@query("x71_fact_fact_join", _X71_SQL)
+def x71(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_X72_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("x72_tpch_q1_rollup", _X72_SQL)
+def x72(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -140,6 +140,15 @@ class Store:
         t = self.table(src)
         self.put(dst, t.df(), overwrite=True)
 
+    def combine(self, a: str, b: str, dst: str, overwrite: bool = False) -> "Table":
+        """J1 ``H5TBcombine_tables`` (hl/H5TBpublic.nim:117-119): concatenate
+        two tables into a third; ``b``'s positions follow ``a``'s."""
+        ta, tb = self.table(a), self.table(b)
+        body = ta.df().unionByName(
+            tb.df().withColumn(ROWID, (F.col(ROWID) + ta.nrows).cast("long"))
+        )
+        return self.put(dst, body, overwrite=overwrite)
+
     def link(self, target: str, link_name: str) -> None:
         """M9 — hardlink: alias catalog entry resolving to ``target``."""
         if target not in self:
@@ -504,6 +513,19 @@ class Table:
         )
         rewrite_count = sum(e["rows"] for e in touched) - k
         self._commit_pruned(keep, body, rewrite_count)
+
+    def add_records_from(self, src: "Table", start: int, n: int) -> None:
+        """J2 ``H5TBadd_records_from`` (hl/H5TBpublic.nim:114-116): append
+        rows ``start..start+n-1`` of ``src`` to this table. The slice read
+        prunes to the files containing the range; the append writes only the
+        new rows."""
+        # rebase the source positions onto the tail of this table
+        new = (
+            src.df()
+            .where(F.col(ROWID).between(start, start + n - 1))
+            .withColumn(ROWID, (F.col(ROWID) - start + self.nrows).cast("long"))
+        )
+        self._commit_pruned(self._ranges(), new, n)
 
     # -- schema evolution (M15; hl/H5TBpublic.nim:120-125) -------------------
 

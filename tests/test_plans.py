@@ -61,6 +61,30 @@ def test_ann_broadcasts_probes(spark, sf_dir):
     assert "Broadcast" in plan, f"probe side not broadcast:\n{plan[:1500]}"
 
 
+def test_dim_join_broadcasts(spark, sf_dir):
+    # x70: the filtered dim side must broadcast — shuffling the fact table
+    # by join key at 100 TB is the bug this test pins against
+    from nimhdfstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["x70_broadcast_dim_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:1500]
+
+
+def test_rollup_stays_in_codegen(spark, sf_dir):
+    # x72: scan → partial agg → final agg, all inside whole-stage codegen;
+    # a Python/BatchEvalPython stage here would be a 10-100x regression
+    from nimhdfstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["x72_tpch_q1_rollup"](spark, sf_dir)
+    df.collect()  # finalize the AQE plan so codegen spans are visible
+    plan = _plan(df)
+    assert "*(" in plan or "WholeStageCodegen" in plan  # codegen span markers
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan, "missing map-side partial aggregation"
+
+
 def test_snapshot_files_sorted_by_rowid(li_store, spark):
     # files written sorted ⇒ parquet row-group min/max on _rowid are tight ⇒
     # the pushdown above actually prunes IO, not just rows

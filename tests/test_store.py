@@ -172,6 +172,51 @@ def test_mutations_reuse_untouched_files(spark, tmp_path):
     assert t.nrows == 202
 
 
+def test_combine_and_add_records_from(store, spark):
+    store.put("a", particles(spark, n=5), order_by=["lati"])
+    store.put("b", particles(spark, n=3, start=100), order_by=["lati"])
+    t = store.combine("a", "b", "ab")  # J1 H5TBcombine_tables
+    assert t.nrows == 8
+    assert [r["lati"] for r in t.df().orderBy(ROWID).collect()] == [
+        1, 2, 3, 4, 5, 100, 101, 102]
+    t.add_records_from(store["a"], start=1, n=2)  # J2 H5TBadd_records_from
+    assert t.nrows == 10
+    assert [r["lati"] for r in t.slice(-2, -1).collect()] == [2, 3]
+
+
+def test_schema_evolution_and_compact(store, spark):
+    store.put("p", particles(spark, n=6), order_by=["lati"])
+    t = store["p"]
+    t.add_field("flag", "long", 7)
+    assert t.df().where(F.col("flag") == 7).count() == 6
+    t.drop_field("pressure")
+    assert "pressure" not in t.df().columns
+    with pytest.raises(StoreError):
+        t.drop_field("_rowid")
+    with pytest.raises(StoreError):
+        t.add_field("flag", "long", 0)
+    t.compact()
+    assert t.nrows == 6 and t.df().where(F.col("flag") == 7).count() == 6
+
+
+def test_multifile_sorted_parquet_rowid(spark, tmp_path):
+    # multi-file fast path: bases from footers + broadcast join on file_path
+    from nimhdfstore_spark.rowid import rowid_from_sorted_parquet, sorted_parquet_bases
+
+    df = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    d = str(tmp_path / "sorted")
+    df.repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(d)
+    bases = sorted_parquet_bases(d, ["k"])
+    assert bases is not None and len(bases) == 4
+    assert sum(r for _, _, r in bases) == 1000
+    got = rowid_from_sorted_parquet(spark, d, ["k"], bases)
+    bad = got.where(F.col(ROWID) != F.col("k")).count()  # k IS the rank
+    assert bad == 0
+    # unsorted data must be rejected
+    df.repartition(4).write.parquet(str(tmp_path / "unsorted"))
+    assert sorted_parquet_bases(str(tmp_path / "unsorted"), ["k"]) is None
+
+
 def test_randomized_mutation_sequence_vs_list_oracle(store, spark):
     rng = random.Random(42)
     store.put("p", particles(spark, n=20), order_by=["lati"])
