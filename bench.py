@@ -46,6 +46,16 @@ def main() -> None:
 
     registry.load_all()
 
+    # JIT/codepath warmup (uncounted): one tiny end-to-end query so the first
+    # measured query doesn't absorb JVM warmup. Runs at sf0.001, not the
+    # bench scale factor — no bench-data caching.
+    try:
+        registry.QUERIES["q06_hyperslab"](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(registry.QUERIES):

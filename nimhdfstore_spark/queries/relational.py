@@ -74,6 +74,61 @@ def x71(spark, sf_dir):
     )
 
 
+_X73_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY c_custkey
+"""
+
+
+@query("x73_set_operations", _X73_SQL)
+def x73(spark, sf_dir):
+    """§2.7 set operations (absent in the reference; closest is J1 concat).
+    INTERSECT/EXCEPT hash-shuffle on the full row — fine here (key-only
+    projections); at scale prefer semi/anti joins on explicit keys."""
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    with_orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    final = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return cust.intersect(with_orders).subtract(final).orderBy("c_custkey")
+
+
+_X74_SQL = """
+SELECT l_orderkey, l_linenumber,
+       upper(l_returnflag) AS flag_u,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       ROUND(l_extendedprice * (1 + l_tax), 2) AS gross,
+       CAST(length(l_linestatus) AS BIGINT) AS status_len,
+       substr(l_linestatus, 1, 1) AS status_1
+FROM lineitem
+WHERE l_orderkey % 100 = 0
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("x74_scalar_functions", _X74_SQL)
+def x74(spark, sf_dir):
+    """§2.8 scalar functions (reference has only numeric casts, P9): string /
+    date / math expressions, all JVM-side in one codegen stage."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.upper("l_returnflag").alias("flag_u"),
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * (1 + F.col("l_tax")), 2).alias("gross"),
+        F.length("l_linestatus").cast("long").alias("status_len"),
+        F.substring("l_linestatus", 1, 1).alias("status_1"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 _X72_SQL = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -128,14 +128,23 @@ def user_totals_stateful_stream(spark: SparkSession, events_dir: str) -> DataFra
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"user_totals_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the shuffle-partition conf at stream start fixes the state-store shard
+    # count for the checkpoint's lifetime; 8 shards bound per-batch state
+    # commit overhead here (one-off backfill). A long-lived 100 TB deployment
+    # sizes this to its key-space/executor count once, up front.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .groupBy("user_id")
