@@ -399,14 +399,34 @@ class Table:
         by their arrival order on a single partition — mutation payloads are
         driver-built and small; bulk loads go through :meth:`Store.put`.
         """
-        if n is None:
-            n = df.count()
         if ROWID in df.columns:
+            if n is None:
+                n = df.count()
             base = df.agg(F.min(ROWID).alias("m")).collect()[0]["m"] or 0
             body = df.withColumn(
                 ROWID, (F.col(ROWID) - F.lit(base) + F.lit(start)).cast("long")
             )
+        elif df.isLocal():
+            # driver-built payload: enumerate driver-side into a fresh local
+            # relation. The window alternative below costs seconds per
+            # *execution* (uncacheable codegen) and range-partitioned writes
+            # execute their child twice (sample + shuffle).
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            rows = df.collect()
+            n = len(rows)
+            schema = StructType(
+                [StructField(ROWID, LongType())] + list(df.schema.fields)
+            )
+            return (
+                self.store.spark.createDataFrame(
+                    [(start + i, *r) for i, r in enumerate(rows)], schema
+                ),
+                n,
+            )
         else:
+            if n is None:
+                n = df.count()
             from pyspark.sql.window import Window
 
             w = Window.partitionBy(F.lit(1)).orderBy(F.monotonically_increasing_id())
