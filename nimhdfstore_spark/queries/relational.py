@@ -129,6 +129,47 @@ def x74(spark, sf_dir):
     ).orderBy("l_orderkey", "l_linenumber")
 
 
+_X75_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, MAX(value) AS value FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts,
+       ROUND(v.value, 6) AS asof_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
+@query("x75_asof_join", _X75_SQL)
+def x75(spark, sf_dir):
+    """Point-in-time (as-of) join: each purchase gets the value of the same
+    user's most recent view at or before it. Custom operator (operators/
+    asof.py, union-tag + single window pass); DuckDB's native ASOF JOIN is
+    the oracle. Right side deduped per (user, ts) so ties are deterministic
+    in both engines."""
+    from nimhdfstore_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    res = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    return res.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
+        F.round("asof_value", 6).alias("asof_value"),
+    ).orderBy("event_id")
+
+
 _X72_SQL = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,

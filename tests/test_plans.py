@@ -23,8 +23,7 @@ def li_store(spark, sf_dir, tmp_path_factory):
     return store
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from nimhdfstore_spark.plans import executed_plan as _plan  # noqa: E402
 
 
 def test_rowid_predicate_pushdown(li_store):
