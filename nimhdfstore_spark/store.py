@@ -406,11 +406,14 @@ class Table:
             body = df.withColumn(
                 ROWID, (F.col(ROWID) - F.lit(base) + F.lit(start)).cast("long")
             )
-        elif df.isLocal():
-            # driver-built payload: enumerate driver-side into a fresh local
-            # relation. The window alternative below costs seconds per
+        else:
+            # no _rowid: "arrival order" is only meaningful for an in-memory
+            # payload (the reference's mutation API takes a driver-side seq,
+            # nimtables.nim:173-233), so materialize and enumerate driver-side.
+            # The single-partition-window alternative costs seconds per
             # *execution* (uncacheable codegen) and range-partitioned writes
-            # execute their child twice (sample + shuffle).
+            # execute their child twice (sample + shuffle). Distributed bulk
+            # payloads should attach their own _rowid (or use Store.put).
             from pyspark.sql.types import LongType, StructField, StructType
 
             rows = df.collect()
@@ -423,15 +426,6 @@ class Table:
                     [(start + i, *r) for i, r in enumerate(rows)], schema
                 ),
                 n,
-            )
-        else:
-            if n is None:
-                n = df.count()
-            from pyspark.sql.window import Window
-
-            w = Window.partitionBy(F.lit(1)).orderBy(F.monotonically_increasing_id())
-            body = df.coalesce(1).withColumn(
-                ROWID, (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
             )
         cols = [ROWID] + [c for c in df.columns if c != ROWID]
         return body.select(*cols), n
