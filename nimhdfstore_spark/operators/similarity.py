@@ -75,7 +75,8 @@ def assign_clusters(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the centroid table, rank by
-    cosine, keep rank 1. Output: (id, vec, cluster_id)."""
+    cosine, keep rank 1. Output: (id, vec, vn, cluster_id) — ``vn`` is the
+    precomputed L2 norm, carried so downstream search never recomputes it."""
     from nimhdfstore_spark.functions.vector import dot, l2_norm
 
     cent = centroids.select(

@@ -2,8 +2,8 @@
 
 Oracle-checked: exact dedup, n-gram Jaccard, embedding-cosine near-dup
 (hash-free, engine-independent math). Rows-only: MinHash-LSH and SimHash
-(xxhash64-dependent); their correctness is pinned in tests/test_dedup.py by
-recall against the exact-Jaccard oracle path instead.
+(xxhash64-dependent); their correctness is pinned in
+tests/test_extensions.py by recall against the exact-Jaccard oracle path.
 """
 
 from __future__ import annotations

@@ -172,6 +172,20 @@ def test_mutations_reuse_untouched_files(spark, tmp_path):
     assert t.nrows == 202
 
 
+def test_nested_group_keys(store, spark):
+    # hierarchical namespace (reference groups, nimhdf5/groups.nim:204-246):
+    # "/"-separated keys create directory groups; catalog walk finds leaves
+    p = particles(spark, n=3)
+    store.put("raw/particles", p, order_by=["lati"])
+    store.put("raw/particles2", p, order_by=["lati"])
+    store.put("derived/agg/means", p, order_by=["lati"])
+    assert store.keys() == ["derived/agg/means", "raw/particles", "raw/particles2"]
+    assert "raw/particles" in store
+    assert store["derived/agg/means"].nrows == 3
+    store.drop("raw/particles2")
+    assert store.keys() == ["derived/agg/means", "raw/particles"]
+
+
 def test_combine_and_add_records_from(store, spark):
     store.put("a", particles(spark, n=5), order_by=["lati"])
     store.put("b", particles(spark, n=3, start=100), order_by=["lati"])
