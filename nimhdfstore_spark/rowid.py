@@ -78,14 +78,37 @@ def with_rowid(
         raise ValueError(f"unknown rowid strategy: {strategy}")
 
     sort_cols = [F.col(c) for c in order_by]
-    if num_partitions:
-        part = df.repartitionByRange(num_partitions, *sort_cols)
-    else:
-        part = df.repartitionByRange(*sort_cols)
-    sorted_df = part.sortWithinPartitions(*sort_cols)
+    if not num_partitions:
+        # Pin an explicit partition count: the counts job and the assign job
+        # execute this shuffle twice, and an unpinned range shuffle lets AQE
+        # re-coalesce — identical here only by deterministic replanning.
+        # Explicit N makes both executions identical by construction.
+        # Sized from plan stats at ~128 MB per partition.
+        _UNKNOWN = (1 << 63) - 1
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            size = _UNKNOWN
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if size == _UNKNOWN:
+            num_partitions = parallelism * 4
+        else:
+            num_partitions = max(parallelism, min(20_000, size // (128 << 20) + 1))
+    part = df.repartitionByRange(num_partitions, *sort_cols)
+    # CORRECTNESS: persist before the two passes. Range-partitioning samples
+    # with a seed derived from the physical plan's RDD id, so two separate
+    # actions over an unmaterialized range shuffle can see *different*
+    # partition boundaries — the counts below would then disagree with the
+    # assign pass (duplicate/skipped ranks). Materializing pins one set of
+    # partitions for both jobs; at 100 TB this is a disk-spill of the sort
+    # output — the same IO a sort would spill anyway. The cache is released
+    # to Spark's LRU (consumers typically write the result immediately).
+    from pyspark import StorageLevel
 
-    # Tiny job: one row per partition. Runs before the main pass; at scale,
-    # cache `sorted_df` first if recomputing the sort twice is a concern.
+    sorted_df = part.sortWithinPartitions(*sort_cols).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
     counts = (
         sorted_df.groupBy(F.spark_partition_id().alias("_pid"))
         .count()
