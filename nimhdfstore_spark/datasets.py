@@ -45,10 +45,13 @@ def _strides(shape: Sequence[int]) -> list[int]:
 
 
 def coord_cols(shape: Sequence[int]) -> list[Column]:
-    """Coordinate expressions ``i0..ik`` derived from ``_rowid``."""
-    r = F.col(ROWID)
+    """Coordinate expressions ``i0..ik`` derived from ``_rowid``.
+
+    Integer division (``div``), not float: ``/`` goes through double and
+    loses integer precision above 2^53 — linear indices at 100 TB scale
+    exceed that."""
     return [
-        ((r / F.lit(s)).cast("long") % F.lit(d)).alias(f"i{j}")
+        (F.expr(f"{ROWID} div {int(s)}") % F.lit(d)).alias(f"i{j}")
         for j, (d, s) in enumerate(zip(shape, _strides(shape)))
     ]
 
@@ -69,12 +72,11 @@ def hyperslab_predicate(
     block = list(block) if block else [1] * k
     if not (len(offset) == len(count) == len(stride) == len(block) == k):
         raise ValueError("hyperslab selection rank != dataset rank")
-    r = F.col(ROWID)
     cond = F.lit(True)
     for d, s, o, c, st, b in zip(shape, _strides(shape), offset, count, stride, block):
         if b > st:
             raise ValueError("hyperslab block must be <= stride")
-        i = (r / F.lit(s)).cast("long") % F.lit(d)
+        i = F.expr(f"{ROWID} div {int(s)}") % F.lit(d)
         upper = o + (c - 1) * st + b
         cond = cond & (i >= o) & (i < upper) & (((i - o) % F.lit(st)) < b)
     return cond
@@ -226,12 +228,35 @@ class Dataset:
         stride: Sequence[int] | None = None,
     ) -> None:
         """M12 hyperslab write (datasets.nim:1450-1528): overwrite the
-        selected region with row-major ``data``."""
+        selected region with row-major ``data``.
+
+        The target ``_rowid`` set is pure arithmetic on (offset, count,
+        stride) — enumerated driver-side, NO cluster job. (Earlier versions
+        ran a scan to collect matching rowids; the selection never needed
+        the data.)"""
+        import itertools
+
         flat, _ = _flatten(data)
-        pred = hyperslab_predicate(self.shape, offset, count, stride)
+        k = len(self.shape)
+        stride = list(stride) if stride else [1] * k
+        if not (len(offset) == len(count) == len(stride) == k):
+            raise ValueError("hyperslab selection rank != dataset rank")
+        per_dim = []
+        for o, c, st, d in zip(offset, count, stride, self.shape):
+            idxs = [o + i * st for i in range(c)]
+            if idxs and not (0 <= idxs[0] and idxs[-1] < d):
+                raise StoreError(
+                    f"hyperslab (offset={list(offset)}, count={list(count)}, "
+                    f"stride={stride}) exceeds shape {self.shape}"
+                )
+            per_dim.append(idxs)
+        strides = _strides(self.shape)
+        # itertools.product iterates the last dim fastest, so with ascending
+        # per-dim indices the linear targets come out in row-major (ascending
+        # _rowid) order — the same order `data` flattens in.
         targets = [
-            r[ROWID]
-            for r in self.table.df().where(pred).select(ROWID).orderBy(ROWID).collect()
+            sum(c * s for c, s in zip(combo, strides))
+            for combo in itertools.product(*per_dim)
         ]
         if len(targets) != len(flat):
             raise StoreError(

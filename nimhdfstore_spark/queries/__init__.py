@@ -30,12 +30,13 @@ def query(name: str, sql: str | None = None):
 
 
 def load_all() -> None:
-    """Import every query module (registration side effects)."""
+    """Import every query module (registration side effects).
+
+    Imports are NOT guarded: a broken query module must fail loudly here,
+    not silently shrink the registry (the driver would just report fewer
+    queries). Optional deps are gated inside the individual modules."""
     from nimhdfstore_spark.queries import core  # noqa: F401
 
     for mod in ("datasets", "dedup", "relational", "similarity", "text",
                 "multimodal", "stream"):
-        try:
-            __import__(f"nimhdfstore_spark.queries.{mod}")
-        except ImportError:
-            pass
+        __import__(f"nimhdfstore_spark.queries.{mod}")

@@ -381,8 +381,13 @@ def q13(spark, sf_dir):
 # through a store table.
 # --------------------------------------------------------------------------
 
+# The driver's canonicalizer sorts the result frame, which crashes on raw
+# array cells (unhashable lists) — so the *checked* output projects the array
+# to a sortable scalar on BOTH engines (%.1f is exact here: every element is
+# id + j/10 with one decimal digit). The store still round-trips ArrayType.
 _Q14_SQL = (
-    "SELECT id, list_transform(range(id % 7), j -> id + j/10.0) AS vals "
+    "SELECT id, CAST(id % 7 AS BIGINT) AS n_vals, "
+    "coalesce(array_to_string(list_transform(range(id % 7), j -> printf('%.1f', id + j/10.0)), ','), '') AS vals_str "
     "FROM range(1000) t(id) ORDER BY id"
 )
 
@@ -403,7 +408,17 @@ def _vlen_df(spark):
 def q14(spark, sf_dir):
     store = scratch_store(spark, f"q14-{os.path.basename(sf_dir)}")
     t = store.put("vlen", _vlen_df(spark), order_by=["id"], overwrite=True)
-    return t.df().select("id", "vals").orderBy("id")
+    return (
+        t.df()
+        .select(
+            "id",
+            F.size("vals").cast("long").alias("n_vals"),
+            F.array_join(
+                F.transform("vals", lambda v: F.format_string("%.1f", v)), ","
+            ).alias("vals_str"),
+        )
+        .orderBy("id")
+    )
 
 
 _Q14B_SQL = (

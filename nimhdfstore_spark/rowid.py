@@ -159,7 +159,7 @@ def sorted_parquet_bases(path: str, keys: Sequence[str]) -> list[tuple[str, int,
     files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
     if not files:
         return None
-    per_file = []  # (first_key_min, file, rows)
+    per_file = []  # ((min_k0, min_k1), (max_k0, max_k1), file, rows)
     try:
         for f in files:
             pf = pq.ParquetFile(f)
@@ -187,8 +187,13 @@ def sorted_parquet_bases(path: str, keys: Sequence[str]) -> list[tuple[str, int,
                     md.row_group(rg).column(idx[keys[1]]).statistics.max
                     if len(keys) > 1 else None,
                 )
-            first = pf.metadata.row_group(0).column(idx[keys[0]]).statistics.min
-            per_file.append((first, f, md.num_rows))
+            first0 = md.row_group(0).column(idx[keys[0]]).statistics.min
+            st1f = (
+                md.row_group(0).column(idx[keys[1]]).statistics
+                if len(keys) > 1 else None
+            )
+            first1 = st1f.min if st1f is not None and st1f.has_min_max else None
+            per_file.append(((first0, first1), prev, f, md.num_rows))
             # (b) full key-column order check
             import pandas as pd
 
@@ -197,9 +202,28 @@ def sorted_parquet_bases(path: str, keys: Sequence[str]) -> list[tuple[str, int,
                 return None
     except (KeyError, TypeError, AttributeError):
         return None
-    per_file.sort()
+    # Cross-file non-overlap: sort files by their first-key min, then require
+    # each file's min to clear the previous file's max. Two internally-sorted
+    # files with interleaved key ranges (A: 1-10, B: 5-15) would otherwise get
+    # contiguous bases and a _rowid that is not the global rank. First-key
+    # boundary ties are disambiguated by the second key's stats (conservative:
+    # the stats bound the true boundary rows, so this can only falsely
+    # reject, never falsely accept).
+    try:
+        per_file.sort(key=lambda t: (t[0][0], t[0][1] if t[0][1] is not None else 0, t[2]))
+    except TypeError:
+        return None
+    prev_max = None
+    for mn, mx, _f, _rows in per_file:
+        if prev_max is not None:
+            if mn[0] < prev_max[0]:
+                return None
+            if mn[0] == prev_max[0] and len(keys) > 1:
+                if mn[1] is None or prev_max[1] is None or mn[1] < prev_max[1]:
+                    return None
+        prev_max = mx
     out, base = [], 0
-    for _, f, rows in per_file:
+    for _mn, _mx, f, rows in per_file:
         out.append((f, base, rows))
         base += rows
     return out

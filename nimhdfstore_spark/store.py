@@ -49,6 +49,18 @@ from nimhdfstore_spark.rowid import ROWID, with_rowid
 
 _VALID_KEY = re.compile(r"^[A-Za-z0-9_\-./]+$")
 _SNAP = "snap-{:08d}"
+_GMETA = "_gmeta.json"
+
+
+def _check_key(name: str) -> None:
+    """Validate a table/group key. Beyond the character class, every
+    path segment must be a real name — '', '.' and '..' segments would
+    let a key resolve outside its store root (and ``drop``/``put`` rmtree
+    that path)."""
+    if not _VALID_KEY.match(name) or any(
+        seg in ("", ".", "..") for seg in name.split("/")
+    ):
+        raise StoreError(f"bad table name: {name!r}")
 
 #: rows per output file for snapshot writes; at 100 TB this bounds task/file
 #: size (~a few hundred MB of parquet per file for typical row widths).
@@ -80,12 +92,31 @@ class Store:
         root: str,
         codec: str = "snappy",
         rows_per_file: int = DEFAULT_ROWS_PER_FILE,
+        mode: str = "a",
     ) -> None:
+        """``mode`` mirrors the reference's open flags (files.nim:102-162):
+        ``"a"`` read-write (hdReadWrite; default), ``"r"`` read-only
+        (hdRead — every mutating call raises), ``"w"`` truncate
+        (hdOverwrite — existing store contents are removed on open)."""
+        if mode not in ("a", "r", "w"):
+            raise StoreError(f"bad mode {mode!r}; use 'r', 'a' or 'w'")
         self.spark = spark
         self.root = os.path.abspath(root)
+        self._realroot = os.path.realpath(self.root)
         self.codec = _codec_name(codec)
         self.rows_per_file = rows_per_file
+        self.mode = mode
+        if mode == "r":
+            if not os.path.isdir(self.root):
+                raise StoreError(f"no such store: {root!r}")
+            return
+        if mode == "w" and os.path.isdir(self.root):
+            shutil.rmtree(self.root)
         os.makedirs(self.root, exist_ok=True)
+
+    def _require_writable(self) -> None:
+        if self.mode == "r":
+            raise StoreError(f"store {self.root!r} is read-only (mode='r')")
 
     # -- catalog ops (S10, M6-M9; nimtables.nim:40-58,106-109) --------------
 
@@ -131,14 +162,26 @@ class Store:
         """M6/M7 — dropping an unknown key is an explicit error (the
         reference silently no-ops, nimtables.nim:106-109; SURVEY §2.9 calls
         that out as a quirk not to replicate)."""
+        self._require_writable()
         if name not in self:
             raise StoreError(f"no such table: {name!r}")
         shutil.rmtree(self._table_dir(name))
 
-    def copy(self, src: str, dst: str) -> None:
-        """M8 — object copy (h5util.nim:159-209) as a snapshot re-write."""
+    def copy(self, src: str, dst: str, into: "Store | None" = None) -> None:
+        """M8 — object copy (h5util.nim:159-209) as a snapshot re-write,
+        preserving attrs, codec and canonical order. ``into`` targets a
+        *different* store — the reference's cross-file copy (same routine,
+        destination is another open file)."""
+        target = into if into is not None else self
         t = self.table(src)
-        self.put(dst, t.df(), overwrite=True)
+        target.put(
+            dst,
+            t.df(),
+            order_by=t._meta.get("order_by") or None,
+            codec=t.codec,
+            overwrite=True,
+            attrs=t.attrs,
+        )
 
     def combine(self, a: str, b: str, dst: str, overwrite: bool = False) -> "Table":
         """J1 ``H5TBcombine_tables`` (hl/H5TBpublic.nim:117-119): concatenate
@@ -151,6 +194,8 @@ class Store:
 
     def link(self, target: str, link_name: str) -> None:
         """M9 — hardlink: alias catalog entry resolving to ``target``."""
+        self._require_writable()
+        _check_key(link_name)
         if target not in self:
             raise StoreError(f"no such table: {target!r}")
         if link_name in self:
@@ -176,8 +221,8 @@ class Store:
         neither, insertion order is undefined in a distributed frame, so a
         canonical order is required.
         """
-        if not _VALID_KEY.match(name):
-            raise StoreError(f"bad table name: {name!r}")
+        self._require_writable()
+        _check_key(name)
         if name in self and not overwrite:
             raise StoreError(f"key exists: {name!r} (pass overwrite=True)")
         if ROWID in df.columns:
@@ -190,10 +235,23 @@ class Store:
                 "order is required for stable row positions"
             )
         tdir = self._table_dir(name)
+        # Write-then-swap: the new snapshot lands NEXT TO the old one, the
+        # meta pointer flips only after a successful write, and only then is
+        # the old data removed. Deleting first would destroy the source of a
+        # self-referential overwrite (copy(src, dst) with dst==src, combine
+        # into an input) before the lazy job ever reads it — and leave
+        # nothing to roll back to if the write fails.
+        old_meta = None
         if os.path.isdir(tdir):
-            shutil.rmtree(tdir)
+            try:
+                old_meta = self._read_meta(name)
+            except StoreError:
+                shutil.rmtree(tdir)  # stray non-table dir: nothing reads it
+        snap_no = 0
+        if old_meta is not None and "current" in old_meta:
+            snap_no = int(old_meta["current"].split("-")[1]) + 1
         meta = {
-            "current": _SNAP.format(0),
+            "current": _SNAP.format(snap_no),
             "codec": _codec_name(codec) if codec else self.codec,
             "attrs": dict(attrs or {}),
             "order_by": list(order_by or []),
@@ -204,12 +262,68 @@ class Store:
         meta["files"] = self._scan_ranges(os.path.join(tdir, meta["current"]))
         meta["count"] = sum(e["rows"] for e in meta["files"])
         self._write_meta(name, meta)
+        if old_meta is not None:
+            for entry in os.listdir(tdir):
+                p = os.path.join(tdir, entry)
+                if os.path.isdir(p) and entry != meta["current"]:
+                    shutil.rmtree(p, ignore_errors=True)
         return Table(self, name, meta)
+
+    # -- group attributes (A1-A5 on groups; attributes.nim:207-319 works on
+    # any object — tables *and* groups) --------------------------------------
+
+    def group_attrs(self, group: str) -> dict[str, Any]:
+        """Attributes attached to a namespace prefix (HDF5 group)."""
+        _check_key(group)
+        try:
+            with open(os.path.join(self._table_dir(group), _GMETA)) as f:
+                return dict(json.load(f).get("attrs", {}))
+        except FileNotFoundError:
+            return {}
+
+    def set_group_attrs(self, group: str, **kv: Any) -> None:
+        self._require_writable()
+        _check_key(group)
+        gdir = self._table_dir(group)
+        if os.path.isfile(os.path.join(gdir, "_meta.json")):
+            raise StoreError(f"{group!r} is a table, not a group")
+        os.makedirs(gdir, exist_ok=True)
+        path = os.path.join(gdir, _GMETA)
+        cur: dict = {}
+        try:
+            with open(path) as f:
+                cur = json.load(f)
+        except FileNotFoundError:
+            pass
+        cur.setdefault("attrs", {}).update(kv)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cur, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+    def del_group_attr(self, group: str, key: str) -> None:
+        self._require_writable()
+        attrs = self.group_attrs(group)
+        if key not in attrs:
+            raise StoreError(f"no attribute {key!r} on group {group!r}")
+        del attrs[key]
+        path = os.path.join(self._table_dir(group), _GMETA)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"attrs": attrs}, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
 
     # -- internals ----------------------------------------------------------
 
     def _table_dir(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        d = os.path.join(self.root, name)
+        # Defense in depth vs path traversal: the resolved dir must stay
+        # inside the store root (``_check_key`` already rejects '..', this
+        # catches symlinks and any future caller that skips validation).
+        real = os.path.realpath(d)
+        if real != self._realroot and not real.startswith(self._realroot + os.sep):
+            raise StoreError(f"table path escapes store root: {name!r}")
+        return d
 
     def _meta_path(self, name: str) -> str:
         return os.path.join(self._table_dir(name), "_meta.json")
@@ -324,10 +438,12 @@ class Table:
         return dict(self._meta.get("attrs", {}))
 
     def set_attrs(self, **kv: Any) -> None:
+        self.store._require_writable()
         self._meta.setdefault("attrs", {}).update(kv)
         self.store._write_meta(self.name, self._meta)
 
     def del_attr(self, key: str) -> None:
+        self.store._require_writable()
         try:
             del self._meta["attrs"][key]
         except KeyError:
@@ -352,14 +468,28 @@ class Table:
         if isinstance(key, int):
             return self.row(key)
         if isinstance(key, slice):
+            if key.step is not None and key.step < 1:
+                raise ValueError("slice step must be >= 1")
+            # Resolve negatives against nrows and clamp FIRST (python slice
+            # semantics); an empty window (stop <= start, e.g. t[0:0]) must
+            # return an empty frame — converting stop-exclusive to inclusive
+            # via stop-1 before resolving would turn stop=0 into -1 ≡ the
+            # last row and yield the whole table.
+            n = self.nrows
+            start = key.start if key.start is not None else 0
+            stop = key.stop if key.stop is not None else n
+            if start < 0:
+                start += n
+            if stop < 0:
+                stop += n
+            start = max(0, min(start, n))
+            stop = max(0, min(stop, n))
+            if stop <= start:
+                return self.df().where(F.lit(False)).orderBy(ROWID)
             if key.step not in (None, 1):
-                stop = key.stop if key.stop is not None else self.nrows
-                start = key.start or 0
-                n = max(0, math.ceil((stop - start) / key.step))
-                return self.hyperslab(start, n, stride=key.step)
+                cnt = math.ceil((stop - start) / key.step)
+                return self.hyperslab(start, cnt, stride=key.step)
             # python slice: stop-exclusive → inclusive b-1
-            start = key.start or 0
-            stop = key.stop if key.stop is not None else self.nrows
             return self.slice(start, stop - 1)
         raise TypeError(f"bad index: {key!r}")
 
@@ -454,6 +584,7 @@ class Table:
         so freshly written files never collide with linked ones. The new
         count and file catalog come from the written footers."""
         store = self.store
+        store._require_writable()
         cur = int(self._meta["current"].split("-")[1])
         snap = _SNAP.format(cur + 1)
         old_dir = self.snapshot_path
