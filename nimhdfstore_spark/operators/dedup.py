@@ -5,14 +5,15 @@ and embedding-cosine near-dup.
 Scale design:
 - Everything is expressed as DataFrame ops (explode → hash-partitioned
   groupBy/join), so Catalyst/AQE handles shuffle planning and skew.
-- The LSH family (MinHash bands, SimHash bands) turns the O(n²) pair space
-  into an equi-join on (band, signature) buckets — the only join key that
-  scales to 100 TB. Exact-Jaccard verification then runs only on bucket
-  candidates.
-- All hashing is xxhash64 (JVM built-in, seed-stable inside Spark). The
-  exact n-gram Jaccard path is hash-free and therefore oracle-checkable in
-  DuckDB; the LSH paths are engine-specific and are validated in tests
-  against the exact path (recall on the declared threshold).
+- The LSH family (MinHash bands, SimHash bands, hyperplane embedding-LSH)
+  turns the O(n²) pair space into an equi-join on (band, signature) buckets —
+  the only join key that scales to 100 TB. Exact verification (Jaccard /
+  hamming / cosine) then runs only on bucket candidates.
+- All hashing is **engine-independent arithmetic** (polynomial rolling
+  hashes over codepoints, affine universal-hash families, Rademacher ±1
+  hyperplanes from a multiplicative hash) — pure int64/double expressions a
+  DuckDB oracle recomputes exactly, unlike xxhash64 whose seeding is
+  JVM-internal. Everything stays in whole-stage codegen (no Python UDFs).
 """
 
 from __future__ import annotations
@@ -20,8 +21,62 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nimhdfstore_spark.functions.vector import cosine
+from nimhdfstore_spark.functions.vector import cosine, dot, l2_norm
 from nimhdfstore_spark.operators.text import tokens
+
+# Engine-independent hash constants (shared with the SQL oracle builders in
+# queries/dedup.py — keep in sync with text.py FP_MUL/FP_MOD).
+HASH_MOD = 1_000_000_007
+HASH_MUL = 31
+MOD32 = 1 << 32
+
+
+def poly_hash(s: Column) -> Column:
+    """Polynomial rolling hash of a string column over its codepoints:
+    fold((acc*31 + ascii(c)) % 1e9+7). Same family as text.fingerprint;
+    DuckDB twin: list_reduce over the same codes."""
+    codes = F.transform(
+        F.filter(F.split(s, ""), lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_MUL + x) % HASH_MOD,
+    )
+
+
+def poly_hash32(s: Column) -> Column:
+    """32-bit variant (mod 2^32) — the SimHash bit source; acc*31+c stays
+    under 2^37, safe in int64 on both engines."""
+    codes = F.transform(
+        F.filter(F.split(s, ""), lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_MUL + x) % MOD32,
+    )
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed affine universal-hash family h_i(p) = (a_i*p + b_i) mod 1e9+7.
+    Deterministic constants (no RNG) so the DuckDB oracle embeds the same
+    literals. a_i*p < 2^60 — int64-safe in both engines."""
+    return [
+        ((2654435761 * (i + 1)) % HASH_MOD, (40503 * (i * i + 1) + 17) % HASH_MOD)
+        for i in range(num_hashes)
+    ]
+
+
+def _poly_combine(cols: list[Column]) -> Column:
+    """Stepwise fold((acc*31 + v) % 1e9+7) over signature values — the
+    band-bucket key (values < 2^30, products < 2^45)."""
+    acc: Column = F.lit(0).cast("long")
+    for c in cols:
+        acc = (acc * HASH_MUL + c) % HASH_MOD
+    return acc
 
 
 # --------------------------------------------------------------------------
@@ -98,11 +153,19 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 def minhash_signature(grams: Column, num_hashes: int = 64) -> Column:
-    """num_hashes min-hashes of a shingle set; hash_i(s) =
-    xxhash64(i, s) — one JVM hash per (perm, shingle), no Python."""
+    """num_hashes min-hashes of a shingle set: each shingle is polynomial-
+    hashed ONCE, then run through ``num_hashes`` affine maps (engine-
+    independent, so a DuckDB oracle recomputes identical signatures)."""
+    pgs = F.transform(grams, poly_hash)
+
+    def affine(a: int, b: int):
+        # real closure: PySpark derives the lambda arity from the signature,
+        # so default-arg capture (lambda p, a=a) would read as a 2-arg lambda
+        return lambda p: (p * a + b) % HASH_MOD
+
     sigs = [
-        F.array_min(F.transform(grams, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)
+        F.array_min(F.transform(pgs, affine(a, b)))
+        for a, b in minhash_coeffs(num_hashes)
     ]
     return F.array(*sigs)
 
@@ -136,7 +199,7 @@ def minhash_lsh_pairs(
     band_cols = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bucket"),
+            _poly_combine([F.col("sig")[b * r + j] for j in range(r)]).alias("bucket"),
         )
         for b in range(bands)
     ])
@@ -177,17 +240,22 @@ def minhash_lsh_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """(id, sh): 64-bit SimHash over tokens — bit b of the fingerprint is
-    the sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
+def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, sh): ``bits``-bit SimHash over tokens — bit b of the fingerprint
+    is the sign of Σ_tokens (±1 depending on bit b of the 32-bit polynomial
+    token hash). The 32-bit poly hash (vs xxhash64) makes the fingerprint
+    engine-independent: a DuckDB oracle recomputes it exactly.
 
-    Shape: explode tokens → one JVM hash per token → single hash-partitioned
-    groupBy with 64 map-side-combined SUM aggregates → recompose the long.
-    One shuffle of (id, 64×long partials); no Python, no O(bits) passes.
-    Token-less documents get fingerprint 0 via the left join.
+    Shape: explode tokens → one arithmetic hash per token → single
+    hash-partitioned groupBy with ``bits`` map-side-combined SUM aggregates →
+    recompose the long. One shuffle of (id, bits×long partials); no Python,
+    no O(bits) data passes. Token-less documents get fingerprint 0 via the
+    left join.
     """
+    if bits > 32:
+        raise ValueError("simhash bits > 32 unsupported (32-bit token hash)")
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
-    hashed = tok.withColumn("h", F.xxhash64("tok"))
+    hashed = tok.withColumn("h", poly_hash32(F.col("tok")))
     votes = [
         F.sum(
             F.when(
@@ -199,8 +267,9 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> 
     agg = hashed.groupBy("id").agg(*votes)
     sh = F.lit(0).cast("long")
     for b in range(bits):
-        bit_val = F.lit(-(2 ** 63)).cast("long") if b == 63 else F.lit(2 ** b).cast("long")
-        sh = sh + F.when(F.col(f"v{b}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        sh = sh + F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     with_sh = agg.select("id", sh.alias("sh"))
     ids = df.select(F.col(id_col).alias("id"))
     return ids.join(with_sh, "id", "left").select(
@@ -208,7 +277,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> 
     )
 
 
-def simhash_bands(sh: Column, bands: int = 4, bits: int = 64) -> Column:
+def simhash_bands(sh: Column, bands: int = 4, bits: int = 32) -> Column:
     """Split a simhash into band values for hamming-LSH bucketing."""
     width = bits // bands
     mask = (1 << width) - 1
@@ -233,7 +302,11 @@ def simhash_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming, found via band
-    bucketing (a pair within distance d < bands must agree on ≥1 band)."""
+    bucketing. With max_hamming < bands this is EXACT (pigeonhole: a pair
+    within distance d must agree on ≥1 of the bands), so a DuckDB all-pairs
+    hamming oracle reproduces the result precisely."""
+    if max_hamming >= bands:
+        raise ValueError("banded search is exact only for max_hamming < bands")
     base = simhash_table(df, id_col, text_col).withColumn(
         "bb", F.explode(simhash_bands(F.col("sh"), bands))
     )
@@ -259,6 +332,118 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
+
+def rademacher_sign(h: int, d: int) -> float:
+    """Deterministic ±1 hyperplane entry from a multiplicative hash of
+    (plane, dim) — a seedless Rademacher projection matrix both engines can
+    re-derive (pure int arithmetic, no RNG state)."""
+    x = (h * 2654435761 + d * 97) % MOD32
+    x = (x * 2654435761) % MOD32
+    return 1.0 if x >= (1 << 31) else -1.0
+
+
+def hyperplane_bits(vec: Column, num_planes: int = 64, dims: int = 64) -> Column:
+    """Sign-bit code of ``vec`` against ``num_planes`` Rademacher
+    hyperplanes: bit_h = (Σ_d sign(h,d)·v_d >= 0). All ±1 constants are
+    Python-side literals; the projections are zip_with/aggregate folds
+    (identical left-fold order to a DuckDB list_reduce oracle)."""
+    bits = []
+    for h in range(num_planes):
+        consts = F.array(*[F.lit(rademacher_sign(h, d)) for d in range(dims)])
+        proj = dot(vec, consts)
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.array(*bits)
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    num_planes: int = 64,
+    bands: int = 16,
+    dims: int = 64,
+) -> DataFrame:
+    """Bucketed embedding near-dup — the 100 TB primary: pairs that share at
+    least one hyperplane-LSH band bucket AND have cosine >= τ.
+
+    Plan shape: one narrow pass computes each vector's ``num_planes``-bit
+    sign code, bands of ``num_planes/bands`` bits become (band, bucket)
+    keys, and the ONLY pair-producing step is the equi-join on those keys —
+    no nested-loop/cartesian join anywhere. Exact cosine then verifies just
+    the bucket candidates (``embedding_neardup_pairs`` is the in-bucket
+    verifier math). Collision probability per bit is 1-θ/π, so at near-dup
+    thresholds (τ≥0.9) wider bands (8 bits) cut the candidate space ~30×;
+    at permissive τ choose narrower bands for recall. At extreme corpus
+    sizes, re-join candidates to vectors by id instead of carrying vectors
+    through the band explode (noted, not needed at bench scale).
+    """
+    if num_planes % bands:
+        raise ValueError("num_planes must divide evenly into bands")
+    w = num_planes // bands
+    coded = df.select(
+        F.col(id_col).alias("id"),
+        hyperplane_bits(F.col(vec_col), num_planes, dims).alias("bits"),
+    )
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(
+                (F.col("bits")[b * w + j] * F.lit(2 ** (w - 1 - j)) for j in range(w)),
+                F.lit(0),
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    # candidates carry IDs ONLY through the band explode + join + dedup (the
+    # wide vector column would multiply the shuffle by `bands`); vectors are
+    # re-joined afterwards — broadcastable for dim-table-sized corpora,
+    # sort-merge on id otherwise.
+    buckets = coded.select("id", F.explode(band_cols).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(vec_col).alias("nv"),
+    )
+    pairs = (
+        cand.join(
+            vecs.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")
+            ),
+            "id_a",
+        ).join(
+            vecs.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+            ),
+            "id_b",
+        )
+    )
+    sim = F.round(
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        ),
+        6,
+    )
+    return (
+        pairs.withColumn("cosine", sim)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
 
 def embedding_neardup_pairs(
     df: DataFrame,

@@ -104,13 +104,21 @@ def assign_clusters(
 
 def deterministic_centroids(
     corpus: DataFrame,
-    every: int = 50,
+    num_centroids: int = 64,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Deterministic centroid pick: every ``every``-th vector by id — a
-    seedless stand-in for k-means (which would be an iterative refinement of
-    exactly this assignment join)."""
-    return corpus.where(F.col(id_col) % every == 0)
+    """FIXED-``num_centroids`` deterministic centroid pick: the k vectors
+    whose multiplicatively-hashed id is smallest — a pseudo-random sample of
+    constant size, so the centroid broadcast stays O(k) no matter the corpus
+    (an every-Nth pick would grow O(n/N) and blow the broadcast at 100 TB).
+    Spark plans the orderBy+limit as TakeOrdered (no global sort). The hash
+    is engine-independent int arithmetic (id mod 2^32 times 40503, products
+    < 2^48), so a SQL oracle selects the identical set. A seedless stand-in
+    for k-means, which would iteratively refine this same assignment join."""
+    h = (F.col(id_col) % F.lit(1 << 32)) * F.lit(40503) % F.lit(1 << 32)
+    return (
+        corpus.orderBy(h.asc(), F.col(id_col).asc()).limit(num_centroids)
+    )
 
 
 def ivf_topk(
@@ -119,13 +127,13 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    every: int = 50,
+    num_centroids: int = 64,
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF ANN: search only each probe's ``nprobe`` nearest clusters."""
     from nimhdfstore_spark.functions.vector import dot, l2_norm
 
-    cents = deterministic_centroids(corpus, every, id_col)
+    cents = deterministic_centroids(corpus, num_centroids, id_col)
     assigned = assign_clusters(corpus, cents, id_col, vec_col)
 
     cent = cents.select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centv"))

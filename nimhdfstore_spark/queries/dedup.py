@@ -1,9 +1,11 @@
 """Deduplication declared queries (north-star QX1/QX2 + extensions).
 
-Oracle-checked: exact dedup, n-gram Jaccard, embedding-cosine near-dup
-(hash-free, engine-independent math). Rows-only: MinHash-LSH and SimHash
-(xxhash64-dependent); their correctness is pinned in
-tests/test_extensions.py by recall against the exact-Jaccard oracle path.
+ALL five are oracle-checked: since round 2 the MinHash, SimHash and
+embedding-LSH paths use engine-independent arithmetic hashing (polynomial
+rolling hashes + affine families + Rademacher hyperplanes, operators/
+dedup.py), so the DuckDB oracle recomputes the identical signatures — the
+SQL strings below are generated from the same Python constants the Spark
+operators use.
 """
 
 from __future__ import annotations
@@ -12,7 +14,25 @@ from pyspark.sql import functions as F
 
 from nimhdfstore_spark.operators import dedup as D
 from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.queries.text import _SQL_TOKENS
 from nimhdfstore_spark.tables import load
+
+
+def _poly_fold_sql(items: list[str], mod: int) -> str:
+    """Nested ((acc*31 + v) % mod) fold — textual twin of D._poly_combine."""
+    acc = "0"
+    for e in items:
+        acc = f"(({acc}) * {D.HASH_MUL} + ({e})) % {mod}"
+    return acc
+
+
+#: per-gram polynomial hash (twin of D.poly_hash applied to a list of grams)
+_SQL_GRAM_HASHES = (
+    "list_transform(grams, g -> list_reduce("
+    "list_transform(list_filter(string_split(g, ''), c -> c != ''), "
+    "c -> CAST(ascii(c) AS BIGINT)), "
+    f"(acc, x) -> (acc * {D.HASH_MUL} + x) % {D.HASH_MOD}))"
+)
 
 # --------------------------------------------------------------------------
 # QX1 — exact dedup (hash groupBy): representative + group size per p_name
@@ -73,60 +93,175 @@ def x_ngram(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# MinHash + LSH banding (xxhash64 — rows-only check; recall pinned in tests)
+# MinHash + LSH banding — oracle-checked: DuckDB recomputes the identical
+# polynomial/affine signatures and the identical band-bucket collisions.
 # --------------------------------------------------------------------------
 
-@query("x32_dedup_minhash_lsh")
+_MH_NUM, _MH_BANDS = 64, 16
+_MH_R = _MH_NUM // _MH_BANDS
+
+
+def _minhash_sql() -> str:
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(pgs, p -> (p * {a} + {b}) % {D.HASH_MOD}))"
+        for a, b in D.minhash_coeffs(_MH_NUM)
+    )
+    bucket = lambda side: _poly_fold_sql(  # noqa: E731
+        [f"{side}.sig[{_MH_R}*k + {j + 1}]" for j in range(_MH_R)], D.HASH_MOD
+    )
+    est = (
+        f"ROUND(len(list_filter(range({_MH_NUM}), i -> sa[i+1] = sb[i+1]))"
+        f" / {_MH_NUM}.0, 6)"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 3 THEN
+      list_distinct(list_transform(range(length(lower(text)) - 2),
+                                   i -> substr(lower(text), i + 1, 3)))
+    ELSE [] END AS grams
+  FROM documents WHERE doc_id < {_DOC_LIMIT}
+),
+h AS (
+  SELECT doc_id, {_SQL_GRAM_HASHES} AS pgs FROM g WHERE len(grams) > 0
+),
+s AS (SELECT doc_id, list_value(
+    {sig_exprs}) AS sig FROM h),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_filter(range({_MH_BANDS}),
+            k -> ({bucket('a')}) = ({bucket('b')}))) > 0
+)
+SELECT id_a, id_b, {est} AS est_jaccard
+FROM p WHERE {est} >= {_JACCARD_TAU}
+ORDER BY id_a, id_b
+"""
+
+
+@query("x32_dedup_minhash_lsh", _minhash_sql())
 def x_minhash(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _DOC_LIMIT)
     return D.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=_JACCARD_TAU
+        docs, "doc_id", "text", num_hashes=_MH_NUM, bands=_MH_BANDS,
+        threshold=_JACCARD_TAU,
     ).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
-# SimHash near-dup (xxhash64 — rows-only check)
+# SimHash near-dup — oracle-checked: banded search is EXACT for
+# max_hamming < bands, so the oracle is a plain all-pairs hamming join over
+# identical 32-bit polynomial fingerprints.
 # --------------------------------------------------------------------------
 
-@query("x33_dedup_simhash")
+_SH_BITS, _SH_HAM = 32, 3
+
+
+def _simhash_sql() -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SH_BITS)
+    )
+    sh = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SH_BITS)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS tok
+  FROM documents WHERE doc_id < {_DOC_LIMIT}
+),
+th AS (
+  SELECT doc_id, list_reduce(
+    list_transform(list_filter(string_split(tok, ''), c -> c != ''),
+                   c -> CAST(ascii(c) AS BIGINT)),
+    (acc, x) -> (acc * {D.HASH_MUL} + x) % {D.MOD32}) AS h
+  FROM tk
+),
+v AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+f AS (SELECT doc_id AS id, CAST({sh} AS BIGINT) AS sh FROM v),
+ff AS (
+  SELECT d.doc_id AS id, COALESCE(f.sh, 0) AS sh
+  FROM documents d LEFT JOIN f ON d.doc_id = f.id
+  WHERE d.doc_id < {_DOC_LIMIT}
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM ff a JOIN ff b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= {_SH_HAM}
+ORDER BY id_a, id_b
+"""
+
+
+@query("x33_dedup_simhash", _simhash_sql())
 def x_simhash(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _DOC_LIMIT)
-    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "id_a", "id_b"
+    return (
+        D.simhash_pairs(docs, "doc_id", "text", max_hamming=_SH_HAM)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
     )
 
 
 # --------------------------------------------------------------------------
-# embedding-cosine near-dup — exact fold math, oracle-checked
+# embedding near-dup — hyperplane-LSH bucketed primary (the 100 TB path:
+# the only pair-producing step is an equi-join on (band, bucket)), exact
+# cosine verification in-bucket. Oracle-checked: DuckDB rebuilds the same
+# Rademacher bit codes and the same band-collision predicate.
 # --------------------------------------------------------------------------
 
 _COS_TAU = 0.4
-_PROBE_LIMIT = 200
+_EMB_PLANES, _EMB_BANDS, _EMB_DIMS = 64, 16, 64
+_EMB_W = _EMB_PLANES // _EMB_BANDS
 
 _SQL_DOT = (
     "list_reduce(list_transform(range(64), i -> "
     "CAST({a}.embedding[i+1] AS DOUBLE) * CAST({b}.embedding[i+1] AS DOUBLE)), "
     "(x, y) -> x + y)"
 )
-_X_EMB_SQL = f"""
-WITH p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    ROUND({_SQL_DOT.format(a='a', b='b')} /
-      (sqrt({_SQL_DOT.format(a='a', b='a')}) *
-       sqrt({_SQL_DOT.format(a='b', b='b')})), 6) AS cosine
-  FROM embeddings a JOIN embeddings b
-    ON a.vec_id < b.vec_id AND a.vec_id < {_PROBE_LIMIT}
+
+
+def _emb_lsh_sql() -> str:
+    def plane_bit(h: int) -> str:
+        signs = ",".join(
+            "1.0" if D.rademacher_sign(h, d) > 0 else "-1.0"
+            for d in range(_EMB_DIMS)
+        )
+        return (
+            f"CASE WHEN list_reduce(list_transform(range({_EMB_DIMS}), "
+            f"d -> CAST(embedding[d+1] AS DOUBLE) * ([{signs}])[d+1]), "
+            "(x, y) -> x + y) >= 0 THEN 1 ELSE 0 END"
+        )
+
+    bits = ",\n    ".join(plane_bit(h) for h in range(_EMB_PLANES))
+    bucket = lambda side: " + ".join(  # noqa: E731
+        f"{side}.bits[{_EMB_W}*k + {j + 1}] * {2 ** (_EMB_W - 1 - j)}"
+        for j in range(_EMB_W)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding, list_value(
+    {bits}) AS bits
+  FROM embeddings
 )
-SELECT id_a, id_b, cosine FROM p WHERE cosine >= {_COS_TAU}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND({_SQL_DOT.format(a='a', b='b')} /
+    (sqrt({_SQL_DOT.format(a='a', b='a')}) *
+     sqrt({_SQL_DOT.format(a='b', b='b')})), 6) AS cosine
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE len(list_filter(range({_EMB_BANDS}),
+          k -> ({bucket('a')}) = ({bucket('b')}))) > 0
+  AND ROUND({_SQL_DOT.format(a='a', b='b')} /
+    (sqrt({_SQL_DOT.format(a='a', b='a')}) *
+     sqrt({_SQL_DOT.format(a='b', b='b')})), 6) >= {_COS_TAU}
 ORDER BY id_a, id_b
 """
 
 
-@query("x34_dedup_embedding_cosine", _X_EMB_SQL)
+@query("x34_dedup_embedding_cosine", _emb_lsh_sql())
 def x_embedding(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs(
+    return D.embedding_lsh_pairs(
         emb, "vec_id", "embedding",
         threshold=_COS_TAU,
-        probe_filter=F.col("id_a") < _PROBE_LIMIT,
+        num_planes=_EMB_PLANES, bands=_EMB_BANDS, dims=_EMB_DIMS,
     ).orderBy("id_a", "id_b")

@@ -45,7 +45,7 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 5)
     bf = S.brute_force_topk(emb, probes, k=10).collect()
-    ivf = S.ivf_topk(emb, probes, k=10, every=50, nprobe=4).collect()
+    ivf = S.ivf_topk(emb, probes, k=10, num_centroids=64, nprobe=4).collect()
     bf_sets = {}
     for r in bf:
         bf_sets.setdefault(r.probe_id, set()).add(r.neighbor_id)
@@ -74,3 +74,22 @@ def test_multimodal_stubs_and_plumbing(spark, sf_dir):
         M.resize_images(packed, 32, 32)
     with pytest.raises(NotImplementedError):
         M.sample_frames(packed, 10)
+
+
+def test_embedding_lsh_recall_on_planted_neardups(spark, sf_dir):
+    # plant near-duplicates (tiny deterministic perturbation => cosine ~1) and
+    # check the bucketed LSH primary recovers them at the near-dup threshold
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    noisy = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda v: v + (F.lit(0.001) * F.when(v >= 0, 1).otherwise(-1))
+        ).alias("embedding"),
+    )
+    both = emb.select("vec_id", "embedding").unionByName(noisy)
+    pairs = D.embedding_lsh_pairs(
+        both, "vec_id", "embedding", threshold=0.98, bands=16
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    hits = sum(1 for i in range(100) if (i, i + 10_000) in found)
+    assert hits / 100 >= 0.9, f"LSH recall on planted near-dups: {hits}/100"

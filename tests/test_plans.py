@@ -103,3 +103,37 @@ def test_snapshot_files_sorted_by_rowid(li_store, spark):
     ranges.sort()
     for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
         assert a_max < b_min, f"overlapping _rowid row-groups: {ranges}"
+
+
+def test_embedding_lsh_has_no_nested_loop_join(spark, sf_dir):
+    # x34: the only pair-producing step must be the (band, bucket) equi-join;
+    # a BroadcastNestedLoopJoin/CartesianProduct here is the O(n²) plan this
+    # operator exists to avoid at 100 TB
+    from nimhdfstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["x34_dedup_embedding_cosine"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        f"embedding near-dup plans a pair scan:\n{plan[:2000]}"
+    )
+
+
+def test_ivf_broadcasts_are_fixed_k(spark, sf_dir):
+    # x41: the corpus-side joins may only broadcast the FIXED-k centroid
+    # table (GlobalLimit 64) or the probe set — never an O(corpus) relation.
+    from nimhdfstore_spark.operators.similarity import deterministic_centroids
+    from nimhdfstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    emb = load(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(emb, num_centroids=64)
+    cplan = cents._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit 64" in cplan, f"centroid pick not fixed-k:\n{cplan[:800]}"
+    plan = _plan(QUERIES["x41_ann_ivf_topk"](spark, sf_dir))
+    # the big corpus relation must not sit under a BroadcastExchange: every
+    # broadcast input must be limited (centroids) or probe-filtered
+    for frag in plan.split("BroadcastExchange")[1:]:
+        window = frag[:1200]
+        assert ("Limit" in window) or ("vec_id" in window and "IN" in window.upper()) or (
+            "isin" in window
+        ), f"unbounded broadcast in IVF plan:\n{window}"
