@@ -37,7 +37,14 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "16g")
+        # 43 queries' generated classes live in one JVM; the default ~240 MB
+        # JIT code cache fills mid-run and compilation of the biggest
+        # whole-stage-codegen expressions then stalls for tens of seconds.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -Xlog:gc:/tmp/bench_gc.log",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -67,6 +74,16 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # keep benching; report the failure
             failures[name] = f"{type(e).__name__}: {e}"[:200]
+        # Per-query hygiene (uncounted): drop cached blocks (rowid pins a
+        # sorted copy per load_pos) and streaming memory-sink tables so state
+        # doesn't accumulate across 43 queries and skew later timings.
+        try:
+            spark.catalog.clearCache()
+            for tbl in spark.catalog.listTables():
+                if tbl.isTemporary:
+                    spark.catalog.dropTempView(tbl.name)
+        except Exception:
+            pass
     out = {
         "metric": "declared_queries_total_wall",
         "value": round(sum(timings.values()), 3),
