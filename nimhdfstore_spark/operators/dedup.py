@@ -155,7 +155,15 @@ def ngram_jaccard_pairs(
 def minhash_signature(grams: Column, num_hashes: int = 64) -> Column:
     """num_hashes min-hashes of a shingle set: each shingle is polynomial-
     hashed ONCE, then run through ``num_hashes`` affine maps (engine-
-    independent, so a DuckDB oracle recomputes identical signatures)."""
+    independent, so a DuckDB oracle recomputes identical signatures).
+
+    Deliberately UNROLLED into num_hashes array_min sub-expressions: the
+    alternative (a (num_hashes × 2) coefficient-matrix literal iterated
+    with nested ``transform``) halves the generated code but evaluates the
+    inner lambda interpreted per (shingle, hash) — measured 4.7× slower at
+    sf0.1. Here the per-shingle loop is the hot path, so JIT-compiled
+    unrolled code wins (contrast hyperplane_bits, where the unrolled form's
+    compile time dominated and the matrix form wins)."""
     pgs = F.transform(grams, poly_hash)
 
     def affine(a: int, b: int):
@@ -344,15 +352,20 @@ def rademacher_sign(h: int, d: int) -> float:
 
 def hyperplane_bits(vec: Column, num_planes: int = 64, dims: int = 64) -> Column:
     """Sign-bit code of ``vec`` against ``num_planes`` Rademacher
-    hyperplanes: bit_h = (Σ_d sign(h,d)·v_d >= 0). All ±1 constants are
-    Python-side literals; the projections are zip_with/aggregate folds
-    (identical left-fold order to a DuckDB list_reduce oracle)."""
-    bits = []
-    for h in range(num_planes):
-        consts = F.array(*[F.lit(rademacher_sign(h, d)) for d in range(dims)])
-        proj = dot(vec, consts)
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
-    return F.array(*bits)
+    hyperplanes: bit_h = (Σ_d sign(h,d)·v_d >= 0). The ±1 planes are ONE
+    constant-folded (num_planes × dims) literal matrix iterated with a
+    ``transform`` over zip_with/aggregate folds (identical left-fold order
+    to a DuckDB list_reduce oracle). One compact expression, not
+    num_planes unrolled dot products — the unrolled form generated
+    O(planes·dims) JVM code whose compilation dominated wall time."""
+    planes = F.array(*[
+        F.array(*[F.lit(rademacher_sign(h, d)) for d in range(dims)])
+        for h in range(num_planes)
+    ])
+    return F.transform(
+        planes,
+        lambda row: F.when(dot(vec, row) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
 
 
 def embedding_lsh_pairs(
