@@ -21,6 +21,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    ArrayType,
     ByteType,
     DataType,
     DoubleType,
@@ -54,10 +55,22 @@ def _require_h5py() -> None:
 
 def numpy_to_spark_type(dt) -> DataType:
     """HDF5/numpy field dtype → Spark type. Unsigned types widen to the next
-    signed type (Spark has no unsigned; typeinspect.nim:38-39 precedent)."""
+    signed type (Spark has no unsigned; typeinspect.nim:38-39 precedent).
+
+    Variable-length data (reference datatypes.nim:376-382,424-453) arrives
+    as h5py "special" dtypes — object dtypes tagged ``metadata={'vlen': …}``
+    where the tag is ``str``/``bytes`` (var-width string) or a base numpy
+    dtype (vlen sequence → ``ArrayType``). The tag convention is plain numpy
+    metadata, so this mapping needs no h5py import."""
     import numpy as np
 
     dt = np.dtype(dt)
+    meta = dt.metadata or {}
+    if "vlen" in meta:
+        base = meta["vlen"]
+        if base is str or base is bytes:
+            return StringType()
+        return ArrayType(numpy_to_spark_type(base), True)
     if dt.kind in ("S", "U"):  # fixed-size HDF5 strings (H5T_C_S1)
         return StringType()
     table = {
@@ -137,6 +150,8 @@ def read_hdf5_table(
         max(1, len(parts))
     )
 
+    str_cols = {f.name for f in schema.fields if isinstance(f.dataType, StringType)}
+
     def read_range(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -146,9 +161,18 @@ def read_hdf5_table(
             for pdf in batches:
                 for start, stop in zip(pdf["start"], pdf["stop"]):
                     rec = d[int(start):int(stop)]
-                    yield pd.DataFrame(
-                        {n: rec[n] for n in names}
-                    )
+                    cols = {}
+                    for n in names:
+                        v = rec[n]
+                        if n in str_cols and v.dtype.kind in ("S", "O"):
+                            # HDF5 strings surface as bytes (fixed S* and
+                            # vlen alike); Arrow needs str
+                            v = [
+                                x.decode("utf-8") if isinstance(x, bytes) else x
+                                for x in v
+                            ]
+                        cols[n] = v
+                    yield pd.DataFrame(cols)
 
     return spec.mapInPandas(read_range, schema=schema)
 
@@ -170,8 +194,8 @@ def write_hdf5_table(
     _require_h5py()
     import numpy as np
 
-    fields = [(f.name, _spark_to_numpy(f.dataType)) for f in df.schema.fields]
-    dt = np.dtype(fields)
+    fields = [(f.name, spark_to_numpy_descriptor(f.dataType)) for f in df.schema.fields]
+    dt = _resolve_dtype(fields)
     with h5py.File(path, "a") as f:
         if dataset in f:
             del f[dataset]
@@ -180,22 +204,73 @@ def write_hdf5_table(
             chunks=(chunk_size,), compression="gzip" if compression else None,
         )
         n = 0
-        # stream Arrow batches driver-side (bounded memory, no row loop)
+        # stream Arrow batches driver-side (bounded memory, no row loop for
+        # fixed-width columns; vlen columns are per-cell objects by nature)
         for batch in df.toArrow().to_batches():
             rec = np.empty(batch.num_rows, dtype=dt)
-            for name, _ in fields:
-                rec[name] = batch.column(name).to_numpy(zero_copy_only=False)
+            for name, (kind, np_t) in fields:
+                col = batch.column(name)
+                if kind == "fixed":
+                    rec[name] = col.to_numpy(zero_copy_only=False)
+                elif kind == "vlen_str":
+                    vals = np.empty(batch.num_rows, dtype=object)
+                    vals[:] = ["" if v is None else v for v in col.to_pylist()]
+                    rec[name] = vals
+                else:  # vlen sequence
+                    vals = np.empty(batch.num_rows, dtype=object)
+                    vals[:] = [
+                        np.asarray([] if v is None else v, dtype=np_t)
+                        for v in col.to_pylist()
+                    ]
+                    rec[name] = vals
             d.resize((n + len(rec),))
             d[n : n + len(rec)] = rec
             n += len(rec)
 
 
-def _spark_to_numpy(t: DataType) -> str:
-    m = {
-        "byte": "i1", "short": "i2", "int": "i4", "long": "i8",
-        "float": "f4", "double": "f8", "string": "S64",
-    }
+#: fixed-width Spark → numpy codes (unsigned never appears on the write leg);
+#: both the DDL aliases and simpleString() spellings (bigint/smallint/...)
+_FIXED_NP = {
+    "byte": "i1", "tinyint": "i1",
+    "short": "i2", "smallint": "i2",
+    "int": "i4", "integer": "i4",
+    "long": "i8", "bigint": "i8",
+    "float": "f4", "double": "f8",
+}
+
+
+def spark_to_numpy_descriptor(t: DataType) -> tuple[str, str | None]:
+    """Spark type → pure write-leg descriptor (no h5py needed, so the
+    mapping is testable in this container): ``('fixed', np_code)``,
+    ``('vlen_str', None)`` for strings (variable-width — no S64 truncation),
+    or ``('vlen', base_code)`` for ``array<fixed>`` columns (reference VLEN,
+    datatypes.nim:376-382). Nested arrays / non-numeric elements are
+    rejected explicitly."""
+    if isinstance(t, ArrayType):
+        base = t.elementType.simpleString()
+        if base not in _FIXED_NP:
+            raise TypeError(f"unsupported HDF5 vlen element type: {base}")
+        return ("vlen", _FIXED_NP[base])
     s = t.simpleString()
-    if s not in m:
-        raise TypeError(f"unsupported type for HDF5 write: {s}")
-    return m[s]
+    if s == "string":
+        return ("vlen_str", None)
+    if s in _FIXED_NP:
+        return ("fixed", _FIXED_NP[s])
+    raise TypeError(f"unsupported type for HDF5 write: {s}")
+
+
+def _resolve_dtype(fields: Sequence[tuple[str, tuple[str, str | None]]]):
+    """Descriptors → concrete compound numpy dtype with h5py special dtypes
+    for the vlen members (gated: the special dtypes carry HDF5 type info)."""
+    _require_h5py()
+    import numpy as np
+
+    out = []
+    for name, (kind, np_t) in fields:
+        if kind == "fixed":
+            out.append((name, np_t))
+        elif kind == "vlen_str":
+            out.append((name, h5py.string_dtype(encoding="utf-8")))
+        else:
+            out.append((name, h5py.vlen_dtype(np.dtype(np_t))))
+    return np.dtype(out)

@@ -55,12 +55,53 @@ def test_compound_schema_field_order():
         h5src.compound_to_schema(np.dtype("f8"))
 
 
+def test_vlen_dtype_metadata_mapping():
+    # h5py "special" dtypes are object dtypes tagged with numpy metadata —
+    # the mapping is pure numpy, so it's testable without h5py installed
+    from pyspark.sql.types import ArrayType
+
+    vstr = np.dtype("O", metadata={"vlen": str})
+    assert h5src.numpy_to_spark_type(vstr) == StringType()
+    vbytes = np.dtype("O", metadata={"vlen": bytes})
+    assert h5src.numpy_to_spark_type(vbytes) == StringType()
+    varr = np.dtype("O", metadata={"vlen": np.dtype("f8")})
+    assert h5src.numpy_to_spark_type(varr) == ArrayType(DoubleType(), True)
+    varr32 = np.dtype("O", metadata={"vlen": np.dtype("i4")})
+    assert h5src.numpy_to_spark_type(varr32) == ArrayType(IntegerType(), True)
+    # compound containing a vlen member
+    dt = np.dtype([("id", "i8"), ("vals", varr)])
+    s = h5src.compound_to_schema(dt)
+    assert s.fields[1].dataType == ArrayType(DoubleType(), True)
+
+
+def test_spark_to_numpy_descriptor():
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DoubleType, LongType, MapType, StringType,
+    )
+
+    assert h5src.spark_to_numpy_descriptor(LongType()) == ("fixed", "i8")
+    # strings are variable-width (no fixed-S64 truncation)
+    assert h5src.spark_to_numpy_descriptor(StringType()) == ("vlen_str", None)
+    assert h5src.spark_to_numpy_descriptor(ArrayType(DoubleType())) == ("vlen", "f8")
+    assert h5src.spark_to_numpy_descriptor(ArrayType(LongType())) == ("vlen", "i8")
+    with pytest.raises(TypeError):  # nested arrays have no H5TB analog
+        h5src.spark_to_numpy_descriptor(ArrayType(ArrayType(DoubleType())))
+    with pytest.raises(TypeError):
+        h5src.spark_to_numpy_descriptor(ArrayType(StringType()))
+    with pytest.raises(TypeError):
+        h5src.spark_to_numpy_descriptor(MapType(StringType(), LongType()))
+    with pytest.raises(TypeError):
+        h5src.spark_to_numpy_descriptor(BooleanType())
+
+
 @pytest.mark.skipif(h5src.HAVE_H5PY, reason="asserts the no-h5py error path")
 def test_missing_h5py_raises_clearly(spark, tmp_path):
     with pytest.raises(RuntimeError, match="h5py"):
         h5src.table_info(str(tmp_path / "x.h5"), "t")
     with pytest.raises(RuntimeError, match="h5py"):
         h5src.read_hdf5_table(spark, str(tmp_path / "x.h5"), "t")
+    with pytest.raises(RuntimeError, match="h5py"):
+        h5src._resolve_dtype([("k", ("fixed", "i8"))])
 
 
 @pytest.mark.skipif(not h5src.HAVE_H5PY, reason="h5py not installed")
@@ -75,3 +116,22 @@ def test_hdf5_roundtrip(spark, tmp_path):
     assert back.agg({"v": "sum"}).collect()[0][0] == pytest.approx(
         sum(i / 2 for i in range(25_000))
     )
+
+
+@pytest.mark.skipif(not h5src.HAVE_H5PY, reason="h5py not installed")
+def test_hdf5_roundtrip_vlen_and_strings(spark, tmp_path):
+    # VLEN sequences + variable-width strings (reference
+    # datatypes.nim:376-382,424-453), incl. strings longer than the old
+    # fixed-S64 limit
+    path = str(tmp_path / "vlen.h5")
+    rows = [
+        (i, "x" * (i % 100), [float(j) for j in range(i % 5)])
+        for i in range(2_000)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, vals array<double>")
+    h5src.write_hdf5_table(df, path, "t", chunk_size=512)
+    back = h5src.read_hdf5_table(spark, path, "t", target_records=600)
+    got = {r["id"]: (r["name"], list(r["vals"])) for r in back.collect()}
+    assert len(got) == 2_000
+    for i, name, vals in rows[:50] + rows[-50:]:
+        assert got[i] == (name, vals)
