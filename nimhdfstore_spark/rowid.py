@@ -140,17 +140,56 @@ def with_rowid(
     return out.select(ROWID, *df.columns)
 
 
-def sorted_parquet_bases(path: str, keys: Sequence[str]) -> list[tuple[str, int, int]] | None:
+def _file_keys_sorted(f: str, keys: Sequence[str]) -> bool:
+    """In-file order check: the key columns, read columnar, must equal their
+    sorted self. The one data-touching step of sorted-verification."""
+    import pyarrow.parquet as pq
+
+    cols = pq.read_table(f, columns=list(keys)).to_pandas()
+    return bool(cols.equals(cols.sort_values(list(keys), ignore_index=True)))
+
+
+def _keys_sorted_distributed(spark, files: list[str], keys: Sequence[str]) -> bool:
+    """Run the per-file key-order check as a cluster job: one task per file,
+    executors read only the key columns of their file (columnar, no full-row
+    materialization), the driver collects one boolean per file. At 100 TB
+    this is the only acceptable shape — the driver never reads data pages."""
+    spec = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        len(files)
+    )
+    keylist = list(keys)
+
+    def check(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for f in pdf["path"]:
+                cols = pq.read_table(f, columns=keylist).to_pandas()
+                ok = bool(
+                    cols.equals(cols.sort_values(keylist, ignore_index=True))
+                )
+                yield pd.DataFrame({"ok": [ok]})
+
+    return all(r["ok"] for r in spec.mapInPandas(check, "ok boolean").collect())
+
+
+def sorted_parquet_bases(
+    path: str, keys: Sequence[str], spark=None
+) -> list[tuple[str, int, int]] | None:
     """If the Parquet data at ``path`` is provably sorted by ``keys``, return
     ``[(file_path, base_rowid, rows)]``; else ``None``.
 
     Verification is two-level: (a) footer row-group min/max stats must be
     non-overlapping in key order across and within files (conservative on
     multi-column keys: a first-key tie at a boundary must be disambiguated by
-    the second key's stats, else reject); (b) the key columns are scanned
-    columnar (pyarrow) to confirm within-row-group order. (b) is cheap here
-    (integer key columns only); at 100 TB it would run once as a distributed
-    per-file job with the verdict cached in table metadata.
+    the second key's stats, else reject) — metadata-only, no data pages
+    touched on the driver; (b) the key columns of every file are scanned to
+    confirm within-row-group order. With ``spark`` given, (b) runs as a
+    distributed per-file job (``_keys_sorted_distributed``); without it
+    (pure-library callers, tests) the driver loops the same per-file check.
+    Callers memoize the verdict (tables._SORTED_CACHE) — data directories
+    here are immutable snapshots, so it runs once per (path, keys).
     """
     import glob as _glob
 
@@ -160,6 +199,7 @@ def sorted_parquet_bases(path: str, keys: Sequence[str]) -> list[tuple[str, int,
     if not files:
         return None
     per_file = []  # ((min_k0, min_k1), (max_k0, max_k1), file, rows)
+    nonempty = []
     try:
         for f in files:
             pf = pq.ParquetFile(f)
@@ -194,11 +234,13 @@ def sorted_parquet_bases(path: str, keys: Sequence[str]) -> list[tuple[str, int,
             )
             first1 = st1f.min if st1f is not None and st1f.has_min_max else None
             per_file.append(((first0, first1), prev, f, md.num_rows))
-            # (b) full key-column order check
-            import pandas as pd
-
-            cols = pq.read_table(f, columns=list(keys)).to_pandas()
-            if not cols.equals(cols.sort_values(list(keys), ignore_index=True)):
+            nonempty.append(f)
+        # (b) in-file key-order check — distributed when a session is given
+        if nonempty:
+            if spark is not None:
+                if not _keys_sorted_distributed(spark, nonempty, keys):
+                    return None
+            elif not all(_file_keys_sorted(f, keys) for f in nonempty):
                 return None
     except (KeyError, TypeError, AttributeError):
         return None

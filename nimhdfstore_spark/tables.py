@@ -65,7 +65,7 @@ def load_pos(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         path = f"{sf_dir}/{table}.parquet"
         ck = (path, tuple(keys))
         if ck not in _SORTED_CACHE:
-            _SORTED_CACHE[ck] = sorted_parquet_bases(path, keys)
+            _SORTED_CACHE[ck] = sorted_parquet_bases(path, keys, spark=spark)
         bases = _SORTED_CACHE[ck]
         if bases:
             return rowid_from_sorted_parquet(spark, path, keys, bases)

@@ -206,6 +206,32 @@ def test_sorted_parquet_bases_accepts_disjoint_files(tmp_path):
     ]
 
 
+def test_sorted_verification_distributed_matches_driver(spark, tmp_path):
+    # the distributed per-file key-order job must agree with the driver
+    # loop: accept sorted files, reject a file whose stats look fine but
+    # whose rows are internally unsorted within one row group
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good = tmp_path / "good"
+    good.mkdir()
+    _write_sorted_file(str(good / "part-0.parquet"), 1, 10)
+    _write_sorted_file(str(good / "part-1.parquet"), 11, 20)
+    b_driver = sorted_parquet_bases(str(good), ["k"])
+    b_dist = sorted_parquet_bases(str(good), ["k"], spark=spark)
+    assert b_driver == b_dist and b_dist is not None
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    # one row group, min=1 max=10 (stats pass) but rows out of order inside
+    pq.write_table(
+        pa.table({"k": [1, 3, 2, 4, 5, 6, 7, 8, 9, 10]}),
+        str(bad / "part-0.parquet"),
+    )
+    assert sorted_parquet_bases(str(bad), ["k"]) is None
+    assert sorted_parquet_bases(str(bad), ["k"], spark=spark) is None
+
+
 # -- hyperslab write target enumeration is driver-side arithmetic -----------
 
 def test_write_hyperslab_strided(store, spark):
