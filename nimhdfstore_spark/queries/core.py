@@ -482,6 +482,78 @@ def q20(spark, sf_dir):
     return t.df().orderBy(ROWID)
 
 
+# --------------------------------------------------------------------------
+# Q21 — M8 cross-store copy (h5util.nim:159-209: same copy routine with the
+# destination being another open file): a dataset table copied into a second
+# store keeps attrs (incl. shape → reopens as Dataset), codec, and data.
+# --------------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT * FROM (VALUES
+  ('codec', 'zstd'),
+  ('shape', '2x3'),
+  ('unit', 'kelvin'),
+  ('vals', '1.0,2.0,3.0,4.0,5.0,6.0')
+) t(prop, val) ORDER BY prop
+"""
+
+
+@query("q21_store_copy", _Q21_SQL)
+def q21(spark, sf_dir):
+    from nimhdfstore_spark.datasets import Dataset, create_dataset
+
+    src = scratch_store(spark, f"q21src-{os.path.basename(sf_dir)}")
+    dst = scratch_store(spark, f"q21dst-{os.path.basename(sf_dir)}")
+    d = create_dataset(
+        src, "temps", data=[[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]],
+        codec="zstd", overwrite=True,
+    )
+    d.table.set_attrs(unit="kelvin")
+    src.copy("temps", "temps", into=dst)
+    back = Dataset(dst.table("temps"))  # raises unless shape attr survived
+    rows = [
+        ("codec", back.table.codec),
+        ("shape", "x".join(str(n) for n in back.shape)),
+        ("unit", str(back.table.attrs["unit"])),
+        ("vals", ",".join(f"{v:.1f}" for v in back.read().flatten())),
+    ]
+    return spark.createDataFrame(rows, "prop string, val string").orderBy("prop")
+
+
+# --------------------------------------------------------------------------
+# Q22 — A1-A5 on groups (attributes.nim:207-319 attaches attributes to any
+# object, groups included): set/get/delete attrs on a namespace prefix,
+# persisting across re-open and independent of member tables.
+# --------------------------------------------------------------------------
+
+_Q22_SQL = """
+SELECT * FROM (VALUES
+  ('sensors/day1', 'calibrated', 'true'),
+  ('sensors/day1', 'site', 'north'),
+  ('sensors', 'owner', 'ops')
+) t(grp, attr_key, attr_value) ORDER BY grp, attr_key
+"""
+
+
+@query("q22_group_attrs", _Q22_SQL)
+def q22(spark, sf_dir):
+    store = scratch_store(spark, f"q22-{os.path.basename(sf_dir)}")
+    store.put("sensors/day1/particles", _particles(spark),
+              order_by=["lati"], overwrite=True)
+    store.set_group_attrs("sensors", owner="ops", stale="x")
+    store.del_group_attr("sensors", "stale")
+    store.set_group_attrs("sensors/day1", site="north", calibrated=True)
+    reopened = Store(spark, store.root)  # attrs persist across re-open
+    rows = [
+        (g, k, str(v).lower() if isinstance(v, bool) else str(v))
+        for g in ("sensors", "sensors/day1")
+        for k, v in sorted(reopened.group_attrs(g).items())
+    ]
+    return spark.createDataFrame(
+        rows, "grp string, attr_key string, attr_value string"
+    ).orderBy("grp", "attr_key")
+
+
 @query("q16_compression", _Q1_SQL)
 def q16(spark, sf_dir):
     store = scratch_store(spark, f"q16-{os.path.basename(sf_dir)}")
