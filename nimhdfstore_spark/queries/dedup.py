@@ -265,3 +265,57 @@ def x_embedding(spark, sf_dir):
         threshold=_COS_TAU,
         num_planes=_EMB_PLANES, bands=_EMB_BANDS, dims=_EMB_DIMS,
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# near-dup clusters — connected components over the exact-Jaccard pairs:
+# the canonical-representative step of a dedup pipeline (pairs → clusters →
+# keep min doc_id per cluster). Oracle: DuckDB recursive CTE computing the
+# same min-reachable-id labeling over the same pair list.
+# --------------------------------------------------------------------------
+
+# pair CTEs duplicated from _X_NGRAM_SQL under collision-free names (cg/ce/cp
+# — the recursive WITH makes every CTE name visible in nested scopes, so the
+# textual-reuse form shadowed ambiguously)
+_X_COMPONENTS_SQL = f"""
+WITH RECURSIVE cg AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 3 THEN
+      list_distinct(list_transform(range(length(lower(text)) - 2),
+                                   i -> substr(lower(text), i + 1, 3)))
+    ELSE [] END AS grams
+  FROM documents WHERE doc_id < {_DOC_LIMIT}
+),
+ce AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM cg),
+cp AS (
+  SELECT id_a, id_b FROM (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_grams AS na,
+           y.n_grams AS nb, CAST(count(*) AS BIGINT) AS inter
+    FROM ce x JOIN ce y ON x.gram = y.gram AND x.doc_id < y.doc_id
+    GROUP BY 1, 2, 3, 4
+  ) WHERE ROUND(inter / (na + nb - inter), 6) >= {_JACCARD_TAU}
+),
+ced AS (
+  SELECT id_a AS src, id_b AS dst FROM cp
+  UNION ALL SELECT id_b, id_a FROM cp
+),
+cn AS (SELECT doc_id AS nid FROM documents WHERE doc_id < {_DOC_LIMIT}),
+reach(nid, r) AS (
+  SELECT nid, nid FROM cn
+  UNION
+  SELECT ced.src, reach.r FROM ced JOIN reach ON ced.dst = reach.nid
+)
+SELECT nid AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY nid ORDER BY doc_id
+"""
+
+
+@query("x35_dedup_components", _X_COMPONENTS_SQL)
+def x_components(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _DOC_LIMIT)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=_JACCARD_TAU)
+    return (
+        D.connected_components(pairs, docs, id_col="doc_id")
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )

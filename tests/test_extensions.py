@@ -93,3 +93,28 @@ def test_embedding_lsh_recall_on_planted_neardups(spark, sf_dir):
     found = {(r.id_a, r.id_b) for r in pairs}
     hits = sum(1 for i in range(100) if (i, i + 10_000) in found)
     assert hits / 100 >= 0.9, f"LSH recall on planted near-dups: {hits}/100"
+
+
+def test_connected_components_transitive_and_singletons(spark):
+    # chain 1-2, 2-3 must collapse to one cluster rooted at 1 even though
+    # (1,3) is not a pair; 4-5 is a second cluster; 6 stays a singleton
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.comp for r in D.connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path graph needs ~diameter rounds; stays under max_iter and
+    # still labels every node with the chain head
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r.id: r.comp for r in D.connected_components(pairs, nodes).collect()}
+    assert got == {i: 0 for i in range(n)}
