@@ -1,0 +1,83 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is sampled constantly — ablation subsets, eval holdouts,
+per-source mixing ratios. ``df.sample()`` is seed-and-partitioning dependent
+(Bernoulli over a partition-seeded RNG), so two runs over different file
+splits disagree; these operators key every decision off a multiplicative
+hash of a stable id instead. Properties that matter at scale:
+
+- **Reproducible anywhere**: pure int64 arithmetic on the id — the same row
+  is kept no matter the cluster, partitioning, or engine (a DuckDB oracle
+  recomputes the identical sample, which is how the x76/x77/x78 queries are
+  hash-checked).
+- **No shuffle**: Bernoulli and stratified sampling are a WHERE clause —
+  evaluated inside the scan stage's codegen (an arithmetic predicate is not
+  a Parquet row-group filter, but it costs zero data movement and composes
+  with column pruning). Fixed-size sampling is a TakeOrdered (per-partition
+  heap + driver merge), not a global sort.
+- **Consistent across tables**: sampling users (not rows) by hashing the
+  join key keeps every row of a sampled user across all tables — the
+  standard trick for coherent multi-table subsets.
+
+The hash is the same engine-independent multiplicative family used by
+``similarity.deterministic_centroids`` (Knuth's 2654435761 / 40503
+constants); ``salt`` yields independent samples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD32 = 1 << 32
+
+
+def sample_hash(id_col: Column | str, salt: int = 0) -> Column:
+    """Uniform-ish 32-bit hash of an integer id: two rounds of
+    multiplicative hashing, salt folded in between (products < 2^64 after
+    each mod — int64-safe on both engines)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = (c % MOD32) * 40503 % MOD32
+    h = (h + salt) * 2654435761 % MOD32
+    return h
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: int = 0
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose id-hash falls below
+    ``fraction`` of the hash space. A pure filter — no shuffle, no RNG
+    state, pushes down to the scan."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(sample_hash(id_col, salt) < int(fraction * MOD32))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum rates (source-mixing ratios): each stratum value gets its
+    own keep-fraction; unlisted strata get ``default``. Still a pure filter."""
+    thr: Column = F.lit(int(default * MOD32))
+    for value, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1]")
+        thr = F.when(F.col(strata_col) == value, F.lit(int(frac * MOD32))).otherwise(thr)
+    return df.where(sample_hash(id_col, salt) < thr)
+
+
+def fixed_size_hash_sample(
+    df: DataFrame, id_col: str, k: int, salt: int = 0
+) -> DataFrame:
+    """Exactly-k uniform sample: the k rows with the smallest id-hash — the
+    deterministic replacement for reservoir sampling. Spark plans the
+    orderBy+limit as TakeOrdered (per-partition top-k heaps merged on the
+    driver), so no global sort at any scale."""
+    return df.orderBy(
+        sample_hash(id_col, salt).asc(), F.col(id_col).asc()
+    ).limit(k)

@@ -69,3 +69,15 @@ def x_stateful_user_totals(spark, sf_dir):
     from nimhdfstore_spark.streaming import user_totals_stateful_stream
 
     return user_totals_stateful_stream(spark, sf_dir)
+
+
+_X_STREAM_DEDUP_SQL = """
+SELECT DISTINCT event_id, user_id, value FROM events ORDER BY event_id
+"""
+
+
+@query("x64_stream_dedup", _X_STREAM_DEDUP_SQL)
+def x_stream_dedup(spark, sf_dir):
+    from nimhdfstore_spark.streaming import dedup_events_stream
+
+    return dedup_events_stream(spark, sf_dir)

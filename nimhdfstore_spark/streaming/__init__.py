@@ -1,4 +1,5 @@
 from nimhdfstore_spark.streaming.windows import (  # noqa: F401
+    dedup_events_stream,
     sessionize_batch,
     tumbling_counts_batch,
     tumbling_counts_stream,

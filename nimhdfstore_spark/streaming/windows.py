@@ -184,3 +184,40 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+def dedup_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming exact dedup: the stream is unioned with itself (every event
+    arrives twice, the at-least-once delivery a real ingest pipeline sees)
+    and ``dropDuplicatesWithinWatermark`` on the event key restores
+    exactly-once output. State is per-key and EXPIRES with the watermark —
+    the unbounded-state trap of plain ``dropDuplicates`` is what makes
+    streaming dedup different from batch ``DISTINCT`` at 100 TB (keys older
+    than the watermark can be evicted because a duplicate older than that
+    is guaranteed not to arrive). Batch twin: ``SELECT DISTINCT``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(events_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    doubled = stream.unionByName(stream)
+    deduped = (
+        _event_ts(doubled)
+        .withWatermark("ts_t", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "value")
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_id")
