@@ -81,3 +81,80 @@ def x_stream_dedup(spark, sf_dir):
     from nimhdfstore_spark.streaming import dedup_events_stream
 
     return dedup_events_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# x79 — interval join: attribute purchase events to the user session that
+# contains them. Spark side: sessions as (user_id, [start,end]) intervals,
+# then operators/interval.py's bucketized equi-join (no nested-loop plan).
+# Oracle: the same session CTE + a plain BETWEEN join.
+# --------------------------------------------------------------------------
+
+_X_INTERVAL_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+),
+iv AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS s_end
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT p.event_id, p.user_id, iv.session_seq
+FROM events p JOIN iv
+  ON p.user_id = iv.user_id
+ AND CAST(floor(epoch(p.ts)) AS BIGINT) BETWEEN iv.s_start AND iv.s_end
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
+@query("x79_interval_join", _X_INTERVAL_SQL)
+def x_interval_join(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nimhdfstore_spark.operators.interval import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).cast("long"),
+        )
+    )
+    intervals = sess.groupBy("user_id", "session_seq").agg(
+        F.min(F.col("ts").cast("long")).alias("s_start"),
+        F.max(F.col("ts").cast("long")).alias("s_end"),
+    )
+    points = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts_sec")
+    )
+    return (
+        interval_join(
+            points, intervals, "ts_sec", "s_start", "s_end",
+            on=["user_id"], bucket=1800,
+        )
+        .select("event_id", "user_id", "session_seq")
+        .orderBy("event_id")
+    )

@@ -118,3 +118,35 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r.id: r.comp for r in D.connected_components(pairs, nodes).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_interval_join_semantics(spark):
+    from nimhdfstore_spark.operators.interval import interval_join
+
+    # interval spans several buckets; boundary points are inclusive both ends
+    iv = spark.createDataFrame(
+        [(1, 100, 250), (1, 400, 400), (2, 0, 50)], "k long, s long, e long"
+    )
+    pts = spark.createDataFrame(
+        [(1, 100), (1, 250), (1, 251), (1, 400), (1, 399), (2, 50), (2, 51)],
+        "k long, p long",
+    )
+    got = sorted(
+        (r.k, r.p, r.s, r.e)
+        for r in interval_join(pts, iv, "p", "s", "e", on=["k"], bucket=7).collect()
+    )
+    assert got == [
+        (1, 100, 100, 250), (1, 250, 100, 250), (1, 400, 400, 400),
+        (2, 50, 0, 50),
+    ]
+
+
+def test_interval_join_skew_guard_trips(spark):
+    from nimhdfstore_spark.operators.interval import interval_join
+
+    iv = spark.createDataFrame([(0, 10_000_000)], "s long, e long")
+    pts = spark.createDataFrame([(5,)], "p long")
+    joined = interval_join(pts, iv, "p", "s", "e", bucket=10,
+                           max_buckets_per_interval=100)
+    with pytest.raises(Exception, match="buckets"):
+        joined.collect()

@@ -137,3 +137,15 @@ def test_ivf_broadcasts_are_fixed_k(spark, sf_dir):
         assert ("Limit" in window) or ("vec_id" in window and "IN" in window.upper()) or (
             "isin" in window
         ), f"unbounded broadcast in IVF plan:\n{window}"
+
+
+def test_interval_join_has_no_nested_loop(spark, sf_dir):
+    # x79: the bucketized form must plan as an equi-join (sort-merge/hash),
+    # never the BroadcastNestedLoopJoin a raw BETWEEN join produces
+    from nimhdfstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["x79_interval_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        f"interval join plans a pair scan:\n{plan[:2000]}"
+    )
