@@ -112,3 +112,26 @@ def fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * FP_MUL + x) % FP_MOD,
     )
+
+
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs whose
+#: semantics are identical in Java regex (Spark) and RE2-ish engines
+#: (DuckDB): a leading optional space glued to a letter-run or digit-run,
+#: else a run of non-space-non-alnum symbols, else residual whitespace.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: the GPT-2 practice of splitting into
+    space-prefixed word/number/symbol chunks BEFORE byte-pair merging —
+    the unit a token-budget estimate counts. Pure JVM regex
+    (``regexp_extract_all``), no Python. Whitespace-only chunks are
+    dropped (they merge into the following token's leading space)."""
+    arr = F.regexp_extract_all(_c(text), F.lit(BPE_PATTERN), 0)
+    return F.filter(arr, lambda x: x.rlike("[^\\s]"))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Pre-merge token count — the conservative (upper-bound) budget
+    estimate: BPE merging only ever reduces the count."""
+    return F.size(bpe_tokens(text))

@@ -483,6 +483,55 @@ def q20(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Q23 — compaction: repeated small appends fragment the snapshot file
+# catalog; ``Table.compact`` rewrites it at ``rows_per_file`` sizing. The
+# maintenance op every log-structured store schedules (the reference's
+# chunked HDF5 tables get the same effect from H5 chunk re-packing). The
+# file-count drop is asserted Spark-side (runtime layout, not
+# SQL-expressible); the oracle checks the data is untouched.
+# --------------------------------------------------------------------------
+
+_Q23_SQL = f"""
+WITH base AS ({rowid_over('nation')}),
+cnt AS (SELECT COUNT(*) AS c FROM nation),
+app AS (
+  SELECT {ROWID} + c AS {ROWID}, CAST(1000000000 + {ROWID} AS BIGINT),
+         'synthetic', CAST(0 AS BIGINT)
+  FROM base, cnt WHERE {ROWID} < 5
+)
+SELECT * FROM base UNION ALL SELECT * FROM app ORDER BY {ROWID}
+"""
+
+
+@query("q23_compaction", _Q23_SQL)
+def q23(spark, sf_dir):
+    store = Store(
+        spark, os.path.join(SCRATCH_ROOT, f"q23-{os.path.basename(sf_dir)}"),
+        rows_per_file=5,
+    )
+    t = store.put("nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True)
+    one_by_one = (
+        t.df()
+        .where(F.col(ROWID) < 5)
+        .select(
+            (F.col("n_nationkey") + 1_000_000_000).alias("n_nationkey"),
+            F.lit("synthetic").alias("n_name"),
+            F.lit(0).cast("long").alias("n_regionkey"),
+        )
+    )
+    for r in one_by_one.collect():  # 5 × 1-row appends → 5 fragment files
+        t.append(spark.createDataFrame([r], one_by_one.schema), n=1)
+    files_before = len(t._meta["files"])
+    t.compact()
+    files_after = len(t._meta["files"])
+    if files_after >= files_before:
+        raise AssertionError(
+            f"compaction did not reduce file count: {files_before} -> {files_after}"
+        )
+    return t.df().orderBy(ROWID)
+
+
+# --------------------------------------------------------------------------
 # Q21 — M8 cross-store copy (h5util.nim:159-209: same copy routine with the
 # destination being another open file): a dataset table copied into a second
 # store keeps attrs (incl. shape → reopens as Dataset), codec, and data.

@@ -101,7 +101,13 @@ _MH_NUM, _MH_BANDS = 64, 16
 _MH_R = _MH_NUM // _MH_BANDS
 
 
-def _minhash_sql() -> str:
+def minhash_pair_ctes(where: str, prefix: str = "") -> str:
+    """CTE chain (no leading WITH) producing ``{prefix}p(id_a, id_b,
+    est_jaccard)`` — MinHash-LSH candidate pairs at ``_JACCARD_TAU`` over
+    ``documents WHERE {where}``. Parameterized so the end-to-end pipeline
+    oracle (x90) embeds the same math over its sampled subset under
+    collision-free CTE names."""
+    q = prefix
     sig_exprs = ",\n    ".join(
         f"list_min(list_transform(pgs, p -> (p * {a} + {b}) % {D.HASH_MOD}))"
         for a, b in D.minhash_coeffs(_MH_NUM)
@@ -113,29 +119,34 @@ def _minhash_sql() -> str:
         f"ROUND(len(list_filter(range({_MH_NUM}), i -> sa[i+1] = sb[i+1]))"
         f" / {_MH_NUM}.0, 6)"
     )
-    return f"""
-WITH g AS (
+    return f"""{q}g AS (
   SELECT doc_id,
     CASE WHEN length(text) >= 3 THEN
       list_distinct(list_transform(range(length(lower(text)) - 2),
                                    i -> substr(lower(text), i + 1, 3)))
     ELSE [] END AS grams
-  FROM documents WHERE doc_id < {_DOC_LIMIT}
+  FROM documents WHERE {where}
 ),
-h AS (
-  SELECT doc_id, {_SQL_GRAM_HASHES} AS pgs FROM g WHERE len(grams) > 0
+{q}h AS (
+  SELECT doc_id, {_SQL_GRAM_HASHES} AS pgs FROM {q}g WHERE len(grams) > 0
 ),
-s AS (SELECT doc_id, list_value(
-    {sig_exprs}) AS sig FROM h),
-p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-  FROM s a JOIN s b ON a.doc_id < b.doc_id
-  WHERE len(list_filter(range({_MH_BANDS}),
-            k -> ({bucket('a')}) = ({bucket('b')}))) > 0
-)
-SELECT id_a, id_b, {est} AS est_jaccard
-FROM p WHERE {est} >= {_JACCARD_TAU}
-ORDER BY id_a, id_b
+{q}s AS (SELECT doc_id, list_value(
+    {sig_exprs}) AS sig FROM {q}h),
+{q}p AS (
+  SELECT id_a, id_b, est_jaccard FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb,
+           {est} AS est_jaccard
+    FROM {q}s a JOIN {q}s b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(range({_MH_BANDS}),
+              k -> ({bucket('a')}) = ({bucket('b')}))) > 0
+  ) WHERE est_jaccard >= {_JACCARD_TAU}
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {minhash_pair_ctes(f'doc_id < {_DOC_LIMIT}')}
+SELECT id_a, id_b, est_jaccard FROM p ORDER BY id_a, id_b
 """
 
 

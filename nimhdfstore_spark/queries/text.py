@@ -138,3 +138,33 @@ def x_fingerprint(spark, sf_dir):
     return docs.select(
         "doc_id", T.fingerprint("text").alias("fingerprint")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting (GPT-2-style pre-tokenizer chunks) — the unit a
+# token-budget estimate counts. The pattern uses only constructs with
+# identical Java-regex / DuckDB-regex semantics, so the oracle recomputes
+# the same chunking.
+# --------------------------------------------------------------------------
+
+_X_BPE_SQL = f"""
+SELECT doc_id,
+  CAST(len(list_filter(
+    regexp_extract_all(text, '{T.BPE_PATTERN}'),
+    x -> regexp_matches(x, '[^\\s]')
+  )) AS INT) AS n_bpe_tokens,
+  CAST(len(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''
+  )) AS INT) AS n_word_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@query("x24_text_bpe_tokens", _X_BPE_SQL)
+def x_bpe_tokens(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        T.token_count("text").alias("n_word_tokens"),
+    ).orderBy("doc_id")
