@@ -34,11 +34,15 @@ MOD32 = 1 << 32
 
 def sample_hash(id_col: Column | str, salt: int = 0) -> Column:
     """Uniform-ish 32-bit hash of an integer id: two rounds of
-    multiplicative hashing, salt folded in between (products < 2^64 after
-    each mod — int64-safe on both engines)."""
+    multiplicative hashing with SMALL multipliers (40503, 65599), salt
+    folded in between. Every intermediate product stays < 2^48 — int64-safe
+    at ANY id magnitude. (A 2654435761 multiplier overflows int64 once the
+    32-bit state exceeds ~3.4e9; Spark 4's ANSI mode turned that into a
+    runtime error at sf0.1 — caught by the bench, kept as a regression
+    test.)"""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     h = (c % MOD32) * 40503 % MOD32
-    h = (h + salt) * 2654435761 % MOD32
+    h = ((h + salt) % MOD32) * 65599 % MOD32
     return h
 
 

@@ -495,8 +495,8 @@ _Q23_SQL = f"""
 WITH base AS ({rowid_over('nation')}),
 cnt AS (SELECT COUNT(*) AS c FROM nation),
 app AS (
-  SELECT {ROWID} + c AS {ROWID}, CAST(1000000000 + {ROWID} AS BIGINT),
-         'synthetic', CAST(0 AS BIGINT)
+  SELECT {ROWID} + c AS {ROWID}, CAST(1000000000 + n_nationkey AS INTEGER),
+         'synthetic', CAST(0 AS INTEGER)
   FROM base, cnt WHERE {ROWID} < 5
 )
 SELECT * FROM base UNION ALL SELECT * FROM app ORDER BY {ROWID}
@@ -510,13 +510,15 @@ def q23(spark, sf_dir):
         rows_per_file=5,
     )
     t = store.put("nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True)
+    dts = dict(t.df().dtypes)  # payload must match table dtypes exactly
     one_by_one = (
         t.df()
         .where(F.col(ROWID) < 5)
         .select(
-            (F.col("n_nationkey") + 1_000_000_000).alias("n_nationkey"),
+            (F.col("n_nationkey") + 1_000_000_000)
+            .cast(dts["n_nationkey"]).alias("n_nationkey"),
             F.lit("synthetic").alias("n_name"),
-            F.lit(0).cast("long").alias("n_regionkey"),
+            F.lit(0).cast(dts["n_regionkey"]).alias("n_regionkey"),
         )
     )
     for r in one_by_one.collect():  # 5 × 1-row appends → 5 fragment files

@@ -10,8 +10,8 @@ from nimhdfstore_spark.queries import query
 from nimhdfstore_spark.tables import load
 
 _HASH = (
-    "((({id} % 4294967296) * 40503 % 4294967296) + {salt})"
-    " * 2654435761 % 4294967296"
+    "(((({id} % 4294967296) * 40503 % 4294967296) + {salt}) % 4294967296)"
+    " * 65599 % 4294967296"
 )
 
 

@@ -528,7 +528,21 @@ class Table:
         point (caller-defined local order). Otherwise the rows are numbered
         by their arrival order on a single partition — mutation payloads are
         driver-built and small; bulk loads go through :meth:`Store.put`.
+
+        The payload schema must match the table's exactly (name AND type per
+        column): a silent type widening (int32 table, int64 payload) would
+        write mixed-type Parquet files into one snapshot and fail only at
+        read time, nondeterministically with file order — the reference's
+        compound-type write is equally strict (H5TBappend_records takes the
+        table's registered dtype, nimtables.nim:173-175).
         """
+        table_types = {k: v for k, v in self.df().dtypes if k != ROWID}
+        payload_types = {k: v for k, v in df.dtypes if k != ROWID}
+        if payload_types != table_types:
+            raise StoreError(
+                f"payload schema {payload_types} does not match table "
+                f"schema {table_types}"
+            )
         if ROWID in df.columns:
             if n is None:
                 n = df.count()

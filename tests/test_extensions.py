@@ -150,3 +150,16 @@ def test_interval_join_skew_guard_trips(spark):
                            max_buckets_per_interval=100)
     with pytest.raises(Exception, match="buckets"):
         joined.collect()
+
+
+def test_sample_hash_no_overflow_at_large_ids(spark):
+    # regression: the hash must stay int64-safe for ids near 2^62 (ANSI mode
+    # turns an overflow into a runtime error — exactly what a 100 TB id
+    # space would hit)
+    from nimhdfstore_spark.operators import sampling as SA
+
+    big = spark.createDataFrame(
+        [(2**62 + 12345,), (2**40,), (4_000_000_000,)], "id long"
+    )
+    rows = big.select(SA.sample_hash("id", salt=7).alias("h")).collect()
+    assert all(0 <= r.h < SA.MOD32 for r in rows)

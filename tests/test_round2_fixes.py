@@ -243,3 +243,14 @@ def test_write_hyperslab_strided(store, spark):
     assert got[1] == [0.0, 0.0, 0.0, 0.0]
     with pytest.raises(StoreError):
         d.write_hyperslab([3, 0], [2, 1], [[1.0], [2.0]])  # exceeds shape
+
+
+def test_append_rejects_mismatched_schema(store, spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    t = store.put("typed", df, order_by=["k"])
+    widened = spark.createDataFrame([(3, 30)], "k long, v int")  # k int->long
+    with pytest.raises(StoreError, match="schema"):
+        t.append(widened, n=1)
+    renamed = spark.createDataFrame([(3, 30)], "k int, w int")
+    with pytest.raises(StoreError, match="schema"):
+        t.append(renamed, n=1)
