@@ -130,7 +130,7 @@ def minhash_pair_ctes(where: str, prefix: str = "") -> str:
 {q}h AS (
   SELECT doc_id, {_SQL_GRAM_HASHES} AS pgs FROM {q}g WHERE len(grams) > 0
 ),
-{q}s AS (SELECT doc_id, list_value(
+{q}s AS MATERIALIZED (SELECT doc_id, list_value(
     {sig_exprs}) AS sig FROM {q}h),
 {q}p AS (
   SELECT id_a, id_b, est_jaccard FROM (
@@ -244,26 +244,40 @@ def _emb_lsh_sql() -> str:
         )
 
     bits = ",\n    ".join(plane_bit(h) for h in range(_EMB_PLANES))
-    bucket = lambda side: " + ".join(  # noqa: E731
-        f"{side}.bits[{_EMB_W}*k + {j + 1}] * {2 ** (_EMB_W - 1 - j)}"
+    bucket = " + ".join(
+        f"bits[{_EMB_W}*k + {j + 1}] * {2 ** (_EMB_W - 1 - j)}"
         for j in range(_EMB_W)
     )
+    # The oracle mirrors the Spark plan shape — (band, bucket) rows joined
+    # equi — instead of an all-pairs join with a per-pair band predicate:
+    # same candidate set, but DuckDB evaluates O(n·bands) bucket rows
+    # rather than O(n²) list_filter folds (measured ~20× faster at sf0.01,
+    # which keeps the driver's correctness pass cheap).
     return f"""
-WITH c AS (
+WITH c AS MATERIALIZED (
   SELECT vec_id, embedding, list_value(
     {bits}) AS bits
   FROM embeddings
+),
+cb AS (
+  SELECT vec_id, k, {bucket} AS bucket
+  FROM c, (SELECT unnest(range({_EMB_BANDS})) AS k)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cb a JOIN cb b ON a.k = b.k AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+    ROUND({_SQL_DOT.format(a='x', b='y')} /
+      (sqrt({_SQL_DOT.format(a='x', b='x')}) *
+       sqrt({_SQL_DOT.format(a='y', b='y')})), 6) AS cosine
+  FROM cand
+  JOIN embeddings x ON x.vec_id = cand.id_a
+  JOIN embeddings y ON y.vec_id = cand.id_b
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  ROUND({_SQL_DOT.format(a='a', b='b')} /
-    (sqrt({_SQL_DOT.format(a='a', b='a')}) *
-     sqrt({_SQL_DOT.format(a='b', b='b')})), 6) AS cosine
-FROM c a JOIN c b ON a.vec_id < b.vec_id
-WHERE len(list_filter(range({_EMB_BANDS}),
-          k -> ({bucket('a')}) = ({bucket('b')}))) > 0
-  AND ROUND({_SQL_DOT.format(a='a', b='b')} /
-    (sqrt({_SQL_DOT.format(a='a', b='a')}) *
-     sqrt({_SQL_DOT.format(a='b', b='b')})), 6) >= {_COS_TAU}
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_COS_TAU}
 ORDER BY id_a, id_b
 """
 
