@@ -158,3 +158,39 @@ def x_interval_join(spark, sf_dir):
         .select("event_id", "user_id", "session_seq")
         .orderBy("event_id")
     )
+
+
+# Append-mode streaming emits only CLOSED sessions: last_ts + gap (the
+# session_window end) must be <= the final watermark (max event time -
+# delay). The oracle applies the same cutoff at microsecond precision
+# (epoch_us truncates ns->us exactly like the Spark reader's nanos->micros).
+_X_STREAM_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_seq
+HAVING epoch_us(max(ts)) + CAST(1800 AS BIGINT) * 1000000
+       <= (SELECT max(epoch_us(ts)) FROM events) - CAST(3600 AS BIGINT) * 1000000
+ORDER BY user_id, session_start
+"""
+
+
+@query("x65_stream_session_window", _X_STREAM_SESSION_SQL)
+def x_stream_session_window(spark, sf_dir):
+    from nimhdfstore_spark.streaming import session_window_stream
+
+    return session_window_stream(spark, sf_dir, gap="30 minutes")

@@ -221,3 +221,56 @@ def dedup_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("event_id")
+
+
+def session_window_stream(
+    spark: SparkSession, events_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user sessionization as a REAL streaming aggregation via the
+    engine-native ``session_window`` (dynamic-gap state merged by the
+    streaming aggregation operator) — the streaming twin of
+    ``sessionize_batch``'s gaps-and-islands window.
+
+    Session-window aggregations support only append output mode (update is
+    ill-defined under session merging), so the emitted result is the CLOSED
+    sessions: those whose ``session_window.end`` (= last event + gap) lies
+    at or before the final watermark (max event time - delay). On a finite
+    backfill the youngest sessions stay in state unemitted — inherent to
+    append semantics, and exactly what the x65 oracle's HAVING cutoff
+    reproduces. ``session_window.end`` is last-event + gap by definition,
+    so the observable bound reported here is ``max(ts)`` — comparable with
+    the batch form.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(events_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    agg = (
+        _event_ts(stream)
+        .withWatermark("ts_t", "1 hour")
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts_t"), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts_t").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("last_ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start")
