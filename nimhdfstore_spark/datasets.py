@@ -282,8 +282,9 @@ class Dataset:
     def add(self, data: Any, axis: int = 0) -> None:
         """M11 append along axis 0 (datasets.nim:1338-1369): grows the
         outermost dimension — a pure file append, nothing rewrites. Inner
-        axes would re-interleave every row-major position (full rewrite);
-        the chunked-growth contract the reference supports is axis 0."""
+        axes re-interleave every row-major position (a full rewrite), so
+        inner-axis growth composes as ``resize`` (general-axis, zero-fill)
+        + ``write_hyperslab`` of the new region instead."""
         if axis != 0:
             raise NotImplementedError("append supported along axis 0 only")
         flat, shape = _flatten(data)
@@ -298,10 +299,27 @@ class Dataset:
 
     def resize(self, shape: Sequence[int]) -> None:
         """M10 resize (datasets.nim:1299-1336): grow (zero-fill) or shrink
-        along axis 0; inner dims fixed, as with HDF5 maxshape chunk growth."""
+        any dimension.
+
+        Axis-0 changes keep the row-major linearization of every surviving
+        element, so they are a pure file append (grow) or suffix delete
+        (shrink) — no data rewrite. Changing an INNER dimension
+        re-interleaves every row-major position (exactly as HDF5 rewrites
+        chunks), so it relinearizes in one distributed pass: decode each
+        element's coordinates from ``_rowid`` with the old strides (integer
+        ``div``/``%`` only — float division loses exactness past 2^53),
+        drop out-of-bounds elements, re-encode with the new strides, and
+        zero-fill the uncovered positions via an anti-join."""
         shape = [int(d) for d in shape]
+        if len(shape) != len(self.shape):
+            raise StoreError(
+                f"resize cannot change rank {len(self.shape)} -> {len(shape)}"
+            )
+        if any(d <= 0 for d in shape):
+            raise StoreError(f"resize to non-positive dim: {shape}")
         if shape[1:] != self.shape[1:]:
-            raise NotImplementedError("resize supported along axis 0 only")
+            self._resize_general(shape)
+            return
         d0_old, d0_new = self.shape[0], shape[0]
         inner = math.prod(self.shape[1:]) if len(self.shape) > 1 else 1
         if d0_new > d0_old:
@@ -317,6 +335,38 @@ class Dataset:
             self.table.delete(d0_new * inner, d0_old * inner - 1)
         self.shape = shape
         self.table.set_attrs(shape=self.shape)
+
+    def _resize_general(self, shape: list[int]) -> None:
+        """Inner-dimension resize: full relinearization (see resize)."""
+        old_strides, new_strides = _strides(self.shape), _strides(shape)
+        df = self.table.df()
+        coords = [
+            (F.expr(f"{ROWID} div {st}") % F.lit(d)).alias(f"__c{i}")
+            for i, (st, d) in enumerate(zip(old_strides, self.shape))
+        ]
+        decoded = df.select(F.col(VALUE), *coords)
+        in_bounds = decoded
+        for i, d in enumerate(shape):
+            in_bounds = in_bounds.where(F.col(f"__c{i}") < d)
+        new_rowid = sum(
+            (F.col(f"__c{i}") * F.lit(st) for i, st in enumerate(new_strides)),
+            F.lit(0),
+        ).cast("long")
+        kept = in_bounds.select(new_rowid.alias(ROWID), F.col(VALUE))
+        spark = self.table.store.spark
+        zero = "0.0" if self.dtype in ("double", "float") else "0"
+        allpos = spark.range(math.prod(shape)).select(F.col("id").alias(ROWID))
+        fill = allpos.join(kept.select(ROWID), ROWID, "left_anti").select(
+            F.col(ROWID), F.expr(f"CAST({zero} AS {self.dtype})").alias(VALUE)
+        )
+        self.table.store.put(
+            self.table.name,
+            kept.unionByName(fill),
+            overwrite=True,
+            attrs={**self.table.attrs, "shape": shape},
+        )
+        self.table = self.table.store[self.table.name]
+        self.shape = shape
 
 
 def create_dataset(

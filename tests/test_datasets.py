@@ -70,8 +70,8 @@ def test_resize_add_overwrite(store):
     assert ds.read().sum() == 6.0
     with pytest.raises(StoreError):
         ds.overwrite(np.zeros((4, 2)))
-    with pytest.raises(NotImplementedError):
-        ds.resize([3, 5])
+    ds.resize([3, 5])  # inner-axis grow: relinearize + zero-fill
+    assert ds.read().tolist() == [[1.0, 1.0, 0.0, 0.0, 0.0]] * 3
 
 
 def test_not_a_dataset(store, spark):
@@ -83,3 +83,39 @@ def test_not_a_dataset(store, spark):
     store.put("t", df, overwrite=True)
     with pytest.raises(StoreError):
         Dataset(store["t"])
+
+
+def test_resize_inner_dimension_grow(store, spark):
+    d = create_dataset(store, "g", data=[[1.0, 2.0], [3.0, 4.0]])
+    d.resize([2, 3])  # widen columns: zero-fill the new column
+    assert d.shape == [2, 3]
+    assert d.read().tolist() == [[1.0, 2.0, 0.0], [3.0, 4.0, 0.0]]
+    # values survive a re-open too (shape attr + data rewritten atomically)
+    d2 = Dataset(store["g"])
+    assert d2.read().tolist() == [[1.0, 2.0, 0.0], [3.0, 4.0, 0.0]]
+
+
+def test_resize_inner_dimension_shrink(store, spark):
+    d = create_dataset(store, "s", data=[[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    d.resize([2, 2])
+    assert d.read().tolist() == [[1.0, 2.0], [4.0, 5.0]]
+
+
+def test_resize_multiple_dims_at_once(store, spark):
+    d = create_dataset(
+        store, "m",
+        data=[[[1.0, 2.0], [3.0, 4.0]], [[5.0, 6.0], [7.0, 8.0]]],
+    )  # 2x2x2
+    d.resize([3, 2, 1])  # shrink last dim, grow first
+    assert d.shape == [3, 2, 1]
+    assert d.read().tolist() == [
+        [[1.0], [3.0]], [[5.0], [7.0]], [[0.0], [0.0]],
+    ]
+
+
+def test_resize_rank_change_rejected(store, spark):
+    d = create_dataset(store, "r", data=[[1.0, 2.0]])
+    with pytest.raises(StoreError):
+        d.resize([2])
+    with pytest.raises(StoreError):
+        d.resize([2, 0])
