@@ -93,18 +93,30 @@ class Store:
         codec: str = "snappy",
         rows_per_file: int = DEFAULT_ROWS_PER_FILE,
         mode: str = "a",
+        keep_snapshots: int = 1,
     ) -> None:
         """``mode`` mirrors the reference's open flags (files.nim:102-162):
         ``"a"`` read-write (hdReadWrite; default), ``"r"`` read-only
         (hdRead — every mutating call raises), ``"w"`` truncate
-        (hdOverwrite — existing store contents are removed on open)."""
+        (hdOverwrite — existing store contents are removed on open).
+
+        ``keep_snapshots`` is the retention depth: every commit keeps the
+        newest N snapshot directories per table (the HDF5 single-writer
+        model needs only 1, the default; a multi-reader deployment sets
+        N >= 2 so lazy DataFrames planned against the previous snapshot
+        keep reading while a mutation commits — the snapshot-retention
+        idea every table format uses for reader isolation). Hardlinked
+        reuse means extra snapshots cost only the rewritten files' bytes."""
         if mode not in ("a", "r", "w"):
             raise StoreError(f"bad mode {mode!r}; use 'r', 'a' or 'w'")
+        if keep_snapshots < 1:
+            raise StoreError("keep_snapshots must be >= 1")
         self.spark = spark
         self.root = os.path.abspath(root)
         self._realroot = os.path.realpath(self.root)
         self.codec = _codec_name(codec)
         self.rows_per_file = rows_per_file
+        self.keep_snapshots = keep_snapshots
         self.mode = mode
         if mode == "r":
             if not os.path.isdir(self.root):
@@ -263,11 +275,20 @@ class Store:
         meta["count"] = sum(e["rows"] for e in meta["files"])
         self._write_meta(name, meta)
         if old_meta is not None:
-            for entry in os.listdir(tdir):
-                p = os.path.join(tdir, entry)
-                if os.path.isdir(p) and entry != meta["current"]:
-                    shutil.rmtree(p, ignore_errors=True)
+            self._prune_snapshots(name)
         return Table(self, name, meta)
+
+    def _prune_snapshots(self, name: str) -> None:
+        """Drop snapshot dirs beyond the ``keep_snapshots`` newest. Runs
+        after the meta pointer has flipped, so the current snapshot is
+        always among the kept set."""
+        tdir = self._table_dir(name)
+        snaps = sorted(
+            e for e in os.listdir(tdir)
+            if e.startswith("snap-") and os.path.isdir(os.path.join(tdir, e))
+        )
+        for e in snaps[: -self.keep_snapshots]:
+            shutil.rmtree(os.path.join(tdir, e), ignore_errors=True)
 
     # -- group attributes (A1-A5 on groups; attributes.nim:207-319 works on
     # any object — tables *and* groups) --------------------------------------
@@ -616,7 +637,7 @@ class Table:
             current=snap, count=sum(e["rows"] for e in files), files=files
         )
         store._write_meta(self.name, self._meta)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        store._prune_snapshots(self.name)
 
     def append(self, df: DataFrame, n: int | None = None) -> None:
         """M1 — append at end (nimtables.nim:173-175). Existing files are all

@@ -254,3 +254,33 @@ def test_append_rejects_mismatched_schema(store, spark):
     renamed = spark.createDataFrame([(3, 30)], "k int, w int")
     with pytest.raises(StoreError, match="schema"):
         t.append(renamed, n=1)
+
+
+# -- snapshot retention for reader isolation --------------------------------
+
+def test_snapshot_retention_protects_inflight_readers(spark, tmp_path):
+    s = Store(spark, str(tmp_path / "ret"), keep_snapshots=2)
+    t = s.put("p", particles(spark), order_by=["lati"])
+    old_reader = t.df()  # lazy plan against the current snapshot's files
+    t.update(0, particles(spark, n=1, start=500))  # rewrites a file
+    # the previous snapshot is retained, so the stale plan still executes
+    assert old_reader.count() == 13
+    assert rows_of(old_reader)[0] == (1, 1, 100.0, 20.0)  # pre-update value
+    # new handle sees the mutation
+    assert rows_of(s["p"].row(0)) == [(500, 1, 100.0, 20.0)]
+    # a second mutation prunes the oldest: exactly 2 snapshot dirs remain
+    t2 = s["p"]
+    t2.update(1, particles(spark, n=1, start=600))
+    tdir = os.path.join(s.root, "p")
+    snaps = sorted(e for e in os.listdir(tdir) if e.startswith("snap-"))
+    assert len(snaps) == 2
+
+
+def test_default_retention_keeps_single_snapshot(store, spark):
+    t = store.put("p", particles(spark), order_by=["lati"])
+    t.update(0, particles(spark, n=1, start=500))
+    t2 = store["p"]
+    t2.update(1, particles(spark, n=1, start=600))
+    tdir = os.path.join(store.root, "p")
+    snaps = [e for e in os.listdir(tdir) if e.startswith("snap-")]
+    assert len(snaps) == 1
