@@ -33,16 +33,19 @@ MOD32 = 1 << 32
 
 
 def sample_hash(id_col: Column | str, salt: int = 0) -> Column:
-    """Uniform-ish 32-bit hash of an integer id: two rounds of
-    multiplicative hashing with SMALL multipliers (40503, 65599), salt
-    folded in between. Every intermediate product stays < 2^48 — int64-safe
-    at ANY id magnitude. (A 2654435761 multiplier overflows int64 once the
-    32-bit state exceeds ~3.4e9; Spark 4's ANSI mode turned that into a
-    runtime error at sf0.1 — caught by the bench, kept as a regression
-    test.)"""
+    """Uniform-ish 32-bit hash of an integer id: XOR the salt in (XOR is
+    nonlinear over addition — an ADDED salt makes h(salt) a constant shift
+    of h(0) mod 2^32, so two "independent" samples would overlap ~100%;
+    property-tested), then two multiply-mod rounds with an XOR-shift
+    avalanche between them. SMALL multipliers (40503, 65599) keep every
+    intermediate product < 2^48 — int64-safe at ANY id magnitude (a
+    2654435761 multiplier overflows int64 once the 32-bit state passes
+    ~3.4e9; Spark 4's ANSI mode turned that into a runtime error at sf0.1)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = (c % MOD32) * 40503 % MOD32
-    h = ((h + salt) % MOD32) * 65599 % MOD32
+    h = (c % MOD32).bitwiseXOR(F.lit((salt * 40503 + 17) % MOD32))
+    h = h * 40503 % MOD32
+    # h < 2^32 so h/65536 is exact in double; cast truncates = floor (h >= 0)
+    h = h.bitwiseXOR((h / 65536).cast("long")) * 65599 % MOD32
     return h
 
 

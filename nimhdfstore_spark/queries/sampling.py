@@ -9,14 +9,12 @@ from nimhdfstore_spark.operators import sampling as SA
 from nimhdfstore_spark.queries import query
 from nimhdfstore_spark.tables import load
 
-_HASH = (
-    "(((({id} % 4294967296) * 40503 % 4294967296) + {salt}) % 4294967296)"
-    " * 65599 % 4294967296"
-)
-
-
 def _h(id_expr: str, salt: int = 0) -> str:
-    return _HASH.format(id=id_expr, salt=salt)
+    """SQL twin of operators.sampling.sample_hash (keep in lockstep)."""
+    m = 4294967296
+    h0 = f"xor({id_expr} % {m}, {(salt * 40503 + 17) % m})"
+    h1 = f"(({h0}) * 40503 % {m})"
+    return f"xor({h1}, ({h1}) // 65536) * 65599 % {m}"
 
 
 # -- x76: 10% Bernoulli sample of documents ---------------------------------

@@ -1,0 +1,98 @@
+"""Property-style tests for the round-2 operators, run against small Spark
+frames: sampling must be invariant to physical partitioning, the bucketized
+interval join must equal the brute-force BETWEEN join, and connected
+components must match a plain union-find — each across randomized inputs
+(seeded, so failures replay)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.operators import sampling as SA
+from nimhdfstore_spark.operators.dedup import connected_components
+from nimhdfstore_spark.operators.interval import interval_join
+
+
+def test_hash_sample_invariant_to_partitioning(spark):
+    base = spark.range(0, 5000).select(F.col("id"))
+    expected = {r.id for r in SA.hash_sample(base, "id", 0.2).collect()}
+    assert 700 <= len(expected) <= 1300  # ~20%, hash-uniformity sanity
+    for parts in (1, 7, 64):
+        shuffled = base.repartition(parts)
+        got = {r.id for r in SA.hash_sample(shuffled, "id", 0.2).collect()}
+        assert got == expected  # identical SET, not just size
+    # salt decorrelates
+    other = {r.id for r in SA.hash_sample(base, "id", 0.2, salt=3).collect()}
+    assert other != expected
+
+
+def test_fixed_size_sample_deterministic_and_exact(spark):
+    base = spark.range(0, 3000)
+    a = [r.id for r in SA.fixed_size_hash_sample(base, "id", 50).collect()]
+    b = [r.id for r in
+         SA.fixed_size_hash_sample(base.repartition(13), "id", 50).collect()]
+    assert len(a) == 50 and a == b
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_interval_join_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    intervals = [
+        (rng.randrange(3), rng.randrange(0, 900), rng.randrange(0, 120))
+        for _ in range(60)
+    ]
+    iv = spark.createDataFrame(
+        [(k, s, s + w) for k, s, w in intervals], "k long, s long, e long"
+    )
+    pts = spark.createDataFrame(
+        [(rng.randrange(3), rng.randrange(0, 1100)) for _ in range(300)],
+        "k long, p long",
+    )
+    got = sorted(
+        (r.k, r.p, r.s, r.e)
+        for r in interval_join(pts, iv, "p", "s", "e", on=["k"], bucket=37).collect()
+    )
+    brute = sorted(
+        (r.k, r.p, r.s, r.e)
+        for r in pts.alias("a").join(
+            iv.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.p") >= F.col("b.s"))
+            & (F.col("a.p") <= F.col("b.e")),
+        ).select(F.col("a.k").alias("k"), "p", "s", "e").collect()
+    )
+    assert got == brute and len(brute) > 0
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_connected_components_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 80
+    edges = sorted({
+        tuple(sorted(rng.sample(range(n), 2))) for _ in range(60)
+    })
+    # reference union-find
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for i in range(n):
+        root = find(i)
+        want[i] = min(j for j in range(n) if find(j) == root)
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.comp for r in connected_components(pairs, nodes).collect()}
+    assert got == want
