@@ -199,21 +199,37 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    base = (
-        df.select(F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("grams"))
-        .where(F.size("grams") > 0)
-        .withColumn("sig", minhash_signature(F.col("grams"), num_hashes))
+    # Signature via EXPLODE + groupBy-MIN, not array HOFs: the per-shingle
+    # affine maps become plain whole-stage-codegen projections over exploded
+    # rows with num_hashes map-side-combined MIN aggregates (the SimHash
+    # shape). The HOF form (transform/array_min over the shingle array) is
+    # semantically identical but evaluates interpreted per (shingle, hash) —
+    # measured ~6× slower. Same signature VALUES, so SQL oracles built from
+    # the array formulation still match.
+    grams = df.select(
+        F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("grams")
+    ).where(F.size("grams") > 0)
+    hashed = grams.select("id", F.explode("grams").alias("gram")).withColumn(
+        "pg", poly_hash(F.col("gram"))
     )
+    sig_aggs = [
+        F.min((F.col("pg") * a + b) % HASH_MOD).alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    sigs = hashed.groupBy("id").agg(*sig_aggs)
     band_cols = F.array(*[
         F.struct(
-            F.lit(b).alias("band"),
-            _poly_combine([F.col("sig")[b * r + j] for j in range(r)]).alias("bucket"),
+            F.lit(bb).alias("band"),
+            _poly_combine([F.col(f"s{bb * r + j}") for j in range(r)]).alias("bucket"),
         )
-        for b in range(bands)
+        for bb in range(bands)
     ])
-    buckets = base.select(
-        "id", "sig", F.explode(band_cols).alias("bb")
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = sigs.select(
+        "id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig"),
+        F.explode(band_cols).alias("bb"),
+    ).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -230,11 +246,12 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
+    agree = sum(
+        (
+            F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
+            for i in range(num_hashes)
+        ),
+        F.lit(0),
     )
     est = agree / F.lit(float(num_hashes))
     return (
