@@ -200,3 +200,136 @@ def x72(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --------------------------------------------------------------------------
+# x80 — exact grouped quantiles (F.percentile, not percentile_approx: the
+# approx sketch is engine-specific; the exact interpolated percentile is
+# the same linear-interpolation formula DuckDB's quantile_cont uses, so
+# values hash-match). One shuffle on the group key, codegen throughout.
+# --------------------------------------------------------------------------
+
+_X80_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("x80_group_quantiles", _X80_SQL)
+def x80(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p90"),
+            F.round(F.col("p")[2], 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# x81 — pivot: order counts per (priority × status). Spark's pivot is a
+# single groupBy with conditional aggregates; oracle spells those out.
+# --------------------------------------------------------------------------
+
+_X81_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS F,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS O,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("x81_pivot", _X81_SQL)
+def x81(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# x82 — rollup: subtotal + grand-total rows via F.rollup; DuckDB ROLLUP
+# produces the identical grouping-set lattice (NULL-filled columns).
+# --------------------------------------------------------------------------
+
+_X82_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+@query("x82_rollup", _X82_SQL)
+def x82(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x83 — analytic window suite: rank / dense_rank / lag / lead / running sum
+# per customer over their orders. One shuffle on the partition key; windows
+# are per-key (no global sort).
+# --------------------------------------------------------------------------
+
+_X83_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(rank() OVER w AS INT) AS rnk,
+  CAST(dense_rank() OVER w AS INT) AS drnk,
+  lag(o_orderkey) OVER w AS prev_order,
+  lead(o_orderkey) OVER w AS next_order,
+  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rnk
+"""
+
+
+@query("x83_window_suite", _X83_SQL)
+def x83(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ), 2,
+            ).alias("running_total"),
+        )
+        .orderBy("o_custkey", "rnk")
+    )
