@@ -194,3 +194,29 @@ def x_stream_session_window(spark, sf_dir):
     from nimhdfstore_spark.streaming import session_window_stream
 
     return session_window_stream(spark, sf_dir, gap="30 minutes")
+
+
+# --------------------------------------------------------------------------
+# x66 — stream-stream join: purchases attributed to the same user's clicks
+# within the preceding 30 minutes. Inner-join matches emit immediately
+# (watermarks bound STATE, not output), so the batch join is the oracle.
+# --------------------------------------------------------------------------
+
+# epoch_us truncates ns -> us exactly like the Spark reader's nanosAsLong
+# path, so boundary comparisons match at Spark's timestamp precision
+_X_ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - CAST(1800 AS BIGINT) * 1000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY purchase_id, click_id
+"""
+
+
+@query("x66_stream_stream_join", _X_ATTRIBUTION_SQL)
+def x_stream_stream_join(spark, sf_dir):
+    from nimhdfstore_spark.streaming import purchase_attribution_stream
+
+    return purchase_attribution_stream(spark, sf_dir)

@@ -1,5 +1,6 @@
 from nimhdfstore_spark.streaming.windows import (  # noqa: F401
     dedup_events_stream,
+    purchase_attribution_stream,
     session_window_stream,
     sessionize_batch,
     tumbling_counts_batch,

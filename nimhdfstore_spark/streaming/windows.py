@@ -274,3 +274,54 @@ def session_window_stream(
     )
     q.awaitTermination()
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+def purchase_attribution_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Stream-stream INNER join with event-time range condition: each
+    purchase joined to the same user's click events in the 30 minutes
+    before it. Both sides are watermarked, and the range condition bounds
+    the join state the engine must keep (clicks older than the watermark
+    minus the range are evicted — without the time bound, stream-stream
+    join state grows forever). Inner-join matches are emitted as they
+    form, so a finite ``availableNow`` backfill yields exactly the batch
+    join's result — the oracle is the plain relational join.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(events_dir, "events.parquet")).schema
+
+    def side(kind: str, alias: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(events_dir)
+        )
+        s = _event_ts(s).where(F.col("event_type") == kind)
+        return s.select(
+            F.col("event_id").alias(f"{alias}_id"),
+            F.col("user_id").alias(f"{alias}_user"),
+            F.col("ts_t").alias(f"{alias}_ts"),
+        ).withWatermark(f"{alias}_ts", "1 hour")
+
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+    )
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("purchase_id", "click_id")
