@@ -274,3 +274,33 @@ def _resolve_dtype(fields: Sequence[tuple[str, tuple[str, str | None]]]):
         else:
             out.append((name, h5py.vlen_dtype(np.dtype(np_t))))
     return np.dtype(out)
+
+
+# -- migration path (reference user -> this engine, and back) -----------------
+
+def hdf5_to_store(
+    store,
+    path: str,
+    dataset: str,
+    name: str | None = None,
+    order_by: Sequence[str] | None = None,
+    **put_kwargs,
+):
+    """Migrate one HDF5 compound table into the Parquet store: parallel
+    chunk-aligned read (``read_hdf5_table``) → ``Store.put``. ``order_by``
+    defaults to the first column, mirroring how the reference's tables are
+    keyed by their leading field in practice; pass the real unique key for
+    stable positions. Returns the new :class:`Table`."""
+    df = read_hdf5_table(store.spark, path, dataset)
+    keys = list(order_by) if order_by else [df.columns[0]]
+    return store.put(name or dataset, df, order_by=keys, **put_kwargs)
+
+
+def store_to_hdf5(table, path: str, dataset: str, **write_kwargs) -> None:
+    """Export a store table back to an HDF5 compound table (positions
+    preserved: rows stream out in ``_rowid`` order, ``_rowid`` itself is
+    dropped — HDF5 row order IS the position)."""
+    from nimhdfstore_spark.rowid import ROWID
+
+    df = table.df().orderBy(ROWID).drop(ROWID)
+    write_hdf5_table(df, path, dataset, **write_kwargs)

@@ -135,3 +135,33 @@ def test_hdf5_roundtrip_vlen_and_strings(spark, tmp_path):
     assert len(got) == 2_000
     for i, name, vals in rows[:50] + rows[-50:]:
         assert got[i] == (name, vals)
+
+
+@pytest.mark.skipif(h5src.HAVE_H5PY, reason="asserts the no-h5py error path")
+def test_migration_helpers_gated(spark, tmp_path):
+    from nimhdfstore_spark.store import Store
+
+    s = Store(spark, str(tmp_path / "store"))
+    with pytest.raises(RuntimeError, match="h5py"):
+        h5src.hdf5_to_store(s, str(tmp_path / "x.h5"), "t")
+
+
+@pytest.mark.skipif(not h5src.HAVE_H5PY, reason="h5py not installed")
+def test_migration_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from nimhdfstore_spark.store import Store
+
+    path = str(tmp_path / "ref.h5")
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5, f"row{i}") for i in range(5_000)],
+        "k long, v double, tag string",
+    )
+    h5src.write_hdf5_table(df, path, "t", chunk_size=1024)
+    s = Store(spark, str(tmp_path / "store"))
+    t = h5src.hdf5_to_store(s, path, "t", order_by=["k"])
+    assert t.nrows == 5_000
+    out = str(tmp_path / "back.h5")
+    h5src.store_to_hdf5(t, out, "t")
+    back = h5src.read_hdf5_table(spark, out, "t")
+    assert back.count() == 5_000
