@@ -42,7 +42,11 @@ def sample_hash(id_col: Column | str, salt: int = 0) -> Column:
     2654435761 multiplier overflows int64 once the 32-bit state passes
     ~3.4e9; Spark 4's ANSI mode turned that into a runtime error at sf0.1)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = (c % MOD32).bitwiseXOR(F.lit((salt * 40503 + 17) % MOD32))
+    # positive mod: both engines' % keeps the dividend's sign, so a plain
+    # (id % M) would leave negative ids negative — always below the keep
+    # threshold (never sampled out). (a % M + M) % M is branch-free.
+    h = ((c % MOD32) + MOD32) % MOD32
+    h = h.bitwiseXOR(F.lit((salt * 40503 + 17) % MOD32))
     h = h * 40503 % MOD32
     # h < 2^32 so h/65536 is exact in double; cast truncates = floor (h >= 0)
     h = h.bitwiseXOR((h / 65536).cast("long")) * 65599 % MOD32

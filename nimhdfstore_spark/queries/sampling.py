@@ -12,7 +12,8 @@ from nimhdfstore_spark.tables import load
 def _h(id_expr: str, salt: int = 0) -> str:
     """SQL twin of operators.sampling.sample_hash (keep in lockstep)."""
     m = 4294967296
-    h0 = f"xor({id_expr} % {m}, {(salt * 40503 + 17) % m})"
+    pm = f"(({id_expr} % {m}) + {m}) % {m}"
+    h0 = f"xor({pm}, {(salt * 40503 + 17) % m})"
     h1 = f"(({h0}) * 40503 % {m})"
     return f"xor({h1}, ({h1}) // 65536) * 65599 % {m}"
 

@@ -96,3 +96,14 @@ def test_connected_components_match_union_find(spark, seed):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.comp for r in connected_components(pairs, nodes).collect()}
     assert got == want
+
+
+def test_hash_sample_handles_negative_ids(spark):
+    base = spark.createDataFrame(
+        [(i,) for i in range(-2000, 2000)], "id long"
+    )
+    kept = SA.hash_sample(base, "id", 0.2).collect()
+    neg = sum(1 for r in kept if r.id < 0)
+    pos = sum(1 for r in kept if r.id >= 0)
+    # both halves sampled at ~20%, not "all negatives kept"
+    assert 250 <= neg <= 550 and 250 <= pos <= 550
