@@ -333,3 +333,37 @@ def x83(spark, sf_dir):
         )
         .orderBy("o_custkey", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# x84 — Z-order clustering key: Morton interleave of (l_partkey, l_suppkey),
+# the multi-dimensional layout key a 100 TB table sorts by so Parquet
+# min/max stats prune on EITHER key. The query checks the code itself
+# (oracle recomputes the same interleave); the layout benefit is pinned in
+# tests/test_plans.py::test_zorder_clusters_both_keys.
+# --------------------------------------------------------------------------
+
+def _x84_sql() -> str:
+    from nimhdfstore_spark.operators.zorder import morton_sql
+
+    z = morton_sql("l_partkey", "l_suppkey")
+    return f"""
+SELECT l_partkey, l_suppkey, {z} AS zkey
+FROM lineitem
+ORDER BY zkey, l_partkey, l_suppkey LIMIT 100
+"""
+
+
+@query("x84_zorder_key", _x84_sql())
+def x84(spark, sf_dir):
+    from nimhdfstore_spark.operators.zorder import morton_code
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_partkey", "l_suppkey",
+            morton_code("l_partkey", "l_suppkey").alias("zkey"),
+        )
+        .orderBy("zkey", "l_partkey", "l_suppkey")
+        .limit(100)
+    )

@@ -149,3 +149,51 @@ def test_interval_join_has_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
         f"interval join plans a pair scan:\n{plan[:2000]}"
     )
+
+
+def test_zorder_clusters_both_keys(spark, tmp_path):
+    # a uniform 128x128 key grid written two ways: sorted by key a alone
+    # (each file = a stripe covering the FULL b domain) vs by the Morton
+    # key (each file ~ a square: both keys' per-file min/max spans shrink).
+    # Narrow spans are what make Parquet row-group pruning work on either
+    # key — the point of z-ordering a 100 TB table.
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from nimhdfstore_spark.operators.zorder import morton_code
+
+    grid = spark.range(128 * 128).select(
+        (F.col("id") / 128).cast("long").alias("a"),
+        (F.col("id") % 128).alias("b"),
+    )
+
+    def spans(path):
+        out = {"a": [], "b": []}
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for col in out:
+                st = md.row_group(0).column(idx[col]).statistics
+                lo, hi = st.min, st.max
+                for rg in range(1, md.num_row_groups):
+                    s = md.row_group(rg).column(idx[col]).statistics
+                    lo, hi = min(lo, s.min), max(hi, s.max)
+                out[col].append(hi - lo)
+        return {k: sum(v) / len(v) for k, v in out.items()}
+
+    n_files = 16
+    (grid.repartitionByRange(n_files, "a", "b")
+         .sortWithinPartitions("a", "b")
+         .write.mode("overwrite").parquet(str(tmp_path / "bykey")))
+    z = grid.withColumn("zk", morton_code("a", "b"))
+    (z.repartitionByRange(n_files, "zk")
+       .sortWithinPartitions("zk")
+       .drop("zk")
+       .write.mode("overwrite").parquet(str(tmp_path / "byz")))
+
+    s_key, s_z = spans(str(tmp_path / "bykey")), spans(str(tmp_path / "byz"))
+    # stripe layout: b spans ~ full 127; z-order squares: both spans ~ 31
+    assert s_z["b"] < s_key["b"] / 2, (s_key, s_z)
+    assert s_z["a"] < 64, (s_key, s_z)
