@@ -290,6 +290,19 @@ class Store:
         for e in snaps[: -self.keep_snapshots]:
             shutil.rmtree(os.path.join(tdir, e), ignore_errors=True)
 
+    # -- SQL over the catalog -----------------------------------------------
+
+    def sql(self, statement: str) -> DataFrame:
+        """Run Spark SQL over the store's tables: every catalog key is
+        registered as a temp view (``/`` in nested keys becomes ``__``,
+        since view names can't contain slashes), ``_rowid`` included —
+        positional predicates work in plain SQL (``WHERE _rowid BETWEEN …``).
+        Views resolve lazily against the CURRENT snapshot at call time."""
+        for key in self.keys():
+            view = key.replace("/", "__")
+            self.table(key).df().createOrReplaceTempView(view)
+        return self.spark.sql(statement)
+
     # -- group attributes (A1-A5 on groups; attributes.nim:207-319 works on
     # any object — tables *and* groups) --------------------------------------
 

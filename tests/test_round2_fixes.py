@@ -284,3 +284,18 @@ def test_default_retention_keeps_single_snapshot(store, spark):
     tdir = os.path.join(store.root, "p")
     snaps = [e for e in os.listdir(tdir) if e.startswith("snap-")]
     assert len(snaps) == 1
+
+
+# -- SQL over the catalog ----------------------------------------------------
+
+def test_store_sql(store, spark):
+    store.put("p", particles(spark), order_by=["lati"])
+    store.put("exp/run1/t", particles(spark, n=3), order_by=["lati"])
+    out = store.sql(
+        "SELECT count(*) AS n FROM p WHERE _rowid BETWEEN 2 AND 5"
+    ).collect()
+    assert out[0].n == 4
+    joined = store.sql(
+        "SELECT count(*) AS n FROM p JOIN exp__run1__t USING (lati)"
+    ).collect()
+    assert joined[0].n == 3
