@@ -232,15 +232,18 @@ _SQL_DOT = (
 
 
 def _emb_lsh_sql() -> str:
+    # fixed-point projections (round(v*2^20) — integer sums commute, see
+    # operators/dedup.FXP): each plane is a plain SUM aggregate over the
+    # unnested (vec_id, d, iv) rows with a literal sign-array lookup —
+    # the same relational shape the Spark side runs, and ~10× faster in
+    # DuckDB than per-row list_reduce folds.
     def plane_bit(h: int) -> str:
         signs = ",".join(
-            "1.0" if D.rademacher_sign(h, d) > 0 else "-1.0"
+            "1" if D.rademacher_sign(h, d) > 0 else "-1"
             for d in range(_EMB_DIMS)
         )
         return (
-            f"CASE WHEN list_reduce(list_transform(range({_EMB_DIMS}), "
-            f"d -> CAST(embedding[d+1] AS DOUBLE) * ([{signs}])[d+1]), "
-            "(x, y) -> x + y) >= 0 THEN 1 ELSE 0 END"
+            f"CASE WHEN SUM(iv * ([{signs}])[d+1]) >= 0 THEN 1 ELSE 0 END"
         )
 
     bits = ",\n    ".join(plane_bit(h) for h in range(_EMB_PLANES))
@@ -254,10 +257,15 @@ def _emb_lsh_sql() -> str:
     # rather than O(n²) list_filter folds (measured ~20× faster at sf0.01,
     # which keeps the driver's correctness pass cheap).
     return f"""
-WITH c AS MATERIALIZED (
-  SELECT vec_id, embedding, list_value(
+WITH ev AS (
+  SELECT vec_id, d,
+         CAST(round(CAST(embedding[d+1] AS DOUBLE) * {D.FXP}) AS BIGINT) AS iv
+  FROM embeddings, range({_EMB_DIMS}) t(d)
+),
+c AS MATERIALIZED (
+  SELECT vec_id, list_value(
     {bits}) AS bits
-  FROM embeddings
+  FROM ev GROUP BY vec_id
 ),
 cb AS (
   SELECT vec_id, k, {bucket} AS bucket
