@@ -163,3 +163,47 @@ def test_sample_hash_no_overflow_at_large_ids(spark):
     )
     rows = big.select(SA.sample_hash("id", salt=7).alias("h")).collect()
     assert all(0 <= r.h < SA.MOD32 for r in rows)
+
+
+def test_hyperplane_bits_column_and_table_forms_agree(spark, sf_dir):
+    # the column-level HOF form and the explode/groupBy hot-path form must
+    # produce IDENTICAL bit codes (integer fixed-point sums commute)
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    col_form = {
+        r.vec_id: list(r.bits)
+        for r in emb.select(
+            "vec_id", D.hyperplane_bits(F.col("embedding")).alias("bits")
+        ).collect()
+    }
+    tbl_form = {
+        r.id: list(r.bits)
+        for r in D.hyperplane_bits_table(emb, "vec_id", "embedding").collect()
+    }
+    assert col_form == tbl_form
+
+
+def test_minhash_signature_column_form_agrees_with_pairs_path(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    col_sig = {
+        r.doc_id: list(r.sig)
+        for r in docs.select(
+            "doc_id",
+            D.minhash_signature(D.char_ngrams("text"), 64).alias("sig"),
+        ).where(F.size(D.char_ngrams("text")) > 0).collect()
+    }
+    # recompute via the explode/groupBy shape used in minhash_lsh_pairs
+    grams = docs.select(
+        F.col("doc_id"), D.char_ngrams("text").alias("grams")
+    ).where(F.size("grams") > 0)
+    hashed = grams.select("doc_id", F.explode("grams").alias("g")).withColumn(
+        "pg", D.poly_hash(F.col("g"))
+    )
+    aggs = [
+        F.min((F.col("pg") * a + b) % D.HASH_MOD).alias(f"s{i}")
+        for i, (a, b) in enumerate(D.minhash_coeffs(64))
+    ]
+    tbl_sig = {
+        r.doc_id: [r[f"s{i}"] for i in range(64)]
+        for r in hashed.groupBy("doc_id").agg(*aggs).collect()
+    }
+    assert col_sig == tbl_sig
