@@ -17,9 +17,16 @@ Two strategies:
   movement is the range shuffle that a sorted write needs anyway. This is the
   public "zipWithIndex prefix-sum" pattern expressed DataFrame-side.
 
-Determinism requires the canonical key to be unique (all driver tables have a
-unique canonical key per FIXTURES.md F5); partition boundaries then cannot
-change the resulting rank.
+Determinism requires the canonical key to be unique — then partition
+boundaries cannot change the resulting rank. The driver's lineitem data
+VIOLATES this (~24% of (l_orderkey, l_linenumber) keys repeat with distinct
+rows): ties are assigned by INPUT FILE ORDER on both engines — Spark's sort
+is TimSort (stable), range partitioning keeps a tie group in one partition,
+and scan/map order preserves file order; DuckDB's row_number likewise
+numbers ties in scan order. tests/test_properties_ops.py pins
+offsets == window == DuckDB on the tied keys; any rowid-strategy change
+must preserve this stability (a window keyed on spark_partition_id() after
+an extra shuffle, for example, breaks it — measured).
 """
 
 from __future__ import annotations

@@ -107,3 +107,37 @@ def test_hash_sample_handles_negative_ids(spark):
     pos = sum(1 for r in kept if r.id >= 0)
     # both halves sampled at ~20%, not "all negatives kept"
     assert 250 <= neg <= 550 and 250 <= pos <= 550
+
+
+def test_rowid_tie_breaking_matches_duckdb(spark, sf_dir):
+    # lineitem's canonical key is NOT unique (~24% of keys repeat with
+    # distinct rows); both rowid strategies must number ties in input file
+    # order — exactly what DuckDB's row_number does — or every positional
+    # oracle with tied keys would hash-mismatch.
+    import duckdb
+
+    from nimhdfstore_spark.rowid import with_rowid
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = ["l_orderkey", "l_linenumber"]
+
+    def as_map(df):
+        return {
+            (r.l_orderkey, r.l_linenumber, r.l_partkey): r._rowid
+            for r in df.select("_rowid", "l_partkey", *keys).collect()
+        }
+
+    offsets = as_map(with_rowid(li, keys, strategy="offsets"))
+    window = as_map(with_rowid(li, keys, strategy="window"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW li AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    duck = {
+        (int(r.l_orderkey), int(r.l_linenumber), int(r.l_partkey)): int(r.r)
+        for r in con.execute(
+            "SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1"
+            " AS r, l_orderkey, l_linenumber, l_partkey FROM li"
+        ).df().itertuples()
+    }
+    assert offsets == window == duck
