@@ -483,6 +483,49 @@ def q20(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Q24 — J1/J2 table combination (H5TBcombine_tables + H5TBadd_records_from,
+# hl/H5TBpublic.nim:114-119): concatenate region+nation into a third table,
+# then append nation rows 1..3 from the source once more. Positions of the
+# second operand follow the first; the slice append rebases onto the tail.
+# --------------------------------------------------------------------------
+
+_Q24_SQL = f"""
+WITH r AS ({rowid_over('region')}),
+n AS ({rowid_over('nation')}),
+rc AS (SELECT COUNT(*) AS c FROM region),
+nc AS (SELECT COUNT(*) AS c FROM nation),
+combined AS (
+  SELECT {ROWID}, r_regionkey AS k, r_name AS name FROM r
+  UNION ALL
+  SELECT {ROWID} + rc.c, n_nationkey, n_name FROM n, rc
+),
+appended AS (
+  SELECT * FROM combined
+  UNION ALL
+  SELECT n.{ROWID} - 1 + rc.c + nc.c, n_nationkey, n_name
+  FROM n, rc, nc WHERE n.{ROWID} BETWEEN 1 AND 3
+)
+SELECT * FROM appended ORDER BY {ROWID}
+"""
+
+
+@query("q24_combine_tables", _Q24_SQL)
+def q24(spark, sf_dir):
+    store = scratch_store(spark, f"q24-{os.path.basename(sf_dir)}")
+    region = load_pos(spark, sf_dir, "region").select(
+        ROWID, F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+    )
+    nation = load_pos(spark, sf_dir, "nation").select(
+        ROWID, F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    store.put("r_scratch", region, overwrite=True)
+    store.put("n_scratch", nation, overwrite=True)
+    t = store.combine("r_scratch", "n_scratch", "both", overwrite=True)
+    t.add_records_from(store.table("n_scratch"), start=1, n=3)
+    return t.df().orderBy(ROWID)
+
+
+# --------------------------------------------------------------------------
 # Q23 — compaction: repeated small appends fragment the snapshot file
 # catalog; ``Table.compact`` rewrites it at ``rows_per_file`` sizing. The
 # maintenance op every log-structured store schedules (the reference's
