@@ -20,13 +20,22 @@ Two strategies:
 Determinism requires the canonical key to be unique — then partition
 boundaries cannot change the resulting rank. The driver's lineitem data
 VIOLATES this (~24% of (l_orderkey, l_linenumber) keys repeat with distinct
-rows): ties are assigned by INPUT FILE ORDER on both engines — Spark's sort
-is TimSort (stable), range partitioning keeps a tie group in one partition,
-and scan/map order preserves file order; DuckDB's row_number likewise
-numbers ties in scan order. tests/test_properties_ops.py pins
-offsets == window == DuckDB on the tied keys; any rowid-strategy change
-must preserve this stability (a window keyed on spark_partition_id() after
-an extra shuffle, for example, breaks it — measured).
+rows). Measured tie semantics (tests/test_properties_ops.py):
+
+- The RANK SET is always correct: both strategies agree with the global
+  window rank on every unique key at every scale.
+- WITHIN a duplicate-key group, order follows the scan/arrival order of a
+  single materialization (stable TimSort; a tie group lands in one range
+  partition). One materialization is internally consistent — and
+  ``Store.put`` freezes positions at write time, so stored tables are
+  stable by construction.
+- Across INDEPENDENT materializations of multi-split inputs, tie order can
+  flip (shuffle fetch interleaving). At the driver's correctness scale the
+  input is a single split, where scan order is deterministic and matches
+  DuckDB's row_number scan-order ties — pinned by test. A faster
+  window-keyed-on-partition-id variant broke exactly that and was
+  rejected; do not "optimize" the Arrow assign pass without re-running the
+  tie tests.
 """
 
 from __future__ import annotations

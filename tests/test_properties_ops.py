@@ -141,3 +141,21 @@ def test_rowid_tie_breaking_matches_duckdb(spark, sf_dir):
         ).df().itertuples()
     }
     assert offsets == window == duck
+
+
+def test_rowid_rank_set_correct_on_duplicate_keys(spark, sf_dir):
+    # ranks must equal the global window rank for every UNIQUE key even
+    # though the canonical key has duplicates; duplicate groups must own
+    # exactly their contiguous rank range
+    from nimhdfstore_spark.rowid import with_rowid
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = ["l_orderkey", "l_linenumber"]
+    off = with_rowid(li, keys, strategy="offsets")
+    grp = off.groupBy(*keys).agg(
+        F.min("_rowid").alias("lo"), F.max("_rowid").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # each key group's rowids are contiguous: hi - lo + 1 == n
+    bad = grp.where(F.col("hi") - F.col("lo") + 1 != F.col("n")).count()
+    assert bad == 0
