@@ -483,6 +483,53 @@ def q20(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Q25 — time travel over retained snapshots: with keep_snapshots >= 2, a
+# mutation leaves the previous snapshot readable (Store.table(snapshot=N)).
+# Returns the union of the pre- and post-update states, version-tagged;
+# the oracle reconstructs both states relationally.
+# --------------------------------------------------------------------------
+
+_Q25_SQL = f"""
+WITH base AS ({rowid_over('nation')}),
+v0 AS (SELECT 0 AS version, {ROWID}, n_nationkey FROM base),
+v1 AS (
+  SELECT 1 AS version, {ROWID},
+         CASE WHEN {ROWID} = 0 THEN CAST(1000000000 AS BIGINT)
+              ELSE n_nationkey END AS n_nationkey
+  FROM base
+)
+SELECT * FROM v0 UNION ALL SELECT * FROM v1
+ORDER BY version, {ROWID}
+"""
+
+
+@query("q25_time_travel", _Q25_SQL)
+def q25(spark, sf_dir):
+    store = Store(
+        spark, os.path.join(SCRATCH_ROOT, f"q25-{os.path.basename(sf_dir)}"),
+        keep_snapshots=2,
+    )
+    t = store.put("nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True)
+    first_snap = store.snapshots("nation_scratch")[-1]
+    dts = dict(t.df().dtypes)
+    patched = (
+        t.df()
+        .where(F.col(ROWID) == 0)
+        .select(
+            F.lit(1_000_000_000).cast(dts["n_nationkey"]).alias("n_nationkey"),
+            "n_name", "n_regionkey",
+        )
+    )
+    t.update(0, patched)
+    old = store.table("nation_scratch", snapshot=first_snap)
+    new = store.table("nation_scratch")
+    pick = lambda tt, v: tt.df().select(  # noqa: E731
+        F.lit(v).alias("version"), F.col(ROWID), F.col("n_nationkey").cast("long")
+    )
+    return pick(old, 0).unionByName(pick(new, 1)).orderBy("version", ROWID)
+
+
+# --------------------------------------------------------------------------
 # Q24 — J1/J2 table combination (H5TBcombine_tables + H5TBadd_records_from,
 # hl/H5TBpublic.nim:114-119): concatenate region+nation into a third table,
 # then append nation rows 1..3 from the source once more. Positions of the

@@ -160,15 +160,56 @@ class Store:
     def __delitem__(self, name: str) -> None:
         self.drop(name)
 
-    def table(self, name: str, expect_schema: StructType | None = None) -> "Table":
+    def table(
+        self,
+        name: str,
+        expect_schema: StructType | None = None,
+        snapshot: int | None = None,
+    ) -> "Table":
+        """Open ``name``; ``snapshot`` time-travels to a retained earlier
+        snapshot number (requires ``keep_snapshots`` > 1 at mutation time —
+        pruned snapshots are gone). Historical handles are read-only:
+        mutating one would fork history, which the single-``current``
+        catalog deliberately cannot represent."""
         meta = self._read_meta(name)
         while "link_to" in meta:  # M9 hardlink (files.nim:363-390)
             name = meta["link_to"]
             meta = self._read_meta(name)
+        if snapshot is not None:
+            snap = _SNAP.format(snapshot)
+            sdir = os.path.join(self._table_dir(name), snap)
+            if snap == meta["current"]:
+                pass  # current: plain handle below
+            elif not os.path.isdir(sdir):
+                raise StoreError(
+                    f"snapshot {snapshot} of {name!r} is not retained "
+                    f"(available: {self.snapshots(name)})"
+                )
+            else:
+                hist = dict(meta)
+                hist["current"] = snap
+                hist["files"] = self._scan_ranges(sdir)
+                hist["count"] = sum(e["rows"] for e in hist["files"])
+                t = Table(self, name, hist, frozen=True)
+                if expect_schema is not None:
+                    t.check_compatibility(expect_schema)
+                return t
         t = Table(self, name, meta)
         if expect_schema is not None:
             t.check_compatibility(expect_schema)
         return t
+
+    def snapshots(self, name: str) -> list[int]:
+        """Retained snapshot numbers for ``name``, oldest first (the last
+        entry is current)."""
+        tdir = self._table_dir(name)
+        if not os.path.isfile(os.path.join(tdir, "_meta.json")):
+            raise StoreError(f"no such table: {name!r}")
+        return sorted(
+            int(e.split("-")[1])
+            for e in os.listdir(tdir)
+            if e.startswith("snap-") and os.path.isdir(os.path.join(tdir, e))
+        )
 
     def drop(self, name: str) -> None:
         """M6/M7 — dropping an unknown key is an explicit error (the
@@ -424,10 +465,14 @@ class Table:
     nimtables.nim:20-28,111-131). Reads are lazy DataFrames; positional ops
     compile to ``_rowid`` predicates (operators/positional.py)."""
 
-    def __init__(self, store: Store, name: str, meta: dict) -> None:
+    def __init__(
+        self, store: Store, name: str, meta: dict, frozen: bool = False
+    ) -> None:
         self.store = store
         self.name = name
         self._meta = meta
+        #: historical (time-travel) handle: reads only
+        self._frozen = frozen
 
     # -- schema / catalog ----------------------------------------------------
 
@@ -471,13 +516,21 @@ class Table:
     def attrs(self) -> dict[str, Any]:
         return dict(self._meta.get("attrs", {}))
 
-    def set_attrs(self, **kv: Any) -> None:
+    def _require_mutable(self) -> None:
         self.store._require_writable()
+        if self._frozen:
+            raise StoreError(
+                f"{self.name!r} is a historical snapshot handle (read-only); "
+                "mutating it would fork history — open the current table"
+            )
+
+    def set_attrs(self, **kv: Any) -> None:
+        self._require_mutable()
         self._meta.setdefault("attrs", {}).update(kv)
         self.store._write_meta(self.name, self._meta)
 
     def del_attr(self, key: str) -> None:
-        self.store._require_writable()
+        self._require_mutable()
         try:
             del self._meta["attrs"][key]
         except KeyError:
@@ -633,6 +686,7 @@ class Table:
         count and file catalog come from the written footers."""
         store = self.store
         store._require_writable()
+        self._require_mutable()
         cur = int(self._meta["current"].split("-")[1])
         snap = _SNAP.format(cur + 1)
         old_dir = self.snapshot_path

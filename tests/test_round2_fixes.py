@@ -299,3 +299,37 @@ def test_store_sql(store, spark):
         "SELECT count(*) AS n FROM p JOIN exp__run1__t USING (lati)"
     ).collect()
     assert joined[0].n == 3
+
+
+# -- time travel over retained snapshots ------------------------------------
+
+def test_time_travel_reads_previous_snapshot(spark, tmp_path):
+    s = Store(spark, str(tmp_path / "tt"), keep_snapshots=3)
+    t = s.put("p", particles(spark), order_by=["lati"])
+    t.update(0, particles(spark, n=1, start=500))
+    t2 = s["p"]
+    t2.delete(1, 5)
+    assert s.snapshots("p") == [0, 1, 2]
+    # snapshot 0: original data; snapshot 1: post-update; current: post-delete
+    t0 = s.table("p", snapshot=0)
+    assert t0.nrows == 13
+    assert rows_of(t0.row(0)) == [(1, 1, 100.0, 20.0)]
+    t1 = s.table("p", snapshot=1)
+    assert t1.nrows == 13
+    assert rows_of(t1.row(0)) == [(500, 1, 100.0, 20.0)]
+    assert s.table("p", snapshot=2).nrows == 8
+    # historical handles refuse mutation
+    with pytest.raises(StoreError, match="historical"):
+        t0.delete(0)
+    with pytest.raises(StoreError, match="historical"):
+        t0.set_attrs(x=1)
+    # pruned snapshots are explicit errors
+    with pytest.raises(StoreError, match="not retained"):
+        s.table("p", snapshot=99)
+
+
+def test_time_travel_unavailable_when_pruned(store, spark):
+    t = store.put("p", particles(spark), order_by=["lati"])  # keep=1
+    t.update(0, particles(spark, n=1, start=500))
+    with pytest.raises(StoreError, match="not retained"):
+        store.table("p", snapshot=0)
