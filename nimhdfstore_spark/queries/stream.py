@@ -4,6 +4,8 @@ and per-user sessionization (gaps-and-islands)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from nimhdfstore_spark.queries import query
 from nimhdfstore_spark.streaming import (
     sessionize_batch,
@@ -220,3 +222,46 @@ def x_stream_stream_join(spark, sf_dir):
     from nimhdfstore_spark.streaming import purchase_attribution_stream
 
     return purchase_attribution_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# x67 — streaming ingest into the store (packet-table WRITE path,
+# H5PTappend): the events stream drains through foreachBatch into a
+# positional table; result = stored positions 0..49 (canonical ts order).
+# --------------------------------------------------------------------------
+
+_X_INGEST_SQL = """
+SELECT CAST(row_number() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS _rowid,
+       event_id, user_id
+FROM events QUALIFY _rowid < 50 ORDER BY _rowid
+"""
+
+
+@query("x67_stream_ingest_store", _X_INGEST_SQL)
+def x_stream_ingest(spark, sf_dir):
+    import os as _os
+
+    from nimhdfstore_spark.queries.core import SCRATCH_ROOT
+    from nimhdfstore_spark.rowid import ROWID
+    from nimhdfstore_spark.store import Store
+    from nimhdfstore_spark.streaming import stream_into_store
+
+    store = Store(
+        spark,
+        _os.path.join(SCRATCH_ROOT, f"x67-{_os.path.basename(sf_dir)}"),
+    )
+    if "ingested" in store:
+        store.drop("ingested")
+    import shutil as _sh
+
+    for e in _os.listdir(store.root):  # stale checkpoints from prior runs
+        if e.startswith("_checkpoint_ingested"):
+            _sh.rmtree(_os.path.join(store.root, e), ignore_errors=True)
+    stream_into_store(spark, sf_dir, store, "ingested")
+    t = store.table("ingested")
+    return (
+        t.df()
+        .where(F.col(ROWID) < 50)
+        .select(ROWID, "event_id", "user_id")
+        .orderBy(ROWID)
+    )

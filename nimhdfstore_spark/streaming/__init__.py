@@ -2,6 +2,7 @@ from nimhdfstore_spark.streaming.windows import (  # noqa: F401
     dedup_events_stream,
     purchase_attribution_stream,
     session_window_stream,
+    stream_into_store,
     sessionize_batch,
     tumbling_counts_batch,
     tumbling_counts_stream,

@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 import uuid
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -325,3 +327,52 @@ def purchase_attribution_stream(spark: SparkSession, events_dir: str) -> DataFra
     )
     q.awaitTermination()
     return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+def stream_into_store(
+    spark: SparkSession,
+    events_dir: str,
+    store,
+    name: str,
+    order_by: Sequence[str] = ("ts", "event_id"),
+) -> None:
+    """Streaming ingest into the positional store — the packet-table WRITE
+    path (H5PTappend, hl/H5PTpublic.nim:42-49): each micro-batch lands as a
+    positional append (its rows ranked by the canonical key within the
+    batch, re-based onto the table tail). The store's append writes only
+    the new rows' files, so a long-running ingest accumulates snapshots at
+    the cost of the new data alone — with ``keep_snapshots`` bounding the
+    history. ``availableNow`` drains the backfill and stops; a live
+    deployment runs the same query unbounded with a processing-time
+    trigger."""
+    from nimhdfstore_spark.rowid import ROWID, with_rowid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(events_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    stream = _event_ts(stream).drop("ts").withColumnRenamed("ts_t", "ts")
+
+    def ingest(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ranked = with_rowid(batch_df, list(order_by))
+        if name in store:
+            store.table(name).append(ranked, n=ranked.count())
+        else:
+            store.put(name, ranked.withColumn(ROWID, F.col(ROWID).cast("long")))
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(store.root, f"_checkpoint_{name}_{uuid.uuid4().hex[:8]}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
