@@ -159,3 +159,36 @@ def test_rowid_rank_set_correct_on_duplicate_keys(spark, sf_dir):
     # each key group's rowids are contiguous: hi - lo + 1 == n
     bad = grp.where(F.col("hi") - F.col("lo") + 1 != F.col("n")).count()
     assert bad == 0
+
+
+def test_morton_code_bijective_on_grid(spark):
+    # z-codes over an 8-bit x 8-bit grid must be a bijection onto
+    # [0, 2^16) — interleave loses nothing and collides nowhere
+    from nimhdfstore_spark.operators.zorder import morton_code
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") / 256).cast("long").alias("a"),
+        (F.col("id") % 256).alias("b"),
+    )
+    z = grid.select(morton_code("a", "b", bits=8).alias("z"))
+    stats = z.agg(
+        F.countDistinct("z").alias("n"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).collect()[0]
+    assert (stats.n, stats.lo, stats.hi) == (65536, 0, 65535)
+
+
+def test_morton_code_locality(spark):
+    # adjacent cells differ by small z-distance ON AVERAGE vs random pairs —
+    # the clustering property; deterministic check: neighbors share the
+    # high bits when both coordinates share their high bits
+    from nimhdfstore_spark.operators.zorder import morton_code
+
+    pts = spark.createDataFrame(
+        [(a, b) for a in range(16) for b in range(16)], "a long, b long"
+    )
+    rows = pts.select("a", "b", morton_code("a", "b", bits=4).alias("z")).collect()
+    zmap = {(r.a, r.b): r.z for r in rows}
+    # cells in the same 4x4 block share z >> 4
+    for a in range(16):
+        for b in range(16):
+            assert zmap[(a, b)] >> 4 == zmap[(a & ~3, b & ~3)] >> 4
