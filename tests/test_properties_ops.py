@@ -192,3 +192,40 @@ def test_morton_code_locality(spark):
     for a in range(16):
         for b in range(16):
             assert zmap[(a, b)] >> 4 == zmap[(a & ~3, b & ~3)] >> 4
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    offset=st.integers(0, 40),
+    count=st.integers(1, 10),
+    stride=st.integers(1, 8),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_hyperslab_predicate_matches_set_semantics(
+    spark, offset, count, stride, data
+):
+    # independent formulation: the selected rowids are exactly
+    # {offset + i*stride + j | i < count, j < block}
+    from nimhdfstore_spark.operators.positional import hyperslab
+
+    block = data.draw(st.integers(1, stride))
+    n = 120
+    expected = {
+        offset + i * stride + j
+        for i in range(count)
+        for j in range(block)
+        if offset + i * stride + j < n
+    }
+    got = {
+        r.id
+        for r in spark.range(n)
+        .withColumnRenamed("id", "_rowid")
+        .where(hyperslab(offset, count, stride, block))
+        .withColumnRenamed("_rowid", "id")
+        .collect()
+    }
+    assert got == expected
