@@ -10,7 +10,7 @@ shapes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: small cross-language stopword/marker sets for the language-ID heuristic
@@ -135,3 +135,116 @@ def bpe_token_count(text: Column | str) -> Column:
     """Pre-merge token count — the conservative (upper-bound) budget
     estimate: BPE merging only ever reduces the count."""
     return F.size(bpe_tokens(text))
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition / quality rules (Rae et al. 2021, public) — the
+# standard cheap filters a pre-training corpus passes through before
+# tokenization. All built-ins; the modal-n-gram statistic is an explode +
+# two-level hash aggregation (map-side combined on (doc, gram)), so it
+# scales like a word-count, not like a per-doc Python loop.
+# --------------------------------------------------------------------------
+
+def word_ngram_array(toks: Column, n: int = 2) -> Column:
+    """Contiguous word n-grams of a token array, space-joined; empty when
+    fewer than ``n`` tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def mean_word_len(text: Column | str) -> Column:
+    """Mean token length in characters (0.0 for empty docs); exact integer
+    sum folded left-to-right, so the oracle reproduces it bit-for-bit."""
+    tok = tokens(text)
+    total = F.aggregate(
+        F.transform(tok, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return F.round(total * 1.0 / F.greatest(F.size(tok), F.lit(1)), 6)
+
+
+def distinct_stopword_count(text: Column | str) -> Column:
+    """How many DISTINCT stopwords appear — Gopher's 'contains at least two
+    stop words' rule (a weak but cheap English-fluency signal)."""
+    return F.size(
+        F.array_distinct(F.filter(tokens(text), lambda x: x.isin(STOPWORDS)))
+    )
+
+
+#: Gopher-rule thresholds (adapted to the synthetic corpus scale: the word
+#: bounds are lowered from 50..100k so the rule set exercises both branches
+#: on short documents).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MAX_DUP_2GRAM = 0.60
+GOPHER_MAX_TOP_2GRAM = 0.08
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Per-document Gopher-style quality/repetition report.
+
+    Output: (id, n_words, mean_word_len, dup_ngram_frac, top_ngram_frac,
+    n_stopwords, gopher_pass) where
+
+    - ``dup_ngram_frac``  = 1 - distinct/total word n-grams (repetition),
+    - ``top_ngram_frac``  = modal n-gram count / total (single-phrase spam),
+    - ``gopher_pass``     = all threshold rules hold.
+
+    Plan shape: one projection for the per-doc scalars, one explode +
+    (doc, gram) count + per-doc max/sum/count for the modal statistic, then
+    an equi-join back on the id — every aggregation is map-side combinable
+    and keyed by the document id, so the whole thing is shuffle-bounded by
+    corpus size at any scale (no per-doc quadratic array work: the modal
+    gram is NOT computed with an O(g^2) array fold on purpose)."""
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("int").alias("n_words"),
+        mean_word_len(text_col).alias("mean_word_len"),
+        distinct_stopword_count(text_col).cast("int").alias("n_stopwords"),
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngram_array(tokens(text_col), n)).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_gram.groupBy(id_col).agg(
+        F.max("cnt").alias("modal_cnt"),
+        F.sum("cnt").alias("total_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+    )
+    joined = base.join(stats, id_col, "left")
+    total = F.coalesce(F.col("total_grams"), F.lit(0))
+    dup_frac = F.when(
+        total > 0,
+        F.round((total - F.col("distinct_grams")) * 1.0 / total, 6),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        total > 0, F.round(F.col("modal_cnt") * 1.0 / total, 6)
+    ).otherwise(F.lit(0.0))
+    out = joined.select(
+        F.col(id_col),
+        "n_words",
+        "mean_word_len",
+        dup_frac.alias("dup_ngram_frac"),
+        top_frac.alias("top_ngram_frac"),
+        "n_stopwords",
+    )
+    rules = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WL)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WL)
+        & (F.col("dup_ngram_frac") <= GOPHER_MAX_DUP_2GRAM)
+        & (F.col("top_ngram_frac") <= GOPHER_MAX_TOP_2GRAM)
+        & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+    )
+    return out.withColumn("gopher_pass", rules)

@@ -168,3 +168,62 @@ def x_bpe_tokens(spark, sf_dir):
         T.bpe_token_count("text").alias("n_bpe_tokens"),
         T.token_count("text").alias("n_word_tokens"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition / quality rules — word-count and mean-word-length
+# bounds, duplicate- and modal-2-gram fractions, distinct-stopword floor.
+# The modal-gram statistic is recomputed by the oracle with the identical
+# unnest + two-level GROUP BY, so every fraction hash-matches.
+# --------------------------------------------------------------------------
+
+_X_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+base AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_words,
+    ROUND(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) * 1.0
+          / greatest(len(toks), 1), 6) AS mean_word_len,
+    CAST(len(list_distinct(list_filter(toks, x -> list_contains({_SQL_STOPS}, x))))
+         AS INT) AS n_stopwords
+  FROM t
+),
+grams AS (
+  SELECT doc_id,
+    unnest(list_transform(range(len(toks) - 1),
+                          i -> toks[i + 1] || ' ' || toks[i + 2])) AS gram
+  FROM t WHERE len(toks) >= 2
+),
+pg AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+ag AS (
+  SELECT doc_id, max(cnt) AS modal_cnt, sum(cnt) AS total_grams,
+         count(*) AS distinct_grams
+  FROM pg GROUP BY 1
+),
+rep AS (
+  SELECT b.doc_id, b.n_words, b.mean_word_len,
+    CASE WHEN COALESCE(a.total_grams, 0) > 0
+         THEN ROUND((a.total_grams - a.distinct_grams) * 1.0 / a.total_grams, 6)
+         ELSE 0.0 END AS dup_ngram_frac,
+    CASE WHEN COALESCE(a.total_grams, 0) > 0
+         THEN ROUND(a.modal_cnt * 1.0 / a.total_grams, 6)
+         ELSE 0.0 END AS top_ngram_frac,
+    b.n_stopwords
+  FROM base b LEFT JOIN ag a USING (doc_id)
+)
+SELECT *,
+  (n_words BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS}
+   AND mean_word_len BETWEEN {T.GOPHER_MIN_MEAN_WL} AND {T.GOPHER_MAX_MEAN_WL}
+   AND dup_ngram_frac <= {T.GOPHER_MAX_DUP_2GRAM}
+   AND top_ngram_frac <= {T.GOPHER_MAX_TOP_2GRAM}
+   AND n_stopwords >= {T.GOPHER_MIN_STOPWORDS}) AS gopher_pass
+FROM rep ORDER BY doc_id
+"""
+
+
+@query("x25_text_gopher_rules", _X_GOPHER_SQL)
+def x_gopher_rules(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return T.gopher_quality(docs).orderBy("doc_id")
