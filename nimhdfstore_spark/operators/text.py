@@ -175,6 +175,41 @@ def distinct_stopword_count(text: Column | str) -> Column:
     )
 
 
+#
+# --------------------------------------------------------------------------
+# PII redaction — the scrub pass a corpus takes before training. Patterns
+# restricted to constructs with identical Java-regex (Spark) and RE2
+# (DuckDB) semantics: literal classes, bounded repeats, ASCII \b.
+# --------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d ()-]{7,}\d"
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Match counts per PII class (computed on the un-redacted text; the
+    three patterns cannot overlap: emails need '@', IPs have no '+', phones
+    start with '+' and contain no '.')."""
+    t = _c(text)
+    return {
+        "n_email": F.regexp_count(t, F.lit(PII_EMAIL)),
+        "n_phone": F.regexp_count(t, F.lit(PII_PHONE)),
+        "n_ip": F.regexp_count(t, F.lit(PII_IPV4)),
+    }
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace each PII class with a typed placeholder. Email first (its
+    local part may contain digits a later pattern could nibble), then IP,
+    then phone — all-occurrence replace on both engines."""
+    t = _c(text)
+    t = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV4, "<IP>")
+    t = F.regexp_replace(t, PII_PHONE, "<PHONE>")
+    return t
+
+
 #: Gopher-rule thresholds (adapted to the synthetic corpus scale: the word
 #: bounds are lowered from 50..100k so the rule set exercises both branches
 #: on short documents).

@@ -227,3 +227,65 @@ FROM rep ORDER BY doc_id
 def x_gopher_rules(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return T.gopher_quality(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# PII redaction. The synthetic corpus contains no PII, so both engines
+# first append a deterministic synthetic PII suffix (keyed on doc_id), then
+# count and redact it — the oracle validates the regex semantics match
+# byte-for-byte, not just the plumbing.
+# --------------------------------------------------------------------------
+
+_PII_AUG_SQL = """
+text || CASE doc_id % 5
+  WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+  WHEN 1 THEN ' call +1 415 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+  WHEN 2 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+              || CAST(doc_id * 7 % 200 AS VARCHAR) || '.42 logged'
+  ELSE '' END
+"""
+
+_X_PII_SQL = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{T.PII_EMAIL}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(t, '{T.PII_PHONE}')) AS INT) AS n_phone,
+  CAST(len(regexp_extract_all(t, '{T.PII_IPV4}')) AS INT) AS n_ip,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '{T.PII_EMAIL}', '<EMAIL>', 'g'),
+      '{T.PII_IPV4}', '<IP>', 'g'),
+    '{T.PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM aug ORDER BY doc_id
+"""
+
+
+def _pii_augmented(docs):
+    d = F.col("doc_id")
+    suffix = (
+        F.when(d % 5 == 0,
+               F.concat(F.lit(" contact user"), d.cast("string"),
+                        F.lit("@example.com now")))
+        .when(d % 5 == 1,
+              F.concat(F.lit(" call +1 415 555 "),
+                       F.lpad((d % 10000).cast("string"), 4, "0")))
+        .when(d % 5 == 2,
+              F.concat(F.lit(" from 10."), (d % 200).cast("string"),
+                       F.lit("."), (d * 7 % 200).cast("string"),
+                       F.lit(".42 logged")))
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), suffix).alias("t"))
+
+
+@query("x26_text_pii_redaction", _X_PII_SQL)
+def x_pii_redaction(spark, sf_dir):
+    aug = _pii_augmented(load(spark, sf_dir, "documents"))
+    c = T.pii_counts("t")
+    return aug.select(
+        "doc_id",
+        c["n_email"].cast("int").alias("n_email"),
+        c["n_phone"].cast("int").alias("n_phone"),
+        c["n_ip"].cast("int").alias("n_ip"),
+        T.redact_pii("t").alias("redacted"),
+    ).orderBy("doc_id")
