@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from nimhdfstore_spark.operators import decontam as DC
 from nimhdfstore_spark.operators import dedup as D
 from nimhdfstore_spark.operators import sampling as SA
 from nimhdfstore_spark.operators import text as T
@@ -83,3 +84,51 @@ def x_pipeline(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# x91 — benchmark decontamination: flag corpus docs whose word-3-gram
+# shingles overlap the "eval set" (doc_id % 23 == 0) beyond a threshold.
+# The oracle recomputes the identical shingling and distinct-hit counting.
+# --------------------------------------------------------------------------
+
+_DC_N = 3
+_DC_JOIN = " || ' ' || ".join(f"toks[i+{j}]" for j in range(1, _DC_N + 1))
+
+_X91_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(list_transform(range(len(toks) - {_DC_N - 1}),
+                                 i -> {_DC_JOIN})) AS grams
+  FROM t WHERE len(toks) >= {_DC_N}
+),
+bench AS MATERIALIZED (
+  SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 23 = 0
+),
+corp AS (SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id % 23 != 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits FROM corp c JOIN bench USING (gram)
+  GROUP BY 1
+),
+tot AS (
+  SELECT doc_id, CAST(len(grams) AS INT) AS n_shingles FROM sh
+  WHERE doc_id % 23 != 0
+)
+SELECT t.doc_id, t.n_shingles,
+  CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+  ROUND(COALESCE(h.n_hits, 0) * 1.0 / t.n_shingles, 6) AS hit_frac,
+  ROUND(COALESCE(h.n_hits, 0) * 1.0 / t.n_shingles, 6)
+    >= {DC.DECONTAM_THRESHOLD} AS contaminated
+FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+@query("x91_pipeline_decontaminate", _X91_SQL)
+def x_decontaminate(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    corpus = docs.where(F.col("doc_id") % 23 != 0)
+    return DC.ngram_decontaminate(corpus, bench, n=_DC_N).orderBy("doc_id")
