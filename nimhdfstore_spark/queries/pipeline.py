@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from nimhdfstore_spark.operators import decontam as DC
 from nimhdfstore_spark.operators import dedup as D
+from nimhdfstore_spark.operators import packing as PK
 from nimhdfstore_spark.operators import sampling as SA
 from nimhdfstore_spark.operators import text as T
 from nimhdfstore_spark.queries import query
@@ -132,3 +133,44 @@ def x_decontaminate(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 23 == 0)
     corpus = docs.where(F.col("doc_id") % 23 != 0)
     return DC.ngram_decontaminate(corpus, bench, n=_DC_N).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x92 — token-block packing: concat-and-chunk block assignment for every
+# document. The Spark side is a two-phase distributed prefix sum; the
+# oracle is the semantically identical single global window cumsum (exact
+# integer arithmetic, so the decomposition is invisible in the values).
+# --------------------------------------------------------------------------
+
+_X92_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST({_BPE_COUNT} AS BIGINT) AS ntok FROM documents
+),
+c AS (
+  SELECT doc_id, ntok,
+    SUM(ntok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - ntok AS start_token
+  FROM t
+)
+SELECT doc_id,
+  CAST(ntok AS INT) AS n_tokens,
+  CAST(start_token AS BIGINT) AS start_token,
+  CAST(CASE WHEN ntok > 0 THEN start_token // {PK.BLOCK_SIZE}
+       ELSE -1 END AS BIGINT) AS first_block,
+  CAST(CASE WHEN ntok > 0 THEN (start_token + ntok - 1) // {PK.BLOCK_SIZE}
+       ELSE -1 END AS BIGINT) AS last_block,
+  CAST(CASE WHEN ntok > 0
+       THEN (start_token + ntok - 1) // {PK.BLOCK_SIZE}
+            - start_token // {PK.BLOCK_SIZE} + 1
+       ELSE 0 END AS INT) AS n_blocks
+FROM c ORDER BY doc_id
+"""
+
+
+@query("x92_pipeline_pack_blocks", _X92_SQL)
+def x_pack_blocks(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return PK.pack_blocks(
+        docs, "doc_id", T.bpe_token_count("text")
+    ).orderBy("doc_id")
