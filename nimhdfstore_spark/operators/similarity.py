@@ -169,3 +169,142 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-point Lloyd k-means + SemDeDup-style semantic dedup (Abbas et al.
+# 2023, public): cluster the embedding space, then drop near-duplicate
+# vectors WITHIN each cluster — the in-cluster pair join is the bounded
+# verifier (cluster size ~ n/k with k grown alongside the corpus), never an
+# all-pairs join.
+#
+# Determinism contract (what makes this oracle-able): vectors are quantized
+# to int64 fixed-point (round(v * 2^16)); per-cluster sums are exact integer
+# arithmetic (order-free); centroid components are CAST(sum AS DOUBLE)/count
+# — IEEE division of exact integers < 2^53 is bit-identical on every engine;
+# squared distances fold left-to-right in double, so assignment ties and
+# comparisons agree bit-for-bit with the DuckDB twin.
+# --------------------------------------------------------------------------
+
+KMEANS_SCALE = 1 << 16
+
+
+def fixed_point_vec(vec_col: Column | str, scale: int = KMEANS_SCALE) -> Column:
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        v, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+
+
+def _sq_dist(sv: Column, cv: Column) -> Column:
+    """Squared Euclidean distance, double left-fold over (int - double)^2."""
+    terms = F.zip_with(
+        sv, cv, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _kmeans_assign(sv_df: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, sv, cluster_id): nearest centroid, ties to the smallest
+    cluster_id. Centroids are broadcast (k rows)."""
+    d2 = _sq_dist(F.col("sv"), F.col("cv"))
+    w = Window.partitionBy("id").orderBy(F.col("d2").asc(), F.col("cluster_id").asc())
+    return (
+        sv_df.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("id", "sv", "cluster_id")
+    )
+
+
+def _kmeans_recompute(assigned: DataFrame, dims: int) -> DataFrame:
+    """(cluster_id, cv): element-wise mean via posexplode + (cluster, pos)
+    integer-sum aggregation — map-side combinable, k*dims output rows."""
+    exploded = assigned.select(
+        "cluster_id", F.posexplode("sv").alias("pos", "v")
+    )
+    per_dim = exploded.groupBy("cluster_id", "pos").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    return per_dim.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.array_agg(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+
+
+def kmeans_fixed_point(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """Lloyd k-means with deterministic seeds (multiplicative-hash top-k,
+    same pick as IVF) and a FIXED iteration count. Returns the final
+    (id, cluster_id) assignment. Each iteration is one broadcast
+    assignment join + one exploded mean aggregation — no driver-side
+    collect of anything but the k centroids' lineage."""
+    sv_df = corpus.select(
+        F.col(id_col).alias("id"), fixed_point_vec(vec_col).alias("sv")
+    )
+    cents = deterministic_centroids(corpus, k, id_col).select(
+        F.col(id_col).alias("cluster_id"),
+        F.transform(fixed_point_vec(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    for _ in range(iters):
+        assigned = _kmeans_assign(sv_df, cents)
+        cents = _kmeans_recompute(assigned, dims)
+    return _kmeans_assign(sv_df, cents).select("id", "cluster_id")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.3,
+) -> DataFrame:
+    """SemDeDup: k-means-cluster the embeddings, then inside each cluster
+    drop every vector that has a smaller-id neighbor with cosine >= tau.
+    Output: (id, cluster_id, kept). The only pair-producing join is keyed
+    on cluster_id (bounded by cluster size); cosines reuse the exact
+    left-fold dot/norm math of the ANN queries."""
+    from nimhdfstore_spark.functions.vector import l2_norm
+
+    final = kmeans_fixed_point(corpus, id_col, vec_col, k, iters)
+    emb = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(vec_col).alias("vn"),
+    ).join(final, "id")
+    a = emb.select(
+        F.col("cluster_id"),
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("vn").alias("na"),
+    )
+    b = emb.select(
+        F.col("cluster_id"),
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("vn").alias("nb"),
+    )
+    from nimhdfstore_spark.functions.vector import dot
+
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("na") > 0) & (F.col("nb") > 0)
+            & (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= tau)
+        )
+    )
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        final.join(dropped.withColumn("is_dropped", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "cluster_id",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

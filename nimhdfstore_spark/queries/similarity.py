@@ -112,3 +112,85 @@ def x_ann_ivf(spark, sf_dir):
     return S.ivf_topk(
         emb, probes, k=_K, num_centroids=_IVF_K, nprobe=_IVF_NPROBE
     ).orderBy("probe_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# x42 — SemDeDup semantic dedup: fixed-point Lloyd k-means (deterministic
+# seeds, fixed iterations), then drop in-cluster near-duplicates by cosine.
+# The oracle unrolls the identical iterations as materialized CTEs; every
+# arithmetic step (int64 quantization, exact integer sums, IEEE
+# double-division centroids, left-fold distances) is bit-reproducible in
+# DuckDB, so assignments AND the kept/dropped verdicts hash-match.
+# --------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_TAU = 8, 2, 0.3
+_KM_SCALE = S.KMEANS_SCALE
+
+
+def _km_d2(s: str, c: str) -> str:
+    t = f"(CAST({s}[i+1] AS DOUBLE) - {c}[i+1]) * (CAST({s}[i+1] AS DOUBLE) - {c}[i+1])"
+    return f"list_reduce(list_transform(range(64), i -> {t}), (x, y) -> x + y)"
+
+
+def _km_assign_cte(name: str, cents: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+  SELECT id, cluster_id FROM (
+    SELECT s.vec_id AS id, c.cluster_id,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY {_km_d2('s.sv', 'c.cv')}, c.cluster_id) AS r
+    FROM sv s CROSS JOIN {cents} c) WHERE r = 1
+)"""
+
+
+def _semantic_dedup_sql() -> str:
+    parts = [
+        f"""sv AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(embedding,
+                   v -> CAST(round(CAST(v AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS sv
+  FROM embeddings
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT vec_id AS cluster_id, list_transform(sv, v -> CAST(v AS DOUBLE)) AS cv
+  FROM sv ORDER BY {_CENT_HASH}, vec_id LIMIT {_KM_K}
+)""",
+    ]
+    prev = "c0"
+    for it in range(_KM_ITERS):
+        parts.append(_km_assign_cte(f"a{it}", prev))
+        parts.append(f"""c{it + 1} AS MATERIALIZED (
+  SELECT cluster_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cluster_id, i AS pos,
+           CAST(SUM(s.sv[i + 1]) AS DOUBLE) / COUNT(*) AS m
+    FROM a{it} a JOIN sv s ON a.id = s.vec_id CROSS JOIN range(64) t(i)
+    GROUP BY a.cluster_id, i) GROUP BY cluster_id
+)""")
+        prev = f"c{it + 1}"
+    parts.append(_km_assign_cte("af", prev))
+    dot_ab = _DOTC.format(a="a.vec", b="b.vec")
+    parts.append(f"""emb AS MATERIALIZED (
+  SELECT e.vec_id AS id, e.embedding AS vec,
+         sqrt({_DOTC.format(a='e.embedding', b='e.embedding')}) AS vn,
+         a.cluster_id
+  FROM embeddings e JOIN af a ON e.vec_id = a.id
+)""")
+    parts.append(f"""dropped AS (
+  SELECT DISTINCT b.id FROM emb a JOIN emb b
+    ON a.cluster_id = b.cluster_id AND a.id < b.id
+  WHERE a.vn > 0 AND b.vn > 0 AND {dot_ab} / (a.vn * b.vn) >= {_KM_TAU}
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT a.id AS vec_id, a.cluster_id, d.id IS NULL AS kept
+FROM af a LEFT JOIN dropped d ON a.id = d.id ORDER BY a.id
+"""
+    )
+
+
+@query("x42_semantic_dedup_kmeans", _semantic_dedup_sql())
+def x_semantic_dedup(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup(
+        emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS, tau=_KM_TAU
+    )
+    return out.withColumnRenamed("id", "vec_id").orderBy("vec_id")
