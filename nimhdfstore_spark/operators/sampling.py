@@ -92,3 +92,63 @@ def fixed_size_hash_sample(
     return df.orderBy(
         sample_hash(id_col, salt).asc(), F.col(id_col).asc()
     ).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Temperature-balanced group mixing (the multilingual-LLM practice of
+# upweighting small languages/sources: sample group g with probability
+# ∝ n_g^(1/T); here T = 2, i.e. sqrt weights, because IEEE sqrt is
+# correctly-rounded and therefore engine-exact, while pow(x, 1/T) is not).
+#
+# Exactness contract: group counts are exact integers; r_g = floor(sqrt(n_g))
+# is exact (sqrt correctly rounded, floor exact); the total budget and per-
+# group targets use int64 `div`; the keep threshold is
+# floor((s_g / n_g) * 2^32) where s_g/n_g is one correctly-rounded double
+# division of exact ints and *2^32 is a power-of-two scale (exact) — so the
+# kept set is bit-identical on any engine/partitioning, which is how the
+# x93 oracle hash-matches.
+# --------------------------------------------------------------------------
+
+def temperature_thresholds(
+    df: DataFrame, group_col: str, budget_den: int = 2
+) -> DataFrame:
+    """Per-group keep thresholds: (group, n_g, s_g, t_g).
+
+    The token/doc budget is ``total div budget_den``; group g's target is
+    ``s_g = min(n_g, budget * floor(sqrt(n_g)) div sum_r)`` — sqrt-weight
+    allocation capped at the group's size; ``t_g`` is the 32-bit hash-space
+    cutoff implementing keep-probability s_g/n_g. Two tiny aggregations
+    (group count + one global sum) — the result is a broadcast-sized table
+    with one row per group."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    counts = counts.withColumn(
+        "r_g", F.floor(F.sqrt(F.col("n_g").cast("double"))).cast("long")
+    )
+    tot = counts.agg(
+        F.sum("n_g").alias("n_total"), F.sum("r_g").alias("r_total")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    s_g = F.least(F.col("n_g"), F.expr(f"(n_total div {budget_den}) * r_g div r_total"))
+    j = j.withColumn("s_g", s_g)
+    t_g = F.floor(
+        (F.col("s_g").cast("double") / F.col("n_g")) * float(MOD32)
+    ).cast("long")
+    return j.select(group_col, "n_g", "s_g", t_g.alias("t_g"))
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    budget_den: int = 2,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic temperature-balanced sample: broadcast-join the
+    per-group thresholds, keep rows whose id-hash clears the group's
+    cutoff. One scan + one broadcast join — no shuffle of the corpus."""
+    th = temperature_thresholds(df, group_col, budget_den)
+    return (
+        df.join(F.broadcast(th), group_col)
+        .where(sample_hash(id_col, salt) < F.col("t_g"))
+        .drop("n_g", "s_g", "t_g")
+    )

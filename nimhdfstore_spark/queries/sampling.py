@@ -81,3 +81,66 @@ ORDER BY {_h('doc_id')}, doc_id LIMIT {_K}
 def x_fixed_k(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return SA.fixed_size_hash_sample(docs, "doc_id", _K).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# x93 — temperature-balanced mixing (sqrt weights): rebalance the corpus
+# across languages, upweighting small ones. Output: per-language allocation
+# (count, sqrt-weight target, exact deterministic sampled count).
+# --------------------------------------------------------------------------
+
+_TEMP_DEN, _TEMP_SALT = 2, 3
+
+_X93_SQL = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_g FROM documents GROUP BY lang
+),
+wts AS (
+  SELECT lang, n_g,
+         CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS BIGINT) AS r_g
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+         CAST(SUM(r_g) AS BIGINT) AS r_total FROM wts
+),
+th AS (
+  SELECT lang, n_g,
+         least(n_g, (n_total // {_TEMP_DEN}) * r_g // r_total) AS s_g
+  FROM wts, tot
+),
+th2 AS (
+  SELECT lang, n_g, s_g,
+         CAST(floor(CAST(s_g AS DOUBLE) / n_g * 4294967296) AS BIGINT) AS t_g
+  FROM th
+),
+kept AS (
+  SELECT d.lang FROM documents d JOIN th2 USING (lang)
+  WHERE {_h('doc_id', _TEMP_SALT)} < t_g
+)
+SELECT t.lang,
+  CAST(t.n_g AS INT) AS n_docs,
+  CAST(t.s_g AS INT) AS n_target,
+  CAST(COALESCE(k.c, 0) AS INT) AS n_sampled
+FROM th2 t LEFT JOIN (SELECT lang, count(*) AS c FROM kept GROUP BY lang) k
+  USING (lang)
+ORDER BY t.lang
+"""
+
+
+@query("x93_sample_temperature_mix", _X93_SQL)
+def x_temperature_mix(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    th = SA.temperature_thresholds(docs, "lang", _TEMP_DEN)
+    samp = SA.temperature_sample(docs, "lang", "doc_id", _TEMP_DEN, _TEMP_SALT)
+    k = samp.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        th.join(k, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_g").cast("int").alias("n_docs"),
+            F.col("s_g").cast("int").alias("n_target"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("int").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
