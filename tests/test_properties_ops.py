@@ -229,3 +229,65 @@ def test_hyperslab_predicate_matches_set_semantics(
         .collect()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_pack_blocks_matches_python_reference(spark, seed):
+    # random token counts (incl. zeros), random sparse ids; the two-phase
+    # distributed prefix sum must equal a sequential scan exactly
+    rng = random.Random(seed)
+    ids = sorted(rng.sample(range(10_000), 300))
+    rows = [(i, rng.choice([0, 1, 3, 17, 256, 999])) for i in ids]
+    from nimhdfstore_spark.operators.packing import pack_blocks
+
+    df = spark.createDataFrame(rows, ["doc_id", "ntok"]).repartition(7)
+    got = {
+        r["doc_id"]: (r["start_token"], r["first_block"], r["last_block"], r["n_blocks"])
+        for r in pack_blocks(df, "doc_id", F.col("ntok"),
+                             block_size=128, bucket_size=13).collect()
+    }
+    run = 0
+    for i, n in rows:
+        if n == 0:
+            assert got[i] == (run, -1, -1, 0), f"doc {i}"
+        else:
+            first, last = run // 128, (run + n - 1) // 128
+            assert got[i] == (run, first, last, last - first + 1), f"doc {i}"
+        run += n
+    assert len(got) == len(rows)
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_temperature_sample_matches_python_reference(spark, seed):
+    # exact-arithmetic contract: thresholds and the kept SET are reproducible
+    # from pure Python ints/floats, independent of partitioning
+    import math
+
+    rng = random.Random(seed)
+    rows = [(i, rng.choice("abcde"[: rng.randint(2, 5)])) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "grp"]).repartition(11)
+
+    counts: dict[str, int] = {}
+    for _, g in rows:
+        counts[g] = counts.get(g, 0) + 1
+    r = {g: math.floor(math.sqrt(float(n))) for g, n in counts.items()}
+    n_total, r_total = sum(counts.values()), sum(r.values())
+    s = {g: min(counts[g], (n_total // 2) * r[g] // r_total) for g in counts}
+    t = {g: math.floor(s[g] / counts[g] * (1 << 32)) for g in counts}
+
+    def pyhash(i: int, salt: int) -> int:
+        m = 1 << 32
+        h = (i % m + m) % m
+        h ^= (salt * 40503 + 17) % m
+        h = h * 40503 % m
+        h = (h ^ (h // 65536)) * 65599 % m
+        return h
+
+    expected = {i for i, g in rows if pyhash(i, 5) < t[g]}
+    got = {r_["id"] for r_ in
+           SA.temperature_sample(df, "grp", "id", budget_den=2, salt=5).collect()}
+    assert got == expected
+
+    th = {r_["grp"]: (r_["n_g"], r_["s_g"], r_["t_g"]) for r_ in
+          SA.temperature_thresholds(df, "grp", 2).collect()}
+    assert th == {g: (counts[g], s[g], t[g]) for g in counts}
