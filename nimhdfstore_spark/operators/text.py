@@ -177,6 +177,38 @@ def distinct_stopword_count(text: Column | str) -> Column:
 
 #
 # --------------------------------------------------------------------------
+# Feature-hashing (hashed bag-of-words) document embeddings — the
+# model-free featurizer that bridges the text stack to the vector stack
+# (ANN / SemDeDup run unchanged on its output). One explode + a single
+# groupBy with ``dims`` conditional SUMs (the proven SimHash shape: map-side
+# combinable, whole-stage codegen, no per-doc array scatter loops).
+# --------------------------------------------------------------------------
+
+def hashed_bow_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", dims: int = 64
+) -> DataFrame:
+    """(id, vec: array<double>) — token-count vector under the hashing
+    trick: bucket = poly_hash(token) mod dims. Documents with zero tokens
+    are omitted (their vector has no direction). The polynomial token hash
+    is the engine-independent one the dedup family uses, so a SQL oracle
+    reproduces the buckets exactly."""
+    from nimhdfstore_spark.operators.dedup import poly_hash
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    bucketed = tok.withColumn("b", poly_hash(F.col("token")) % dims)
+    sums = [
+        F.sum(F.when(F.col("b") == p, 1).otherwise(0)).cast("double").alias(f"c{p}")
+        for p in range(dims)
+    ]
+    wide = bucketed.groupBy(id_col).agg(*sums)
+    return wide.select(
+        F.col(id_col), F.array(*[F.col(f"c{p}") for p in range(dims)]).alias("vec")
+    )
+
+
+# --------------------------------------------------------------------------
 # PII redaction — the scrub pass a corpus takes before training. Patterns
 # restricted to constructs with identical Java-regex (Spark) and RE2
 # (DuckDB) semantics: literal classes, bounded repeats, ASCII \b.

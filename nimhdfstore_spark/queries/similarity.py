@@ -194,3 +194,70 @@ def x_semantic_dedup(spark, sf_dir):
         emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS, tau=_KM_TAU
     )
     return out.withColumnRenamed("id", "vec_id").orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# x94 — feature-hashed bag-of-words embeddings + top-k cosine neighbors:
+# the text→vector bridge. Token buckets come from the engine-independent
+# polynomial hash, the vector is 64 conditional SUMs (SimHash shape), and
+# the ranking math is exactly x40's — so the whole path hash-matches.
+# --------------------------------------------------------------------------
+
+_BOW_DIMS, _BOW_K = 64, 5
+_BOW_PROBES = (0, 1, 2, 3, 4)
+
+_SQL_TOKENS_X94 = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+)
+_TOKEN_HASH = (
+    "list_reduce(list_transform(list_filter(string_split(token, ''), "
+    "c -> c != ''), c -> CAST(ascii(c) AS BIGINT)), "
+    "(acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+
+def _bow_sql() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN b = {p} THEN 1 ELSE 0 END) AS DOUBLE)"
+        for p in range(_BOW_DIMS)
+    )
+    dot = (
+        "list_reduce(list_transform(range(64), i -> "
+        "{a}.vec[i+1] * {b}.vec[i+1]), (x, y) -> x + y)"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS_X94}) AS token FROM documents
+),
+bk AS (SELECT doc_id, {_TOKEN_HASH} % {_BOW_DIMS} AS b FROM tok),
+bow AS MATERIALIZED (
+  SELECT doc_id, list_value({sums}) AS vec FROM bk GROUP BY doc_id
+),
+sims AS (
+  SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id,
+    ROUND({dot.format(a='p', b='c')} /
+      (sqrt({dot.format(a='p', b='p')}) * sqrt({dot.format(a='c', b='c')})), 6)
+      AS cosine
+  FROM bow p JOIN bow c ON p.doc_id != c.doc_id
+  WHERE p.doc_id IN {_BOW_PROBES}
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT probe_id, neighbor_id, cosine, rank FROM ranked
+WHERE rank <= {_BOW_K} ORDER BY probe_id, rank
+"""
+
+
+@query("x94_hashed_bow_topk", _bow_sql())
+def x_hashed_bow_topk(spark, sf_dir):
+    from nimhdfstore_spark.operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    bow = T.hashed_bow_table(docs, "doc_id", "text", _BOW_DIMS)
+    probes = bow.where(F.col("doc_id").isin(list(_BOW_PROBES)))
+    return S.brute_force_topk(
+        bow, probes, id_col="doc_id", vec_col="vec", k=_BOW_K
+    ).orderBy("probe_id", "rank")
