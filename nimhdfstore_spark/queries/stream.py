@@ -265,3 +265,39 @@ def x_stream_ingest(spark, sf_dir):
         .select(ROWID, "event_id", "user_id")
         .orderBy(ROWID)
     )
+
+
+# --------------------------------------------------------------------------
+# x68 — stateless streaming ETL: the PII scrub (x26's exact transform) run
+# as a map-only Structured Streaming job, rolled up per language. The
+# oracle is the batch SQL over the same deterministic augmentation — a
+# stateless stream over a finite source must equal its batch twin row for
+# row.
+# --------------------------------------------------------------------------
+
+_X68_SQL = """
+WITH aug AS (
+  SELECT doc_id, lang,
+    text || CASE doc_id % 5
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      WHEN 1 THEN ' call +1 415 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      WHEN 2 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+                  || CAST(doc_id * 7 % 200 AS VARCHAR) || '.42 logged'
+      ELSE '' END AS t
+  FROM documents
+)
+SELECT lang,
+  CAST(count(*) AS INT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS INT) AS total_email,
+  CAST(SUM(len(regexp_extract_all(t, '\\+\\d[\\d ()-]{7,}\\d'))) AS INT) AS total_phone,
+  CAST(SUM(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) AS INT) AS total_ip
+FROM aug GROUP BY lang ORDER BY lang
+"""
+
+
+@query("x68_stream_pii_scrub", _X68_SQL)
+def x_stream_pii_scrub(spark, sf_dir):
+    from nimhdfstore_spark.queries.text import _pii_augmented
+    from nimhdfstore_spark.streaming import pii_scrub_stream
+
+    return pii_scrub_stream(spark, sf_dir, _pii_augmented)

@@ -275,7 +275,7 @@ def _pii_augmented(docs):
                        F.lit(".42 logged")))
         .otherwise(F.lit(""))
     )
-    return docs.select("doc_id", F.concat(F.col("text"), suffix).alias("t"))
+    return docs.select("doc_id", "lang", F.concat(F.col("text"), suffix).alias("t"))
 
 
 @query("x26_text_pii_redaction", _X_PII_SQL)

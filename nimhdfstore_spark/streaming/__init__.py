@@ -1,3 +1,4 @@
+from nimhdfstore_spark.streaming.scrub import pii_scrub_stream  # noqa: F401
 from nimhdfstore_spark.streaming.windows import (  # noqa: F401
     dedup_events_stream,
     purchase_attribution_stream,
