@@ -107,3 +107,47 @@ def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
         "video decode libraries are not installed in this environment; "
         "sample_frames is plumbing-complete but stubbed"
     )
+
+
+def byte_stats(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Byte-histogram feature extraction over a binary column — entirely
+    JVM-side (hex → 2-char pair explode → hash aggregation): even
+    "multimodal" feature work stays in whole-stage codegen when it is
+    byte-level, no Python decode needed.
+
+    Output per payload: (id, n_bytes, n_distinct_bytes, modal_byte — hex
+    pair, ties to the numerically smallest —, modal_count, collision_prob =
+    sum(c_i^2)/n^2). Collision probability replaces Shannon entropy on
+    purpose: it is a single exact integer ratio (log2 is not
+    correctly-rounded and therefore not engine-reproducible). Empty
+    payloads are omitted."""
+    pairs = df.where(F.octet_length(payload_col) > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.hex(F.col(payload_col)), F.lit(".."), 0)
+        ).alias("byte"),
+    )
+    per_byte = pairs.groupBy(id_col, "byte").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(), F.col("byte").asc())
+    ranked = per_byte.withColumn("r", F.row_number().over(w))
+    agg = per_byte.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_bytes"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct_bytes"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+    )
+    modal = ranked.where(F.col("r") == 1).select(
+        F.col(id_col), F.col("byte").alias("modal_byte"),
+        F.col("cnt").cast("int").alias("modal_count"),
+    )
+    return agg.join(modal, id_col).select(
+        F.col(id_col),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "n_distinct_bytes",
+        "modal_byte",
+        "modal_count",
+        F.round(
+            F.col("sum_sq").cast("double") / (F.col("n_bytes") * F.col("n_bytes")), 6
+        ).alias("collision_prob"),
+    )
