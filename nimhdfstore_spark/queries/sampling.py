@@ -144,3 +144,48 @@ def x_temperature_mix(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# x95 — coherent multi-table sampling: hash the JOIN KEY, not the row id,
+# and every table filtered by the same cutoff keeps exactly the same
+# entities — a 20% customer sample carries ALL of each sampled customer's
+# orders, with zero cross-table coordination (each scan filters
+# independently; no join, no shuffle). The referential-integrity column
+# (orders whose customer survived) is definitionally equal to the sampled
+# order count — both engines must agree on all three numbers.
+# --------------------------------------------------------------------------
+
+_COH_FRAC, _COH_SALT = 0.2, 9
+_COH_CUT = int(_COH_FRAC * SA.MOD32)
+
+_X95_SQL = f"""
+WITH sc AS (SELECT c_custkey FROM customer
+            WHERE {_h('c_custkey', _COH_SALT)} < {_COH_CUT}),
+so AS (SELECT o_orderkey, o_custkey FROM orders
+       WHERE {_h('o_custkey', _COH_SALT)} < {_COH_CUT})
+SELECT
+  CAST((SELECT count(*) FROM sc) AS BIGINT) AS n_customers,
+  CAST((SELECT count(*) FROM so) AS BIGINT) AS n_orders,
+  CAST((SELECT count(*) FROM so JOIN sc ON so.o_custkey = sc.c_custkey)
+       AS BIGINT) AS n_orders_with_sampled_customer
+"""
+
+
+@query("x95_sample_coherent_multitable", _X95_SQL)
+def x_coherent_sample(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    sc = SA.hash_sample(cust, "c_custkey", _COH_FRAC, salt=_COH_SALT)
+    so = SA.hash_sample(orders, "o_custkey", _COH_FRAC, salt=_COH_SALT)
+    joined = so.join(
+        F.broadcast(sc.select("c_custkey")),
+        so["o_custkey"] == F.col("c_custkey"),
+    )
+    return (
+        sc.agg(F.count(F.lit(1)).alias("n_customers"))
+        .crossJoin(so.agg(F.count(F.lit(1)).alias("n_orders")))
+        .crossJoin(
+            joined.agg(F.count(F.lit(1)).alias("n_orders_with_sampled_customer"))
+        )
+    )
