@@ -266,21 +266,51 @@ def gopher_quality(
     - ``top_ngram_frac``  = modal n-gram count / total (single-phrase spam),
     - ``gopher_pass``     = all threshold rules hold.
 
-    Plan shape: one projection for the per-doc scalars, one explode +
-    (doc, gram) count + per-doc max/sum/count for the modal statistic, then
-    an equi-join back on the id — every aggregation is map-side combinable
-    and keyed by the document id, so the whole thing is shuffle-bounded by
-    corpus size at any scale (no per-doc quadratic array work: the modal
-    gram is NOT computed with an O(g^2) array fold on purpose)."""
-    base = df.select(
+    Plan shape: ONE posexplode of the token stream feeds everything — the
+    per-doc scalars are a grouped aggregation over it, the n-grams come from
+    a window ``lead`` over it, and the modal statistic is a (doc, gram)
+    count + per-doc max/sum/count — all whole-stage codegen, all map-side
+    combinable, keyed by the document id. (No per-doc array lambdas:
+    higher-order functions evaluate interpreted, and on a few-split scan
+    that serializes the entire corpus's token work into a handful of tasks;
+    the window/agg shuffles also redistribute the compute.) No per-doc
+    quadratic array work: the modal gram is NOT an O(g^2) array fold."""
+    from pyspark.sql import Window
+
+    tok = df.select(
         F.col(id_col),
-        F.size(tokens(text_col)).cast("int").alias("n_words"),
-        mean_word_len(text_col).alias("mean_word_len"),
-        distinct_stopword_count(text_col).cast("int").alias("n_stopwords"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
+            "p", "token"
+        ),
+    ).where(F.col("token") != "")
+    base_agg = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.round(
+            F.sum(F.length("token")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("mean_word_len"),
+        F.count_distinct(
+            F.when(F.col("token").isin(STOPWORDS), F.col("token"))
+        ).cast("int").alias("n_stopwords"),
     )
-    grams = df.select(
+    # zero-token documents vanish from the exploded stream; restore them
+    base = (
+        df.select(F.col(id_col))
+        .join(base_agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.coalesce(F.col("mean_word_len"), F.lit(0.0)).alias("mean_word_len"),
+            F.coalesce(F.col("n_stopwords"), F.lit(0)).alias("n_stopwords"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    lead_cols = [F.lead("token", j).over(w).alias(f"t{j}") for j in range(1, n)]
+    leads = tok.select(F.col(id_col), F.col("token"), *lead_cols)
+    grams = leads.where(F.col(f"t{n - 1}").isNotNull()).select(
         F.col(id_col),
-        F.explode(word_ngram_array(tokens(text_col), n)).alias("gram"),
+        F.concat_ws(
+            " ", F.col("token"), *[F.col(f"t{j}") for j in range(1, n)]
+        ).alias("gram"),
     )
     per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
     stats = per_gram.groupBy(id_col).agg(
