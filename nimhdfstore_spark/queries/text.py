@@ -109,7 +109,7 @@ FROM s ORDER BY doc_id
 @query("x22_text_langid", _X_LANGID_SQL)
 def x_langid(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.lang_id("text").alias("lang_pred")).orderBy("doc_id")
+    return T.lang_id_table(docs, "doc_id", "text").orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -192,3 +192,16 @@ def test_semantic_dedup_pair_join_keyed_on_cluster(spark, sf_dir):
         re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cluster_id", ln.strip())
         for ln in pair_joins
     ), f"pair join not keyed on cluster_id: {pair_joins[:1]}"
+
+
+# --------------------------------------------------------------------------
+# hot-path vs column-level form equivalence
+# --------------------------------------------------------------------------
+
+def test_lang_id_table_equals_column_form(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    col_form = {r["doc_id"]: r["lang_pred"] for r in docs.select(
+        "doc_id", T.lang_id("text").alias("lang_pred")).collect()}
+    tbl_form = {r["doc_id"]: r["lang_pred"]
+                for r in T.lang_id_table(docs).collect()}
+    assert col_form == tbl_form
