@@ -367,3 +367,60 @@ def x84(spark, sf_dir):
         .orderBy("zkey", "l_partkey", "l_suppkey")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# x85 — TPC-H Q3 shape: the canonical 3-table chain (selective dim filter →
+# broadcast; fact-fact equi-join on the key → shuffle; top-k by aggregate).
+# No o_shippriority in the synthetic schema, so the grouping is
+# (l_orderkey, o_orderdate). Ordering uses the ROUNDED revenue (then the
+# key) so the top-10 boundary is deterministic across engines.
+# --------------------------------------------------------------------------
+
+_X85_CUTOFF = "1998-03-15"
+
+_X85_SQL = f"""
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_X85_CUTOFF} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{_X85_CUTOFF} 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+"""
+
+
+@query("x85_tpch_q3_topk", _X85_SQL)
+def x85(spark, sf_dir):
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < _X85_CUTOFF
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > _X85_CUTOFF)
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
