@@ -720,3 +720,34 @@ def q16(spark, sf_dir):
     if len(set(sums.values())) != 1:
         raise AssertionError(f"codec round-trips differ: {sums}")
     return reads["zstd"].orderBy(ROWID)
+
+
+# --------------------------------------------------------------------------
+# Q26 — SQL over the store catalog: Store.sql registers every table (with
+# _rowid) as a temp view, so positional predicates and joins compose in
+# plain Spark SQL. The oracle reproduces the same statement over the
+# canonical-rowid CTEs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q26_store_sql",
+    f"""
+WITH n AS ({rowid_over('nation')}), r AS ({rowid_over('region')})
+SELECT n.{ROWID} AS nation_rowid, n.n_name, r.r_name
+FROM n JOIN r ON n.n_regionkey = r.r_regionkey
+WHERE n.{ROWID} BETWEEN 5 AND 14
+ORDER BY nation_rowid
+""",
+)
+def q26(spark, sf_dir):
+    store = scratch_store(spark, "q26_store_sql")
+    store.put("nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True)
+    store.put("region_scratch", load_pos(spark, sf_dir, "region"), overwrite=True)
+    return store.sql(f"""
+        SELECT n.{ROWID} AS nation_rowid, n.n_name, r.r_name
+        FROM nation_scratch n JOIN region_scratch r
+          ON n.n_regionkey = r.r_regionkey
+        WHERE n.{ROWID} BETWEEN 5 AND 14
+        ORDER BY nation_rowid
+    """)

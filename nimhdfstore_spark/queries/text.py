@@ -289,3 +289,46 @@ def x_pii_redaction(spark, sf_dir):
         c["n_ip"].cast("int").alias("n_ip"),
         T.redact_pii("t").alias("redacted"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x86 — grouped top-k: top-5 tokens PER LANGUAGE (window rank over a
+# grouped count — the partial-top-k-per-group pattern; the groupBy is
+# map-side combined and the rank only sees one (lang, token) row per key).
+# --------------------------------------------------------------------------
+
+_X86_K = 5
+
+_X86_SQL = f"""
+WITH tk AS (
+  SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+cnt AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY lang ORDER BY n DESC, token) AS INT) AS rank
+  FROM cnt
+)
+SELECT lang, token, n, rank FROM ranked
+WHERE rank <= {_X86_K} ORDER BY lang, rank
+"""
+
+
+@query("x86_group_topk_tokens", _X86_SQL)
+def x_group_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"),
+    ).where(F.col("token") != "")
+    cnt = tk.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _X86_K)
+        .orderBy("lang", "rank")
+    )
