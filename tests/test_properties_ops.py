@@ -291,3 +291,56 @@ def test_temperature_sample_matches_python_reference(spark, seed):
     th = {r_["grp"]: (r_["n_g"], r_["s_g"], r_["t_g"]) for r_ in
           SA.temperature_thresholds(df, "grp", 2).collect()}
     assert th == {g: (counts[g], s[g], t[g]) for g in counts}
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_doc_shingles_match_python_reference(spark, seed):
+    import re
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8))))
+        for i in range(60)
+    ]
+    from nimhdfstore_spark.operators.decontam import doc_shingles
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(5)
+    got: dict[int, set] = {}
+    for r in doc_shingles(df, "doc_id", "text", n=3).collect():
+        got.setdefault(r["doc_id"], set()).add(r["gram"])
+    for i, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        want = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        assert got.get(i, set()) == want, f"doc {i}"
+
+
+@pytest.mark.parametrize("seed", [41])
+def test_byte_stats_match_python_reference(spark, seed):
+    from collections import Counter
+
+    from nimhdfstore_spark.operators.multimodal import byte_stats, pack_binary
+
+    rng = random.Random(seed)
+    rows = [(i, "".join(chr(rng.randint(97, 103)) for _ in range(rng.randint(1, 50))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(3)
+    got = {r["doc_id"]: r for r in
+           byte_stats(pack_binary(df, "doc_id", "text")).collect()}
+    for i, text in rows:
+        c = Counter(text.encode("utf-8"))
+        n = sum(c.values())
+        modal_cnt = max(c.values())
+        modal_byte = format(min(b for b, k in c.items() if k == modal_cnt), "02X")
+        r = got[i]
+        assert r["n_bytes"] == n and r["n_distinct_bytes"] == len(c)
+        assert (r["modal_byte"], r["modal_count"]) == (modal_byte, modal_cnt)
+        # HALF_UP like Spark/DuckDB ROUND — python round() is banker's
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want_cp = float(
+            Decimal(sum(k * k for k in c.values()) / (n * n)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert r["collision_prob"] == want_cp
