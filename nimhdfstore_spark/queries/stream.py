@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.queries.sampling import _h
 from nimhdfstore_spark.streaming import (
     sessionize_batch,
     tumbling_counts_batch,
@@ -301,3 +302,37 @@ def x_stream_pii_scrub(spark, sf_dir):
     from nimhdfstore_spark.streaming import pii_scrub_stream
 
     return pii_scrub_stream(spark, sf_dir, _pii_augmented)
+
+
+# --------------------------------------------------------------------------
+# x69 — stream-static broadcast join: temperature-sampling a document
+# stream against thresholds precomputed from the static table (x93's exact
+# arithmetic). The missing streaming join shape: x66 is stream-stream with
+# event-time state; this is zero-state broadcast enrichment.
+# --------------------------------------------------------------------------
+
+_X69_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+wts AS (SELECT lang, n_g,
+               CAST(floor(sqrt(CAST(n_g AS DOUBLE))) AS BIGINT) AS r_g
+        FROM counts),
+tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+               CAST(SUM(r_g) AS BIGINT) AS r_total FROM wts),
+th AS (SELECT lang, n_g,
+              least(n_g, (n_total // 2) * r_g // r_total) AS s_g
+       FROM wts, tot),
+th2 AS (SELECT lang, n_g,
+               CAST(floor(CAST(s_g AS DOUBLE) / n_g * 4294967296) AS BIGINT) AS t_g
+        FROM th)
+SELECT d.lang, CAST(count(*) AS INT) AS n_sampled
+FROM documents d JOIN th2 USING (lang)
+WHERE {_h('d.doc_id', 0)} < t_g
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@query("x69_stream_static_join", _X69_SQL)
+def x_stream_static_join(spark, sf_dir):
+    from nimhdfstore_spark.streaming import temperature_sample_stream
+
+    return temperature_sample_stream(spark, sf_dir, budget_den=2, salt=0)

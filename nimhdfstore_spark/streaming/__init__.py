@@ -1,4 +1,7 @@
-from nimhdfstore_spark.streaming.scrub import pii_scrub_stream  # noqa: F401
+from nimhdfstore_spark.streaming.scrub import (  # noqa: F401
+    pii_scrub_stream,
+    temperature_sample_stream,
+)
 from nimhdfstore_spark.streaming.windows import (  # noqa: F401
     dedup_events_stream,
     purchase_attribution_stream,

@@ -71,3 +71,52 @@ def pii_scrub_stream(
         )
         .orderBy("lang")
     )
+
+
+def temperature_sample_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    budget_den: int = 2,
+    salt: int = 0,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Stream-STATIC join: the per-group temperature thresholds are computed
+    once in batch (two tiny aggregations over the static table) and
+    broadcast against the document stream — the standard shape for
+    enriching/filtering a stream with a precomputed dimension (the
+    threshold table is k rows; join state is zero because the static side
+    is just a broadcast, unlike the stream-stream join of x66). Returns
+    per-language sampled counts after the availableNow run."""
+    from nimhdfstore_spark.operators.sampling import (
+        sample_hash, temperature_thresholds,
+    )
+
+    static_docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
+    th = temperature_thresholds(static_docs, "lang", budget_den)
+
+    schema = static_docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(docs_dir)
+    )
+    kept = (
+        stream.join(F.broadcast(th), "lang")
+        .where(sample_hash("doc_id", salt) < F.col("t_g"))
+        .select("doc_id", "lang")
+    )
+    name = f"temp_sample_{uuid.uuid4().hex[:8]}"
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_sampled"))
+        .orderBy("lang")
+    )
