@@ -336,3 +336,33 @@ def x_stream_static_join(spark, sf_dir):
     from nimhdfstore_spark.streaming import temperature_sample_stream
 
     return temperature_sample_stream(spark, sf_dir, budget_den=2, salt=0)
+
+
+# --------------------------------------------------------------------------
+# x87 — sliding (hopping) windows: 10-minute windows every 5 minutes, so
+# each event lands in exactly two windows. The oracle unnests each event
+# into both containing window starts (epoch-aligned, same as Spark's
+# window()) and counts.
+# --------------------------------------------------------------------------
+
+_X87_SQL = """
+WITH starts AS (
+  SELECT unnest([
+    time_bucket(INTERVAL '5 minutes', ts),
+    time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+  ]) AS ws
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM starts GROUP BY ws ORDER BY window_start
+"""
+
+
+@query("x87_stream_sliding_window", _X87_SQL)
+def x_stream_sliding(spark, sf_dir):
+    from nimhdfstore_spark.streaming import sliding_counts_stream
+
+    return sliding_counts_stream(
+        spark, sf_dir, window="10 minutes", slide="5 minutes", watermark="1 hour"
+    )

@@ -8,6 +8,7 @@ from nimhdfstore_spark.streaming.windows import (  # noqa: F401
     session_window_stream,
     stream_into_store,
     sessionize_batch,
+    sliding_counts_stream,
     tumbling_counts_batch,
     tumbling_counts_stream,
     user_totals_stateful_stream,

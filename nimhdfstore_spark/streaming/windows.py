@@ -376,3 +376,45 @@ def stream_into_store(
         .start()
     )
     q.awaitTermination()
+
+
+def sliding_counts_stream(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding (hopping) windowed counts — overlapping windows, each event
+    lands in window/slide buckets (here 2). Same availableNow → complete →
+    memory-sink execution as the tumbling query; the only difference is the
+    slideDuration argument, which makes the engine assign each row to
+    every window containing it."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(events_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    agg = (
+        _event_ts(stream)
+        .withWatermark("ts_t", watermark)
+        .groupBy(F.window("ts_t", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("n_events"),
+        )
+    )
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).orderBy("window_start")
