@@ -12,6 +12,8 @@ provides them, and these queries pin the *plans* a 100 TB cluster needs).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from nimhdfstore_spark.queries import query
@@ -423,4 +425,68 @@ def x85(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# x88 — bucketed co-located join: both fact tables written bucketBy(8,
+# key); the join then needs NO Exchange on either side (the classic
+# pre-shuffle trade: pay the partitioning once at write time, join free
+# forever after). The no-Exchange property is gated in tests/test_plans.py;
+# the oracle checks the values from the plain parquet views. The aggregate
+# sums l_quantity — small integers stored as double, so the float sum is
+# EXACT in any order (every partial sum < 2^53).
+# --------------------------------------------------------------------------
+
+_X88_SQL = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+_X88_BUCKETS = 8
+
+
+def bucketed_tables(spark, sf_dir):
+    """Write orders + lineitem as bucketed catalog tables (idempotent per
+    sf_dir via an embedded fingerprint check)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    names = {}
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bkt_{t}_{tag}"
+        if not spark.catalog.tableExists(name):
+            # the in-memory catalog resets per session but the managed
+            # location persists on disk — clear any stale leftover first
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            (
+                load(spark, sf_dir, t)
+                .write.bucketBy(_X88_BUCKETS, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        names[t] = name
+    return names
+
+
+@query("x88_bucketed_join_no_shuffle", _X88_SQL)
+def x88(spark, sf_dir):
+    names = bucketed_tables(spark, sf_dir)
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
     )

@@ -197,3 +197,30 @@ def test_zorder_clusters_both_keys(spark, tmp_path):
     # stripe layout: b spans ~ full 127; z-order squares: both spans ~ 31
     assert s_z["b"] < s_key["b"] / 2, (s_key, s_z)
     assert s_z["a"] < 64, (s_key, s_z)
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    # x88: with both sides bucketed on the join key, a sort-merge join must
+    # read the buckets directly — no Exchange on either input. Broadcast is
+    # disabled to force the large-large shape this layout exists for (at
+    # bench scale AQE rightly broadcasts the small side instead).
+    from nimhdfstore_spark.queries.relational import bucketed_tables
+
+    names = bucketed_tables(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table(names["orders"])
+        li = spark.table(names["lineitem"])
+        j = o.join(li, o.o_orderkey == li.l_orderkey).select("o_orderkey")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan[:1500]
+        pre_join = plan.split("SortMergeJoin")[1]
+        assert "Exchange" not in plan.split("TakeOrdered")[-1].split("SortMergeJoin")[0]
+        # stronger: no Exchange anywhere in this plan at all
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
