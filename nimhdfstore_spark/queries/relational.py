@@ -490,3 +490,51 @@ def x88(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# x89 — skew-salted join: 70% of fact rows share ONE hot key (synthetic
+# CASE over lineitem); the salted join spreads that key over 8 salt
+# partitions by replicating only the small dim side. The oracle is the
+# plain (unsalted) join — salting must be value-invisible.
+# --------------------------------------------------------------------------
+
+_X89_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey END AS k,
+         l_quantity, l_orderkey
+  FROM lineitem
+),
+dim AS (SELECT DISTINCT k, k % 97 AS dim_val FROM fact)
+SELECT d.dim_val,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(f.l_quantity) AS BIGINT) AS total_qty
+FROM fact f JOIN dim d ON f.k = d.k
+GROUP BY d.dim_val ORDER BY d.dim_val
+"""
+
+
+@query("x89_skew_salted_join", _X89_SQL)
+def x89(spark, sf_dir):
+    from nimhdfstore_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey")).alias("k"),
+        "l_quantity",
+        "l_orderkey",
+    )
+    dim = fact.select("k").distinct().withColumn("dim_val", F.col("k") % 97)
+    joined = salted_join(
+        fact, dim.withColumnRenamed("k", "dk"), "k", "dk",
+        salt_col=F.col("l_orderkey"), num_salts=8,
+    )
+    return (
+        joined.groupBy("dim_val")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+        )
+        .orderBy("dim_val")
+    )

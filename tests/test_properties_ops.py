@@ -344,3 +344,23 @@ def test_byte_stats_match_python_reference(spark, seed):
             )
         )
         assert r["collision_prob"] == want_cp
+
+
+@pytest.mark.parametrize("seed", [51])
+def test_salted_join_equals_plain_join(spark, seed):
+    from nimhdfstore_spark.operators.skew import salted_join
+
+    rng = random.Random(seed)
+    fact_rows = [(rng.choice([7, 7, 7, 7, 11, 13]), i) for i in range(500)]
+    dim_rows = [(7, "hot"), (11, "warm"), (13, "cold"), (99, "unmatched")]
+    f = spark.createDataFrame(fact_rows, ["k", "rid"]).repartition(6)
+    d = spark.createDataFrame(dim_rows, ["dk", "label"])
+    got = sorted(
+        (r["k"], r["rid"], r["label"])
+        for r in salted_join(f, d, "k", "dk", salt_col=F.col("rid"),
+                             num_salts=4).collect()
+    )
+    want = sorted(
+        (k, i, {7: "hot", 11: "warm", 13: "cold"}[k]) for k, i in fact_rows
+    )
+    assert got == want  # exactly one dim match per fact row, none lost/duped
