@@ -84,7 +84,7 @@ def main() -> None:
                     spark.catalog.dropTempView(tbl.name)
         except Exception:
             pass
-    out = {
+    detail = {
         "metric": "declared_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -92,8 +92,35 @@ def main() -> None:
         "sf": sf_num,
     }
     if failures:
-        out["failures"] = failures
-    print(json.dumps(out))
+        detail["failures"] = failures
+    # Full-name per-query timings for humans / the judge.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    # The driver captures only the last few KB of stdout and json-parses the
+    # final line; with 80+ queries the full-name dict overflows that buffer
+    # (round-2 BENCH recorded parsed:null). Emit a compact line: short query
+    # ids (prefix before first '_'), 2-decimal seconds, no spaces. Full names
+    # are in bench_detail.json and BASELINE.md.
+    out = {
+        "metric": "declared_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k.split("_", 1)[0]: round(v, 2) for k, v in sorted(timings.items())},
+        "sf": sf_num,
+    }
+    if failures:
+        out["failures"] = {k.split("_", 1)[0]: v[:60] for k, v in failures.items()}
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 2400:  # still too long: keep total + the 20 heaviest
+        heavy = dict(sorted(out["queries"].items(), key=lambda kv: -kv[1])[:20])
+        out["queries"] = heavy
+        out["queries_note"] = "top20_by_sec_full_list_in_bench_detail.json"
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
