@@ -751,3 +751,110 @@ def q26(spark, sf_dir):
         WHERE n.{ROWID} BETWEEN 5 AND 14
         ORDER BY nation_rowid
     """)
+
+
+# --------------------------------------------------------------------------
+# Q27 — keyed MERGE / upsert (extension: the reference addresses rows only
+# by position, SURVEY §2.9; Table.merge gives the keyed mutation a warehouse
+# user expects, with the same file-pruned snapshot commit as update_rows).
+# Two payload rows hit existing keys (in-place update, _rowid unchanged),
+# two miss (appended at the tail in key order). The oracle reproduces the
+# semantics relationally: LEFT JOIN for the update leg, NOT IN + row_number
+# for the insert leg.
+# --------------------------------------------------------------------------
+
+_Q27_PAYLOAD = [
+    (3, "MERGED-3", 0),
+    (7, "MERGED-7", 1),
+    (100, "NEW-100", 2),
+    (101, "NEW-101", 3),
+]
+
+_Q27_SQL = f"""
+WITH base AS ({rowid_over('nation')}),
+pay(n_nationkey, n_name, n_regionkey) AS (
+  VALUES {", ".join(str(r) for r in _Q27_PAYLOAD)}
+),
+updated AS (
+  SELECT b.{ROWID}, b.n_nationkey,
+         COALESCE(p.n_name, b.n_name) AS n_name,
+         COALESCE(p.n_regionkey, b.n_regionkey) AS n_regionkey
+  FROM base b LEFT JOIN pay p ON b.n_nationkey = p.n_nationkey
+),
+ins AS (
+  SELECT (SELECT COUNT(*) FROM base)
+           + ROW_NUMBER() OVER (ORDER BY p.n_nationkey) - 1 AS {ROWID},
+         p.n_nationkey, p.n_name, p.n_regionkey
+  FROM pay p WHERE p.n_nationkey NOT IN (SELECT n_nationkey FROM base)
+)
+SELECT {ROWID}, CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM (SELECT * FROM updated UNION ALL SELECT * FROM ins)
+ORDER BY {ROWID}
+"""
+
+
+@query("q27_merge_upsert", _Q27_SQL)
+def q27(spark, sf_dir):
+    store = scratch_store(spark, f"q27-{os.path.basename(sf_dir)}")
+    t = store.put(
+        "nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True
+    )
+    pay = spark.createDataFrame(
+        _Q27_PAYLOAD, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    stats = t.merge(pay, "n_nationkey")
+    assert stats == {"updated": 2, "inserted": 2}, stats
+    return (
+        t.df()
+        .select(
+            ROWID,
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+        .orderBy(ROWID)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q28 — CDC snapshot diff (Table.changes): after an append, the diff against
+# the pre-append snapshot reads ONLY the part-files new to the current
+# snapshot (hardlinked files are byte-identical by construction), so an
+# append to a 100 TB table diffs by scanning just the appended files. The
+# oracle rebuilds the appended slice arithmetically.
+# --------------------------------------------------------------------------
+
+_Q28_SQL = f"""
+WITH base AS ({rowid_over('nation')}),
+c AS (SELECT COUNT(*) AS n FROM base)
+SELECT b.{ROWID} + c.n AS {ROWID},
+       CAST(b.n_nationkey AS BIGINT) AS n_nationkey, b.n_name,
+       'insert' AS op
+FROM base b, c WHERE b.{ROWID} BETWEEN 0 AND 2
+ORDER BY {ROWID}
+"""
+
+
+@query("q28_snapshot_diff", _Q28_SQL)
+def q28(spark, sf_dir):
+    store = Store(
+        spark,
+        os.path.join(SCRATCH_ROOT, f"q28-{os.path.basename(sf_dir)}"),
+        keep_snapshots=2,
+    )
+    t = store.put(
+        "nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True
+    )
+    snap0 = store.snapshots("nation_scratch")[-1]
+    t.add_records_from(t, 0, 3)
+    return (
+        t.changes(snap0)
+        .select(
+            ROWID,
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            "op",
+        )
+        .orderBy(ROWID)
+    )

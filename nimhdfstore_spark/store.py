@@ -823,6 +823,112 @@ class Table:
         body = old.where(~F.col(ROWID).isin(ids)).unionByName(df)
         self._commit_pruned(keep, body, sum(e["rows"] for e in touched))
 
+    def merge(self, df: DataFrame, key: str) -> dict:
+        """MERGE / upsert by business key (extension surface: the reference's
+        only addressing is positional — SURVEY §2.9 — but a warehouse user
+        switching from it expects keyed MERGE). Semantics: every current row
+        whose ``key`` equals a payload row's key gets that payload row's
+        non-key columns (its ``_rowid`` is unchanged); payload rows matching
+        nothing are appended at the tail in ascending key order. Payload keys
+        must be unique; the payload schema must match the table's.
+
+        Scale shape: the payload (driver-sized, like every reference mutation
+        batch — nimtables.nim:173-233) is broadcast against the table's key
+        column; only files containing a matched ``_rowid`` are rewritten and
+        everything else hardlinks into the new snapshot, exactly the
+        update_rows pruning. One snapshot commit covers both legs, so readers
+        never observe the update without the insert."""
+        if key not in self.df().columns or key == ROWID:
+            raise StoreError(f"no such merge key: {key!r}")
+        pay = df.drop(ROWID) if ROWID in df.columns else df
+        table_types = {k: v for k, v in self.df().dtypes if k != ROWID}
+        if dict(pay.dtypes) != table_types:
+            raise StoreError(
+                f"payload schema {dict(pay.dtypes)} does not match table "
+                f"schema {table_types}"
+            )
+        rows = pay.collect()
+        keys = [r[key] for r in rows]
+        if len(keys) != len(set(keys)):
+            raise StoreError("duplicate key in merge payload")
+        cur = self.df()
+        # rowids to replace: broadcast the (small) payload keys against the
+        # table — at cluster scale this is a broadcast-hash semi-join, no
+        # fact-side shuffle.
+        pay_df = self.store.spark.createDataFrame(rows, pay.schema)
+        matched = (
+            cur.select(ROWID, key)
+            .join(F.broadcast(pay_df.select(key)), on=key, how="inner")
+            .select(ROWID, key)
+            .collect()
+        )
+        ids = [r[ROWID] for r in matched]
+        matched_keys = {r[key] for r in matched}
+        upd = (
+            cur.select(ROWID, key)
+            .join(F.broadcast(pay_df), on=key, how="inner")
+            .select(*cur.columns)
+        )
+        ins_rows = sorted(
+            (r for r in rows if r[key] not in matched_keys),
+            key=lambda r: r[key],
+        )
+        n_ins = len(ins_rows)
+        ranges = self._ranges()
+        idset = set(ids)
+        touched = [
+            e for e in ranges
+            if any(e["lo"] <= i <= e["hi"] for i in idset)
+        ]
+        keep = [e for e in ranges if e not in touched]
+        body = None
+        if touched:
+            old = self._read_files(touched)
+            body = old.where(~F.col(ROWID).isin(ids)).unionByName(upd)
+        if n_ins:
+            ins_df = self.store.spark.createDataFrame(ins_rows, pay.schema)
+            tail, _ = self._new_rows(ins_df, self.nrows, n_ins)
+            body = tail if body is None else body.unionByName(
+                tail.select(*body.columns)
+            )
+        rewrite_count = sum(e["rows"] for e in touched) + n_ins
+        if rewrite_count == 0:  # empty payload — nothing to commit
+            return {"updated": 0, "inserted": 0}
+        self._commit_pruned(keep, body, rewrite_count)
+        return {"updated": len(ids), "inserted": n_ins}
+
+    def changes(self, since: int) -> DataFrame:
+        """CDC snapshot diff: the rows of the CURRENT snapshot that are new
+        or rewritten relative to retained snapshot ``since``, tagged with an
+        ``op`` column (``insert`` for positions past the old row count,
+        ``update`` otherwise). File-catalog based: a file hardlinked across
+        snapshots carries byte-identical rows, so only part-files NEW to the
+        current snapshot are read — an append to a 100 TB table diffs by
+        scanning just the appended files, never a full-table compare (the
+        same contract as Delta/Iceberg change-data-feed at file granularity;
+        a rewritten-in-place file reports all its rows as updates even when
+        some are byte-equal). Positions that disappeared (count shrank) are
+        deletions by definition of positional storage and are not emitted
+        as rows."""
+        tdir = self.store._table_dir(self.name)
+        old_dir = os.path.join(tdir, _SNAP.format(since))
+        if not os.path.isdir(old_dir):
+            raise StoreError(f"no such snapshot: {since} for {self.name!r}")
+        old_ranges = self.store._scan_ranges(old_dir)
+        old_names = {e["name"] for e in old_ranges}
+        old_count = sum(e["rows"] for e in old_ranges)
+        fresh = [e for e in self._ranges() if e["name"] not in old_names]
+        if not fresh:
+            return self.df().where(F.lit(False)).withColumn(
+                "op", F.lit("insert")
+            )
+        return self._read_files(fresh).withColumn(
+            "op",
+            F.when(F.col(ROWID) >= F.lit(old_count), F.lit("insert")).otherwise(
+                F.lit("update")
+            ),
+        )
+
     def update(self, i: int, df: DataFrame, b: int | None = None) -> None:
         """M2/M3 — overwrite row ``i`` or slice ``i..b`` (nimtables.nim:
         177-200). Positions don't shift, so only the file(s) containing
