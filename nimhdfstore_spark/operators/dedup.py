@@ -641,3 +641,54 @@ def connected_components(
         return labels
     finally:
         edges.unpersist()
+
+
+def chunk_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Chunk-level boilerplate detection (the within-corpus repeated-passage
+    dedup step of RefinedWeb/C4-style pipelines): split each document into
+    consecutive ``chunk_tokens``-token chunks and mark chunks that occur in
+    ``min_docs``+ distinct documents. Returns per-document
+    ``(id_col, n_chunks, n_boiler)``.
+
+    Scale shape: chunk strings are assembled with window ``lead`` over the
+    exploded token stream (whole-stage codegen; the doc-partitioned window
+    shuffle also spreads per-doc work across the cluster — the HOF-on-one-
+    split hazard from BASELINE.md doesn't apply), then one groupBy(chunk)
+    with map-side partial aggregation finds repeated chunks. No pair join:
+    cost is O(total tokens), never O(docs²)."""
+    from pyspark.sql.window import Window
+
+    e = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    chunk = F.concat_ws(
+        " ",
+        F.col("token"),
+        *[F.lead("token", i).over(w) for i in range(1, chunk_tokens)],
+    )
+    ch = (
+        e.withColumn("chunk", chunk)
+        .where(F.col("pos") % chunk_tokens == 0)
+        .select(id_col, "chunk")
+    )
+    boiler = (
+        ch.groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("chunk", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        ch.join(boiler, "chunk", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("is_boiler").alias("n_boiler"),
+        )
+    )

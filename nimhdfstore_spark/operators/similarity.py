@@ -308,3 +308,33 @@ def semantic_dedup(
             F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """Per-group mean embedding as ``(group, dim, centroid)`` rows — the
+    class-prototype / cluster-summary primitive (nearest-class-mean
+    classification, per-source embedding drift monitoring).
+
+    Engine-independent math (the x42 trick): components are quantized to
+    int64, summed EXACTLY (no float accumulation-order dependence), and the
+    centroid is ``CAST(sum AS DOUBLE) / count`` — IEEE division of two
+    exactly-represented ints, bit-identical on any engine. posexplode +
+    groupBy(group, dim) is one shuffle with map-side partial sums; the long
+    (group×dim)-row output shape avoids any array re-assembly."""
+    q = F.round(F.col("v").cast("double") * F.lit(scale)).cast("long")
+    return (
+        df.select(group_col, F.posexplode(F.col(vec_col)).alias("dim", "v"))
+        .withColumn("qv", q)
+        .groupBy(group_col, "dim")
+        .agg(
+            (F.sum("qv").cast("double") / F.count(F.lit(1))).alias("centroid_q")
+        )
+        .withColumn("centroid", F.col("centroid_q") / F.lit(float(scale)))
+        .drop("centroid_q")
+    )

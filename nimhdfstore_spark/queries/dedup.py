@@ -352,3 +352,46 @@ def x_components(spark, sf_dir):
         .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x36 — chunk-level boilerplate dedup (RefinedWeb-style repeated-passage
+# removal): consecutive 10-token chunks shared by >= 2 documents are
+# boilerplate; per-document chunk/boilerplate counts. The oracle assembles
+# the identical chunks by list-slicing the token array (DuckDB's 1-based
+# inclusive slice truncates the tail chunk exactly like concat_ws over
+# NULL window leads).
+# --------------------------------------------------------------------------
+
+_CHUNK_T = 10
+
+_X36_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(CAST(ceil(len(toks) / {_CHUNK_T}.0) AS BIGINT)),
+           i -> array_to_string(toks[i*{_CHUNK_T}+1 : i*{_CHUNK_T}+{_CHUNK_T}], ' ')
+         )) AS chunk
+  FROM t
+),
+boiler AS (
+  SELECT chunk FROM ch GROUP BY chunk
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(b.chunk) AS BIGINT) AS n_boiler
+FROM ch c LEFT JOIN boiler b ON c.chunk = b.chunk
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@query("x36_dedup_chunk_boilerplate", _X36_SQL)
+def x36(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        D.chunk_boilerplate(docs, "doc_id", "text", chunk_tokens=_CHUNK_T)
+        .orderBy("doc_id")
+    )

@@ -538,3 +538,162 @@ def x89(spark, sf_dir):
         )
         .orderBy("dim_val")
     )
+
+
+# --------------------------------------------------------------------------
+# x96 — TPC-H Q5 shape: the canonical 6-table star join (region → nation →
+# supplier broadcast chain; customer↔orders↔lineitem shuffle joins with the
+# customer-nation = supplier-nation locality predicate). Dim tables
+# broadcast explicitly; the two fact joins shuffle on their keys and AQE
+# picks the final exchange sizing. Revenue per nation over one order year.
+# --------------------------------------------------------------------------
+
+_X96_LO, _X96_HI = "1996-01-01", "1997-01-01"
+
+_X96_SQL = f"""
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '{_X96_LO} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{_X96_HI} 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+
+@query("x96_tpch_q5_join", _X96_SQL)
+def x96(spark, sf_dir):
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= _X96_LO) & (F.col("o_orderdate") < _X96_HI)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# x97 — CUBE aggregation: all four grouping sets of (returnflag, linestatus)
+# in ONE pass (Spark expands grouping sets below the partial aggregate, so
+# the fact table is still scanned once and combined map-side). NULL grouping
+# cells are COALESCEd to 'ALL' — never NULL sentinels in checked output.
+# --------------------------------------------------------------------------
+
+_X97_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY flag, status
+"""
+
+
+@query("x97_cube", _X97_SQL)
+def x97(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+# --------------------------------------------------------------------------
+# x98 — KMV (k-minimum-values) distinct-count sketch: a mergeable NDV
+# estimator whose plan is a map-side partial distinct + per-partition top-k
+# (TakeOrderedAndProject), so the driver sees at most k values per
+# partition — the 100 TB shape for approximate NDV without approx_count_
+# distinct's engine-specific HLL. The hash is the engine-independent
+# multiplicative mix shared with the sampling operators, so DuckDB
+# recomputes the identical sketch and the identical estimate; the estimate
+# divides two exactly-representable ints under IEEE double (bit-identical
+# across engines). Exact NDV returned alongside for the accuracy story.
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _x98_sql() -> str:
+    from nimhdfstore_spark.queries.sampling import _h
+
+    mod = 4294967296
+    return f"""
+WITH h AS (SELECT DISTINCT {_h('l_partkey')} AS hv FROM lineitem),
+k AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+exact AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_exact
+          FROM lineitem)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       CAST(MAX(hv) AS BIGINT) AS kth_min,
+       CAST({_KMV_K - 1} * {mod} AS DOUBLE) / MAX(hv) AS ndv_estimate,
+       (SELECT ndv_exact FROM exact) AS ndv_exact
+FROM k
+"""
+
+
+@query("x98_kmv_distinct", _x98_sql())
+def x98(spark, sf_dir):
+    from nimhdfstore_spark.operators.sampling import MOD32, sample_hash
+
+    li = load(spark, sf_dir, "lineitem")
+    mins = (
+        li.select(sample_hash("l_partkey").alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(_KMV_K)
+    )
+    sketch = mins.agg(F.max("hv").cast("long").alias("kth_min")).select(
+        F.lit(_KMV_K).cast("long").alias("k"),
+        "kth_min",
+        (
+            F.lit(float((_KMV_K - 1) * MOD32)) / F.col("kth_min")
+        ).alias("ndv_estimate"),
+    )
+    exact = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("ndv_exact")
+    )
+    return sketch.crossJoin(F.broadcast(exact))

@@ -261,3 +261,86 @@ def x_hashed_bow_topk(spark, sf_dir):
     return S.brute_force_topk(
         bow, probes, id_col="doc_id", vec_col="vec", k=_BOW_K
     ).orderBy("probe_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# x43 — per-label embedding centroids (class prototypes): quantize → exact
+# int sums → IEEE double division, the same bit-reproducible recipe as x42,
+# so DuckDB recomputes the identical 640 centroid components.
+# --------------------------------------------------------------------------
+
+_X43_SQL = f"""
+SELECT label, CAST(i AS INT) AS dim,
+       CAST(SUM(CAST(round(CAST(embedding[i+1] AS DOUBLE) * {S.KMEANS_SCALE})
+                     AS BIGINT)) AS DOUBLE) / COUNT(*) / {S.KMEANS_SCALE}.0
+         AS centroid
+FROM embeddings CROSS JOIN range(64) t(i)
+GROUP BY label, i
+ORDER BY label, dim
+"""
+
+
+@query("x43_embedding_group_centroid", _X43_SQL)
+def x43(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return S.group_centroids(emb, "label", "embedding", dims=64).orderBy(
+        "label", "dim"
+    )
+
+
+# --------------------------------------------------------------------------
+# x44 — kNN classification: majority label among the 10 nearest neighbors
+# of each probe (ties broken by smaller label). Built on the same
+# deterministic brute-force ranking as x40, so votes — and therefore the
+# prediction — are engine-identical.
+# --------------------------------------------------------------------------
+
+_X44_SQL = f"""
+WITH sims AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+    ROUND({_SQL_DOT.format(a='p', b='c')} /
+      (sqrt({_SQL_DOT.format(a='p', b='p')}) *
+       sqrt({_SQL_DOT.format(a='c', b='c')})), 6) AS cosine
+  FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+  WHERE p.vec_id IN {_PROBES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+),
+votes AS (
+  SELECT probe_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM ranked WHERE rank <= {_K}
+  GROUP BY probe_id, label
+)
+SELECT probe_id, label AS pred_label, votes FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY probe_id ORDER BY votes DESC, label) AS vr
+  FROM votes
+) WHERE vr = 1 ORDER BY probe_id
+"""
+
+
+@query("x44_knn_classify", _X44_SQL)
+def x44(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(list(_PROBES)))
+    nb = S.brute_force_topk(emb, probes, k=_K)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        nb.join(lab, "neighbor_id")
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"), "votes")
+        .orderBy("probe_id")
+    )
