@@ -131,7 +131,7 @@ def x_interval_join(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
     sess = (
         ev.withColumn(
             "new_session",
@@ -147,11 +147,11 @@ def x_interval_join(spark, sf_dir):
         )
     )
     intervals = sess.groupBy("user_id", "session_seq").agg(
-        F.min(F.col("ts").cast("long")).alias("s_start"),
-        F.max(F.col("ts").cast("long")).alias("s_end"),
+        F.min(F.col("ts").cast("timestamp").cast("long")).alias("s_start"),
+        F.max(F.col("ts").cast("timestamp").cast("long")).alias("s_end"),
     )
     points = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").cast("long").alias("ts_sec")
+        "event_id", "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_sec")
     )
     return (
         interval_join(

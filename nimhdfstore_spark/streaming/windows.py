@@ -164,7 +164,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     user_id; windows are per-user (no global sort). Output: one row per
     session with bounds and event count."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
     marked = events.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
