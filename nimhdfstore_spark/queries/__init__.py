@@ -37,6 +37,6 @@ def load_all() -> None:
     queries). Optional deps are gated inside the individual modules."""
     from nimhdfstore_spark.queries import core  # noqa: F401
 
-    for mod in ("datasets", "dedup", "pipeline", "relational", "sampling",
-                "similarity", "text", "multimodal", "stream"):
+    for mod in ("datasets", "dedup", "ir", "pipeline", "relational", "sampling",
+                "similarity", "text", "timeseries", "multimodal", "stream"):
         __import__(f"nimhdfstore_spark.queries.{mod}")

@@ -1,0 +1,116 @@
+"""X27-X29 — information-retrieval queries over ``documents``: BM25 search,
+TF-IDF term weighting, inverted index. Extension surface (the reference is
+storage-only); every query has an exact-value DuckDB oracle built from the
+same tokenizer regex as queries/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.operators import ir as IR
+from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.tables import load
+
+_SQL_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+_BM25_TERMS = ["join", "stream", "vector"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_X27_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN ('join', 'stream', 'vector')
+  GROUP BY doc_id, token
+),
+idf AS (
+  SELECT token, ln(1 + (n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM tf, stats GROUP BY token, n_docs
+)
+SELECT tf.doc_id,
+       ROUND(SUM(idf.idf * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))),
+             4) AS score
+FROM tf
+JOIN dl ON tf.doc_id = dl.doc_id
+JOIN idf ON tf.token = idf.token, stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id LIMIT 15
+"""
+
+
+@query("x27_bm25_search", _X27_SQL)
+def x27(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    scored = IR.bm25(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+_X28_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+per_doc AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+),
+stats AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM per_doc)
+SELECT token,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       CAST(count(*) AS BIGINT) AS df,
+       ROUND(SUM(tf) * ln(n_docs / count(*)), 4) AS tfidf
+FROM per_doc, stats
+GROUP BY token, n_docs
+HAVING count(*) >= 5
+ORDER BY tfidf DESC, token LIMIT 20
+"""
+
+
+@query("x28_tfidf_terms", _X28_SQL)
+def x28(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        IR.tfidf_terms(docs, min_df=5)
+        .select("token", "total_tf", "df", F.round("tfidf", 4).alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), "token")
+        .limit(20)
+    )
+
+
+_X29_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id ORDER BY doc_id))[1:15], ',') AS postings
+FROM pairs
+GROUP BY token
+HAVING count(*) >= 2
+ORDER BY df DESC, token LIMIT 30
+"""
+
+
+@query("x29_inverted_index", _X29_SQL)
+def x29(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    idx = IR.inverted_index(docs, min_df=2, max_postings=15)
+    return (
+        idx.select(
+            "token",
+            "df",
+            F.array_join(F.col("postings").cast("array<string>"), ",").alias("postings"),
+        )
+        .orderBy(F.col("df").desc(), "token")
+        .limit(30)
+    )

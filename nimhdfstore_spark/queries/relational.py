@@ -697,3 +697,141 @@ def x98(spark, sf_dir):
         F.countDistinct("l_partkey").cast("long").alias("ndv_exact")
     )
     return sketch.crossJoin(F.broadcast(exact))
+
+
+# --------------------------------------------------------------------------
+# x56 — TPC-H Q4-shaped EXISTS semi-join: orders with a late-shipped line
+# --------------------------------------------------------------------------
+
+_X56_SQL = """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+@query("x56_exists_semijoin", _X56_SQL)
+def x56(spark, sf_dir):
+    """LEFT SEMI join — Catalyst keeps only the orders-side columns, so the
+    shuffle carries no lineitem payload; the EXISTS never duplicates orders
+    rows regardless of how many lines match (100 TB: one shuffle on
+    orderkey, semi-join short-circuits per key)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# x57 — NOT EXISTS anti-join: funded customers who never ordered
+# --------------------------------------------------------------------------
+
+_X57_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       ROUND(avg(c.c_acctbal), 2) AS avg_acctbal
+FROM customer c
+WHERE c.c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+@query("x57_not_exists_antijoin", _X57_SQL)
+def x57(spark, sf_dir):
+    """LEFT ANTI join on custkey — the orders side is projected to its join
+    key only before the shuffle (Catalyst prunes), so the anti-join moves
+    keys, not order payloads."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# x58 — TPC-H Q2-shaped per-group argmin: cheapest part per type
+# --------------------------------------------------------------------------
+
+_X58_SQL = """
+SELECT p_type, p_partkey, p_retailprice
+FROM (
+  SELECT p_type, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_type
+                            ORDER BY p_retailprice, p_partkey) AS rn
+  FROM part
+)
+WHERE rn = 1 ORDER BY p_type
+"""
+
+
+@query("x58_groupwise_argmin", _X58_SQL)
+def x58(spark, sf_dir):
+    """Correlated-subquery shape (TPC-H Q2's min-cost supplier) as a window
+    rank — one shuffle on the group key, no self-join re-scan of part, and
+    the deterministic (price, partkey) tiebreak makes it oracle-exact."""
+    from pyspark.sql import Window
+
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_type", "p_partkey", "p_retailprice")
+        .orderBy("p_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# x59 — equi-width histogram of order totals (map-side combinable)
+# --------------------------------------------------------------------------
+
+_X59_BUCKETS = 20
+_X59_STEP = 25_000
+
+_X59_SQL = f"""
+SELECT CAST(least({_X59_BUCKETS - 1}, floor(o_totalprice / {_X59_STEP})) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("x59_histogram", _X59_SQL)
+def x59(spark, sf_dir):
+    """Histograms at 100 TB are a single scan + groupBy on a derived bucket
+    id: the partial aggregation collapses each partition to <= n_buckets
+    rows before the (tiny) shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(_X59_BUCKETS - 1), F.floor(F.col("o_totalprice") / _X59_STEP)
+    ).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )

@@ -344,3 +344,63 @@ def x44(spark, sf_dir):
         .select("probe_id", F.col("label").alias("pred_label"), "votes")
         .orderBy("probe_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x45 — int8 embedding quantization with reconstruction-error audit
+# --------------------------------------------------------------------------
+# Per-vector symmetric quantization (scale = 127 / max|v|): the standard
+# 4x shrink before ANN serving. Everything is elementwise higher-order
+# functions on the array column — JVM-side, no Python — and the per-label
+# error rollup is an ordinary map-side-combined aggregate. Oracle: the same
+# math via DuckDB list_transform/list_max. round() on half-integers agrees
+# (both round away from zero); the 1e-30 floor guards all-zero vectors.
+
+_X45_SQL = """
+WITH q AS (
+  SELECT label,
+    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)
+      AS mx,
+    embedding
+  FROM embeddings
+),
+err AS (
+  SELECT label,
+    list_max(list_transform(embedding, x ->
+      abs(CAST(x AS DOUBLE)
+          - round(CAST(x AS DOUBLE) * 127.0 / mx) * mx / 127.0))) AS max_err
+  FROM q
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(max_err), 6) AS avg_max_err,
+       ROUND(max(max_err), 6) AS worst_err
+FROM err GROUP BY label ORDER BY label
+"""
+
+
+@query("x45_embedding_quantize_int8", _X45_SQL)
+def x45(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    mx = F.greatest(F.array_max(v), F.lit(1e-30))
+    q = emb.select("label", mx.alias("mx"), "embedding")
+    recon_err = F.array_max(
+        F.transform(
+            "embedding",
+            lambda x: F.abs(
+                x.cast("double")
+                - F.round(x.cast("double") * 127.0 / F.col("mx"))
+                * F.col("mx") / 127.0
+            ),
+        )
+    )
+    return (
+        q.select("label", recon_err.alias("max_err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("max_err"), 6).alias("avg_max_err"),
+            F.round(F.max("max_err"), 6).alias("worst_err"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,240 @@
+"""X52-X55 — event-stream analytics over ``events``: funnel conversion,
+retention cohorts, time-range moving average, gap-fill/resample. Extension
+surface (the reference stores packet tables, nimtables.nim:94-104, but has
+no temporal query layer); each query has an exact-value DuckDB oracle.
+
+All timestamp arithmetic goes through ``cast(ts as timestamp)`` first: the
+parquet column is TIMESTAMP_NTZ and Spark refuses a direct NTZ->bigint
+cast; under the UTC session timezone the two-step cast equals DuckDB's
+``epoch()``.
+
+Scale notes (100 TB): every query shuffles on user_id exactly once (the
+funnel's three stage-aggregations reuse the same key, so AQE co-partitions
+them); windows are per-user, never global; the gap-fill generates rows via
+``sequence``+``explode`` executor-side — no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.tables import load
+
+
+def _ts_sec(col: str = "ts") -> F.Column:
+    return F.col(col).cast("timestamp").cast("long")
+
+
+# --------------------------------------------------------------------------
+# x52 — funnel conversion: view -> click -> purchase, strictly ordered
+# --------------------------------------------------------------------------
+
+_X52_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+"""
+
+
+@query("x52_funnel_conversion", _X52_SQL)
+def x52(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+# --------------------------------------------------------------------------
+# x53 — weekly retention cohorts
+# --------------------------------------------------------------------------
+
+_X53_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity
+WHERE week_offset <= 3
+GROUP BY cohort, week_offset
+ORDER BY cohort, week_offset
+"""
+
+
+@query("x53_retention_cohorts", _X53_SQL)
+def x53(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                (
+                    F.date_trunc("week", F.col("ts")).cast("timestamp").cast("long")
+                    - F.col("cohort").cast("timestamp").cast("long")
+                )
+                / 604800
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("week_offset") <= 3)
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# x54 — trailing 1-hour moving average per user (range frame on epoch secs)
+# --------------------------------------------------------------------------
+
+_X54_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+  FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0
+)
+SELECT user_id, ts_sec,
+       ROUND(avg(value) OVER w, 6) AS avg_1h,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts_sec
+"""
+
+
+@query("x54_moving_average", _X54_SQL)
+def x54(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 0)
+    ).select("user_id", _ts_sec().alias("ts_sec"), "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        p.select(
+            "user_id",
+            "ts_sec",
+            F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+        )
+        .orderBy("user_id", "ts_sec")
+    )
+
+
+# --------------------------------------------------------------------------
+# x55 — hourly gap-fill/resample with zero-fill counts and LOCF values
+# --------------------------------------------------------------------------
+
+_X55_SQL = """
+WITH u AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events WHERE user_id % 25 = 0 GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM u
+),
+agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         count(*) AS n, avg(value) AS avg_value
+  FROM events WHERE user_id % 25 = 0 GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT g.user_id, strftime(g.hour, '%Y-%m-%d %H') AS hour,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+       ROUND(last_value(a.avg_value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.hour), 6) AS locf_value
+FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.hour = a.hour
+ORDER BY g.user_id, g.hour
+"""
+
+
+@query("x55_gapfill_locf", _X55_SQL)
+def x55(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    u = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = u.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    agg = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.avg("value").alias("avg_value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.col("hour"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("n"),
+            F.round(F.last("avg_value", ignorenulls=True).over(w), 6).alias(
+                "locf_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH").alias("hour"),
+            "n",
+            "locf_value",
+        )
+        .orderBy("user_id", "hour")
+    )
