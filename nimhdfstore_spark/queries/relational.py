@@ -835,3 +835,140 @@ def x59(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# x100 — TPC-H Q10 shape: top returned-revenue customers with nation dim
+# --------------------------------------------------------------------------
+
+_X100_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+@query("x100_tpch_q10_returns", _X100_SQL)
+def x100(spark, sf_dir):
+    """Q10 plan at scale: lineitem filtered on returnflag at the scan
+    (pushed), orders date-pruned at the scan, the fact-fact join shuffles
+    on orderkey, and both dims (customer-slice, nation) broadcast — the
+    big side is shuffled exactly once."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# x101 — TPC-H Q14 shape: promo revenue share for one month
+# --------------------------------------------------------------------------
+
+_X101_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+@query("x101_tpch_q14_promo", _X101_SQL)
+def x101(spark, sf_dir):
+    """Q14 plan: date filter pushed to the lineitem scan, part broadcast
+    (dim), single conditional aggregate — no shuffle of lineitem at all
+    when AQE sees the broadcast."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x102 — TPC-H Q7 shape: bilateral trade volume between two nations by year
+# --------------------------------------------------------------------------
+
+_X102_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+GROUP BY sn.n_name, cn.n_name, o_year
+ORDER BY supp_nation, cust_nation, o_year
+"""
+
+
+@query("x102_tpch_q7_trade", _X102_SQL)
+def x102(spark, sf_dir):
+    """Q7 plan: all four dims (supplier, customer, nation x2) broadcast;
+    the only shuffle is lineitem-orders on orderkey. The nation-pair filter
+    lands on the broadcast sides, shrinking them before the join."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    sn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "o_year")
+    )
