@@ -38,5 +38,6 @@ def load_all() -> None:
     from nimhdfstore_spark.queries import core  # noqa: F401
 
     for mod in ("datasets", "dedup", "ir", "pipeline", "relational", "sampling",
-                "similarity", "text", "timeseries", "multimodal", "stream"):
+                "similarity", "text", "timeseries", "tpch", "multimodal",
+                "stream"):
         __import__(f"nimhdfstore_spark.queries.{mod}")

@@ -1,0 +1,468 @@
+"""X103-X112 — TPC-H-shaped relational queries (SURVEY §2.3/§2.4 extension
+stance: the reference has no joins or aggregations at all — sweep cited in
+SURVEY §0 — so the relational surface is extension coverage, and these pin
+the *plan shapes* a 100 TB cluster needs for each classic TPC-H pattern).
+
+The driver's tables are a TPC-H subset (no partsupp, no commit/receipt
+dates, no shipmode/container columns), so each query keeps the classic
+query's JOIN/AGG/SUBQUERY shape while adapting predicates to the columns
+that exist (TESTDATA.md schemas).
+
+Plan-shape intent per query (asserted for the representative ones in
+tests/test_plans.py):
+
+- x103 (Q6):  pure scan-aggregate — every predicate must reach the Parquet
+  scan (PushedFilters), zero joins, map-side partial agg.
+- x104 (Q12): fact-fact equi-join with conditional aggregation; one shuffle
+  on the join key.
+- x105 (Q13): LEFT outer join with an ON-clause filter (not WHERE — outer
+  semantics), two-level aggregation; count histogram.
+- x106 (Q15): agg → max-of-agg via broadcast of a 1-row global aggregate —
+  no global window, no second scan of the fact table.
+- x107 (Q17): per-group average threshold as a self-agg + broadcast-able
+  re-join (the classic correlated-subquery decorrelation).
+- x108 (Q18): HAVING on a grouped fact, then semi-shaped join back to
+  orders/customer; deterministic top-k.
+- x109 (Q19): disjunctive (OR-of-conjunction) predicates across a
+  part↔lineitem join — Catalyst pushes the common l_quantity bounds.
+- x110 (Q22): scalar-subquery threshold (global avg) + anti-join.
+- x111 (Q8):  5-way snowflake join (region→nation→customer→orders→lineitem
+  + supplier→nation) with every dimension broadcast; market-share ratio.
+- x112 (Q21): exists / not-exists double correlation via distinct key-set
+  semi- and anti-joins.
+
+All money aggregates are ROUND(...,2)-ed on both engines; quantity sums are
+integer-valued doubles (exact in IEEE double at any summation order), so
+thresholds on them are engine-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.tables import load
+
+_X103_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("x103_tpch_q6_forecast", _X103_SQL)
+def x103(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_X104_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("x104_tpch_q12_priority", _X104_SQL)
+def x104(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_X105_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+    GROUP BY c.c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("x105_tpch_q13_custdist", _X105_SQL)
+def x105(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    # The priority filter must live in the join condition: in WHERE it would
+    # turn the outer join inner and drop order-less customers (the histogram
+    # bucket c_count=0 — exactly what Q13 exists to count).
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "5-LOW"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_X106_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("x106_tpch_q15_top_supplier", _X106_SQL)
+def x106(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    # ROUND before the max-compare so the equality is on 2-decimal values
+    # both engines agree on bit-for-bit.
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    # Global max as a 1-row broadcast cross join — no empty-partition window
+    # (which would serialize on one task at scale), no fact re-scan.
+    top = rev.agg(F.max("total_revenue").alias("__mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_X107_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+    SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+    FROM lineitem GROUP BY l_partkey
+) t ON t.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11' AND l.l_quantity < t.qty_threshold
+"""
+
+
+@query("x107_tpch_q17_small_qty", _X107_SQL)
+def x107(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11").select(
+        "p_partkey"
+    )
+    # Decorrelated per-part average: quantities are integer-valued doubles,
+    # so SUM is exact at any order and AVG/0.2× is the same double on both
+    # engines. The threshold table is one row per part — broadcast-able.
+    thr = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+_X108_SQL = """
+WITH big AS (
+    SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       ROUND(o.o_totalprice, 2) AS total_price, big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_price DESC, o.o_orderkey LIMIT 100
+"""
+
+
+@query("x108_tpch_q18_big_orders", _X108_SQL)
+def x108(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty")).where(
+        F.col("sum_qty") > 150  # exact: integer-valued double sum
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_X109_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("x109_tpch_q19_disjunctive", _X109_SQL)
+def x109(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    # Pre-filter both sides with the disjunction's union bounds so the scan
+    # prunes before the join (Catalyst derives these, but stating them keeps
+    # the part side small enough to broadcast by construction).
+    part_f = part.where(F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13"))
+    li_f = li.where(F.col("l_quantity").between(1, 30))
+    return (
+        li_f.join(F.broadcast(part_f), li_f.l_partkey == part_f.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_X110_SQL = """
+SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+"""
+
+
+@query("x110_tpch_q22_no_orders", _X110_SQL)
+def x110(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_X111_SQL = """
+SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+JOIN region r   ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+GROUP BY YEAR(o.o_orderdate) ORDER BY o_year
+"""
+
+
+@query("x111_tpch_q8_mkt_share", _X111_SQL)
+def x111(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # Customer-side snowflake collapses to a broadcast-able key set before
+    # touching the fact table; supplier side broadcasts as (suppkey, nation).
+    asia_cust = cust.join(
+        F.broadcast(nation.join(F.broadcast(region),
+                                nation.n_regionkey == region.r_regionkey)
+                    .select("n_nationkey")),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("s_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.col("s_nation"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("s_nation") == "NATION_7", F.col("volume"))
+                      .otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_X112_SQL = """
+WITH late AS (
+    SELECT l.l_orderkey, l.l_suppkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+),
+order_supps AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+late_supps  AS (SELECT DISTINCT l_orderkey, l_suppkey FROM late)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM order_supps o2
+              WHERE o2.l_orderkey = l1.l_orderkey
+                AND o2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late_supps l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10
+"""
+
+
+@query("x112_tpch_q21_waiting", _X112_SQL)
+def x112(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    # EXISTS/NOT EXISTS with a <> correlation decorrelate to per-order
+    # distinct-supplier counts: another supplier exists in the order iff the
+    # order has >= 2 suppliers; no OTHER late supplier iff the order's late
+    # set is exactly {this supplier}. Aggregated counts shuffle once on
+    # orderkey and broadcast back — no quadratic self-join.
+    order_nsupp = li.select("l_orderkey", "l_suppkey").distinct().groupBy(
+        "l_orderkey"
+    ).agg(F.count(F.lit(1)).alias("n_supps"))
+    late_nsupp = late.distinct().groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_late_supps")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(order_nsupp, "l_orderkey")
+        .join(late_nsupp, "l_orderkey")
+        .where((F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
