@@ -1,0 +1,137 @@
+"""Probabilistic sketches over integer keys — Bloom filter and Count-Min.
+
+The reference has no approximate structures of any kind (SURVEY §2.4: the
+only aggregate-adjacent surface is row-count metadata, nimtables.nim:235-236),
+so these are extension operators for the 100 TB pipeline: a Bloom filter is
+the standard way to pre-filter a huge probe side before an expensive join
+(ship a few KB instead of shuffling the build side), and Count-Min answers
+heavy-hitter frequency queries with bounded state.
+
+Scale shape:
+
+- ``bloom_bitmap`` reduces the build side to ``m_bits/64`` int64 words via a
+  single map-side-combinable ``bit_or`` aggregation — the result is a
+  broadcast-able table of at most a few thousand rows regardless of build
+  cardinality.
+- ``bloom_probe`` joins the probe side's k positions against the broadcast
+  bitmap — no shuffle of the probe table beyond its own k-way explode.
+- ``countmin_sketch`` is one groupBy over (depth × width) cells — bounded
+  state (d·w rows) at any stream size, map-side combined.
+
+Everything is integer arithmetic on the engine-portable ``sample_hash``
+(operators/sampling.py), so DuckDB recomputes identical sketches — the
+queries are hash-checked, not just rows-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.operators.sampling import sample_hash
+
+BLOOM_M_BITS = 1 << 16  # 65,536 bits = 1,024 int64 words = 8 KB
+BLOOM_K = 4
+BLOOM_SALT0 = 100
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+CM_SALT0 = 200
+
+
+def _positions(key: Column | str, k: int, m: int, salt0: int) -> Column:
+    """Array of the k hash positions of ``key`` in [0, m)."""
+    return F.array(*[sample_hash(key, salt=salt0 + i) % m for i in range(k)])
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    salt0: int = BLOOM_SALT0,
+) -> DataFrame:
+    """Build a Bloom bitmap over ``df[key_col]`` as ``(word long, bits long)``
+    rows — word ``w`` holds bits ``[63w, 63w+62]``: 63 bits per int64 word,
+    never the sign bit, because DuckDB raises on ``1::BIGINT << 63`` (signed
+    overflow check) while Spark wraps — 63 keeps the arithmetic identical on
+    both engines. At most ``m_bits/63 + 1`` rows; the ``bit_or`` aggregate
+    combines map-side, so the shuffle moves one word-row per (partition,
+    word), not per key."""
+    pos = (
+        df.select(F.explode(_positions(key_col, k, m_bits, salt0)).alias("pos"))
+        .select(
+            F.expr("pos div 63").cast("long").alias("word"),
+            (F.col("pos") % 63).cast("int").alias("bit"),
+        )
+    )
+    return pos.groupBy("word").agg(
+        F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits")
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    salt0: int = BLOOM_SALT0,
+) -> DataFrame:
+    """Return ``probe`` keys with a ``bloom_hit`` flag: 1 iff every one of
+    the key's k bits is set. The bitmap is broadcast (≤ 8 KB of words);
+    the probe side only explodes k ways and re-groups on its own key — at
+    100 TB this is the cheap pre-filter in front of a real join."""
+    pos = probe.select(
+        F.col(key_col),
+        F.posexplode(_positions(key_col, k, m_bits, salt0)).alias("__i", "pos"),
+    ).select(
+        key_col,
+        F.expr("pos div 63").cast("long").alias("word"),
+        (F.col("pos") % 63).cast("int").alias("bit"),
+    )
+    joined = pos.join(F.broadcast(bitmap), "word", "left")
+    # (v >> b) & 1 reads bit b; with 63 bits/word the word value stays
+    # non-negative, so sign-extension and the engines' signed % semantics
+    # never enter the picture.
+    bit_set = F.expr("shiftright(coalesce(bits, 0L), bit) & 1")
+    return joined.groupBy(key_col).agg(
+        F.min(bit_set).cast("long").alias("bloom_hit")
+    )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    salt0: int = CM_SALT0,
+) -> DataFrame:
+    """Count-Min sketch of the key frequencies: ``(rw, pos, cnt)`` with
+    ``depth × width`` cells max — bounded state at any input size."""
+    cells = df.select(
+        F.posexplode(_positions(key_col, depth, width, salt0)).alias("rw", "pos")
+    )
+    return cells.groupBy("rw", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_estimate(
+    probe: DataFrame,
+    key_col: str,
+    sketch: DataFrame,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    salt0: int = CM_SALT0,
+) -> DataFrame:
+    """Point-frequency estimates for ``probe`` keys: min over the sketch's
+    depth rows of the addressed cell — the classic CM upper bound
+    (est ≥ true count always; equality unless collisions). Sketch is
+    broadcast (≤ depth·width rows)."""
+    pos = probe.select(
+        F.col(key_col),
+        F.posexplode(_positions(key_col, depth, width, salt0)).alias("rw", "pos"),
+    )
+    joined = pos.join(F.broadcast(sketch), ["rw", "pos"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cm_estimate")
+    )

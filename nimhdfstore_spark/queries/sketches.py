@@ -1,0 +1,134 @@
+"""X113/X114 — probabilistic-sketch queries (Bloom filter pre-join filter,
+Count-Min heavy hitters). Extension surface: the reference has no
+approximate structures (SURVEY §2.4). Both sketches are built from the
+engine-portable ``sample_hash`` arithmetic, so the DuckDB oracle recomputes
+bit-identical bitmaps/cells — these are hash-checked, not rows-only.
+
+The SQL twins materialize the k per-key positions as a UNION ALL over the
+k salted hashes (lockstep with ``operators.sketches._positions``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.operators import sketches as SK
+from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.queries.sampling import _h
+from nimhdfstore_spark.tables import load
+
+
+def _sql_positions(src: str, key: str, k: int, m: int, salt0: int) -> str:
+    """UNION ALL of the k salted hash positions: (key, row, pos) rows."""
+    parts = [
+        f"SELECT {key} AS key, {i} AS rw, ({_h(key, salt=salt0 + i)}) % {m} AS pos FROM {src}"
+        for i in range(k)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _x113_sql() -> str:
+    m, k, s0 = SK.BLOOM_M_BITS, SK.BLOOM_K, SK.BLOOM_SALT0
+    return f"""
+WITH build AS (SELECT DISTINCT o_custkey FROM orders),
+bpos AS ({_sql_positions('build', 'o_custkey', k, m, s0)}),
+bitmap AS (
+    SELECT pos // 63 AS word, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+    FROM bpos GROUP BY 1
+),
+ppos AS ({_sql_positions('customer', 'c_custkey', k, m, s0)}),
+hits AS (
+    SELECT p.key,
+           MIN((COALESCE(b.bits, 0) >> CAST(p.pos % 63 AS INT)) & 1) AS bloom_hit
+    FROM ppos p LEFT JOIN bitmap b ON p.pos // 63 = b.word
+    GROUP BY p.key
+),
+actual AS (SELECT DISTINCT o_custkey AS key FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(h.bloom_hit) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN a.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_present,
+       CAST(SUM(CASE WHEN h.bloom_hit = 1 AND a.key IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN h.bloom_hit = 0 AND a.key IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg
+FROM hits h LEFT JOIN actual a ON h.key = a.key
+"""
+
+
+@query("x113_bloom_filter_probe", _x113_sql())
+def x113(spark, sf_dir):
+    """Bloom-filter membership: build over the distinct order custkeys,
+    probe every customer. ``n_false_neg`` must be 0 by construction (the
+    whole point of a Bloom filter); ``n_false_pos`` is the price of the
+    8 KB bitmap. At 100 TB the bitmap replaces shuffling the build side:
+    probe-side pre-filter, then the real join touches only survivors."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    bitmap = SK.bloom_bitmap(orders, "o_custkey")
+    flags = SK.bloom_probe(cust, "c_custkey", bitmap)
+    actual = orders.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+        "__present", F.lit(1)
+    )
+    joined = flags.join(F.broadcast(actual), "c_custkey", "left")
+    present = F.coalesce(F.col("__present"), F.lit(0))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("bloom_hit").alias("n_flagged"),
+        F.sum(present).cast("long").alias("n_present"),
+        F.sum(F.when((F.col("bloom_hit") == 1) & (present == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(F.when((F.col("bloom_hit") == 0) & (present == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+    )
+
+
+def _x114_sql() -> str:
+    d, w, s0 = SK.CM_DEPTH, SK.CM_WIDTH, SK.CM_SALT0
+    return f"""
+WITH cpos AS ({_sql_positions('lineitem', 'l_suppkey', d, w, s0)}),
+sketch AS (
+    SELECT rw, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM cpos GROUP BY rw, pos
+),
+probe AS (SELECT DISTINCT l_suppkey FROM lineitem),
+ppos AS ({_sql_positions('probe', 'l_suppkey', d, w, s0)}),
+est AS (
+    SELECT p.key AS l_suppkey, MIN(COALESCE(s.cnt, 0)) AS cm_estimate
+    FROM ppos p LEFT JOIN sketch s ON p.rw = s.rw AND p.pos = s.pos
+    GROUP BY p.key
+),
+exact AS (
+    SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS true_count
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT e.l_suppkey, e.cm_estimate, x.true_count,
+       e.cm_estimate - x.true_count AS overcount
+FROM est e JOIN exact x ON e.l_suppkey = x.l_suppkey
+ORDER BY e.cm_estimate DESC, e.l_suppkey LIMIT 20
+"""
+
+
+@query("x114_countmin_heavy_hitters", _x114_sql())
+def x114(spark, sf_dir):
+    """Count-Min heavy hitters over lineitem supplier keys: the sketch is
+    depth×width cells of bounded state (map-side combined groupBy) at any
+    stream size; estimates are the classic min-over-rows upper bound
+    (overcount >= 0 always, 0 unless cells collide)."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    sketch = SK.countmin_sketch(li, "l_suppkey")
+    probe = li.distinct()
+    est = SK.countmin_estimate(probe, "l_suppkey", sketch)
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(exact, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "cm_estimate",
+            "true_count",
+            (F.col("cm_estimate") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("cm_estimate"), "l_suppkey")
+        .limit(20)
+    )

@@ -332,3 +332,61 @@ def x_group_topk(spark, sf_dir):
         .where(F.col("rank") <= _X86_K)
         .orderBy("lang", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# x115 — corpus-statistics quality scoring: type-token ratio + commonness
+# --------------------------------------------------------------------------
+
+_X115_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(COUNT(DISTINCT t.token) / COUNT(*), 4) AS ttr,
+       ROUND(SUM(v.cnt) / (COUNT(*) * (SELECT n_total FROM total)), 6)
+           AS mean_rel_freq
+FROM toks t JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+@query("x115_text_type_token_stats", _X115_SQL)
+def x115(spark, sf_dir):
+    """Two-pass corpus-statistics scoring — the shape every corpus-level
+    quality signal needs at 100 TB: pass 1 builds global token counts (one
+    token-keyed shuffle, map-side combined), pass 2 joins them back to the
+    token stream and reduces per document. Type-token ratio is the Gopher
+    repetition signal; mean relative frequency is a unigram-LM "commonness"
+    proxy. All ratios are integer/integer single divisions — deterministic
+    on both engines (no libm, unlike a log-prob perplexity)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).where(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    per_doc = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("ttr"),
+            F.round(
+                F.col("sum_cnt") / (F.col("n_tokens") * F.col("n_total")), 6
+            ).alias("mean_rel_freq"),
+        )
+        .orderBy("doc_id")
+    )
