@@ -38,6 +38,6 @@ def load_all() -> None:
     from nimhdfstore_spark.queries import core  # noqa: F401
 
     for mod in ("datasets", "dedup", "graph", "ir", "pipeline", "relational", "sampling",
-                "similarity", "sketches", "text", "timeseries", "tpch",
+                "similarity", "sinks", "sketches", "text", "timeseries", "tpch",
                 "multimodal", "stream"):
         __import__(f"nimhdfstore_spark.queries.{mod}")

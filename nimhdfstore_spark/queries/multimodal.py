@@ -5,6 +5,8 @@ source text)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from nimhdfstore_spark.operators import multimodal as M
 from nimhdfstore_spark.queries import query
 from nimhdfstore_spark.tables import load
@@ -63,3 +65,83 @@ def x_mm_byte_stats(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     packed = M.pack_binary(docs, "doc_id", "text")
     return M.byte_stats(packed, "doc_id", "payload").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x117 — fixed-window binary chunking (audio/video segmentation plumbing):
+# sequence+explode+substring, all JVM-side, chunk returned hex-encoded for
+# the string-compare harness.
+# --------------------------------------------------------------------------
+
+_CHUNK_BYTES = 256
+
+_X117_SQL = f"""
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+c AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         CAST(i * {_CHUNK_BYTES} AS BIGINT) AS byte_offset,
+         substring(hx, CAST(i * {_CHUNK_BYTES} * 2 + 1 AS INT),
+                   {_CHUNK_BYTES} * 2) AS chunk_hex
+  FROM p, unnest(range(0, (length(hx) // 2 - 1) // {_CHUNK_BYTES} + 1)) AS t(i)
+)
+SELECT doc_id, chunk_idx, byte_offset,
+       CAST(length(chunk_hex) // 2 AS BIGINT) AS chunk_len,
+       chunk_hex
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("x117_multimodal_chunking", _X117_SQL)
+def x117(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    packed = M.pack_binary(docs, "doc_id", "text")
+    return M.chunk_binary(packed, _CHUNK_BYTES).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# x118 — magic-byte MIME sniffing: deterministic fake headers (doc_id % 6
+# picks a signature) prepended to the payload, then detected back — the
+# dispatch step in front of per-format decode UDFs.
+# --------------------------------------------------------------------------
+
+def _x118_sql() -> str:
+    whens_pref = " ".join(
+        f"WHEN doc_id % 6 = {i} THEN from_hex('{pfx}')"
+        for i, (pfx, _) in enumerate(M.MAGIC_PREFIXES)
+    )
+    whens_mime = " ".join(
+        f"WHEN starts_with(hd, '{pfx}') THEN '{mime}'"
+        for pfx, mime in M.MAGIC_PREFIXES
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         (CASE {whens_pref} ELSE ''::BLOB END) || encode(text) AS payload
+  FROM documents
+),
+h AS (SELECT doc_id, octet_length(payload) AS n_bytes,
+             substring(hex(payload), 1, 16) AS hd FROM p)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CASE {whens_mime} ELSE 'application/octet-stream' END AS sniffed_mime
+FROM h ORDER BY doc_id
+"""
+
+
+@query("x118_multimodal_sniff", _x118_sql())
+def x118(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    packed = M.pack_binary(docs, "doc_id", "text")
+    prefix = F.lit(None).cast("binary")
+    for i, (pfx, _) in enumerate(M.MAGIC_PREFIXES):
+        cond = F.col("doc_id") % 6 == i
+        prefix = F.when(cond, F.unhex(F.lit(pfx))).otherwise(prefix)
+    with_hdr = packed.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(prefix, F.lit(b"")), F.col("payload")
+        ).alias("payload"),
+    )
+    return M.sniff_mime(with_hdr).orderBy("doc_id")
