@@ -338,3 +338,144 @@ def group_centroids(
         .withColumn("centroid", F.col("centroid_q") / F.lit(float(scale)))
         .drop("centroid_q")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) top-k — the
+# memory-compressed ANN scale path (Jégou et al. 2011, public): each vector
+# is stored as m sub-space code indices (here 4 codes of 4 bits ≈ 2 bytes
+# instead of 256 bytes of float32), and query distances are looked up from a
+# per-probe distance table instead of touching the raw vectors.
+#
+# Scale shape: codebooks are O(m·ks) rows (broadcast, corpus-independent —
+# same fixed-k discipline as deterministic_centroids); encoding is one
+# broadcast join + per-(vector, subspace) argmin; ADC search joins the tiny
+# per-probe distance table to the code table on (subspace, code) and sums m
+# int64 partials per candidate — no float math against the corpus at all.
+#
+# Determinism: sub-vectors are int64 fixed-point (fixed_point_vec), squared
+# distances are pure integer sums (order-free), so the DuckDB twin matches
+# bit-for-bit and ties break on (distance, code/id) identically.
+# --------------------------------------------------------------------------
+
+PQ_M = 4    # sub-spaces
+PQ_KS = 16  # codewords per sub-space
+PQ_DIMS = 64
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = PQ_DIMS,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+) -> DataFrame:
+    """``(j, code, cw)`` — codeword ``code`` of sub-space ``j`` is the
+    int64 fixed-point sub-vector of the ks hash-picked corpus vectors
+    (the deterministic_centroids pick); codes are 0..ks-1 in pick order."""
+    sub = dims // m
+    h = (F.col(id_col) % F.lit(1 << 32)) * F.lit(40503) % F.lit(1 << 32)
+    wcode = Window.orderBy(h.asc(), F.col(id_col).asc())
+    coded = (
+        deterministic_centroids(corpus, ks, id_col)
+        .select(F.col(id_col), fixed_point_vec(vec_col).alias("fv"))
+        .withColumn("code", (F.row_number().over(wcode) - 1).cast("int"))
+    )
+    return coded.select(
+        "code",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.slice("fv", j * sub + 1, sub).alias("cw"),
+                )
+                for j in range(m)
+            ])
+        ).alias("s"),
+    ).select(F.col("s.j").alias("j"), "code", F.col("s.cw").alias("cw"))
+
+
+def _int_sq_dist(a: Column, b: Column) -> Column:
+    """Integer squared distance between two equal-length int64 arrays —
+    exact, summation-order-free."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(
+    df: DataFrame, id_alias: str, id_col: str, vec_col: str, dims: int, m: int
+) -> DataFrame:
+    """Explode a vector column into (id, j, sv) fixed-point sub-vectors."""
+    sub = dims // m
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        fixed_point_vec(vec_col).alias("fv"),
+    ).select(
+        id_alias,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"), F.slice("fv", j * sub + 1, sub).alias("sv")
+                )
+                for j in range(m)
+            ])
+        ).alias("s"),
+    ).select(id_alias, F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = PQ_DIMS,
+    m: int = PQ_M,
+) -> DataFrame:
+    """``(id, j, code)`` — per (vector, sub-space) argmin over the broadcast
+    codebook; ties break on the smaller code index."""
+    subs = _subvectors(corpus, "id", id_col, vec_col, dims, m)
+    cand = subs.join(F.broadcast(codebooks), "j").withColumn(
+        "d2", _int_sq_dist(F.col("sv"), F.col("cw"))
+    )
+    w = Window.partitionBy("id", "j").orderBy(F.col("d2").asc(), F.col("code").asc())
+    return (
+        cand.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("id", "j", "code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dims: int = PQ_DIMS,
+    m: int = PQ_M,
+) -> DataFrame:
+    """Asymmetric-distance top-k: per-probe distance TABLE (probe sub-vector
+    vs every codeword — m·ks int64 entries, broadcast) joined to the code
+    table on (j, code), summed per candidate, ranked. The corpus's raw
+    vectors are never touched at query time."""
+    psubs = _subvectors(probes, "probe_id", id_col, vec_col, dims, m)
+    dtab = psubs.join(F.broadcast(codebooks), "j").select(
+        "probe_id", "j", "code", _int_sq_dist(F.col("sv"), F.col("cw")).alias("pd2")
+    )
+    partial = codes.join(F.broadcast(dtab), ["j", "code"]).where(
+        F.col("id") != F.col("probe_id")
+    )
+    total = partial.groupBy("probe_id", "id").agg(
+        F.sum("pd2").alias("approx_d2")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("approx_d2").asc(), F.col("id"))
+    return (
+        total.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", F.col("id").alias("neighbor_id"), "approx_d2", "rank")
+    )

@@ -404,3 +404,77 @@ def x45(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# x119 — product quantization + ADC top-k: the memory-compressed ANN scale
+# path (codes ≈ 2 bytes/vector instead of 256 bytes of float32; query-time
+# distances come from a per-probe lookup table, never the raw vectors).
+# Pure int64 arithmetic end-to-end — bit-identical oracle.
+# --------------------------------------------------------------------------
+
+_PQ_SUB = S.PQ_DIMS // S.PQ_M   # dims per sub-space
+
+
+def _pq_sql() -> str:
+    m, ks, sub, scale = S.PQ_M, S.PQ_KS, _PQ_SUB, S.KMEANS_SCALE
+    int_d2 = (
+        f"list_reduce(list_transform(range({sub}), i -> "
+        "({a}[i + 1] - {b}[i + 1]) * ({a}[i + 1] - {b}[i + 1])), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+WITH sv AS MATERIALIZED (
+  SELECT vec_id,
+    list_transform(embedding,
+                   v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT)) AS fv
+  FROM embeddings
+),
+picked AS (
+  SELECT vec_id, fv,
+         CAST(row_number() OVER (ORDER BY {_CENT_HASH}, vec_id) - 1 AS INT) AS code
+  FROM sv ORDER BY {_CENT_HASH}, vec_id LIMIT {ks}
+),
+cb AS MATERIALIZED (
+  SELECT j, code, list_transform(range({sub}), i -> fv[j * {sub} + i + 1]) AS cw
+  FROM picked, unnest(range({m})) t(j)
+),
+subs AS MATERIALIZED (
+  SELECT vec_id AS id, j,
+         list_transform(range({sub}), i -> fv[j * {sub} + i + 1]) AS svv
+  FROM sv, unnest(range({m})) t(j)
+),
+codes AS MATERIALIZED (
+  SELECT id, j, code FROM (
+    SELECT s.id, s.j, c.code,
+           row_number() OVER (PARTITION BY s.id, s.j
+               ORDER BY {int_d2.format(a='s.svv', b='c.cw')}, c.code) AS r
+    FROM subs s JOIN cb c ON s.j = c.j) WHERE r = 1
+),
+dtab AS (
+  SELECT s.id AS probe_id, s.j, c.code,
+         {int_d2.format(a='s.svv', b='c.cw')} AS pd2
+  FROM subs s JOIN cb c ON s.j = c.j
+  WHERE s.id IN {_PROBES}
+),
+total AS (
+  SELECT d.probe_id, co.id, CAST(SUM(d.pd2) AS BIGINT) AS approx_d2
+  FROM codes co JOIN dtab d ON co.j = d.j AND co.code = d.code
+  WHERE co.id != d.probe_id
+  GROUP BY d.probe_id, co.id
+)
+SELECT probe_id, id AS neighbor_id, approx_d2, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY probe_id ORDER BY approx_d2, id) AS INT) AS rank
+  FROM total) WHERE rank <= {_K}
+ORDER BY probe_id, rank
+"""
+
+
+@query("x119_pq_adc_topk", _pq_sql())
+def x119(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    cb = S.pq_codebooks(emb)
+    codes = S.pq_encode(emb, cb)
+    probes = emb.where(F.col("vec_id").isin(list(_PROBES)))
+    return S.pq_adc_topk(codes, cb, probes, k=_K).orderBy("probe_id", "rank")

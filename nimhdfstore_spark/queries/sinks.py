@@ -81,3 +81,38 @@ def q31(spark, sf_dir):
     if _checksum(src) != _checksum(back):
         raise AssertionError("orc round-trip of lineitem changed values")
     return back.orderBy("l_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# q32 — Hive-partitioned layout + partition-pruned read. THE physical-layout
+# lever at 100 TB: a filter on the partition column must become a
+# PartitionFilter (directory pruning — zero IO for other partitions), not a
+# data filter. Asserted in-query against the executed plan.
+# --------------------------------------------------------------------------
+
+_Q32_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events WHERE event_type = 'click' ORDER BY event_id
+"""
+
+
+@query("q32_partitioned_layout_prune", _Q32_SQL)
+def q32(spark, sf_dir):
+    src = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = os.path.join(SCRATCH_ROOT, f"part-events-{os.path.basename(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    src.write.partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    out = back.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: [" not in plan or "event_type" not in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]:
+        raise AssertionError(
+            "partition filter did not reach the scan:\n" + plan[:2000]
+        )
+    return out.orderBy("event_id")

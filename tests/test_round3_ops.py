@@ -128,3 +128,43 @@ class TestTpchPlans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestPQ:
+    def test_codes_shape_and_recall(self, spark):
+        from nimhdfstore_spark.operators import similarity as S
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = S.pq_codebooks(emb)
+        # codebook is corpus-size independent: m * ks rows exactly
+        assert cb.count() == S.PQ_M * S.PQ_KS
+        codes = S.pq_encode(emb, cb)
+        n = emb.count()
+        assert codes.count() == n * S.PQ_M  # one code per (vector, subspace)
+        probes = emb.where(F.col("vec_id") < 5)
+        approx = S.pq_adc_topk(codes, cb, probes, k=10)
+        exact = S.brute_force_topk(emb, probes, k=10)
+        a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+        e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+        recall = len(a & e) / len(e)
+        # 16x compression: recall@10 must stay useful (pinned well below
+        # observed to keep the test stable, far above chance ~10/500)
+        assert recall >= 0.3, f"PQ recall collapsed: {recall}"
+
+    def test_adc_never_touches_vectors(self, spark):
+        from nimhdfstore_spark.operators import similarity as S
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cb = S.pq_codebooks(emb)
+        codes = S.pq_encode(emb, cb).persist()
+        codes.count()
+        probes = emb.where(F.col("vec_id") < 3)
+        plan = (
+            S.pq_adc_topk(codes, cb, probes, k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # candidate scoring joins codes to the broadcast distance table —
+        # no cartesian/nested-loop and no corpus-wide vector math
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        codes.unpersist()
