@@ -972,3 +972,38 @@ def x102(spark, sf_dir):
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
         .orderBy("supp_nation", "cust_nation", "o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# x120 — semi-structured (JSON) extraction: parse the events.props JSON
+# column JVM-side (get_json_object — no Python, codegen-friendly) and
+# aggregate the extracted field. The scale note: JSON parsing is per-row
+# CPU; keeping it inside whole-stage codegen (vs a Python UDF) is the
+# difference between CPU-bound and IPC-bound at 100 TB.
+# --------------------------------------------------------------------------
+
+_X120_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("x120_json_extract_agg", _X120_SQL)
+def x120(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from nimhdfstore_spark.queries import query
 from nimhdfstore_spark.queries.core import SCRATCH_ROOT
-from nimhdfstore_spark.tables import load
+from nimhdfstore_spark.tables import load, rowid_over
 
 
 def _checksum(df: DataFrame):
@@ -116,3 +116,42 @@ def q32(spark, sf_dir):
             "partition filter did not reach the scan:\n" + plan[:2000]
         )
     return out.orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# q33 — zone-map value index: per-file (min,max) footer stats over a VALUE
+# column prune the file list driver-side before Spark ever plans the scan.
+# Stronger than row-group pruning: a skipped file costs zero tasks and zero
+# executor-side footer reads. Effective exactly when the layout correlates
+# with the column — here the store's canonical order IS l_orderkey.
+# --------------------------------------------------------------------------
+
+_Q33_LO, _Q33_HI = 5000, 9000
+
+_Q33_SQL = f"""
+SELECT * FROM ({{rowid_over}}) WHERE l_orderkey BETWEEN {_Q33_LO} AND {_Q33_HI}
+ORDER BY _rowid
+"""
+
+
+@query(
+    "q33_zonemap_file_prune",
+    _Q33_SQL.format(rowid_over=rowid_over("lineitem")),
+)
+def q33(spark, sf_dir):
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.tables import load_pos
+
+    from nimhdfstore_spark.tables import table_nrows
+
+    store = scratch_store(spark, f"q33-{os.path.basename(sf_dir)}")
+    # ~12 files at any sf: enough for pruning to skip most of them without
+    # drowning the bench in tiny-file write overhead at larger scales
+    store.rows_per_file = max(4096, table_nrows(sf_dir, "lineitem") // 12)
+    t = store.put("li_zone", load_pos(spark, sf_dir, "lineitem"), overwrite=True)
+    out, scanned, total = t.scan_between("l_orderkey", _Q33_LO, _Q33_HI)
+    if total > 2 and scanned >= total:
+        raise AssertionError(
+            f"zone map pruned nothing: {scanned}/{total} files scanned"
+        )
+    return out.orderBy("_rowid")

@@ -493,6 +493,70 @@ class Table:
     def df(self) -> DataFrame:
         return self.store.spark.read.parquet(self.snapshot_path)
 
+    # -- zone-map value index (small-materialized-aggregates file skipping) --
+
+    _ZONE_CACHE: dict = {}
+
+    def zone_map(self, column: str) -> list[dict]:
+        """Per-file (min, max) of ``column`` from Parquet footers — a
+        zone-map / small-materialized-aggregates index over a VALUE column
+        (the positional catalog in ``_meta['files']`` covers only _rowid).
+        Footer-only: no data pages are read. Cached per (snapshot, column)
+        — snapshot dirs are immutable, so the map never staleness-checks.
+
+        At 100 TB the footer sweep would run as a distributed per-file job
+        exactly like rowid._keys_sorted_distributed; driver-side here keeps
+        the test-scale path simple (documented trade-off, same verdict)."""
+        key = (self.snapshot_path, column)
+        cached = Table._ZONE_CACHE.get(key)
+        if cached is not None:
+            return cached
+        import pyarrow.parquet as pq
+
+        out = []
+        for e in self._meta["files"]:
+            f = os.path.join(self.snapshot_path, e["name"])
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                (i for i in range(md.num_columns)
+                 if md.schema.column(i).name == column), None
+            )
+            if idx is None:
+                raise StoreError(f"no such column: {column!r}")
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            out.append({"name": e["name"], "lo": lo, "hi": hi, "ok": ok})
+        Table._ZONE_CACHE[key] = out
+        return out
+
+    def scan_between(self, column: str, lo, hi) -> tuple[DataFrame, int, int]:
+        """Value-range scan through the zone map: files whose [min, max]
+        cannot intersect [lo, hi] are never opened (driver-side file-list
+        pruning — stronger than row-group pruning because skipped files cost
+        zero tasks and zero footer reads executor-side). Returns
+        ``(frame, files_scanned, files_total)``; the residual predicate
+        still applies row-exactly to the survivors."""
+        zones = self.zone_map(column)
+        keep = [
+            z["name"] for z in zones
+            if not z["ok"] or z["lo"] is None
+            or not (z["hi"] < lo or z["lo"] > hi)
+        ]
+        total = len(zones)
+        if not keep:
+            empty = self.df().where(F.lit(False))
+            return empty, 0, total
+        paths = [os.path.join(self.snapshot_path, n) for n in keep]
+        df = self.store.spark.read.parquet(*paths)
+        return df.where(F.col(column).between(lo, hi)), len(keep), total
+
     @property
     def schema(self) -> StructType:
         return StructType([f for f in self.df().schema.fields if f.name != ROWID])

@@ -168,3 +168,50 @@ class TestPQ:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         codes.unpersist()
+
+
+class TestZoneMap:
+    def _table(self, spark, tmp_path):
+        from nimhdfstore_spark.rowid import ROWID
+        from nimhdfstore_spark.store import Store
+
+        store = Store(spark, str(tmp_path / "zstore"), rows_per_file=10)
+        df = spark.createDataFrame(
+            [(i, i, i * 3, f"v{i}") for i in range(50)],
+            f"{ROWID} long, k long, val long, s string",
+        )
+        return store.put("t", df)
+
+    def test_prunes_and_stays_exact(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        out, scanned, total = t.scan_between("val", 30, 60)  # rows 10..20
+        assert total == 5
+        assert scanned < total
+        got = sorted(r["k"] for r in out.collect())
+        assert got == list(range(10, 21))
+
+    def test_boundary_rows_not_lost(self, spark, tmp_path):
+        # range ending exactly on a file boundary value must keep that file
+        t = self._table(spark, tmp_path)
+        out, scanned, total = t.scan_between("val", 27, 57)  # k 9..19
+        got = sorted(r["k"] for r in out.collect())
+        assert got == list(range(9, 20))
+
+    def test_empty_range(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        out, scanned, total = t.scan_between("val", 1000, 2000)
+        assert scanned == 0
+        assert out.count() == 0
+
+    def test_unknown_column(self, spark, tmp_path):
+        from nimhdfstore_spark.store import StoreError
+
+        t = self._table(spark, tmp_path)
+        with pytest.raises(StoreError):
+            t.zone_map("nope")
+
+    def test_string_zone_map(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        out, scanned, total = t.scan_between("s", "v10", "v13")
+        got = sorted(r["s"] for r in out.collect())
+        assert got == ["v10", "v11", "v12", "v13"]
