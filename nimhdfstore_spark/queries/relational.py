@@ -1007,3 +1007,196 @@ def x120(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x121 — analytic-function suite 2 (ntile / percent_rank / cume_dist /
+# first_value / last_value): completes the §2.5 extension inventory beyond
+# x83's rank/lag/lead. All window orderings carry a unique tie-break, so
+# every rank-derived value is engine-deterministic.
+# --------------------------------------------------------------------------
+
+_X121_SQL = """
+WITH p AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT o_orderkey, o_orderpriority,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+  ROUND(cume_dist() OVER w, 6) AS cdist,
+  ROUND(first_value(o_totalprice) OVER w, 2) AS cheapest,
+  ROUND(last_value(o_totalprice) OVER (
+      PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS priciest
+FROM p
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
+@query("x121_window_suite2", _X121_SQL)
+def x121(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    p = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return p.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("cheapest"),
+        F.round(F.last("o_totalprice").over(wall), 2).alias("priciest"),
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# x122 — GROUPING SETS with grouping_id: the third grouping-analytics shape
+# next to x97 (CUBE) and x82 (ROLLUP); Spark side runs through spark.sql
+# over a temp view (grouping sets have no DataFrame-API spelling).
+# --------------------------------------------------------------------------
+
+_X122_SETS = (
+    "GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"
+)
+
+_X122_SQL = f"""
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+           AS grouping_lvl,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY {_X122_SETS}
+ORDER BY grouping_lvl, returnflag, linestatus
+"""
+
+
+@query("x122_grouping_sets", _X122_SQL)
+def x122(spark, sf_dir):
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__x122_li")
+    return spark.sql(f"""
+        SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+               coalesce(l_linestatus, '<all>') AS linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+                   AS grouping_lvl,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS total_price
+        FROM __x122_li
+        GROUP BY {_X122_SETS}
+        ORDER BY grouping_lvl, returnflag, linestatus
+    """)
+
+
+# --------------------------------------------------------------------------
+# x123 — fuzzy record linkage via blocked Levenshtein join: probes are
+# deterministically corrupted part names (2nd character deleted); blocking
+# on the UNCORRUPTED last token keeps the candidate set per probe bounded
+# (the record-linkage discipline at scale — never levenshtein all-pairs).
+# --------------------------------------------------------------------------
+
+_X123_SQL = """
+WITH probes AS (
+  SELECT p_partkey AS probe_id,
+         substring(p_name, 1, 1) || substring(p_name, 3) AS q,
+         list_extract(string_split(p_name, ' '),
+                      len(string_split(p_name, ' '))) AS blk
+  FROM part WHERE p_partkey % 97 = 0
+),
+cands AS (
+  SELECT pr.probe_id, pr.q, p.p_partkey, p.p_name,
+         levenshtein(pr.q, p.p_name) AS dist
+  FROM probes pr JOIN part p
+    ON pr.blk = list_extract(string_split(p.p_name, ' '),
+                             len(string_split(p.p_name, ' ')))
+  WHERE levenshtein(pr.q, p.p_name) <= 2
+)
+SELECT probe_id, q, p_partkey AS matched_key, p_name AS matched_name,
+       CAST(dist AS INT) AS dist
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY dist, p_partkey) AS r FROM cands)
+WHERE r = 1 ORDER BY probe_id
+"""
+
+
+@query("x123_fuzzy_blocked_join", _X123_SQL)
+def x123(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    part = load(spark, sf_dir, "part")
+    last_tok = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+    probes = part.where(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.substring("p_name", 1, 1), F.expr("substring(p_name, 3)")
+        ).alias("q"),
+        last_tok(F.col("p_name")).alias("blk"),
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(part.withColumn("blk", last_tok(F.col("p_name"))), "blk")
+        .withColumn("dist", F.levenshtein("q", "p_name"))
+        .where(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist", "p_partkey")
+    return (
+        cands.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "probe_id", "q",
+            F.col("p_partkey").alias("matched_key"),
+            F.col("p_name").alias("matched_name"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x124 — array-function suite over grouped collections: collect_list is
+# order-nondeterministic by contract, so every derived array is sorted
+# before use and rendered to a string (the q14 lesson: the harness's
+# canonicalizer cannot sort rows containing raw lists).
+# --------------------------------------------------------------------------
+
+_X124_SQL = """
+WITH g AS (
+  SELECT l_orderkey,
+         list(CAST(l_quantity AS BIGINT)) AS qs,
+         list(DISTINCT l_returnflag) AS flags
+  FROM lineitem WHERE l_orderkey % 500 = 0
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qs) AS INT) AS n_items,
+       array_to_string(list_sort(qs), ',') AS qty_sorted,
+       array_to_string(list_sort(list_distinct(qs)), ',') AS qty_distinct,
+       CAST(list_contains(qs, 25) AS BOOLEAN) AS has_qty25,
+       array_to_string(list_sort(flags), ',') AS flags_sorted
+FROM g ORDER BY l_orderkey
+"""
+
+
+@query("x124_array_functions", _X124_SQL)
+def x124(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 500 == 0)
+    g = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.col("l_quantity").cast("long")).alias("qs"),
+        F.collect_set("l_returnflag").alias("flags"),
+    )
+    return g.select(
+        "l_orderkey",
+        F.size("qs").cast("int").alias("n_items"),
+        F.array_join(F.array_sort("qs"), ",").alias("qty_sorted"),
+        F.array_join(F.array_sort(F.array_distinct("qs")), ",").alias(
+            "qty_distinct"
+        ),
+        F.array_contains("qs", 25).alias("has_qty25"),
+        F.array_join(F.array_sort("flags"), ",").alias("flags_sorted"),
+    ).orderBy("l_orderkey")

@@ -366,3 +366,55 @@ def x_stream_sliding(spark, sf_dir):
     return sliding_counts_stream(
         spark, sf_dir, window="10 minutes", slide="5 minutes", watermark="1 hour"
     )
+
+
+# --------------------------------------------------------------------------
+# x125 — streaming sketch maintenance: the Count-Min cell table lives as
+# bounded streaming-aggregation state (complete mode, d×w rows forever);
+# after the availableNow drain the sketch answers point-frequency queries.
+# The oracle recomputes the identical cells batch-side — streaming
+# aggregation is just incremental merge of the same integer partials.
+# --------------------------------------------------------------------------
+
+def _x125_sql() -> str:
+    from nimhdfstore_spark.operators import sketches as SK
+    from nimhdfstore_spark.queries.sketches import _sql_positions
+
+    d, w, s0 = SK.CM_DEPTH, SK.CM_WIDTH, SK.CM_SALT0
+    return f"""
+WITH cpos AS ({_sql_positions('events', 'user_id', d, w, s0)}),
+sketch AS (
+    SELECT rw, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM cpos GROUP BY rw, pos
+),
+probe AS (SELECT DISTINCT user_id FROM events),
+ppos AS ({_sql_positions('probe', 'user_id', d, w, s0)}),
+est AS (
+    SELECT p.key AS user_id, MIN(COALESCE(s.cnt, 0)) AS cm_estimate
+    FROM ppos p LEFT JOIN sketch s ON p.rw = s.rw AND p.pos = s.pos
+    GROUP BY p.key
+),
+exact AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+    FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.cm_estimate, x.true_count
+FROM est e JOIN exact x ON e.user_id = x.user_id
+ORDER BY e.cm_estimate DESC, e.user_id LIMIT 20
+"""
+
+
+@query("x125_stream_countmin", _x125_sql())
+def x_stream_countmin(spark, sf_dir):
+    from nimhdfstore_spark.operators.sketches import countmin_estimate
+    from nimhdfstore_spark.streaming.windows import countmin_user_stream
+
+    sketch = countmin_user_stream(spark, sf_dir)
+    ev = load(spark, sf_dir, "events").select("user_id")
+    est = countmin_estimate(ev.distinct(), "user_id", sketch)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "cm_estimate", "true_count")
+        .orderBy(F.desc("cm_estimate"), "user_id")
+        .limit(20)
+    )

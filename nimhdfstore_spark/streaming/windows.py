@@ -418,3 +418,50 @@ def sliding_counts_stream(
     )
     q.awaitTermination(120)
     return spark.table(name).orderBy("window_start")
+
+
+def countmin_user_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Maintain a Count-Min sketch of per-user event frequencies AS A
+    STREAM: the depth×width cell table is a streaming aggregation in
+    complete mode — bounded state (d·w rows) no matter how long the stream
+    runs, which is the entire point of sketching a stream. Returns the
+    final cell table after an availableNow backfill drain.
+
+    Batch/stream parity: the cells are byte-identical to
+    operators.sketches.countmin_sketch over the same rows, because the
+    positions are the same engine-portable integer hash and streaming
+    aggregation state is just the same partial counts merged incrementally.
+    """
+    import uuid as _uuid
+
+    from nimhdfstore_spark.operators.sketches import (
+        CM_DEPTH, CM_SALT0, CM_WIDTH, _positions,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(events_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    cells = (
+        stream.select(
+            F.posexplode(
+                _positions("user_id", CM_DEPTH, CM_WIDTH, CM_SALT0)
+            ).alias("rw", "pos")
+        )
+        .groupBy("rw", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"cmstream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        cells.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
