@@ -93,3 +93,57 @@ def asof_join(
         *[F.col(c) for c in lcols],
         *[F.col(f"__last_{c}").alias(f"asof_{c}") for c in value_cols],
     )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Same semantics as :func:`asof_join`, implemented on the cogroup
+    member of the UDF surface (SURVEY §2.13):
+    ``left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas``. Both
+    sides shuffle ONCE on the key; each (key, left-rows, right-rows) pair
+    arrives as one Arrow batch and the per-key merge is pandas
+    ``merge_asof`` (C-implemented two-pointer sweep).
+
+    When to prefer which: the window-tag implementation (asof_join) stays
+    fully JVM-side and wins when keys are few and rows per key are huge;
+    the cogrouped form wins when per-key logic outgrows what a window can
+    express (true custom merge logic) — this query pins that the two agree
+    bit-for-bit. Skewed keys hit one task either way: pre-split hot keys
+    upstream (operators/skew.py) before either form."""
+    import pandas as pd
+
+    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+    out_fields += [f"asof_{c} double" for c in value_cols]
+    schema = ", ".join(out_fields)
+    lcols = [f.name for f in left.schema.fields]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=lcols + [f"asof_{c}" for c in value_cols])
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if rpdf.empty:
+            for c in value_cols:
+                lpdf[f"asof_{c}"] = float("nan")
+            return lpdf
+        rsel = rpdf[[right_ts] + value_cols].sort_values(
+            right_ts, kind="mergesort"
+        ).rename(columns={c: f"asof_{c}" for c in value_cols})
+        out = pd.merge_asof(
+            lpdf, rsel, left_on=left_ts, right_on=right_ts,
+            direction="backward",
+        )
+        if right_ts != left_ts and right_ts in out.columns:
+            out = out.drop(columns=[right_ts])
+        return out
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, schema=schema)
+    )

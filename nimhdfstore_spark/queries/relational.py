@@ -1200,3 +1200,42 @@ def x124(spark, sf_dir):
         F.array_contains("qs", 25).alias("has_qty25"),
         F.array_join(F.array_sort("flags"), ",").alias("flags_sorted"),
     ).orderBy("l_orderkey")
+
+
+# --------------------------------------------------------------------------
+# x126 — the SAME as-of semantics as x75, through the cogroup member of the
+# UDF surface (groupBy.cogroup.applyInPandas + pandas merge_asof): one
+# shuffle per side on the key, per-key Arrow batches, C-implemented merge.
+# Window-tag form (x75) vs cogrouped form must agree bit-for-bit — the
+# oracle is identical.
+# --------------------------------------------------------------------------
+
+
+@query("x126_asof_cogrouped", _X75_SQL)
+def x126(spark, sf_dir):
+    from nimhdfstore_spark.operators.asof import asof_join_cogrouped
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # the right-side event time travels under its own name: with BOTH sides
+    # carrying a column literally named "ts", the cogrouped Arrow transfer
+    # delivered the right frame without it (observed on Spark 4.1; the
+    # window-tag x75 path is unaffected) — distinct names sidestep it and
+    # read better in the merge anyway
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select("user_id", F.col("ts").alias("vts"), "value")
+    )
+    res = asof_join_cogrouped(
+        purchases, views, on="user_id", left_ts="ts", right_ts="vts",
+        value_cols=["value"],
+    )
+    return res.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
+        F.round("asof_value", 6).alias("asof_value"),
+    ).orderBy("event_id")

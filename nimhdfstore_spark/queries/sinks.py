@@ -155,3 +155,71 @@ def q33(spark, sf_dir):
             f"zone map pruned nothing: {scanned}/{total} files scanned"
         )
     return out.orderBy("_rowid")
+
+
+# --------------------------------------------------------------------------
+# q35 — OPTIMIZE-style Z-order re-clustering + zone-map synergy: after
+# cluster_by(morton(l_partkey, l_suppkey)) the file layout covers small
+# squares of the (partkey, suppkey) space, so a value filter on EITHER key
+# prunes files through the zone map — while every positional read stays
+# correct because _rowid values never change.
+# --------------------------------------------------------------------------
+
+_Q35_SQL = f"""
+SELECT * FROM ({{rowid_over}})
+WHERE l_partkey BETWEEN 0 AND 127 ORDER BY _rowid
+"""
+
+
+@query(
+    "q35_zorder_recluster",
+    _Q35_SQL.format(rowid_over=rowid_over("lineitem")),
+)
+def q35(spark, sf_dir):
+    from nimhdfstore_spark.operators.zorder import morton_code
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.tables import load_pos, table_nrows
+
+    store = scratch_store(spark, f"q35-{os.path.basename(sf_dir)}")
+    store.rows_per_file = max(4096, table_nrows(sf_dir, "lineitem") // 12)
+    t = store.put("li_z", load_pos(spark, sf_dir, "lineitem"), overwrite=True)
+    t.cluster_by(morton_code("l_partkey", "l_suppkey"))
+    out, scanned, total = t.scan_between("l_partkey", 0, 127)
+    if total > 2 and scanned >= total:
+        raise AssertionError(
+            f"z-order + zone map pruned nothing: {scanned}/{total}"
+        )
+    return out.orderBy("_rowid")
+
+
+# --------------------------------------------------------------------------
+# q36 — ANALYZE TABLE catalog statistics: one stack+groupBy pass computes
+# per-column (count, nulls, exact NDV, min, max), persists them as attrs
+# (readable without a scan), and the attrs round-trip is asserted through a
+# fresh table handle in-query.
+# --------------------------------------------------------------------------
+
+_Q36_COLS = ("o_custkey", "o_orderkey", "o_totalprice")
+
+_Q36_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, CAST(COUNT({c}) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v
+FROM orders"""
+    for c in _Q36_COLS
+) + " ORDER BY col_name"
+
+
+@query("q36_analyze_table_stats", _Q36_SQL)
+def q36(spark, sf_dir):
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.tables import load_pos
+
+    store = scratch_store(spark, f"q36-{os.path.basename(sf_dir)}")
+    t = store.put("orders_s", load_pos(spark, sf_dir, "orders"), overwrite=True)
+    stats = t.analyze(list(_Q36_COLS))
+    persisted = store.table("orders_s").attrs.get("stats", {})
+    if set(persisted) != set(_Q36_COLS):
+        raise AssertionError(f"stats attrs did not persist: {persisted}")
+    return stats.orderBy("col_name")

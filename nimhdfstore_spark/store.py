@@ -447,11 +447,21 @@ class Store:
         out.sort(key=lambda e: e["lo"])
         return out
 
-    def _write_files(self, name: str, snap: str, body: DataFrame, codec: str) -> None:
+    def _write_files(
+        self,
+        name: str,
+        snap: str,
+        body: DataFrame,
+        codec: str,
+        cluster: list | None = None,
+    ) -> None:
         # Range-shuffle on _rowid (AQE picks the partition count), sort within
         # partitions, and cap rows per output file: sorted non-overlapping
-        # files without needing a row count up front.
-        out = body.repartitionByRange(F.col(ROWID)).sortWithinPartitions(ROWID)
+        # files without needing a row count up front. With ``cluster`` the
+        # physical order is the cluster key instead (Table.cluster_by).
+        keys = [F.col(c) if isinstance(c, str) else c for c in cluster] if cluster \
+            else [F.col(ROWID)]
+        out = body.repartitionByRange(*keys).sortWithinPartitions(*keys)
         (
             out.write.mode("overwrite")
             .option("compression", codec)
@@ -741,6 +751,7 @@ class Table:
         keep: list[dict],
         rewrite: DataFrame | None,
         rewrite_count: int,
+        cluster: list | None = None,
     ) -> None:
         """Commit a new snapshot = hardlinked ``keep`` files + the written-out
         ``rewrite`` frame. Only ``rewrite_count`` rows move; everything in
@@ -756,7 +767,7 @@ class Table:
         old_dir = self.snapshot_path
         new_dir = os.path.join(store._table_dir(self.name), snap)
         if rewrite is not None and rewrite_count > 0:
-            store._write_files(self.name, snap, rewrite, self.codec)
+            store._write_files(self.name, snap, rewrite, self.codec, cluster=cluster)
         else:
             os.makedirs(new_dir, exist_ok=True)
         for e in keep:
@@ -861,6 +872,58 @@ class Table:
         ``rows_per_file`` sizing and tight ``_rowid`` row-group stats (the
         maintenance job a 100 TB deployment schedules off-peak)."""
         self._commit_pruned([], self.df(), self.nrows)
+
+    def analyze(self, columns: list[str]) -> DataFrame:
+        """ANALYZE TABLE — one-pass per-column statistics (non-null count,
+        nulls, exact NDV, min, max) over numeric columns, persisted into the
+        table's attrs so catalog consumers read them without a scan (the
+        stats side of a lakehouse manifest; the reference's only stat is the
+        row count, nimtables.nim:115).
+
+        Plan shape: unpivot via ``stack`` then ONE grouped aggregation — a
+        single shuffle keyed by column name regardless of how many columns
+        are analyzed (vs. one job per column). Values widen to double."""
+        if not columns:
+            raise StoreError("analyze needs at least one column")
+        have = set(self.df().columns)
+        missing = [c for c in columns if c not in have]
+        if missing:
+            raise StoreError(f"no such column(s): {missing}")
+        pairs = ", ".join(f"'{c}', cast({c} as double)" for c in columns)
+        longf = self.df().select(
+            F.expr(f"stack({len(columns)}, {pairs}) as (col_name, v)")
+        )
+        stats = longf.groupBy("col_name").agg(
+            F.count("v").alias("n"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+            F.countDistinct("v").alias("ndv"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        rows = stats.collect()
+        self.set_attrs(stats={
+            r["col_name"]: {
+                "n": r["n"], "n_null": r["n_null"], "ndv": r["ndv"],
+                "min": r["min_v"], "max": r["max_v"],
+            }
+            for r in rows
+        })
+        return self.store.spark.createDataFrame(rows, stats.schema)
+
+    def cluster_by(self, *cluster_cols) -> None:
+        """OPTIMIZE-ZORDER-style physical re-clustering: rewrite the current
+        snapshot ordered by ``cluster_cols`` (plain columns or expressions —
+        e.g. ``operators.zorder.morton_code``) instead of ``_rowid``.
+
+        ``_rowid`` VALUES are untouched, so every positional/logical read
+        stays correct; the trade is physical: per-file ``_rowid`` spans
+        widen (positional range reads prune fewer files) while the cluster
+        columns' per-file spans tighten — zone maps (``scan_between``) and
+        Parquet row-group stats on those columns start skipping files. The
+        lakehouse OPTIMIZE job, expressed on the snapshot store."""
+        if not cluster_cols:
+            raise StoreError("cluster_by needs at least one column")
+        self._commit_pruned([], self.df(), self.nrows, cluster=list(cluster_cols))
 
     def update_rows(self, df: DataFrame) -> None:
         """Scatter update: replace the rows whose ``_rowid`` values appear in

@@ -215,3 +215,77 @@ class TestZoneMap:
         out, scanned, total = t.scan_between("s", "v10", "v13")
         got = sorted(r["s"] for r in out.collect())
         assert got == ["v10", "v11", "v12", "v13"]
+
+
+class TestClusterAnalyze:
+    def _store_table(self, spark, tmp_path):
+        from nimhdfstore_spark.rowid import ROWID
+        from nimhdfstore_spark.store import Store
+
+        store = Store(spark, str(tmp_path / "cstore"), rows_per_file=25)
+        df = spark.createDataFrame(
+            [(i, i % 40, (i * 7) % 40, float(i)) for i in range(200)],
+            f"{ROWID} long, a long, b long, v double",
+        )
+        return store, store.put("t", df)
+
+    def test_cluster_by_preserves_logical_table(self, spark, tmp_path):
+        from nimhdfstore_spark.operators.zorder import morton_code
+
+        store, t = self._store_table(spark, tmp_path)
+        before = sorted(tuple(r) for r in t.df().collect())
+        t.cluster_by(morton_code("a", "b"))
+        after = sorted(tuple(r) for r in t.df().collect())
+        assert before == after  # same rows, same _rowid values
+        # positional read still exact after physical reorder
+        assert t[5].collect()[0]["a"] == 5 % 40
+
+    def test_cluster_tightens_value_spans(self, spark, tmp_path):
+        store, t = self._store_table(spark, tmp_path)
+        spans_before = [
+            (z["hi"] - z["lo"]) for z in t.zone_map("a") if z["ok"]
+        ]
+        t.cluster_by("a")
+        spans_after = [
+            (z["hi"] - z["lo"]) for z in t.zone_map("a") if z["ok"]
+        ]
+        assert sum(spans_after) < sum(spans_before)
+
+    def test_analyze_values_and_persistence(self, spark, tmp_path):
+        store, t = self._store_table(spark, tmp_path)
+        stats = {r["col_name"]: r for r in t.analyze(["a", "v"]).collect()}
+        assert stats["a"]["n"] == 200 and stats["a"]["ndv"] == 40
+        assert stats["v"]["min_v"] == 0.0 and stats["v"]["max_v"] == 199.0
+        # persisted through a fresh handle
+        again = store.table("t").attrs["stats"]
+        assert again["a"]["ndv"] == 40
+
+    def test_analyze_unknown_column(self, spark, tmp_path):
+        from nimhdfstore_spark.store import StoreError
+
+        store, t = self._store_table(spark, tmp_path)
+        with pytest.raises(StoreError):
+            t.analyze(["nope"])
+
+
+class TestCogroupAsof:
+    def test_matches_window_form(self, spark):
+        from nimhdfstore_spark.operators.asof import asof_join, asof_join_cogrouped
+
+        left = spark.createDataFrame(
+            [(i, i % 5, 100 + i * 3) for i in range(40)],
+            "event_id long, user_id long, ts long",
+        )
+        right = spark.createDataFrame(
+            [(u, 100 + k * 7, float(u * 100 + k)) for u in range(4) for k in range(10)],
+            "user_id long, vts long, value double",
+        )
+        a = asof_join(
+            left, right.withColumnRenamed("vts", "ts"), on="user_id",
+            left_ts="ts", right_ts="ts", value_cols=["value"],
+        ).select("event_id", "asof_value")
+        b = asof_join_cogrouped(
+            left, right, on="user_id", left_ts="ts", right_ts="vts",
+            value_cols=["value"],
+        ).select("event_id", "asof_value")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
