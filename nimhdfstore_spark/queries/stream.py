@@ -418,3 +418,37 @@ def x_stream_countmin(spark, sf_dir):
         .orderBy(F.desc("cm_estimate"), "user_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# x127 — streaming MERGE upsert into the store (CDC-consumer / materialized
+# view maintenance): two staged files force >= 2 micro-batches, each batch
+# merge-upserts per-user totals in ONE snapshot commit; additive int64
+# fixed-point measures make the result independent of batch boundaries, so
+# the oracle is the one-shot batch rollup.
+# --------------------------------------------------------------------------
+
+_X127_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_fp
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("x127_stream_merge_upsert", _X127_SQL)
+def x_stream_merge(spark, sf_dir):
+    import os as _os
+
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.streaming.windows import stream_merge_into_store
+
+    store = scratch_store(spark, f"x127-{_os.path.basename(sf_dir)}")
+    if "user_totals" in store:
+        store.drop("user_totals")
+    stream_merge_into_store(spark, sf_dir, store, "user_totals")
+    return (
+        store.table("user_totals")
+        .df()
+        .select("user_id", "n", "sum_fp")
+        .orderBy("user_id")
+    )

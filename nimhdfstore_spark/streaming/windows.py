@@ -465,3 +465,77 @@ def countmin_user_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_merge_into_store(
+    spark: SparkSession,
+    events_dir: str,
+    store,
+    name: str = "user_totals",
+) -> None:
+    """Streaming UPSERT into the positional store — the CDC-consumer write
+    path: each micro-batch's per-user totals MERGE into a keyed store table
+    (update existing users in place, append new ones) in one snapshot
+    commit per batch. Contrast with stream_into_store (pure positional
+    append = packet table): this is the materialized-view maintenance
+    shape, and the additive measures commute so the result is independent
+    of batch boundaries.
+
+    Source is staged as TWO files with maxFilesPerTrigger=1, forcing at
+    least two micro-batches — the multi-batch merge path is what's under
+    test; availableNow drains and stops. Measures are int64 fixed-point
+    (value*100) so incremental == one-shot bit-for-bit."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = spark.read.parquet(os.path.join(events_dir, "events.parquet"))
+    staged = os.path.join(store.root, "_staged_events")
+    _shutil.rmtree(staged, ignore_errors=True)
+    src.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(staged)
+    src.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(staged)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+
+    def rollup(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sum_fp"),
+        )
+
+    def upsert(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = rollup(batch_df)
+        if name in store:
+            t = store.table(name)
+            cur = t.df().select("user_id", "n", "sum_fp")
+            payload = (
+                delta.alias("d")
+                .join(cur.alias("c"), "user_id", "left")
+                .select(
+                    "user_id",
+                    (F.coalesce(F.col("c.n"), F.lit(0)) + F.col("d.n")).alias("n"),
+                    (F.coalesce(F.col("c.sum_fp"), F.lit(0))
+                     + F.col("d.sum_fp")).alias("sum_fp"),
+                )
+            )
+            t.merge(payload, "user_id")
+        else:
+            store.put(name, delta, order_by=["user_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(store.root, f"_ckpt_merge_{_uuid.uuid4().hex[:8]}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
