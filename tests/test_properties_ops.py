@@ -364,3 +364,97 @@ def test_salted_join_equals_plain_join(spark, seed):
         (k, i, {7: "hot", 11: "warm", 13: "cold"}[k]) for k, i in fact_rows
     )
     assert got == want  # exactly one dim match per fact row, none lost/duped
+
+
+# --------------------------------------------------------------------------
+# Engine-parity properties for the sketch hash family: a pure-Python twin
+# of sample_hash / the Bloom bitmap is compared against the DuckDB SQL
+# fragments for RANDOM ids (negative, huge) and salts — this is the
+# arithmetic every sketch query's oracle equality rests on, checked without
+# spinning Spark jobs per example.
+# --------------------------------------------------------------------------
+
+import duckdb as _duck
+
+from nimhdfstore_spark.queries.sampling import _h as _sql_h
+
+_M32 = 1 << 32
+
+
+def _py_h(x: int, salt: int = 0) -> int:
+    h = ((x % _M32) + _M32) % _M32
+    h = h ^ ((salt * 40503 + 17) % _M32)
+    h = h * 40503 % _M32
+    h = (h ^ (h // 65536)) * 65599 % _M32
+    return h
+
+
+@given(
+    ids=st.lists(st.integers(-(1 << 62), 1 << 62), min_size=1, max_size=20),
+    salt=st.integers(0, 300),
+)
+@settings(max_examples=100, deadline=None)
+def test_sql_hash_matches_python_twin(ids, salt):
+    con = _duck.connect()
+    try:
+        vals = ", ".join(f"({v})" for v in ids)
+        got = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {_sql_h('x', salt=salt)} FROM (VALUES {vals}) t(x)"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    assert got == [_py_h(v, salt) for v in ids]
+
+
+@given(
+    members=st.sets(st.integers(-(1 << 40), 1 << 40), min_size=1, max_size=30),
+)
+@settings(max_examples=50, deadline=None)
+def test_bloom_bitmap_sql_twin_no_false_negative(members):
+    """The 63-bit-word bitmap arithmetic, as emitted into the x113 oracle,
+    must flag every true member for arbitrary (incl. negative) keys."""
+    from nimhdfstore_spark.operators.sketches import BLOOM_K, BLOOM_M_BITS, BLOOM_SALT0
+
+    # python bitmap
+    words: dict[int, int] = {}
+    for x in members:
+        for i in range(BLOOM_K):
+            pos = _py_h(x, BLOOM_SALT0 + i) % BLOOM_M_BITS
+            words[pos // 63] = words.get(pos // 63, 0) | (1 << (pos % 63))
+    for x in members:
+        assert all(
+            (words.get(
+                (_py_h(x, BLOOM_SALT0 + i) % BLOOM_M_BITS) // 63, 0
+            ) >> ((_py_h(x, BLOOM_SALT0 + i) % BLOOM_M_BITS) % 63)) & 1
+            for i in range(BLOOM_K)
+        )
+    # duckdb twin over the same members
+    con = _duck.connect()
+    try:
+        vals = ", ".join(f"({v})" for v in members)
+        unions = " UNION ALL ".join(
+            f"SELECT ({_sql_h('x', salt=BLOOM_SALT0 + i)}) % {BLOOM_M_BITS} AS pos "
+            f"FROM m"
+            for i in range(BLOOM_K)
+        )
+        n_missed = con.execute(f"""
+            WITH m AS (SELECT x FROM (VALUES {vals}) t(x)),
+            pos AS ({unions}),
+            bitmap AS (SELECT pos // 63 AS word,
+                              bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+                       FROM pos GROUP BY 1),
+            probe AS ({" UNION ALL ".join(
+                f"SELECT x, ({_sql_h('x', salt=BLOOM_SALT0 + i)}) % {BLOOM_M_BITS} AS pos FROM m"
+                for i in range(BLOOM_K))}),
+            hits AS (SELECT p.x,
+                            MIN((COALESCE(b.bits, 0) >> CAST(p.pos % 63 AS INT)) & 1) AS hit
+                     FROM probe p LEFT JOIN bitmap b ON p.pos // 63 = b.word
+                     GROUP BY p.x)
+            SELECT COUNT(*) FROM hits WHERE hit = 0
+        """).fetchone()[0]
+    finally:
+        con.close()
+    assert n_missed == 0
