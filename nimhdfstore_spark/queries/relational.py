@@ -1211,11 +1211,28 @@ def x124(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@query("x126_asof_cogrouped", _X75_SQL)
+_X126_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase' AND user_id % 5 = 0),
+v AS (SELECT user_id, ts, MAX(value) AS value FROM events
+      WHERE event_type = 'view' AND user_id % 5 = 0 GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts,
+       ROUND(v.value, 6) AS asof_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
+@query("x126_asof_cogrouped", _X126_SQL)
 def x126(spark, sf_dir):
     from nimhdfstore_spark.operators.asof import asof_join_cogrouped
 
-    ev = load(spark, sf_dir, "events")
+    # 1/5 of the users: the query pins cogroup-vs-window PARITY, and the
+    # cogrouped form pays per-group Python+Arrow overhead by design (12.9 s
+    # at sf0.1 full-width vs 0.6 s for the JVM window form x75) — the
+    # subset keeps the parity pin cheap without changing what's tested
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 5 == 0)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
