@@ -289,3 +289,42 @@ class TestCogroupAsof:
             value_cols=["value"],
         ).select("event_id", "asof_value")
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestNewPlanGates:
+    def _plan(self, spark, name):
+        from nimhdfstore_spark.queries import QUERIES, load_all
+
+        load_all()
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_bloom_bitmap_broadcast(self, spark):
+        plan = self._plan(spark, "x113_bloom_filter_probe")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_countmin_sketch_broadcast(self, spark):
+        plan = self._plan(spark, "x114_countmin_heavy_hitters")
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q15_no_global_window(self, spark):
+        # max-of-agg must be a broadcast of the 1-row aggregate, not a
+        # single-task empty-partition window
+        plan = self._plan(spark, "x106_tpch_q15_top_supplier")
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_pagerank_no_cartesian(self, spark):
+        plan = self._plan(spark, "x116_pagerank_trade")
+        assert "CartesianProduct" not in plan
+
+    def test_json_extract_stays_jvm_and_pruned(self, spark):
+        # the AQE pre-final plan string has no WholeStageCodegen markers;
+        # what matters: no Python eval nodes, and the scan reads only the
+        # two referenced columns (pruning past the JSON expression)
+        plan = self._plan(spark, "x120_json_extract_agg")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "get_json_object" in plan
+        assert "struct<event_type:string,props:string>" in plan
