@@ -1256,3 +1256,132 @@ def x126(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
         F.round("asof_value", 6).alias("asof_value"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# x128 — date/interval function suite: truncation grains, interval
+# arithmetic, month boundaries, day-level diffs. Timestamps render through
+# strftime/date_format so the checked values are engine-neutral strings.
+# --------------------------------------------------------------------------
+
+_X128_SQL = """
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+       strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d %H:%M:%S') AS due_45d,
+       strftime(last_day(o_orderdate) , '%Y-%m-%d') AS month_end,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+           AS days_since_epoch0,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       CAST(quarter(o_orderdate) AS INT) AS q
+FROM orders WHERE o_orderkey % 200 = 0 ORDER BY o_orderkey
+"""
+
+
+@query("x128_date_functions", _X128_SQL)
+def x128(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 200 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_trunc("week", d), "yyyy-MM-dd").alias("week_start"),
+        F.date_format(d + F.expr("INTERVAL 45 DAY"), "yyyy-MM-dd HH:mm:ss").alias(
+            "due_45d"
+        ),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch0"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.quarter(d).cast("int").alias("q"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# x129 — null-semantics suite: null-safe equality join (<=> / IS NOT
+# DISTINCT FROM), COALESCE/NULLIF, and explicit NULLS FIRST ordering — the
+# three places engines commonly diverge silently.
+# --------------------------------------------------------------------------
+
+_X129_SQL = """
+WITH a AS (
+  SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+  FROM customer WHERE c_custkey % 40 = 0
+),
+b AS (
+  SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg, c_nationkey % 3 AS g
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT a.c_custkey, COALESCE(a.seg, '<null>') AS seg_filled,
+       CAST(b.g AS BIGINT) AS g,
+       ROUND(COALESCE(a.c_acctbal, 0.0), 2) AS bal
+FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+ORDER BY seg_filled NULLS FIRST, a.c_custkey, g
+"""
+
+
+@query("x129_null_semantics", _X129_SQL)
+def x129(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_custkey") % 40 == 0).select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg"),
+        "c_acctbal",
+    )
+    b = (
+        cust.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.nullif("c_mktsegment", F.lit("BUILDING")).alias("bseg"),
+            (F.col("c_nationkey") % 3).cast("long").alias("g"),
+        )
+        .distinct()
+    )
+    return (
+        a.join(b, a.seg.eqNullSafe(b.bseg))
+        .select(
+            "c_custkey",
+            F.coalesce("seg", F.lit("<null>")).alias("seg_filled"),
+            "g",
+            F.round(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("bal"),
+        )
+        .orderBy(F.col("seg_filled").asc_nulls_first(), "c_custkey", "g")
+    )
+
+
+# --------------------------------------------------------------------------
+# x130 — exact decimal arithmetic: money lands in DECIMAL(18,2) and the
+# aggregate is EXACT on both engines — no ROUND smoothing, no float-sum
+# order sensitivity. The fixed-point discipline used by the iterative
+# operators, available natively for currency.
+# --------------------------------------------------------------------------
+
+_X130_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(20,2))
+            AS VARCHAR) AS total_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4))
+            AS VARCHAR) AS weighted
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("x130_decimal_exact_agg", _X130_SQL)
+def x130(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # compared as scale-preserving STRINGS: DuckDB's pandas bridge
+            # coerces DECIMAL to float64, which would undo the exactness
+            # this query exists to demonstrate
+            F.sum(price).cast("decimal(20,2)").cast("string").alias("total_price"),
+            F.sum(price * qty).cast("decimal(30,4)").cast("string").alias("weighted"),
+        )
+        .orderBy("l_returnflag")
+    )
