@@ -408,3 +408,53 @@ def create_dataset(
 
 def open_dataset(store: Store, name: str) -> Dataset:
     return Dataset(store[name])
+
+
+# --------------------------------------------------------------------------
+# A6 — dimension scales (hl/H5DSpublic.nim:36-56): named coordinate scales
+# attached to dataset axes. A scale IS another (1-d) dataset in the same
+# store; the attachment is pure metadata on the target's attrs, so it costs
+# nothing at read time and survives snapshots/copies like every attr.
+# --------------------------------------------------------------------------
+
+def set_scale(ds: Dataset, name: str) -> None:
+    """Mark a 1-d dataset as a dimension scale (H5DSset_scale analog)."""
+    if len(ds.shape) != 1:
+        raise StoreError("a dimension scale must be a 1-d dataset")
+    ds.table.set_attrs(dimension_scale=name)
+
+
+def attach_scale(target: Dataset, axis: int, scale: Dataset) -> None:
+    """Attach ``scale`` to ``target``'s ``axis`` (H5DSattach_scale analog).
+    The scale's length must equal the axis extent — the invariant the
+    reference leaves to the caller, checked here."""
+    if not 0 <= axis < len(target.shape):
+        raise StoreError(f"axis {axis} out of range for shape {target.shape}")
+    if "dimension_scale" not in scale.table.attrs:
+        raise StoreError(f"{scale.table.name!r} is not a dimension scale "
+                         "(call set_scale first)")
+    if scale.shape[0] != target.shape[axis]:
+        raise StoreError(
+            f"scale length {scale.shape[0]} != axis extent "
+            f"{target.shape[axis]}"
+        )
+    scales = dict(target.table.attrs.get("dim_scales", {}))
+    scales[str(axis)] = scale.table.name
+    target.table.set_attrs(dim_scales=scales)
+
+
+def get_scales(target: Dataset) -> dict[int, str]:
+    """axis → scale-table-name map (H5DSget_label/iterate analog)."""
+    return {
+        int(k): v for k, v in target.table.attrs.get("dim_scales", {}).items()
+    }
+
+
+def detach_scale(target: Dataset, axis: int) -> None:
+    """H5DSdetach_scale analog; detaching an unattached axis is an error
+    (unlike the reference's silent no-ops — SURVEY §2.9 stance)."""
+    scales = dict(target.table.attrs.get("dim_scales", {}))
+    if str(axis) not in scales:
+        raise StoreError(f"no scale attached to axis {axis}")
+    del scales[str(axis)]
+    target.table.set_attrs(dim_scales=scales)

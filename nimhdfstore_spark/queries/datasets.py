@@ -93,3 +93,60 @@ def q19(spark, sf_dir):
     assert ds.shape == [8, 4]
     sel = ds.hyperslab([0, 0], [5, 4]).unionByName(ds.hyperslab([6, 0], [2, 4]))
     return sel.orderBy(ROWID)
+
+
+# --------------------------------------------------------------------------
+# q37 — A6 dimension scales (hl/H5DSpublic.nim:36-56, the one remaining
+# documented-only row): scales are 1-d datasets attached to axes as
+# metadata; the query uses them the way an analyst would — joining each
+# axis coordinate to its scale's value to LABEL a hyperslab read. The
+# oracle recomputes labels from the same linear arithmetic.
+# --------------------------------------------------------------------------
+
+_Q37_SQL = f"""
+WITH cells AS (
+  SELECT id AS {ROWID}, CAST(id AS DOUBLE) AS value,
+         (id // 4) % 6 AS i0, id % 4 AS i1
+  FROM range(24) t(id)
+)
+SELECT i0, 100.0 + i0 * 10 AS row_label,
+       i1, 0.5 + i1 AS col_label, value, {ROWID}
+FROM cells WHERE i0 % 2 = 0 ORDER BY {ROWID}
+"""
+
+
+@query("q37_dimension_scales", _Q37_SQL)
+def q37(spark, sf_dir):
+    from nimhdfstore_spark.datasets import (
+        attach_scale, create_dataset, get_scales, set_scale,
+    )
+
+    store = scratch_store(spark, f"q37-{os.path.basename(sf_dir)}")
+    ds = _linear_dataset(spark, sf_dir, "q37", 24, [6, 4])
+    rows = create_dataset(
+        store, "row_scale", [100.0 + i * 10 for i in range(6)], overwrite=True
+    )
+    cols = create_dataset(
+        store, "col_scale", [0.5 + i for i in range(4)], overwrite=True
+    )
+    set_scale(rows, "row-centers")
+    set_scale(cols, "col-centers")
+    attach_scale(ds, 0, rows)
+    attach_scale(ds, 1, cols)
+    # re-open through the catalog: the attachment is durable metadata
+    names = get_scales(Dataset(ds.table.store.table("dset")))
+    if names != {0: "row_scale", 1: "col_scale"}:
+        raise AssertionError(f"scale attachment did not persist: {names}")
+    body = ds.df().where(F.col("i0") % 2 == 0)
+    rlab = rows.df().select(
+        F.col("i0").alias("r_i"), F.col("value").alias("row_label")
+    )
+    clab = cols.df().select(
+        F.col("i0").alias("c_i"), F.col("value").alias("col_label")
+    )
+    return (
+        body.join(F.broadcast(rlab), body.i0 == rlab.r_i)
+        .join(F.broadcast(clab), body.i1 == clab.c_i)
+        .select("i0", "row_label", "i1", "col_label", "value", ROWID)
+        .orderBy(ROWID)
+    )

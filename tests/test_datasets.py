@@ -119,3 +119,36 @@ def test_resize_rank_change_rejected(store, spark):
         d.resize([2])
     with pytest.raises(StoreError):
         d.resize([2, 0])
+
+
+class TestDimensionScales:
+    def test_attach_detach_and_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from nimhdfstore_spark.datasets import (
+            Dataset, attach_scale, create_dataset, detach_scale, get_scales,
+            set_scale,
+        )
+        from nimhdfstore_spark.store import Store, StoreError
+
+        store = Store(spark, str(tmp_path / "dsstore"))
+        target = create_dataset(store, "grid", [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+        scale3 = create_dataset(store, "s3", [10.0, 20.0, 30.0])
+        scale2 = create_dataset(store, "s2", [0.1, 0.2])
+        with _pytest.raises(StoreError):
+            attach_scale(target, 0, scale3)  # not marked as a scale yet
+        set_scale(scale3, "rows")
+        set_scale(scale2, "cols")
+        attach_scale(target, 0, scale3)
+        attach_scale(target, 1, scale2)
+        with _pytest.raises(StoreError):
+            attach_scale(target, 0, scale2)  # length 2 != axis extent 3
+        with _pytest.raises(StoreError):
+            attach_scale(target, 5, scale3)  # axis out of range
+        # durable through a fresh handle
+        again = Dataset(store.table("grid"))
+        assert get_scales(again) == {0: "s3", 1: "s2"}
+        detach_scale(again, 0)
+        assert get_scales(Dataset(store.table("grid"))) == {1: "s2"}
+        with _pytest.raises(StoreError):
+            detach_scale(again, 0)  # already detached: explicit error
