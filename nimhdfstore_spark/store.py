@@ -52,6 +52,58 @@ _SNAP = "snap-{:08d}"
 _GMETA = "_gmeta.json"
 
 
+def _file_zone_stats(path: str, column: str, name: str):
+    """(name, lo, hi, ok) from one Parquet file's footer for ``column``.
+    ``ok=False`` (no pruning, always scan — safe) when stats are absent."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = next(
+        (i for i in range(md.num_columns) if md.schema.column(i).name == column),
+        None,
+    )
+    if idx is None:
+        return (name, None, None, False)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return (name, None, None, False)
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (name, lo, hi, lo is not None)
+
+
+def _encode_stat(v) -> str | None:
+    """Type-tagged string transport for footer stats through an Arrow batch
+    (file stats are heterogeneous: int, float, str — a uniform string
+    column keeps the job schema fixed). Exact for int/str; exact for float
+    via repr (shortest round-trip). Unsupported types encode as None and
+    the file is marked un-prunable (safe)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    return None
+
+
+def _parse_stat(t: str | None):
+    if t is None:
+        return None
+    tag, val = t[:2], t[2:]
+    if tag == "i:":
+        return int(val)
+    if tag == "f:":
+        return float(val)
+    if tag == "s:":
+        return val
+    return None
+
+
 def _check_key(name: str) -> None:
     """Validate a table/group key. Beyond the character class, every
     path segment must be a real name — '', '.' and '..' segments would
@@ -507,44 +559,80 @@ class Table:
 
     _ZONE_CACHE: dict = {}
 
-    def zone_map(self, column: str) -> list[dict]:
+    #: above this many files the footer sweep runs as a cluster job
+    _ZONE_DISTRIBUTED_THRESHOLD = 64
+
+    def zone_map(self, column: str, distributed: bool | None = None) -> list[dict]:
         """Per-file (min, max) of ``column`` from Parquet footers — a
         zone-map / small-materialized-aggregates index over a VALUE column
         (the positional catalog in ``_meta['files']`` covers only _rowid).
-        Footer-only: no data pages are read. Cached per (snapshot, column)
-        — snapshot dirs are immutable, so the map never staleness-checks.
+        Footer-only: no data pages are read anywhere. Cached per
+        (snapshot, column) — snapshot dirs are immutable snapshots, so the
+        map never staleness-checks.
 
-        At 100 TB the footer sweep would run as a distributed per-file job
-        exactly like rowid._keys_sorted_distributed; driver-side here keeps
-        the test-scale path simple (documented trade-off, same verdict)."""
+        Execution: a driver loop for small catalogs; past
+        ``_ZONE_DISTRIBUTED_THRESHOLD`` files (or with ``distributed=True``)
+        a one-task-per-file cluster job collects one stats row per file —
+        the rowid._keys_sorted_distributed shape, so at 100 TB the driver
+        touches no footers at all."""
+        if column not in self.df().columns:
+            raise StoreError(f"no such column: {column!r}")
         key = (self.snapshot_path, column)
         cached = Table._ZONE_CACHE.get(key)
         if cached is not None:
             return cached
-        import pyarrow.parquet as pq
-
-        out = []
-        for e in self._meta["files"]:
-            f = os.path.join(self.snapshot_path, e["name"])
-            md = pq.ParquetFile(f).metadata
-            idx = next(
-                (i for i in range(md.num_columns)
-                 if md.schema.column(i).name == column), None
-            )
-            if idx is None:
-                raise StoreError(f"no such column: {column!r}")
-            lo = hi = None
-            ok = True
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            out.append({"name": e["name"], "lo": lo, "hi": hi, "ok": ok})
+        names = [e["name"] for e in self._meta["files"]]
+        if distributed is None:
+            distributed = len(names) > Table._ZONE_DISTRIBUTED_THRESHOLD
+        if distributed and names:
+            out = self._zone_map_distributed(column, names)
+        else:
+            out = []
+            for n in names:
+                nm, lo, hi, ok = _file_zone_stats(
+                    os.path.join(self.snapshot_path, n), column, n
+                )
+                out.append({"name": nm, "lo": lo, "hi": hi, "ok": ok})
         Table._ZONE_CACHE[key] = out
         return out
+
+    def _zone_map_distributed(self, column: str, names: list[str]) -> list[dict]:
+        spark = self.store.spark
+        snap = self.snapshot_path
+        spec = spark.createDataFrame(
+            [(n,) for n in names], "name string"
+        ).repartition(len(names))
+
+        def stats(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for n in pdf["name"]:
+                    name, lo, hi, ok = _file_zone_stats(
+                        os.path.join(snap, n), column, n
+                    )
+                    elo, ehi = _encode_stat(lo), _encode_stat(hi)
+                    # encodable or un-prunable: never let a type we can't
+                    # transport silently widen to "prunes everything"
+                    if ok and (elo is None or ehi is None):
+                        ok = False
+                    rows.append((name, elo, ehi, ok))
+                yield pd.DataFrame(rows, columns=["name", "lo", "hi", "ok"])
+
+        collected = spec.mapInPandas(
+            stats, "name string, lo string, hi string, ok boolean"
+        ).collect()
+        by_name = {r["name"]: r for r in collected}
+        return [
+            {
+                "name": n,
+                "lo": _parse_stat(by_name[n]["lo"]),
+                "hi": _parse_stat(by_name[n]["hi"]),
+                "ok": bool(by_name[n]["ok"]),
+            }
+            for n in names
+        ]
 
     def scan_between(self, column: str, lo, hi) -> tuple[DataFrame, int, int]:
         """Value-range scan through the zone map: files whose [min, max]

@@ -328,3 +328,37 @@ class TestNewPlanGates:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "get_json_object" in plan
         assert "struct<event_type:string,props:string>" in plan
+
+
+class TestZoneMapDistributed:
+    def test_distributed_equals_driver_path(self, spark, tmp_path):
+        from nimhdfstore_spark.rowid import ROWID
+        from nimhdfstore_spark.store import Store, Table
+
+        store = Store(spark, str(tmp_path / "dzstore"), rows_per_file=10)
+        df = spark.createDataFrame(
+            [(i, i * 3, float(i) / 7, f"v{i:03d}") for i in range(80)],
+            f"{ROWID} long, k long, x double, s string",
+        )
+        t = store.put("t", df)
+        for col in ("k", "x", "s"):
+            drv = t.zone_map(col, distributed=False)
+            Table._ZONE_CACHE.clear()
+            dist = t.zone_map(col, distributed=True)
+            Table._ZONE_CACHE.clear()
+            assert drv == dist, f"paths disagree for {col}"
+
+    def test_distributed_prunes_identically(self, spark, tmp_path):
+        from nimhdfstore_spark.rowid import ROWID
+        from nimhdfstore_spark.store import Store, Table
+
+        store = Store(spark, str(tmp_path / "dz2"), rows_per_file=10)
+        df = spark.createDataFrame(
+            [(i, i) for i in range(100)], f"{ROWID} long, k long"
+        )
+        t = store.put("t", df)
+        Table._ZONE_CACHE.clear()
+        t.zone_map("k", distributed=True)  # warm the cache from the job
+        out, scanned, total = t.scan_between("k", 35, 44)
+        assert scanned < total
+        assert sorted(r["k"] for r in out.collect()) == list(range(35, 45))
