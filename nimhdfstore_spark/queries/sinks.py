@@ -223,3 +223,39 @@ def q36(spark, sf_dir):
     if set(persisted) != set(_Q36_COLS):
         raise AssertionError(f"stats attrs did not persist: {persisted}")
     return stats.orderBy("col_name")
+
+
+# --------------------------------------------------------------------------
+# q38 — Python DataSource connector (Spark 4 DSv2-python): the store read
+# through spark.read.format("nimhdfstore"), with positional predicates
+# pushed into the source's planner — partitions whose catalog (lo, hi)
+# span cannot intersect are never created (tests/test_pyds.py pins the
+# pruning; here the values must hash-match the library read path).
+# --------------------------------------------------------------------------
+
+_Q38_SQL = f"""
+SELECT * FROM ({{rowid_over}}) WHERE _rowid BETWEEN 200 AND 449 ORDER BY _rowid
+"""
+
+
+@query(
+    "q38_python_datasource",
+    _Q38_SQL.format(rowid_over=rowid_over("customer")),
+)
+def q38(spark, sf_dir):
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.sources.pyds import StoreDataSource
+    from nimhdfstore_spark.tables import load_pos
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(StoreDataSource)
+    store = scratch_store(spark, f"q38-{os.path.basename(sf_dir)}")
+    store.rows_per_file = 256
+    store.put("cust", load_pos(spark, sf_dir, "customer"), overwrite=True)
+    back = (
+        spark.read.format("nimhdfstore")
+        .option("store", store.root)
+        .option("table", "cust")
+        .load()
+    )
+    return back.where(F.col("_rowid").between(200, 449)).orderBy("_rowid")

@@ -1,0 +1,163 @@
+"""Python DataSource (Spark 4 DSv2-python) connector for the store:
+``spark.read.format("nimhdfstore").option("store", root).option("table", t)``.
+
+This is the connector boundary SURVEY §4.2 sketched for format
+pluggability, done as a first-class source instead of a library call:
+
+- **planning**: partitions come from the table's ``_meta.json`` file
+  catalog — one input partition per snapshot Parquet file, each carrying
+  its ``_rowid`` (lo, hi) span. No file listing, no footer reads at plan
+  time (the manifest IS the index).
+- **pushdown**: ``pushFilters`` (Spark 4.1) captures ``_rowid`` bounds
+  from the query's predicates and DROPS whole partitions whose span
+  cannot intersect — positional reads prune at the planner, exactly like
+  the reference's chunk-index behavior (nimtables.nim:149-171 via HDF5
+  chunk pruning). All filters are returned to Spark for re-evaluation, so
+  pruning can only skip files, never change results.
+- **execution**: each partition yields PyArrow RecordBatches straight from
+  its one file — columnar end-to-end, no Python row objects.
+
+The store library remains the write path; this source is the read-side
+integration with everything that speaks ``spark.read.format``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+ROWID = "_rowid"
+
+_ARROW_TO_DDL = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "uint32": "bigint", "float": "float", "double": "double",
+    "bool": "boolean", "binary": "binary",
+    "string": "string", "large_string": "string",
+    "timestamp[us]": "timestamp", "timestamp[ns]": "timestamp",
+    "date32[day]": "date",
+}
+
+
+def _arrow_ddl(field) -> str:
+    import pyarrow as pa
+
+    t = field.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        inner = _ARROW_TO_DDL.get(str(t.value_type))
+        if inner is None:
+            raise ValueError(f"unsupported list element type: {t.value_type}")
+        return f"{field.name} array<{inner}>"
+    ddl = _ARROW_TO_DDL.get(str(t))
+    if ddl is None:
+        raise ValueError(f"unsupported arrow type for {field.name}: {t}")
+    return f"{field.name} {ddl}"
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, lo: int, hi: int):
+        self.path, self.lo, self.hi = path, lo, hi
+
+
+def _catalog(options) -> tuple[str, list[dict]]:
+    root, table = options.get("store"), options.get("table")
+    if not root or not table:
+        raise ValueError("nimhdfstore source needs .option('store', ...) "
+                         "and .option('table', ...)")
+    meta_path = os.path.join(root, table, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if "link_to" in meta:
+        return _catalog({**options, "table": meta["link_to"]})
+    snap_dir = os.path.join(root, table, meta["current"])
+    files = [
+        {**e, "path": os.path.join(snap_dir, e["name"])} for e in meta["files"]
+    ]
+    return snap_dir, files
+
+
+class StoreReader(DataSourceReader):
+    def __init__(self, options, schema_names: list[str]):
+        self._snap, self._files = _catalog(options)
+        self._names = schema_names
+        self._lo, self._hi = None, None  # pushed _rowid bounds (inclusive)
+
+    def pushFilters(self, filters):
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not (attr and len(attr) == 1 and attr[0] == ROWID):
+                continue
+            if isinstance(f, EqualTo):
+                self._narrow(f.value, f.value)
+            elif isinstance(f, GreaterThanOrEqual):
+                self._narrow(f.value, None)
+            elif isinstance(f, GreaterThan):
+                self._narrow(f.value + 1, None)
+            elif isinstance(f, LessThanOrEqual):
+                self._narrow(None, f.value)
+            elif isinstance(f, LessThan):
+                self._narrow(None, f.value - 1)
+            # other filter shapes (IsNotNull, ...) just pass through
+        # hand every filter back: pruning only skips files, Spark still
+        # evaluates the predicates row-exactly on what we emit
+        return filters
+
+    def _narrow(self, lo, hi):
+        if lo is not None:
+            self._lo = lo if self._lo is None else max(self._lo, lo)
+        if hi is not None:
+            self._hi = hi if self._hi is None else min(self._hi, hi)
+
+    def partitions(self):
+        out = []
+        for e in self._files:
+            if self._lo is not None and e["hi"] < self._lo:
+                continue
+            if self._hi is not None and e["lo"] > self._hi:
+                continue
+            out.append(_FilePartition(e["path"], e["lo"], e["hi"]))
+        # zero surviving files still needs one (empty) partition: Spark
+        # requires a non-empty partition list only implicitly — an empty
+        # list is accepted and yields an empty scan
+        return out
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        if partition is None:
+            # an empty partitions() list still gets one read(None) call
+            return
+        table = pq.read_table(partition.path, columns=self._names)
+        for batch in table.select(self._names).to_batches():
+            yield batch
+
+
+class StoreDataSource(DataSource):
+    """``spark.dataSource.register(StoreDataSource)`` then
+    ``spark.read.format("nimhdfstore")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "nimhdfstore"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        _snap, files = _catalog(self.options)
+        if not files:
+            raise ValueError("empty table")
+        sch = pq.ParquetFile(files[0]["path"]).schema_arrow
+        return ", ".join(_arrow_ddl(sch.field(i)) for i in range(len(sch)))
+
+    def reader(self, schema) -> StoreReader:
+        return StoreReader(self.options, [f.name for f in schema.fields])
