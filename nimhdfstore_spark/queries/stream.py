@@ -452,3 +452,50 @@ def x_stream_merge(spark, sf_dir):
         .select("user_id", "n", "sum_fp")
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x131 — stream-stream LEFT OUTER join: unmatched purchases emit with null
+# click only after the watermark proves no future click can match. The
+# oracle mirrors the engine's eviction rule: the global watermark is
+# min(max purchase ts, max click ts) - delay (each side's watermark tracks
+# its own filtered stream), and null verdicts inside the final watermark
+# window are withheld — x65's closed-sessions-only discipline, applied to
+# outer joins.
+# --------------------------------------------------------------------------
+
+_X131_SQL = """
+WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS cid, user_id, ts FROM events
+      WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+              - INTERVAL 1 HOUR AS cutoff)
+SELECT p.pid AS purchase_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts,
+       c.cid AS click_id
+FROM p JOIN c ON p.user_id = c.user_id
+  AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+UNION ALL
+SELECT p.pid, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S'), NULL
+FROM p
+WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                  AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts)
+  AND p.ts <= (SELECT cutoff FROM wm)
+ORDER BY purchase_id, click_id
+"""
+
+
+@query("x131_stream_stream_left_outer", _X131_SQL)
+def x_stream_outer(spark, sf_dir):
+    from nimhdfstore_spark.streaming.windows import (
+        purchase_attribution_outer_stream,
+    )
+
+    out = purchase_attribution_outer_stream(spark, sf_dir)
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
+        "click_id",
+    ).orderBy("purchase_id", "click_id")

@@ -539,3 +539,58 @@ def stream_merge_into_store(
         .start()
     )
     q.awaitTermination()
+
+
+def purchase_attribution_outer_stream(
+    spark: SparkSession, events_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics x66's inner join
+    doesn't cover: an unmatched left row is held in state until the
+    watermark PROVES no future right row can match (here: c_ts <= p_ts, so
+    once the watermark passes p_ts), then emits with nulls. With a finite
+    availableNow backfill the final watermark is max(ts) - delay, so
+    purchases inside the last watermark window never get their null
+    verdict — exactly the rows the batch oracle must also exclude (its
+    cutoff filter mirrors the eviction rule; same discipline as x65's
+    closed-sessions-only oracle)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(events_dir, "events.parquet")).schema
+
+    def side(kind: str, alias: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(events_dir)
+        )
+        s = _event_ts(s).where(F.col("event_type") == kind)
+        return s.select(
+            F.col("event_id").alias(f"{alias}_id"),
+            F.col("user_id").alias(f"{alias}_user"),
+            F.col("ts_t").alias(f"{alias}_ts"),
+        ).withWatermark(f"{alias}_ts", "1 hour")
+
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("p_ts"),
+        F.col("c_id").alias("click_id"),
+    )
+    name = f"attro_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
