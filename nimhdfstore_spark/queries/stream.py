@@ -499,3 +499,55 @@ def x_stream_outer(spark, sf_dir):
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
         "click_id",
     ).orderBy("purchase_id", "click_id")
+
+
+# --------------------------------------------------------------------------
+# x132 — event-time TIMEOUT sessionization (applyInPandasWithState with
+# EventTimeTimeout — the state-timeout API member x63's NoTimeout form and
+# x65's engine-native session_window don't cover). Sessions closed by a
+# successor event emit in-batch; each user's trailing open session emits
+# only if its timeout (last event + gap) fires before the final watermark.
+# All arithmetic at epoch-milliseconds on both engines (DuckDB epoch_ms ==
+# pandas micros // 1000 truncation), so gap decisions can't straddle a
+# seconds-granularity rounding difference.
+# --------------------------------------------------------------------------
+
+_X132_SQL = """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+wm AS (SELECT max(ms) - 3600000 AS cutoff FROM e),
+marked AS (
+  SELECT user_id, ms,
+    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+         THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+),
+sess AS (
+  SELECT user_id, ms,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid,
+         CAST(min(ms) AS BIGINT) AS start_ms,
+         CAST(max(ms) AS BIGINT) AS end_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+),
+ranked AS (
+  SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg
+)
+SELECT user_id, start_ms, end_ms, n_events FROM ranked
+WHERE sid < max_sid OR end_ms + 1800000 <= (SELECT cutoff FROM wm)
+ORDER BY user_id, start_ms
+"""
+
+
+@query("x132_stream_timeout_sessions", _X132_SQL)
+def x_stream_timeout_sessions(spark, sf_dir):
+    from nimhdfstore_spark.streaming.windows import timeout_sessions_stream
+
+    out = timeout_sessions_stream(spark, sf_dir, gap_minutes=30)
+    return out.select(
+        "user_id", "start_ms", "end_ms", "n_events"
+    ).orderBy("user_id", "start_ms")

@@ -594,3 +594,89 @@ def purchase_attribution_outer_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def timeout_sessions_stream(
+    spark: SparkSession, events_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Event-time-TIMEOUT sessionization via ``applyInPandasWithState`` —
+    the state-timeout member of the stateful API (x63 uses NoTimeout;
+    engine-native session_window is x65). Per user: a session closes
+    in-batch when a later event arrives past the gap, or by TIMEOUT when
+    the watermark passes last_event + gap with no successor — the open
+    trailing session emits only if its timeout fires before the backfill's
+    final watermark (oracle applies the same cutoff; x65 discipline).
+
+    State: (start_ms, last_ms, n). Timeout timestamp = last_ms + gap."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(events_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    stream = _event_ts(stream).select(
+        "user_id", F.col("ts_t").alias("ts")
+    ).withWatermark("ts", "1 hour")
+    gap_ms = gap_minutes * 60 * 1000
+
+    def mk_row(uid, start_ms, last_ms, n):
+        return {
+            "user_id": uid, "start_ms": start_ms, "end_ms": last_ms,
+            "n_events": n,
+        }
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+        out = []
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            out.append(mk_row(uid, start_ms, last_ms, n))
+        else:
+            ts_ms: list[int] = []
+            for pdf in pdfs:
+                ts_ms.extend(
+                    int(v.value // 1_000_000) for v in pd.to_datetime(pdf["ts"])
+                )
+            ts_ms.sort()
+            if state.exists:
+                start_ms, last_ms, n = state.get
+            else:
+                start_ms, last_ms, n = ts_ms[0], ts_ms[0], 0
+            for t in ts_ms:
+                if t - last_ms > gap_ms and n > 0:
+                    out.append(mk_row(uid, start_ms, last_ms, n))
+                    start_ms, n = t, 0
+                last_ms = t
+                n += 1
+            state.update((start_ms, last_ms, n))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(out, columns=["user_id", "start_ms", "end_ms", "n_events"])
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, start_ms long, end_ms long, n_events long",
+        stateStructType="start_ms long, last_ms long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"tsess_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
