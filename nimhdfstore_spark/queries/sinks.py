@@ -259,3 +259,42 @@ def q38(spark, sf_dir):
         .load()
     )
     return back.where(F.col("_rowid").between(200, 449)).orderBy("_rowid")
+
+
+# --------------------------------------------------------------------------
+# q39 — DSv2 two-phase WRITE through the connector: executors stage files
+# and the driver's commit() assembles the snapshot + flips the catalog
+# pointer (Store.put's write-then-swap as a DataSourceArrowWriter). The
+# result is read back through the Store LIBRARY — the two implementations
+# must agree on the on-disk contract exactly.
+# --------------------------------------------------------------------------
+
+_Q39_SQL = f"""
+SELECT * FROM ({{rowid_over}}) WHERE _rowid BETWEEN 50 AND 149 ORDER BY _rowid
+"""
+
+
+@query(
+    "q39_python_datasource_write",
+    _Q39_SQL.format(rowid_over=rowid_over("supplier")),
+)
+def q39(spark, sf_dir):
+    from nimhdfstore_spark.queries.core import SCRATCH_ROOT
+    from nimhdfstore_spark.sources.pyds import StoreDataSource
+    from nimhdfstore_spark.store import Store
+    from nimhdfstore_spark.tables import load_pos
+
+    spark.dataSource.register(StoreDataSource)
+    root = os.path.join(SCRATCH_ROOT, f"q39-{os.path.basename(sf_dir)}", "store")
+    body = load_pos(spark, sf_dir, "supplier").repartitionByRange(
+        4, F.col("_rowid")
+    )
+    (
+        body.write.format("nimhdfstore")
+        .option("store", root)
+        .option("table", "supp")
+        .mode("overwrite")
+        .save()
+    )
+    t = Store(spark, root).table("supp")
+    return t[50:150].orderBy("_rowid")

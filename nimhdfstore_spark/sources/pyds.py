@@ -17,8 +17,9 @@ pluggability, done as a first-class source instead of a library call:
 - **execution**: each partition yields PyArrow RecordBatches straight from
   its one file — columnar end-to-end, no Python row objects.
 
-The store library remains the write path; this source is the read-side
-integration with everything that speaks ``spark.read.format``.
+The write path is the same snapshot protocol as ``Store.put`` expressed as
+a DSv2 two-phase commit (``StoreWriter`` below): staging files per task,
+snapshot-dir assembly + catalog pointer flip on driver commit.
 """
 
 from __future__ import annotations
@@ -161,3 +162,123 @@ class StoreDataSource(DataSource):
 
     def reader(self, schema) -> StoreReader:
         return StoreReader(self.options, [f.name for f in schema.fields])
+
+    def writer(self, schema, overwrite: bool) -> "StoreWriter":
+        return StoreWriter(self.options, overwrite)
+
+
+# --------------------------------------------------------------------------
+# Write path: df.write.format("nimhdfstore") — the store's snapshot commit
+# protocol expressed as the DSv2 two-phase write: executors write staging
+# files and return commit messages; the driver's commit() turns staged
+# files into a snapshot directory + catalog pointer flip (same
+# write-then-swap order as Store.put), and abort() leaves the current
+# snapshot untouched. Input must carry _rowid (positions are data — the
+# caller picks the canonical order, typically rowid.with_rowid upstream).
+# --------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, name: str, rows: int):
+        self.name, self.rows = name, rows
+
+
+class StoreWriter(DataSourceArrowWriter):
+    def __init__(self, options, overwrite: bool):
+        self._root = options.get("store")
+        self._table = options.get("table")
+        if not self._root or not self._table:
+            raise ValueError("nimhdfstore sink needs .option('store', ...) "
+                             "and .option('table', ...)")
+        self._codec = options.get("codec", "snappy")
+        self._overwrite = overwrite
+        tdir = os.path.join(self._root, self._table)
+        meta = os.path.join(tdir, "_meta.json")
+        if os.path.exists(meta) and not overwrite:
+            raise ValueError(
+                f"table {self._table!r} exists (use mode('overwrite'); "
+                "positional append goes through the Store library)"
+            )
+        import uuid as _uuid
+
+        self._staging = os.path.join(tdir, f"_staging-{_uuid.uuid4().hex[:8]}")
+        os.makedirs(self._staging, exist_ok=True)
+
+    def write(self, batches):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(batches)
+        name = f"part-{_uuid.uuid4().hex}.parquet"
+        if not batches:
+            return _StagedFile("", 0)
+        table = pa.Table.from_batches(batches)
+        if ROWID not in table.column_names:
+            raise ValueError("input has no _rowid column; assign the "
+                             "canonical order first (rowid.with_rowid)")
+        pq.write_table(
+            table, os.path.join(self._staging, name),
+            compression=self._codec if self._codec != "none" else "NONE",
+        )
+        return _StagedFile(name, table.num_rows)
+
+    def commit(self, messages):
+        import shutil as _shutil
+
+        import pyarrow.parquet as pq
+
+        tdir = os.path.join(self._root, self._table)
+        cur = 0
+        meta_path = os.path.join(tdir, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                cur = int(json.load(f)["current"].split("-")[1]) + 1
+        snap = f"snap-{cur:08d}"
+        snap_dir = os.path.join(tdir, snap)
+        os.makedirs(snap_dir, exist_ok=True)
+        files = []
+        for m in messages:
+            if not m or not m.name:
+                continue
+            src = os.path.join(self._staging, m.name)
+            os.rename(src, os.path.join(snap_dir, m.name))
+        for fn in sorted(os.listdir(snap_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(snap_dir, fn)).metadata
+            if md.num_rows == 0:
+                continue
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == ROWID
+            )
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            files.append({"name": fn, "lo": int(lo), "hi": int(hi),
+                          "rows": md.num_rows})
+        files.sort(key=lambda e: e["lo"])
+        meta = {
+            "current": snap,
+            "codec": self._codec,
+            "attrs": {},
+            "order_by": [],
+            "files": files,
+            "count": sum(e["rows"] for e in files),
+        }
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        os.replace(tmp, meta_path)  # pointer flip = the commit point
+        _shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil as _shutil
+
+        _shutil.rmtree(self._staging, ignore_errors=True)

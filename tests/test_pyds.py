@@ -82,3 +82,60 @@ class TestPythonDataSource:
         rows = back.collect()
         assert rows[3]["vec"] == [3.0, 4.0]
         assert back.schema["vec"].dataType.simpleString() == "array<double>"
+
+
+class TestPythonDataSourceWriter:
+    def _write(self, spark, root, mode="overwrite", n=40):
+        from nimhdfstore_spark.rowid import with_rowid
+
+        df = spark.createDataFrame(
+            [(i, i * 3, f"z{i}") for i in range(n)], "k long, v long, s string"
+        )
+        body = with_rowid(df, ["k"]).repartitionByRange(4, F.col(ROWID))
+        (
+            body.write.format("nimhdfstore")
+            .option("store", root)
+            .option("table", "t")
+            .mode(mode)
+            .save()
+        )
+
+    def test_connector_write_library_read(self, spark, tmp_path):
+        spark.dataSource.register(StoreDataSource)
+        root = str(tmp_path / "wstore")
+        self._write(spark, root)
+        t = Store(spark, root).table("t")
+        assert t.nrows == 40
+        # positional semantics intact through the foreign write path
+        assert [r["k"] for r in t[5:9].collect()] == [5, 6, 7, 8]
+        # multi-file catalog sorted by lo
+        los = [e["lo"] for e in t._meta["files"]]
+        assert los == sorted(los)
+
+    def test_no_clobber_without_overwrite(self, spark, tmp_path):
+        spark.dataSource.register(StoreDataSource)
+        root = str(tmp_path / "wstore2")
+        self._write(spark, root)
+        with pytest.raises(Exception, match="exists"):
+            self._write(spark, root, mode="append")
+        # original intact
+        assert Store(spark, root).table("t").nrows == 40
+
+    def test_overwrite_bumps_snapshot(self, spark, tmp_path):
+        spark.dataSource.register(StoreDataSource)
+        root = str(tmp_path / "wstore3")
+        self._write(spark, root)
+        self._write(spark, root, n=10)
+        store = Store(spark, root)
+        assert store.table("t").nrows == 10
+        assert len(store.snapshots("t")) >= 1
+
+    def test_staging_cleaned(self, spark, tmp_path):
+        import os
+
+        spark.dataSource.register(StoreDataSource)
+        root = str(tmp_path / "wstore4")
+        self._write(spark, root)
+        left = [d for d in os.listdir(os.path.join(root, "t"))
+                if d.startswith("_staging")]
+        assert left == []
