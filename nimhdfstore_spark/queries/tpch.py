@@ -466,3 +466,69 @@ def x112(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# x133 — TPC-H Q11 shape (important stock). The driver data has no partsupp
+# table, so both engines DERIVE the same one: supplier s stocks part p iff
+# s % 4 == p % 4, with integer-arithmetic availqty and cost-in-cents. The
+# Q11 shape is the point: a grouped aggregate HAVING'd against a scalar
+# share of the GLOBAL aggregate — all in int64 cents so the threshold
+# comparison is exact (a double HAVING could flip on summation order).
+# --------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+SELECT p.p_partkey AS ps_partkey, s.s_suppkey AS ps_suppkey,
+       (p.p_partkey * 31 + s.s_suppkey * 17) % 1000 + 1 AS ps_availqty,
+       (p.p_partkey * 7 + s.s_suppkey * 13) % 5000 + 100 AS ps_cost_cents
+FROM part p JOIN supplier s ON s.s_suppkey % 4 = p.p_partkey % 4
+"""
+
+_X133_SQL = f"""
+WITH partsupp AS ({_PARTSUPP_CTE}),
+val AS (
+  SELECT ps_partkey,
+         CAST(SUM(CAST(ps_cost_cents AS BIGINT) * ps_availqty) AS BIGINT)
+             AS value_cents
+  FROM partsupp GROUP BY ps_partkey
+),
+total AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM val)
+SELECT ps_partkey,
+       ROUND(value_cents / 100.0, 2) AS stock_value
+FROM val WHERE value_cents * 2000 > (SELECT t FROM total)
+ORDER BY value_cents DESC, ps_partkey LIMIT 100
+"""
+
+
+@query("x133_tpch_q11_stock", _X133_SQL)
+def x133(spark, sf_dir):
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey")
+    ps = part.join(
+        F.broadcast(supp),
+        supp.s_suppkey % 4 == part.p_partkey % 4,
+    ).select(
+        F.col("p_partkey").alias("ps_partkey"),
+        ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 1000 + 1).alias(
+            "ps_availqty"
+        ),
+        ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 13) % 5000 + 100)
+        .cast("long")
+        .alias("ps_cost_cents"),
+    )
+    val = ps.groupBy("ps_partkey").agg(
+        F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).alias("value_cents")
+    )
+    total = val.agg(F.sum("value_cents").cast("long").alias("t"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("value_cents") * 2000 > F.col("t"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("value_cents") / 100.0, 2).alias("stock_value"),
+            "value_cents",
+        )
+        .orderBy(F.desc("value_cents"), "ps_partkey")
+        .limit(100)
+        .drop("value_cents")
+    )
