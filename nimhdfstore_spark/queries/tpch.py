@@ -532,3 +532,135 @@ def x133(spark, sf_dir):
         .limit(100)
         .drop("value_cents")
     )
+
+
+# --------------------------------------------------------------------------
+# x134 — TPC-H Q20 shape (excess stock): semi-join OF a semi-join —
+# suppliers having some stocked part whose availqty exceeds half the
+# part+supplier's shipped quantity in a year. Quantity sums are
+# integer-valued doubles (exact), availqty is integer — the threshold is
+# engine-deterministic without rounding tricks.
+# --------------------------------------------------------------------------
+
+_X134_SQL = f"""
+WITH partsupp AS ({_PARTSUPP_CTE}),
+shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT DISTINCT ps.ps_suppkey
+  FROM partsupp ps
+  JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                 AND sh.l_suppkey = ps.ps_suppkey
+  WHERE ps.ps_availqty > 0.5 * sh.qty
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM excess e WHERE e.ps_suppkey = s.s_suppkey)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("x134_tpch_q20_excess_stock", _X134_SQL)
+def x134(spark, sf_dir):
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    supp = load(spark, sf_dir, "supplier")
+    ps = part.join(
+        F.broadcast(supp.select("s_suppkey")),
+        F.col("s_suppkey") % 4 == F.col("p_partkey") % 4,
+    ).select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 1000 + 1).alias(
+            "ps_availqty"
+        ),
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# x135 — TPC-H Q2 shape (min-cost supplier): for each filtered part, the
+# supplier(s) achieving the minimum derived cost, decorated with the
+# supplier's nation — the classic per-group-min correlated subquery,
+# decorrelated to a grouped min + equi-join back (no window over the whole
+# partsupp). Integer cents keep the min-equality exact.
+# --------------------------------------------------------------------------
+
+_X135_SQL = f"""
+WITH partsupp AS ({_PARTSUPP_CTE}),
+flt AS (SELECT ps.* FROM partsupp ps
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_size <= 5),
+mn AS (SELECT ps_partkey, MIN(ps_cost_cents) AS min_cents
+       FROM flt GROUP BY ps_partkey)
+SELECT f.ps_partkey, f.ps_suppkey, s.s_name, n.n_name,
+       ROUND(f.ps_cost_cents / 100.0, 2) AS cost
+FROM flt f
+JOIN mn ON mn.ps_partkey = f.ps_partkey AND f.ps_cost_cents = mn.min_cents
+JOIN supplier s ON s.s_suppkey = f.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY f.ps_partkey, f.ps_suppkey LIMIT 200
+"""
+
+
+@query("x135_tpch_q2_min_cost", _X135_SQL)
+def x135(spark, sf_dir):
+    part = load(spark, sf_dir, "part").where(F.col("p_size") <= 5).select(
+        "p_partkey"
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    flt = part.join(
+        F.broadcast(supp.select("s_suppkey")),
+        F.col("s_suppkey") % 4 == F.col("p_partkey") % 4,
+    ).select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 13) % 5000 + 100)
+        .cast("long")
+        .alias("ps_cost_cents"),
+    )
+    mn = flt.groupBy("ps_partkey").agg(F.min("ps_cost_cents").alias("min_cents"))
+    sn = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    return (
+        flt.withColumnRenamed("ps_partkey", "f_partkey")
+        .join(
+            mn,
+            (F.col("f_partkey") == mn.ps_partkey)
+            & (F.col("ps_cost_cents") == F.col("min_cents")),
+        )
+        .join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("f_partkey").alias("ps_partkey"),
+            "ps_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("ps_cost_cents") / 100.0, 2).alias("cost"),
+        )
+        .orderBy("ps_partkey", "ps_suppkey")
+        .limit(200)
+    )
