@@ -664,3 +664,101 @@ def x135(spark, sf_dir):
         .orderBy("ps_partkey", "ps_suppkey")
         .limit(200)
     )
+
+
+# --------------------------------------------------------------------------
+# x136 — TPC-H Q16 shape (supplier count by part attributes): distinct
+# suppliers per (brand, type-prefix, size) over the derived partsupp, with
+# a deterministic supplier blocklist removed by ANTI join before counting.
+# --------------------------------------------------------------------------
+
+_X136_SQL = f"""
+WITH partsupp AS ({_PARTSUPP_CTE}),
+bad AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 17 = 3),
+pp AS (
+  SELECT p.p_brand, substring(p.p_type, 1, 5) AS type5, p.p_size,
+         ps.ps_suppkey
+  FROM partsupp ps JOIN part p ON p.p_partkey = ps.ps_partkey
+  WHERE p.p_brand <> 'Brand#13' AND p.p_size IN (1, 4, 9, 16, 25)
+    AND NOT EXISTS (SELECT 1 FROM bad b WHERE b.s_suppkey = ps.ps_suppkey)
+)
+SELECT p_brand, type5, CAST(p_size AS INT) AS p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM pp GROUP BY p_brand, type5, p_size
+ORDER BY supplier_cnt DESC, p_brand, type5, p_size
+"""
+
+
+@query("x136_tpch_q16_supplier_cnt", _X136_SQL)
+def x136(spark, sf_dir):
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 4, 9, 16, 25)
+    ).select("p_partkey", "p_brand", F.substring("p_type", 1, 5).alias("type5"),
+             F.col("p_size").cast("int").alias("p_size"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey")
+    bad = supp.where(F.col("s_suppkey") % 17 == 3)
+    ps = part.join(
+        F.broadcast(supp), F.col("s_suppkey") % 4 == F.col("p_partkey") % 4
+    ).select("p_brand", "type5", "p_size", F.col("s_suppkey").alias("ps_suppkey"))
+    clean = ps.join(
+        F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        clean.groupBy("p_brand", "type5", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "type5", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# x137 — TPC-H Q9 shape (product profit by nation and year): profit =
+# revenue minus the derived supply cost; the supplier→nation snowflake
+# broadcasts, the fact side shuffles once for the (nation, year) rollup.
+# Profit is computed in int64 cents (prices are 2-decimal doubles, so
+# price*100 rounds to an exact integer) — no float-order sensitivity.
+# --------------------------------------------------------------------------
+
+_X137_SQL = """
+WITH lp AS (
+  SELECT l.l_suppkey, YEAR(o.o_orderdate) AS o_year,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT)
+         - ((l.l_partkey * 7 + l.l_suppkey * 13) % 5000 + 100)
+           * CAST(l.l_quantity AS BIGINT) AS profit_cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_partkey % 8 = 1
+)
+SELECT n.n_name, CAST(lp.o_year AS BIGINT) AS o_year,
+       ROUND(SUM(lp.profit_cents) / 100.0, 2) AS profit
+FROM lp
+JOIN supplier s ON s.s_suppkey = lp.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name, lp.o_year ORDER BY n.n_name, o_year DESC
+"""
+
+
+@query("x137_tpch_q9_profit", _X137_SQL)
+def x137(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 8 == 1)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue_cents = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+    )
+    cost_cents = (
+        (F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 5000 + 100
+    ) * F.col("l_quantity").cast("long")
+    lp = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.year("o_orderdate").alias("o_year"),
+        (revenue_cents - cost_cents).alias("profit_cents"),
+    )
+    sn = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    return (
+        lp.join(F.broadcast(sn), lp.l_suppkey == sn.s_suppkey)
+        .groupBy("n_name", "o_year")
+        .agg(F.round(F.sum("profit_cents") / 100.0, 2).alias("profit"))
+        .select("n_name", F.col("o_year").cast("long").alias("o_year"), "profit")
+        .orderBy("n_name", F.desc("o_year"))
+    )
