@@ -697,25 +697,36 @@ def q22(spark, sf_dir):
 
 @query("q16_compression", _Q1_SQL)
 def q16(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
     store = scratch_store(spark, f"q16-{os.path.basename(sf_dir)}")
     # persist: the same rowid'd frame is written 3× (once per codec) — cache
     # it instead of recomputing the rank sort per write. Deliberate for this
     # codec-invariance check; a 100 TB single write wouldn't cache.
     src = load_pos(spark, sf_dir, "lineitem").persist()
-    reads, sums = {}, {}
-    for codec in ("none", "snappy", "zstd"):
+    src.count()  # materialize once before the concurrent writers share it
+
+    def write_and_sum(codec):
+        # concurrent job submission: the three codec writes and their
+        # checksum scans are independent — Spark's scheduler interleaves
+        # them across the same executors, so wall time is the slowest one,
+        # not the sum (FIFO pools are per-job, not per-session)
         t = store.put(f"li_{codec}", src, codec=codec, overwrite=True)
-        reads[codec] = t.df()
+        df = t.df()
         # order-insensitive per-table checksum in one scan: count + XOR of
         # full-row hashes (cheaper than exceptAll's join-shuffle).
-        df = reads[codec]
         row = df.select(
             F.count(F.lit(1)).alias("n"),
             F.expr(
                 "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
             ).alias("h"),
         ).collect()[0]
-        sums[codec] = (row["n"], row["h"])
+        return codec, df, (row["n"], row["h"])
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        results = list(ex.map(write_and_sum, ("none", "snappy", "zstd")))
+    reads = {c: df for c, df, _ in results}
+    sums = {c: s for c, _, s in results}
     src.unpersist()
     if len(set(sums.values())) != 1:
         raise AssertionError(f"codec round-trips differ: {sums}")
