@@ -369,8 +369,15 @@ def q13(spark, sf_dir):
     for k in store.keys():
         store.drop(k)
     p = _particles(spark)
-    store.put("particles", p, order_by=["lati"], overwrite=True)
-    store.put("particles2", p, order_by=["lati"], overwrite=True)
+    # two independent tiny writes: concurrent submission halves the
+    # job-launch serial constants (same pattern as q16's codec writes)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(
+            lambda n: store.put(n, p, order_by=["lati"], overwrite=True),
+            ("particles", "particles2"),
+        ))
     store.drop("particles2")
     return spark.createDataFrame([(k,) for k in store.keys()], "key string")
 
