@@ -178,34 +178,31 @@ def minhash_signature(grams: Column, num_hashes: int = 64) -> Column:
     return F.array(*sigs)
 
 
-def minhash_lsh_pairs(
+def minhash_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    threshold: float = 0.6,
 ) -> DataFrame:
-    """Near-dup candidate pairs via MinHash banding, filtered by the
-    signature-estimated Jaccard.
+    """``(id, sig, band, bucket)`` rows — the LSH index representation of a
+    corpus: each doc appears ``bands`` times, keyed by the polynomial fold
+    of its band's signature rows. This IS the thing a 100 TB pipeline
+    persists (a signature index is ~num_hashes int64s per doc, not the
+    text), and both the self-join (minhash_lsh_pairs) and the incremental
+    batch-vs-corpus join (minhash_lsh_incremental) probe it the same way.
 
-    shingle → minhash(num_hashes) → band into ``bands`` groups of
-    ``num_hashes/bands`` rows → bucket-join on (band, band_signature) →
-    estimate Jaccard as the fraction of agreeing minhashes → filter ≥ τ.
-    The bucket join is the only pair-producing step, so cost tracks true
-    collision density, not n².
-    """
+    Signature via EXPLODE + groupBy-MIN, not array HOFs: the per-shingle
+    affine maps become plain whole-stage-codegen projections over exploded
+    rows with num_hashes map-side-combined MIN aggregates. The HOF form
+    (transform/array_min over the shingle array) is semantically identical
+    but evaluates interpreted per (shingle, hash) — measured ~6× slower.
+    Same signature VALUES, so SQL oracles built from the array formulation
+    still match."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    # Signature via EXPLODE + groupBy-MIN, not array HOFs: the per-shingle
-    # affine maps become plain whole-stage-codegen projections over exploded
-    # rows with num_hashes map-side-combined MIN aggregates (the SimHash
-    # shape). The HOF form (transform/array_min over the shingle array) is
-    # semantically identical but evaluates interpreted per (shingle, hash) —
-    # measured ~6× slower. Same signature VALUES, so SQL oracles built from
-    # the array formulation still match.
     grams = df.select(
         F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("grams")
     ).where(F.size("grams") > 0)
@@ -224,12 +221,33 @@ def minhash_lsh_pairs(
         )
         for bb in range(bands)
     ])
-    buckets = sigs.select(
+    return sigs.select(
         "id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig"),
         F.explode(band_cols).alias("bb"),
     ).select(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding, filtered by the
+    signature-estimated Jaccard.
+
+    shingle → minhash(num_hashes) → band into ``bands`` groups of
+    ``num_hashes/bands`` rows → bucket-join on (band, band_signature) →
+    estimate Jaccard as the fraction of agreeing minhashes → filter ≥ τ.
+    The bucket join is the only pair-producing step, so cost tracks true
+    collision density, not n².
+    """
+    buckets = minhash_buckets(df, id_col, text_col, n, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -258,6 +276,81 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_incremental(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Dedup an incoming batch against an EXISTING corpus signature index —
+    the shape a 100 TB crawl-ingest pipeline actually runs: the corpus is
+    signed once (``minhash_buckets`` persisted as the index; ~bands rows of
+    int64s per doc), and each new batch only signs ITSELF, then equi-joins
+    its buckets against the index. Cost per batch tracks batch size +
+    collision density, never corpus size; no all-pairs step exists.
+
+    Returns one row per batch doc: ``(id, is_dup, n_dup_candidates,
+    best_match_id, best_est)`` — best match = highest estimated Jaccard,
+    ties broken by lowest corpus id; docs with no candidate above
+    ``threshold`` (including empty docs, which have no signature) come
+    back ``is_dup = 0`` with ``best_match_id = -1``."""
+    bb = minhash_buckets(batch, id_col, text_col, n, num_hashes, bands)
+    a, b = bb.alias("a"), corpus_index.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("b.id").alias("match_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id", "match_id"])
+    )
+    agree = sum(
+        (
+            F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
+            for i in range(num_hashes)
+        ),
+        F.lit(0),
+    )
+    scored = cand.withColumn(
+        "est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6)
+    ).where(F.col("est_jaccard") >= threshold)
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_candidates"),
+        F.max(
+            F.struct(
+                F.col("est_jaccard").alias("e"),
+                (-F.col("match_id")).alias("neg_id"),
+            )
+        ).alias("best"),
+    ).select(
+        "id",
+        "n_dup_candidates",
+        (-F.col("best.neg_id")).cast("long").alias("best_match_id"),
+        F.col("best.e").alias("best_est"),
+    )
+    ids = batch.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.when(F.col("n_dup_candidates").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_dup"),
+        F.coalesce("n_dup_candidates", F.lit(0)).cast("long").alias("n_dup_candidates"),
+        F.coalesce("best_match_id", F.lit(-1)).cast("long").alias("best_match_id"),
+        F.coalesce("best_est", F.lit(0.0)).alias("best_est"),
     )
 
 

@@ -38,6 +38,15 @@ CM_DEPTH = 4
 CM_WIDTH = 1024
 CM_SALT0 = 200
 
+HLL_P = 8                      # 2^8 = 256 registers (~6.5% std error)
+HLL_M = 1 << HLL_P
+HLL_SALT = 300
+HLL_WBITS = 32 - HLL_P         # bits feeding the rank
+HLL_RMAX = HLL_WBITS + 1       # rank range is [1, HLL_RMAX]; 0 = empty
+#: alpha_m * m^2 * 2^RMAX — single double literal shared with the SQL twin
+#: so both engines perform exactly one IEEE division
+HLL_NUMER = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << HLL_RMAX)
+
 
 def _positions(key: Column | str, k: int, m: int, salt0: int) -> Column:
     """Array of the k hash positions of ``key`` in [0, m)."""
@@ -113,6 +122,68 @@ def countmin_sketch(
         F.posexplode(_positions(key_col, depth, width, salt0)).alias("rw", "pos")
     )
     return cells.groupBy("rw", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    p: int = HLL_P,
+    salt: int = HLL_SALT,
+) -> DataFrame:
+    """HyperLogLog register table over ``df[key_col]``: ``(idx int, m_j int)``
+    with at most ``2^p`` rows — bounded state at any input size, map-side
+    combined (the MAX aggregate).
+
+    The 32-bit ``sample_hash`` splits into the low ``p`` bits (register
+    index) and the high ``32-p`` bits ``w``; the rank is the 1-based
+    position of w's leftmost set bit counted from the top of the
+    ``32-p``-bit window — computed as ``(32-p+1) - length(bin(w))``, pure
+    integer/string arithmetic that DuckDB evaluates identically (both
+    engines' ``bin`` strips leading zeros; ``w = 0`` maps to the max rank
+    ``32-p+1``). No floating point anywhere in the register build, so the
+    sketch itself is bit-exact across engines."""
+    m = 1 << p
+    wbits = 32 - p
+    h = sample_hash(key_col, salt=salt)
+    hashed = df.select(h.alias("h")).select(
+        (F.col("h") % m).cast("int").alias("idx"),
+        F.expr(f"h div {m}").cast("long").alias("w"),
+    )
+    rank = (
+        F.when(F.col("w") == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(F.col("w"))))
+        .cast("int")
+    )
+    return hashed.select("idx", rank.alias("rank")).groupBy("idx").agg(
+        F.max("rank").alias("m_j")
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """One-row cardinality estimate from an HLL register table: the raw
+    HyperLogLog formula ``alpha_m * m^2 / sum_j 2^(-M_j)``, evaluated in
+    scaled int64 — ``sum_scaled = sum_j 2^(RMAX - M_j)`` (empty registers
+    contribute ``2^RMAX``) stays < 2^33, so the only floating-point step is
+    the single final division by the shared double literal ``HLL_NUMER``.
+    IEEE division of exact operands is deterministic, so the estimate is
+    hash-checkable across engines. The small-range (linear counting) and
+    large-range corrections are deliberately omitted: they need ``ln``,
+    whose last-ulp behavior is libm-dependent — callers should size p so
+    n >> 2.5m (the raw regime), which at 100 TB is every interesting
+    cardinality."""
+    m = 1 << p
+    rmax = (32 - p) + 1
+    return registers.agg(
+        (
+            F.sum(F.expr(f"shiftleft(1L, {rmax} - m_j)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << rmax)
+        ).alias("sum_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_registers_used"),
+    ).select(
+        "sum_scaled",
+        "n_registers_used",
+        F.round(F.lit(HLL_NUMER) / F.col("sum_scaled"), 4).alias("hll_estimate"),
+    )
 
 
 def countmin_estimate(

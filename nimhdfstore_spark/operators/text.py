@@ -172,6 +172,46 @@ def bpe_token_count(text: Column | str) -> Column:
 
 
 # --------------------------------------------------------------------------
+# RAG-style token-window chunking — the standard retrieval/pre-training
+# preprocessing step: split each document into overlapping fixed-size token
+# windows. Everything is built-in JVM functions (split/sequence/explode/
+# slice/array_join — no HOF lambdas, no Python), and the explode
+# redistributes per-chunk work across the cluster, so a 100 TB corpus
+# chunks at scan throughput with zero shuffle.
+# --------------------------------------------------------------------------
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Explode each doc into overlapping token windows: chunk ``k`` covers
+    tokens ``[k*stride, k*stride + chunk_size)`` with
+    ``stride = chunk_size - overlap``; the final window may be short
+    (slice past the end truncates — identically in DuckDB list slicing).
+    Returns ``(id, chunk_id, n_tokens, chunk_text)``; empty docs produce
+    no chunks. Each output row is one retrieval unit ready for embedding
+    or indexing."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).withColumn("n", F.size("toks")).where(F.col("n") > 0)
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    exploded = toks.select("id", "toks", F.explode(starts).alias("s"))
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, chunk_size)
+    return exploded.select(
+        "id",
+        F.expr(f"s div {stride}").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Gopher-style repetition / quality rules (Rae et al. 2021, public) — the
 # standard cheap filters a pre-training corpus passes through before
 # tokenization. All built-ins; the modal-n-gram statistic is an explode +

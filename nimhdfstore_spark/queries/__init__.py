@@ -37,7 +37,7 @@ def load_all() -> None:
     queries). Optional deps are gated inside the individual modules."""
     from nimhdfstore_spark.queries import core  # noqa: F401
 
-    for mod in ("datasets", "dedup", "graph", "ir", "pipeline", "relational", "sampling",
-                "similarity", "sinks", "sketches", "text", "timeseries", "tpch",
-                "multimodal", "stream"):
+    for mod in ("datasets", "dedup", "graph", "ir", "pipeline", "quality",
+                "relational", "sampling", "similarity", "sinks", "sketches",
+                "text", "timeseries", "tpch", "multimodal", "stream"):
         __import__(f"nimhdfstore_spark.queries.{mod}")

@@ -395,3 +395,84 @@ def x36(spark, sf_dir):
         D.chunk_boilerplate(docs, "doc_id", "text", chunk_tokens=_CHUNK_T)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x140 — incremental batch-vs-corpus dedup: sign the incoming batch only,
+# probe the persisted corpus signature index. The ingest-time shape of
+# MinHash-LSH (x32 is the backfill shape).
+# --------------------------------------------------------------------------
+
+def _incremental_sql() -> str:
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(pgs, p -> (p * {a} + {b}) % {D.HASH_MOD}))"
+        for a, b in D.minhash_coeffs(_MH_NUM)
+    )
+    bucket = lambda side: _poly_fold_sql(  # noqa: E731
+        [f"{side}.sig[{_MH_R}*k + {j + 1}]" for j in range(_MH_R)], D.HASH_MOD
+    )
+    est = (
+        f"ROUND(len(list_filter(range({_MH_NUM}), i -> sa[i+1] = sb[i+1]))"
+        f" / {_MH_NUM}.0, 6)"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 3 THEN
+      list_distinct(list_transform(range(length(lower(text)) - 2),
+                                   i -> substr(lower(text), i + 1, 3)))
+    ELSE [] END AS grams
+  FROM documents WHERE doc_id < {_DOC_LIMIT}
+),
+h AS (
+  SELECT doc_id, {_SQL_GRAM_HASHES} AS pgs FROM g WHERE len(grams) > 0
+),
+s AS MATERIALIZED (SELECT doc_id, list_value(
+    {sig_exprs}) AS sig FROM h),
+scored AS (
+  SELECT id, match_id, est_jaccard FROM (
+    SELECT a.doc_id AS id, b.doc_id AS match_id, a.sig AS sa, b.sig AS sb,
+           {est} AS est_jaccard
+    FROM s a JOIN s b
+      ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+    WHERE len(list_filter(range({_MH_BANDS}),
+              k -> ({bucket('a')}) = ({bucket('b')}))) > 0
+  ) WHERE est_jaccard >= {_JACCARD_TAU}
+),
+per_doc AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dup_candidates,
+         (list(match_id ORDER BY est_jaccard DESC, match_id ASC))[1]
+             AS best_match_id,
+         MAX(est_jaccard) AS best_est
+  FROM scored GROUP BY id
+)
+SELECT d.doc_id AS id,
+       CAST(CASE WHEN p.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+       COALESCE(p.n_dup_candidates, 0) AS n_dup_candidates,
+       CAST(COALESCE(p.best_match_id, -1) AS BIGINT) AS best_match_id,
+       COALESCE(p.best_est, 0.0) AS best_est
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.id
+WHERE d.doc_id < {_DOC_LIMIT} AND d.doc_id % 10 = 0
+ORDER BY id
+"""
+
+
+@query("x140_dedup_incremental", _incremental_sql())
+def x140(spark, sf_dir):
+    """Incremental ingest dedup: docs with ``doc_id % 10 == 0`` play the
+    incoming batch; the rest are the already-indexed corpus. Only the
+    batch is shingled/signed; the corpus side is the persisted
+    ``minhash_buckets`` index (here recomputed since the test corpus is
+    read-only — in production it is a stored table maintained by append).
+    The only pair-producing step is the equi-join on (band, bucket), so
+    per-batch cost never scales with corpus size."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _DOC_LIMIT)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    index = D.minhash_buckets(
+        corpus, "doc_id", "text", num_hashes=_MH_NUM, bands=_MH_BANDS
+    )
+    return D.minhash_lsh_incremental(
+        batch, index, "doc_id", "text",
+        num_hashes=_MH_NUM, bands=_MH_BANDS, threshold=_JACCARD_TAU,
+    ).orderBy("id")

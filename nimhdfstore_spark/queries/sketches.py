@@ -110,6 +110,50 @@ ORDER BY e.cm_estimate DESC, e.l_suppkey LIMIT 20
 """
 
 
+def _x139_sql() -> str:
+    p, m, salt = SK.HLL_P, SK.HLL_M, SK.HLL_SALT
+    wbits, rmax = SK.HLL_WBITS, SK.HLL_RMAX
+    return f"""
+WITH hashed AS (
+    SELECT CAST(({_h('l_orderkey', salt=salt)}) % {m} AS INT) AS idx,
+           ({_h('l_orderkey', salt=salt)}) // {m} AS w
+    FROM lineitem
+),
+regs AS (
+    SELECT idx,
+           MAX(CASE WHEN w = 0 THEN {wbits + 1}
+                    ELSE {wbits + 1} - length(bin(w)) END) AS m_j
+    FROM hashed GROUP BY idx
+),
+agg AS (
+    SELECT CAST(SUM(1::BIGINT << ({rmax} - m_j)) AS BIGINT)
+               + ({m} - COUNT(*)) * (1::BIGINT << {rmax}) AS sum_scaled,
+           CAST(COUNT(*) AS BIGINT) AS n_registers_used
+    FROM regs
+)
+SELECT sum_scaled, n_registers_used,
+       ROUND({SK.HLL_NUMER!r} / sum_scaled, 4) AS hll_estimate,
+       (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+           AS n_exact
+FROM agg
+"""
+
+
+@query("x139_hll_distinct_estimate", _x139_sql())
+def x139(spark, sf_dir):
+    """HyperLogLog distinct-order estimate over lineitem: 256 registers of
+    bounded, map-side-combined state regardless of input size — the
+    streaming/mergeable alternative to x98's KMV (KMV keeps the k smallest
+    hashes; HLL keeps max leading-zero ranks). All-integer register build +
+    one shared-literal IEEE division make the estimate itself hash-checked
+    against DuckDB, not just "approximately right"."""
+    li = load(spark, sf_dir, "lineitem")
+    regs = SK.hll_registers(li, "l_orderkey")
+    est = SK.hll_estimate(regs)
+    exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
+    return est.crossJoin(exact)
+
+
 @query("x114_countmin_heavy_hitters", _x114_sql())
 def x114(spark, sf_dir):
     """Count-Min heavy hitters over lineitem supplier keys: the sketch is

@@ -390,3 +390,44 @@ def x115(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x138 — RAG token-window chunking (overlapping fixed-size windows)
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 50, 10
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_X138_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, n, {_CHUNK_STRIDE})) AS s
+  FROM t WHERE n > 0
+)
+SELECT doc_id,
+       CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(toks[s + 1 : s + {_CHUNK_SIZE}]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s + 1 : s + {_CHUNK_SIZE}], ' ') AS chunk_text
+FROM s
+ORDER BY doc_id, chunk_id
+"""
+
+
+@query("x138_rag_token_chunking", _X138_SQL)
+def x138(spark, sf_dir):
+    """Overlapping token-window chunking of every document (50-token
+    windows, 10-token overlap) — the retrieval/pre-training preprocessing
+    unit. All built-in JVM expressions (split/sequence/explode/slice), no
+    shuffle: at 100 TB this runs at scan throughput and the explode
+    parallelizes per-chunk downstream work (embedding, indexing) across
+    the cluster."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        T.chunk_tokens(docs, "doc_id", "text", _CHUNK_SIZE, _CHUNK_OVERLAP)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -1,0 +1,141 @@
+"""Round-4 operator tests: RAG chunking, HyperLogLog, incremental MinHash
+dedup, data-quality audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.operators import dedup as D
+from nimhdfstore_spark.operators import quality as QA
+from nimhdfstore_spark.operators import sketches as SK
+from nimhdfstore_spark.operators.text import chunk_tokens, tokens
+
+
+# -- chunking ---------------------------------------------------------------
+
+def test_chunk_tokens_covers_and_overlaps(spark):
+    text = " ".join(f"w{i}" for i in range(127))
+    df = spark.createDataFrame([(1, text), (2, "only three tokens"), (3, "")],
+                               ["doc_id", "text"])
+    out = chunk_tokens(df, "doc_id", "text", chunk_size=50, overlap=10)
+    rows = {(r.id, r.chunk_id): r for r in out.collect()}
+    # doc 3 is empty -> no chunks; doc 2 -> one short chunk
+    assert not any(k[0] == 3 for k in rows)
+    assert rows[(2, 0)].n_tokens == 3 and rows[(2, 0)].chunk_text == "only three tokens"
+    # doc 1: starts at 0,40,80,120 -> 4 chunks; last is short (127-120=7)
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2, 3]
+    assert rows[(1, 0)].n_tokens == 50 and rows[(1, 3)].n_tokens == 7
+    # chunk k starts at token k*40: first token of chunk 1 is w40
+    assert rows[(1, 1)].chunk_text.split(" ")[0] == "w40"
+    # overlap: last 10 tokens of chunk 0 == first 10 of chunk 1
+    assert rows[(1, 0)].chunk_text.split(" ")[-10:] == \
+        rows[(1, 1)].chunk_text.split(" ")[:10]
+    # full coverage: stride-prefixes of each chunk reassemble the doc
+    reassembled = []
+    for k in d1:
+        reassembled.extend(rows[(1, k)].chunk_text.split(" ")[:40])
+    assert reassembled == [f"w{i}" for i in range(127)]
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "doc_id", "text", chunk_size=10, overlap=10)
+
+
+# -- HyperLogLog ------------------------------------------------------------
+
+def test_hll_register_bounds_and_accuracy(spark):
+    n = 20_000
+    df = spark.range(n).select((F.col("id") * 7 + 3).alias("k"))
+    regs = SK.hll_registers(df, "k")
+    reg_rows = regs.collect()
+    assert len(reg_rows) <= SK.HLL_M
+    assert all(1 <= r.m_j <= SK.HLL_RMAX for r in reg_rows)
+    est = SK.hll_estimate(regs).collect()[0]
+    # 256 registers -> ~6.5% std error; allow 4 sigma
+    assert abs(est.hll_estimate - n) / n < 0.26
+    assert est.n_registers_used == len(reg_rows)
+
+
+def test_hll_insensitive_to_duplicates_and_order(spark):
+    a = spark.range(1000).select(F.col("id").alias("k"))
+    dup = a.union(a).union(a.orderBy(F.desc("k")))
+    ra = SK.hll_estimate(SK.hll_registers(a, "k")).collect()[0]
+    rd = SK.hll_estimate(SK.hll_registers(dup, "k")).collect()[0]
+    assert ra.sum_scaled == rd.sum_scaled
+    assert ra.hll_estimate == rd.hll_estimate
+
+
+# -- incremental MinHash dedup ----------------------------------------------
+
+def test_minhash_incremental_flags_known_dup(spark):
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet forest until dawn breaks")
+    corpus = spark.createDataFrame(
+        [(1, base), (3, "completely different text about spark engines and "
+                        "distributed columnar storage formats")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, base),                      # exact dup of corpus doc 1
+         (20, "nothing like anything in the corpus whatsoever zzz qqq")],
+        ["doc_id", "text"],
+    )
+    index = D.minhash_buckets(corpus, "doc_id", "text")
+    out = {r.id: r for r in D.minhash_lsh_incremental(
+        batch, index, "doc_id", "text", threshold=0.6).collect()}
+    assert out[10].is_dup == 1 and out[10].best_match_id == 1
+    assert out[10].best_est == 1.0
+    assert out[20].is_dup == 0 and out[20].best_match_id == -1
+    assert out[20].n_dup_candidates == 0
+
+
+def test_minhash_incremental_matches_pairs_form(spark, sf_dir):
+    """Batch-vs-corpus join must find exactly the cross-side pairs the
+    self-join form finds (restricted to batch x corpus)."""
+    from nimhdfstore_spark.tables import load
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    index = D.minhash_buckets(corpus, "doc_id", "text")
+    inc = D.minhash_lsh_incremental(batch, index, "doc_id", "text",
+                                    threshold=0.6)
+    flagged = {r.id for r in inc.collect() if r.is_dup}
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6)
+    cross = pairs.where(
+        ((F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 != 0))
+        | ((F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 == 0))
+    ).collect()
+    expected = set()
+    for r in cross:
+        expected.add(r.id_a if r.id_a % 10 == 0 else r.id_b)
+    assert flagged == expected
+
+
+# -- data-quality audit ------------------------------------------------------
+
+def test_quality_rules(spark):
+    child = spark.createDataFrame(
+        [(1, 5.0), (2, None), (2, 60.0), (9, 10.0)], ["k", "v"]
+    )
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    report = QA.audit([
+        QA.row_rule_violations(child, {
+            "null_v": F.col("v").isNull(),
+            "v_over_50": F.col("v") > 50,
+        }),
+        QA.uniqueness_violations(child, ["k"], "dup_k"),
+        QA.referential_violations(child, "k", parent, "pk", "fk_k"),
+    ])
+    got = {r.rule: r.n_violations for r in report.collect()}
+    assert got == {"null_v": 1, "v_over_50": 1, "dup_k": 1, "fk_k": 1}
+
+
+def test_quality_empty_rules_raise(spark):
+    import pytest
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        QA.row_rule_violations(df, {})
