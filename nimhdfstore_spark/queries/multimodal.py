@@ -145,3 +145,119 @@ def x118(spark, sf_dir):
         ).alias("payload"),
     )
     return M.sniff_mime(with_hdr).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x141 — container-header metadata parse: deterministic VALID PNG / WAV
+# headers are synthesized per doc (media libs aren't installed — TESTDATA
+# has no real media), then parsed back with the fixed-offset byte
+# arithmetic of parse_media_headers. The synthesis is the fixture; the
+# parser is the operator under test.
+# --------------------------------------------------------------------------
+
+_WAV_RATES = [8000, 11025, 16000, 22050, 44100]
+
+
+def _x141_sql() -> str:
+    rates = ", ".join(str(r) for r in _WAV_RATES)
+    le2 = lambda x: (  # noqa: E731
+        f"lpad(hex(({x}) % 256), 2, '0') || lpad(hex(({x}) // 256 % 256), 2, '0')"
+    )
+    le4 = lambda x: f"{le2(f'({x}) % 65536')} || {le2(f'({x}) // 65536')}"  # noqa: E731
+    px = lambda pos, n: f"('0x' || substring(hx, {(pos - 1) * 2 + 1}, {n * 2}))::BIGINT"  # noqa: E731
+    return f"""
+WITH params AS (
+  SELECT doc_id, text,
+         16 + doc_id % 4080 AS wd, 16 + doc_id % 2160 AS ht,
+         1 + (doc_id // 2) % 2 AS ch,
+         ([{rates}])[(doc_id % 5) + 1] AS rate
+  FROM documents
+),
+built AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           '89504E470D0A1A0A0000000D49484452'
+             || lpad(hex(wd), 8, '0') || lpad(hex(ht), 8, '0') || '0806000000'
+         ELSE
+           '52494646' || '24000000' || '57415645' || '666D7420' || '10000000'
+             || '0100' || {le2('ch')} || {le4('rate')}
+             || {le4('rate * ch * 2')} || {le2('ch * 2')} || {le2('16')}
+             || '64617461'
+         END || hex(substring(text, 1, 32)) AS hx
+  FROM params
+),
+parsed AS (
+  SELECT doc_id,
+         substring(hx, 1, 16) = '89504E470D0A1A0A'
+           AND substring(hx, 25, 8) = '49484452' AS is_png,
+         substring(hx, 1, 8) = '52494646'
+           AND substring(hx, 17, 8) = '57415645'
+           AND substring(hx, 25, 8) = '666D7420' AS is_wav,
+         hx
+  FROM built
+)
+SELECT doc_id,
+       CASE WHEN is_png THEN 'image/png' WHEN is_wav THEN 'audio/wav'
+            ELSE 'application/octet-stream' END AS parsed_mime,
+       CASE WHEN is_png THEN {px(17, 4)} ELSE -1 END AS width,
+       CASE WHEN is_png THEN {px(21, 4)} ELSE -1 END AS height,
+       CASE WHEN is_wav THEN {px(23, 1)} + {px(24, 1)} * 256 ELSE -1 END
+           AS n_channels,
+       CASE WHEN is_wav THEN {px(25, 1)} + {px(26, 1)} * 256
+            + {px(27, 1)} * 65536 + {px(28, 1)} * 16777216 ELSE -1 END
+           AS sample_rate,
+       CASE WHEN is_wav THEN {px(35, 1)} + {px(36, 1)} * 256 ELSE -1 END
+           AS bits_per_sample
+FROM parsed
+ORDER BY doc_id
+"""
+
+
+@query("x141_multimodal_header_parse", _x141_sql())
+def x141(spark, sf_dir):
+    """Parse typed metadata (PNG width/height, WAV channels/rate/bits) out
+    of binary container headers at scan speed — fixed-offset hex substring
+    + base-16 conversion, no Python, reading ~40 bytes per payload. Even
+    doc_ids carry a synthesized valid PNG header, odd ones a WAV header;
+    the parser routes by structural signature (not the synthesis rule), so
+    a corrupt header would fall through to octet-stream with -1 fields."""
+    docs = load(spark, sf_dir, "documents")
+    wd = 16 + F.col("doc_id") % 4080
+    ht = 16 + F.col("doc_id") % 2160
+    ch = 1 + F.expr("doc_id div 2") % 2
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in _WAV_RATES]), (F.col("doc_id") % 5 + 1).cast("int")
+    )
+
+    def le2(x):
+        return F.concat(
+            F.lpad(F.hex(x % 256), 2, "0"),
+            F.lpad(F.hex((x / 256).cast("long") % 256), 2, "0"),
+        )
+
+    def le4(x):
+        return F.concat(le2(x % 65536), le2((x / 65536).cast("long")))
+
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        F.lpad(F.hex(wd), 8, "0"),
+        F.lpad(F.hex(ht), 8, "0"),
+        F.lit("0806000000"),
+    )
+    wav_hex = F.concat(
+        F.lit("5249464624000000574156456" + "66D742010000000" + "0100"),
+        le2(ch),
+        le4(rate),
+        le4(rate * ch * 2),
+        le2(ch * 2),
+        le2(F.lit(16)),
+        F.lit("64617461"),
+    )
+    payload = F.unhex(
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, png_hex).otherwise(wav_hex),
+            F.hex(F.substring("text", 1, 32)),
+        )
+    )
+    packed = docs.select("doc_id", payload.alias("payload"))
+    return M.parse_media_headers(packed).orderBy("doc_id")

@@ -551,3 +551,23 @@ def x_stream_timeout_sessions(spark, sf_dir):
     return out.select(
         "user_id", "start_ms", "end_ms", "n_events"
     ).orderBy("user_id", "start_ms")
+
+
+_X142_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("x142_stream_restart_recovery", _X142_SQL)
+def x_stream_restart_recovery(spark, sf_dir):
+    """Kill-and-restart exactly-once: a streaming aggregation drains half
+    the input, stops, and a NEW query restarted from the same checkpoint
+    drains the appended second half. The final totals must equal the batch
+    twin over everything — proving the checkpoint restored both the
+    aggregation state and the committed source offsets (no loss, no double
+    count). The operational property a long-lived ingest depends on."""
+    from nimhdfstore_spark.streaming.windows import restart_recovery_stream
+
+    return restart_recovery_stream(spark, sf_dir)

@@ -680,3 +680,61 @@ def timeout_sessions_stream(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def restart_recovery_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a query RESTART: per-event-type totals
+    aggregated by a streaming query that is deliberately killed halfway
+    through its input and then restarted from its checkpoint.
+
+    Run 1 sees only the even-event_id half of ``events`` (staged as its
+    own parquet file), drains it with availableNow, commits state +
+    source offsets to the checkpoint, and stops. The odd half is then
+    appended to the source directory and a NEW query object with the SAME
+    checkpoint location drains it. Recovery must (a) restore the
+    aggregation state (run-1 counts survive) and (b) skip the already-
+    committed file (no double count) — the final totals equal the batch
+    twin over the full table, which is what the oracle checks. foreachBatch
+    rewrites the complete-mode result per batch; the parquet left on disk
+    after the second drain is the recovered answer.
+
+    This is the operational property a 100 TB streaming ingest lives on:
+    executors die, queries redeploy, and the checkpoint (not the sink) is
+    the source of truth."""
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = "/tmp/nimhdfstore_scratch/x142_restart"
+    stage = os.path.join(base, "stage")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(stage)
+
+    schema = ev.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(stage)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+
+        def sink(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()                 # drains the even half, checkpoints, stops
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(stage)
+    run_once()                 # restart: recovers state, drains only the new file
+    return spark.read.parquet(out).orderBy("event_type")

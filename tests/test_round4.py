@@ -139,3 +139,32 @@ def test_quality_empty_rules_raise(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         QA.row_rule_violations(df, {})
+
+
+# -- streaming restart recovery ---------------------------------------------
+
+def test_restart_recovery_equals_batch_and_commits_twice(spark, sf_dir):
+    import os
+    from pyspark.sql import functions as F
+    from nimhdfstore_spark.streaming.windows import restart_recovery_stream
+    from nimhdfstore_spark.tables import load
+
+    got = restart_recovery_stream(spark, sf_dir).collect()
+    want = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .orderBy("event_type")
+        .collect()
+    )
+    assert [(r.event_type, r.n_events) for r in got] == \
+        [(r.event_type, r.n_events) for r in want]
+    for g, w in zip(got, want):
+        assert abs(g.total_value - w.total_value) < 1e-5
+    # two separate availableNow drains => exactly two committed batches
+    commits = [
+        e for e in os.listdir("/tmp/nimhdfstore_scratch/x142_restart/ckpt/commits")
+        if not e.startswith(".")
+    ]
+    assert sorted(commits) == ["0", "1"]
