@@ -26,7 +26,7 @@ constants); ``salt`` yields independent samples.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MOD32 = 1 << 32
@@ -151,4 +151,24 @@ def temperature_sample(
         df.join(F.broadcast(th), group_col)
         .where(sample_hash(id_col, salt) < F.col("t_g"))
         .drop("n_g", "s_g", "t_g")
+    )
+
+
+def grouped_fixed_size_hash_sample(
+    df: DataFrame, id_col: str, group_col: str, k: int, salt: int = 0
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: within each group keep the
+    k rows with the smallest id-hash (ties by id) — the per-stratum
+    reservoir replacement (eval holdouts per language/source, per-class
+    training caps). One shuffle on the group key; the rank is a per-group
+    window over the hash order, so no global sort and no RNG — the same
+    rows survive on any cluster/partitioning, and a SQL oracle recomputes
+    the identical selection. Groups smaller than k keep everything."""
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
     )

@@ -189,3 +189,34 @@ def x_coherent_sample(spark, sf_dir):
             joined.agg(F.count(F.lit(1)).alias("n_orders_with_sampled_customer"))
         )
     )
+
+
+# -- x144: exactly-k-per-group deterministic sample --------------------------
+
+_GK = 25
+
+_X_GROUPK_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ({_h('doc_id', salt=7)}) ASC, doc_id ASC)
+           AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source FROM ranked WHERE rk <= {_GK}
+ORDER BY doc_id
+"""
+
+
+@query("x144_sample_group_fixed_k", _X_GROUPK_SQL)
+def x_group_fixed_k(spark, sf_dir):
+    """Exactly-{k}-per-language holdout: per-group window over the id-hash
+    order — deterministic on any partitioning (no RNG), one shuffle on the
+    group key, no global sort. The per-stratum counterpart of x78's global
+    TakeOrdered sample."""
+    from nimhdfstore_spark.operators.sampling import grouped_fixed_size_hash_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return grouped_fixed_size_hash_sample(
+        docs, "doc_id", "lang", _GK, salt=7
+    ).orderBy("doc_id")

@@ -298,3 +298,87 @@ def q39(spark, sf_dir):
     )
     t = Store(spark, root).table("supp")
     return t[50:150].orderBy("_rowid")
+
+
+# --------------------------------------------------------------------------
+# q40 — declarative table constraints: declared once in the table's catalog
+# metadata (persisted, mutation-surviving), audited on demand by
+# Table.validate() — check rules fold into one scan, uniqueness is one
+# keyed groupBy, foreign keys one LEFT ANTI join each. Violations are
+# deterministically injected so every rule exercises a real count.
+# --------------------------------------------------------------------------
+
+_Q40_SQL = """
+WITH scratch AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+  UNION ALL
+  SELECT c_custkey, NULL, c_nationkey, -1000000.0 FROM customer
+  WHERE c_custkey % 97 = 0
+),
+report AS (
+  SELECT 'check_acctbal_min' AS rule,
+         (SELECT CAST(SUM(CASE WHEN NOT (c_acctbal >= -1000) THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM scratch) AS n_violations
+  UNION ALL
+  SELECT 'check_name_not_null',
+         (SELECT CAST(SUM(CASE WHEN NOT (c_name IS NOT NULL) THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM scratch)
+  UNION ALL
+  SELECT 'fk_nation',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM scratch s
+          WHERE s.c_nationkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = s.c_nationkey
+                              AND n.n_nationkey < 20))
+  UNION ALL
+  SELECT 'unique_custkey',
+         (SELECT COALESCE(CAST(SUM(n - 1) AS BIGINT), 0) FROM
+            (SELECT c_custkey, COUNT(*) AS n FROM scratch
+             GROUP BY c_custkey HAVING COUNT(*) > 1))
+)
+SELECT rule, n_violations FROM report ORDER BY rule
+"""
+
+
+@query("q40_table_constraints", _Q40_SQL)
+def q40(spark, sf_dir):
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.tables import load
+
+    store = scratch_store(spark, f"q40-{os.path.basename(sf_dir)}")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    bad = cust.where(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        "c_nationkey",
+        F.lit(-1000000.0).alias("c_acctbal"),
+    )
+    nation_ref = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") < 20)
+        .select("n_nationkey", "n_name")
+    )
+    store.put(
+        "nation_ref", nation_ref, order_by=["n_nationkey"], overwrite=True
+    )
+    t = store.put(
+        "customer_audited",
+        cust.unionByName(bad),
+        order_by=["c_custkey", "c_acctbal"],
+        overwrite=True,
+    )
+    t.add_constraint("check_acctbal_min", check="c_acctbal >= -1000")
+    t.add_constraint("check_name_not_null", check="c_name IS NOT NULL")
+    t.add_constraint("unique_custkey", unique=["c_custkey"])
+    t.add_constraint(
+        "fk_nation", foreign_key=("c_nationkey", "nation_ref", "n_nationkey")
+    )
+    # constraints persist in the catalog: a fresh handle sees and runs them
+    fresh = store.table("customer_audited")
+    if set(fresh.constraints) != {
+        "check_acctbal_min", "check_name_not_null", "unique_custkey", "fk_nation"
+    }:
+        raise AssertionError(f"constraints did not persist: {fresh.constraints}")
+    return fresh.validate().orderBy("rule")

@@ -699,6 +699,101 @@ class Table:
             raise StoreError(f"no attribute {key!r} on {self.name!r}") from None
         self.store._write_meta(self.name, self._meta)
 
+    # -- declarative constraints (data-quality surface; extension — the
+    # reference's only validation is structural schema compatibility on
+    # open, nimtables.nim:133-138) --------------------------------------
+
+    @property
+    def constraints(self) -> dict[str, dict]:
+        return dict(self._meta.get("constraints", {}))
+
+    def add_constraint(
+        self,
+        name: str,
+        *,
+        check: str | None = None,
+        unique: list[str] | None = None,
+        foreign_key: tuple[str, str, str] | None = None,
+    ) -> None:
+        """Declare a named constraint, persisted in the table's catalog
+        metadata (so it travels with copies and survives mutations):
+
+        - ``check``: a SQL boolean expression that must HOLD for every row
+          (``"l_quantity between 1 and 50"``),
+        - ``unique``: a key column list,
+        - ``foreign_key``: ``(col, parent_table, parent_col)`` — every
+          non-null value of ``col`` must exist in the parent store table.
+
+        Constraints are validated on demand (``validate()``), not enforced
+        per-write: at 100 TB ingest you audit batches and quarantine
+        violations, you don't re-scan the table on every append."""
+        given = [x is not None for x in (check, unique, foreign_key)]
+        if sum(given) != 1:
+            raise StoreError("exactly one of check/unique/foreign_key required")
+        self._require_mutable()
+        if check is not None:
+            spec: dict = {"type": "check", "expr": check}
+        elif unique is not None:
+            missing = [c for c in unique if c not in self.df().columns]
+            if missing:
+                raise StoreError(f"unique constraint on unknown column(s): {missing}")
+            spec = {"type": "unique", "cols": list(unique)}
+        else:
+            col, parent, parent_col = foreign_key  # type: ignore[misc]
+            if parent not in self.store:
+                raise StoreError(f"foreign-key parent table {parent!r} not in store")
+            spec = {
+                "type": "foreign_key",
+                "col": col,
+                "parent": parent,
+                "parent_col": parent_col,
+            }
+        self._meta.setdefault("constraints", {})[name] = spec
+        self.store._write_meta(self.name, self._meta)
+
+    def drop_constraint(self, name: str) -> None:
+        self._require_mutable()
+        try:
+            del self._meta["constraints"][name]
+        except KeyError:
+            raise StoreError(f"no constraint {name!r} on {self.name!r}") from None
+        self.store._write_meta(self.name, self._meta)
+
+    def validate(self) -> DataFrame:
+        """Audit every declared constraint in one pass family (operators/
+        quality.py): all ``check`` rules fold into a single-scan conditional
+        aggregate; each ``unique`` is one keyed groupBy; each
+        ``foreign_key`` one LEFT ANTI join. Returns ``(rule,
+        n_violations)`` — driver-sized at any table size."""
+        from nimhdfstore_spark.operators import quality as _qa
+
+        specs = self._meta.get("constraints", {})
+        if not specs:
+            raise StoreError(f"no constraints declared on {self.name!r}")
+        body = self.df()
+        checks = {
+            nm: ~F.expr(sp["expr"])
+            for nm, sp in specs.items()
+            if sp["type"] == "check"
+        }
+        parts = []
+        if checks:
+            parts.append(_qa.row_rule_violations(body, checks))
+        for nm, sp in specs.items():
+            if sp["type"] == "unique":
+                parts.append(_qa.uniqueness_violations(body, sp["cols"], nm))
+            elif sp["type"] == "foreign_key":
+                parts.append(
+                    _qa.referential_violations(
+                        body,
+                        sp["col"],
+                        self.store[sp["parent"]].df(),
+                        sp["parent_col"],
+                        nm,
+                    )
+                )
+        return _qa.audit(parts)
+
     # -- positional reads (P1-P9) -------------------------------------------
 
     def row(self, i: int) -> DataFrame:

@@ -168,3 +168,51 @@ def test_restart_recovery_equals_batch_and_commits_twice(spark, sf_dir):
         if not e.startswith(".")
     ]
     assert sorted(commits) == ["0", "1"]
+
+
+# -- table constraints -------------------------------------------------------
+
+def test_constraints_persist_and_validate(spark, tmp_path):
+    from nimhdfstore_spark.store import Store, StoreError
+    import pytest
+
+    store = Store(spark, str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 3.0)], ["k", "v"]
+    )
+    t = store.put("t", df, order_by=["k", "v"])
+    t.add_constraint("v_nonneg", check="v >= 0")
+    t.add_constraint("uniq_k", unique=["k"])
+    got = {r.rule: r.n_violations for r in t.validate().collect()}
+    assert got == {"v_nonneg": 1, "uniq_k": 1}
+    # constraints survive a mutation (append) and a fresh handle
+    t.append(spark.createDataFrame([(9, -1.0)], ["k", "v"]))
+    fresh = store.table("t")
+    assert set(fresh.constraints) == {"v_nonneg", "uniq_k"}
+    got2 = {r.rule: r.n_violations for r in fresh.validate().collect()}
+    assert got2 == {"v_nonneg": 2, "uniq_k": 1}
+    fresh.drop_constraint("uniq_k")
+    assert set(store.table("t").constraints) == {"v_nonneg"}
+    with pytest.raises(StoreError):
+        fresh.drop_constraint("nope")
+    with pytest.raises(StoreError):
+        fresh.add_constraint("two_kinds", check="v >= 0", unique=["k"])
+    with pytest.raises(StoreError):
+        fresh.add_constraint("bad_fk", foreign_key=("k", "missing", "x"))
+
+
+def test_constraint_fk_and_null_check_semantics(spark, tmp_path):
+    from nimhdfstore_spark.store import Store
+
+    store = Store(spark, str(tmp_path / "s"))
+    store.put("parent", spark.createDataFrame([(1,), (2,)], ["pk"]),
+              order_by=["pk"])
+    child = spark.createDataFrame(
+        [(1, 1), (2, 7), (3, None)], ["k", "ref"]
+    )
+    t = store.put("child", child, order_by=["k"])
+    t.add_constraint("fk", foreign_key=("ref", "parent", "pk"))
+    # SQL CHECK semantics: NULL passes a check, and NULL FKs are not orphans
+    t.add_constraint("ref_small", check="ref < 100")
+    got = {r.rule: r.n_violations for r in t.validate().collect()}
+    assert got == {"fk": 1, "ref_small": 0}
