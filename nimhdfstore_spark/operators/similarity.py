@@ -479,3 +479,68 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", F.col("id").alias("neighbor_id"), "approx_d2", "rank")
     )
+
+
+MMR_LAM, MMR_MU = 0.7, 0.3  # relevance / redundancy weights (mu written
+# out, NOT computed as 1-lam: 1-0.7 is 0.30000000000000004 in IEEE double
+# and the SQL oracle writes the literal 0.3)
+
+
+def mmr_select(
+    pool: DataFrame,
+    pairs: DataFrame,
+    k: int,
+    lam: float = MMR_LAM,
+    mu: float = MMR_MU,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998,
+    public): per probe, greedily pick k items maximizing
+    ``lam * sim(query, d) - mu * max_{s in selected} sim(d, s)`` — the
+    standard diversity-aware re-rank between retrieval and context
+    packing (and the diverse-exemplar sampler in data curation).
+
+    ``pool``: ``(probe_id, neighbor_id, qsim)`` candidates (top-N by
+    query similarity); ``pairs``: ``(probe_id, id_a, id_b, sim)``
+    in-pool pairwise similarities, both directions present.
+
+    The greedy loop is inherently sequential in k, so it runs per-probe
+    inside a cogrouped ``applyInPandas`` (SURVEY §2.13): ONE shuffle on
+    probe_id, each group's state bounded by the pool size N — at 100 TB
+    (millions of probes) every probe is an independent O(k*N) task; the
+    cluster parallelizes across probes, never across the tiny in-pool
+    loop. Scores are raw doubles of pre-rounded sims (two multiplies,
+    one subtract — IEEE-exact on any engine); ties break to the lowest
+    id. Output: ``(probe_id, position, vec_id, mmr_score)``."""
+    import pandas as pd
+
+    def fn(key, pool_pdf: pd.DataFrame, pairs_pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = dict(zip(pool_pdf["neighbor_id"], pool_pdf["qsim"]))
+        sim: dict[tuple[int, int], float] = {}
+        for r in pairs_pdf.itertuples(index=False):
+            sim[(r.id_a, r.id_b)] = r.sim
+        selected: list[int] = []
+        rows = []
+        for pos in range(1, min(k, len(qs)) + 1):
+            best_score, best_id = None, None
+            for cid in sorted(qs):
+                if cid in selected:
+                    continue
+                maxsim = max(
+                    (sim.get((cid, s), 0.0) for s in selected), default=0.0
+                )
+                score = lam * qs[cid] - mu * maxsim
+                if best_score is None or score > best_score:
+                    best_score, best_id = score, cid
+            selected.append(best_id)
+            rows.append((int(key[0]), pos, int(best_id), float(best_score)))
+        return pd.DataFrame(
+            rows, columns=["probe_id", "position", "vec_id", "mmr_score"]
+        )
+
+    return (
+        pool.groupBy("probe_id")
+        .cogroup(pairs.groupBy("probe_id"))
+        .applyInPandas(
+            fn, "probe_id long, position int, vec_id long, mmr_score double"
+        )
+    )

@@ -25,7 +25,7 @@ queries are hash-checked, not just rows-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nimhdfstore_spark.operators.sampling import sample_hash
@@ -205,4 +205,46 @@ def countmin_estimate(
     joined = pos.join(F.broadcast(sketch), ["rw", "pos"], "left")
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cm_estimate")
+    )
+
+
+def histogram_bins(df: DataFrame, value_col: str, width: float) -> DataFrame:
+    """Fixed-width histogram of a value column: ``(b, cnt)`` with
+    ``b = floor(value / width)`` — the mergeable bounded-state quantile
+    sketch (an equi-width t-digest stand-in whose arithmetic is
+    engine-exact: one IEEE division + floor per row, integer counts).
+    groupBy combines map-side, so shuffled state is #bins per partition
+    at any input size, and two histograms merge by adding counts —
+    the property that lets 1000 executors sketch 100 TB independently."""
+    b = F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    return df.where(F.col(value_col).isNotNull()).select(b.alias("b")).groupBy(
+        "b"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def histogram_quantiles(
+    bins: DataFrame, width: float, quantiles: list[float]
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch by linear interpolation
+    inside the target bin: rank ``need = ceil(q*n)``; the estimate is
+    ``b*width + width * (need - cum_before) / cnt`` — exact-int inputs and
+    two IEEE ops, so the estimate hash-matches across engines. The window
+    runs over <= #bins rows (driver-scale), never over the data."""
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    total = bins.agg(F.sum("cnt").alias("n"))
+    qrows = bins.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in quantiles])).alias("q")
+    )
+    qdf = cum.crossJoin(F.broadcast(total)).crossJoin(F.broadcast(qrows))
+    need = F.ceil(F.col("q") * F.col("n"))
+    hit = qdf.where((F.col("cum") >= need) & (F.col("cum_before") < need))
+    est = (
+        F.col("b") * F.lit(width)
+        + F.lit(width) * (need - F.col("cum_before")) / F.col("cnt")
+    )
+    return hit.select(
+        F.col("q").alias("quantile"), F.round(est, 4).alias("est_value")
     )

@@ -478,3 +478,133 @@ def x119(spark, sf_dir):
     codes = S.pq_encode(emb, cb)
     probes = emb.where(F.col("vec_id").isin(list(_PROBES)))
     return S.pq_adc_topk(codes, cb, probes, k=_K).orderBy("probe_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# x146 — maximal-marginal-relevance (MMR) diverse top-k: the greedy
+# diversity-aware re-rank between retrieval and context packing. The
+# oracle unrolls the k greedy steps into CTEs (the x42/x116 technique for
+# iterative algorithms) over the same pre-rounded similarity tables.
+# --------------------------------------------------------------------------
+
+_MMR_PROBES = (0, 1, 2)
+_MMR_POOL = 16
+_MMR_K = 6
+
+
+def _x146_sql() -> str:
+    from nimhdfstore_spark.operators.similarity import MMR_LAM as LAM
+    from nimhdfstore_spark.operators.similarity import MMR_MU as MU
+
+    cos = lambda a, b: (  # noqa: E731
+        f"ROUND({_SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_SQL_DOT.format(a=a, b=a)}) * sqrt({_SQL_DOT.format(a=b, b=b)})), 6)"
+    )
+    ctes = [
+        f"""sims AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS id, {cos('p', 'c')} AS qsim
+  FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+  WHERE p.vec_id IN {_MMR_PROBES}
+),
+pool AS (
+  SELECT probe_id, id, qsim FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY qsim DESC, id) AS rank FROM sims
+  ) WHERE rank <= {_MMR_POOL}
+),
+poolv AS (
+  SELECT p.probe_id, p.id, e.embedding FROM pool p
+  JOIN embeddings e ON e.vec_id = p.id
+),
+pairs AS (
+  SELECT a.probe_id, a.id AS id_a, b.id AS id_b,
+         {cos('a', 'b')} AS sim
+  FROM poolv a JOIN poolv b
+    ON a.probe_id = b.probe_id AND a.id != b.id
+),
+sel1 AS (
+  SELECT probe_id,
+         (list(id ORDER BY {LAM}*qsim - {MU}*0.0 DESC, id))[1] AS s1,
+         (list({LAM}*qsim - {MU}*0.0
+               ORDER BY {LAM}*qsim - {MU}*0.0 DESC, id))[1] AS c1
+  FROM pool GROUP BY probe_id
+)"""
+    ]
+    for n in range(2, _MMR_K + 1):
+        prev = ", ".join(f"s.s{i}" for i in range(1, n))
+        carry = ", ".join(f"s.s{i}, s.c{i}" for i in range(1, n))
+        joins = "\n    ".join(
+            f"LEFT JOIN pairs p{i} ON p{i}.probe_id = c.probe_id "
+            f"AND p{i}.id_a = c.id AND p{i}.id_b = s.s{i}"
+            for i in range(1, n)
+        )
+        greatest = ", ".join(f"COALESCE(p{i}.sim, 0.0)" for i in range(1, n))
+        ctes.append(f"""score{n} AS (
+  SELECT c.probe_id, c.id,
+         {LAM}*c.qsim - {MU}*GREATEST({greatest}) AS score
+  FROM pool c
+    JOIN sel{n - 1} s ON s.probe_id = c.probe_id
+    {joins}
+  WHERE c.id NOT IN ({prev})
+),
+sel{n} AS (
+  SELECT s.probe_id, {carry},
+         (list(sc.id ORDER BY sc.score DESC, sc.id))[1] AS s{n},
+         (list(sc.score ORDER BY sc.score DESC, sc.id))[1] AS c{n}
+  FROM sel{n - 1} s JOIN score{n} sc ON s.probe_id = sc.probe_id
+  GROUP BY s.probe_id, {carry}
+)""")
+    steps = "\nUNION ALL\n".join(
+        f"SELECT probe_id, CAST({n} AS INT) AS position, s{n} AS vec_id, "
+        f"CAST(floor(c{n} * 1000000.0) AS BIGINT) AS mmr_score_u FROM sel{_MMR_K}"
+        for n in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\n{steps}\nORDER BY probe_id, position"
+    )
+
+
+@query("x146_mmr_diverse_topk", _x146_sql())
+def x146(spark, sf_dir):
+    """MMR diverse selection: 16-candidate pools per probe (brute-force
+    cosine), then the greedy lam*relevance - mu*redundancy walk inside a
+    cogrouped applyInPandas — one shuffle on probe_id, per-probe O(k*N)
+    state, so millions of probes parallelize while the sequential part
+    stays tiny. All similarities pre-rounded to 6dp so the score
+    arithmetic (two multiplies, one subtract) is engine-exact."""
+    from nimhdfstore_spark.functions.vector import cosine
+    from nimhdfstore_spark.operators.similarity import brute_force_topk, mmr_select
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(list(_MMR_PROBES)))
+    pool = brute_force_topk(emb, probes, k=_MMR_POOL).select(
+        "probe_id", "neighbor_id", F.col("cosine").alias("qsim")
+    )
+    ev = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    poolv = pool.join(ev, "neighbor_id").select(
+        "probe_id", F.col("neighbor_id").alias("id"), "embedding"
+    )
+    a, b = poolv.alias("a"), poolv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.probe_id") == F.col("b.probe_id"))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.probe_id").alias("probe_id"),
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("sim"),
+    )
+    out = mmr_select(pool, pairs, _MMR_K)
+    # floor(score * 1e6) as int64, NOT round(score, 6): the raw scores are
+    # identical IEEE doubles on both engines, but Spark's ROUND goes through
+    # the double's shortest decimal string while DuckDB rounds the exact
+    # binary value — products landing a hair under a .5 boundary round
+    # differently. Truncation of the identical product is engine-exact.
+    return out.select(
+        "probe_id",
+        "position",
+        "vec_id",
+        F.floor(F.col("mmr_score") * 1000000.0).cast("long").alias("mmr_score_u"),
+    ).orderBy("probe_id", "position")

@@ -176,3 +176,53 @@ def x114(spark, sf_dir):
         .orderBy(F.desc("cm_estimate"), "l_suppkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# x145 — histogram-sketch quantiles: the mergeable bounded-state
+# alternative to x80's exact percentiles (whose global sort/grouping an
+# incremental 100 TB pipeline can't afford per refresh).
+# --------------------------------------------------------------------------
+
+_HQ_WIDTH = 128.0
+_HQ_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _x145_sql() -> str:
+    qs = ", ".join(str(q) for q in _HQ_QS)
+    return f"""
+WITH bins AS (
+  SELECT CAST(floor(l_extendedprice / {_HQ_WIDTH}) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT b, cnt,
+         SUM(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) - cnt
+             AS cum_before
+  FROM bins
+),
+tot AS (SELECT SUM(cnt) AS n FROM bins),
+qs AS (SELECT unnest([{qs}]) AS q)
+SELECT q AS quantile,
+       ROUND(b * {_HQ_WIDTH}
+             + {_HQ_WIDTH} * (CAST(ceil(q * n) AS BIGINT) - cum_before) / cnt,
+             4) AS est_value
+FROM cum, tot, qs
+WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+  AND cum_before < CAST(ceil(q * n) AS BIGINT)
+ORDER BY quantile
+"""
+
+
+@query("x145_histogram_quantiles", _x145_sql())
+def x145(spark, sf_dir):
+    """Approximate quantiles of l_extendedprice from a fixed-width
+    histogram sketch: per-partition histograms merge by adding counts
+    (map-side combined groupBy on <= #bins cells), the quantile walk runs
+    over the driver-scale bin table, and the interpolation arithmetic is
+    exact-int + two IEEE ops — hash-checked, not just "close"."""
+    li = load(spark, sf_dir, "lineitem")
+    bins = SK.histogram_bins(li, "l_extendedprice", _HQ_WIDTH)
+    return SK.histogram_quantiles(bins, _HQ_WIDTH, _HQ_QS).orderBy("quantile")

@@ -224,3 +224,57 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_incremental_dedup_has_no_pair_scan(spark, sf_dir):
+    # x140: batch-vs-corpus candidate generation must be the (band, bucket)
+    # equi-join against the signature index — a nested-loop/cartesian here
+    # would make batch cost scale with corpus size
+    from nimhdfstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = _plan(QUERIES["x140_dedup_incremental"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        f"incremental dedup plans a pair scan:\n{plan[:2000]}"
+    )
+
+
+def test_chunking_has_no_shuffle(spark, sf_dir):
+    # x138: token-window chunking is per-doc work (tokens -> explode ->
+    # slice); any Exchange before the final presentation sort means the
+    # chunker would reshuffle the 100 TB corpus
+    from nimhdfstore_spark.operators.text import chunk_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _plan(chunk_tokens(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, f"chunking shuffles:\n{plan[:2000]}"
+
+
+def test_row_rules_single_scan(spark, sf_dir):
+    # x143/q40: N check rules must fold into ONE scan of the table (one
+    # conditional SUM per rule inside the same aggregate), not N jobs
+    from nimhdfstore_spark.operators.quality import row_rule_violations
+
+    li = load(spark, sf_dir, "lineitem")
+    plan = _plan(row_rule_violations(li, {
+        "a": F.col("l_quantity") > 30,
+        "b": F.col("l_orderkey").isNull(),
+        "c": F.col("l_extendedprice") <= 0,
+    }))
+    assert plan.count("Scan parquet") == 1, (
+        f"row rules scan the table more than once:\n{plan[:2000]}"
+    )
+
+
+def test_hll_state_is_bounded(spark, sf_dir):
+    # x139: the register build must partial-aggregate map-side (HashAggregate
+    # below the exchange) so shuffled state is <= 2^p rows per partition,
+    # never one row per input key
+    from nimhdfstore_spark.operators.sketches import hll_registers
+
+    li = load(spark, sf_dir, "lineitem")
+    plan = _plan(hll_registers(li, "l_orderkey"))
+    before_exchange = plan.split("Exchange")[-1]  # executed plans read bottom-up
+    assert "HashAggregate" in before_exchange, (
+        f"HLL register build does not partial-aggregate:\n{plan[:2000]}"
+    )

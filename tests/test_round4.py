@@ -216,3 +216,41 @@ def test_constraint_fk_and_null_check_semantics(spark, tmp_path):
     t.add_constraint("ref_small", check="ref < 100")
     got = {r.rule: r.n_violations for r in t.validate().collect()}
     assert got == {"fk": 1, "ref_small": 0}
+
+
+# -- MMR diverse selection ---------------------------------------------------
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from nimhdfstore_spark.operators.similarity import mmr_select
+
+    # candidates 11 and 12 are near-duplicates, both highly query-similar;
+    # 13 is less relevant but diverse. Plain top-2 would take {11, 12};
+    # MMR must take 11 then 13.
+    pool = spark.createDataFrame(
+        [(1, 11, 0.95), (1, 12, 0.94), (1, 13, 0.60)],
+        ["probe_id", "neighbor_id", "qsim"],
+    )
+    sims = [(1, 11, 12, 0.99), (1, 11, 13, 0.10), (1, 12, 13, 0.12)]
+    pairs = spark.createDataFrame(
+        sims + [(p, b, a, s) for p, a, b, s in sims],
+        ["probe_id", "id_a", "id_b", "sim"],
+    )
+    out = mmr_select(pool, pairs, k=2).orderBy("position").collect()
+    assert [r.vec_id for r in out] == [11, 13]
+    # position-1 score is lam*qsim; position-2 pays the redundancy penalty
+    assert abs(out[0].mmr_score - 0.7 * 0.95) < 1e-12
+    assert abs(out[1].mmr_score - (0.7 * 0.60 - 0.3 * 0.10)) < 1e-12
+
+
+def test_mmr_ties_break_to_lowest_id_and_k_caps(spark):
+    from nimhdfstore_spark.operators.similarity import mmr_select
+
+    pool = spark.createDataFrame(
+        [(1, 5, 0.9), (1, 3, 0.9)], ["probe_id", "neighbor_id", "qsim"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3, 5, 0.0), (1, 5, 3, 0.0)], ["probe_id", "id_a", "id_b", "sim"]
+    )
+    out = mmr_select(pool, pairs, k=5).orderBy("position").collect()
+    assert [r.vec_id for r in out] == [3, 5]      # tie -> lowest id first
+    assert len(out) == 2                          # k caps at pool size
