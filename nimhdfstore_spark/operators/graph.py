@@ -127,3 +127,67 @@ r{i} AS (
         )
         prev = f"r{i}"
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank_fp FROM {prev}"
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Distributed triangle counting with degree-ordered orientation —
+    the standard MPC trick (public; Suri & Vassilvitskii 2011): orient
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher one, making the graph a DAG in which each triangle appears
+    EXACTLY once as wedge a→b, b→c closed by a→c. Orientation bounds the
+    join's intermediate size by sum(min-degree per edge) — on skewed
+    (power-law) graphs that is orders of magnitude below the naive
+    wedge count, because high-degree hubs never fan out.
+
+    ``edges``: undirected ``(u, v)`` pairs; duplicates/self-loops are
+    dropped here. Two self-equi-joins on node keys — no cartesian at any
+    scale. Returns per-node participation counts ``(node, n_triangles)``
+    (each triangle credits its 3 corners)."""
+    und = (
+        edges.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"),
+            "b",
+        )
+    )
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("x"),
+            F.col("e1.dst").alias("y"),
+            F.col("e2.dst").alias("z"),
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

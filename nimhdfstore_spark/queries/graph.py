@@ -58,3 +58,92 @@ def x116(spark, sf_dir):
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = G.pagerank_fixed_point(edges, n_nodes, iterations=3)
     return ranks.orderBy(F.desc("rank_fp"), "node")
+
+
+# --------------------------------------------------------------------------
+# x148 — triangle counting over the user co-occurrence graph (users who
+# acted in the same (event_type, hour) bucket), with degree-ordered
+# orientation so each triangle is found exactly once and high-degree hubs
+# never fan out (operators/graph.py:triangle_count).
+# --------------------------------------------------------------------------
+
+_X148_SQL = """
+WITH und AS (
+  SELECT DISTINCT least(a.user_id, b.user_id) AS a,
+                  greatest(a.user_id, b.user_id) AS b
+  FROM events a JOIN events b
+    ON a.event_type = b.event_type
+   AND time_bucket(INTERVAL '1 hour', a.ts) = time_bucket(INTERVAL '1 hour', b.ts)
+   AND a.user_id != b.user_id
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS src,
+         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS dst
+  FROM und u
+  JOIN deg da ON da.node = u.a
+  JOIN deg db ON db.node = u.b
+),
+tri AS (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e1.dst = e2.src
+  JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL
+  SELECT z FROM tri
+),
+counts AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM corners GROUP BY node
+),
+tot AS (SELECT CAST(COALESCE(SUM(n_triangles), 0) / 3 AS BIGINT)
+            AS total_triangles FROM counts)
+SELECT c.node, c.n_triangles, t.total_triangles
+FROM counts c, tot t
+ORDER BY c.n_triangles DESC, c.node LIMIT 20
+"""
+
+
+@query("x148_triangle_count", _X148_SQL)
+def x148(spark, sf_dir):
+    """Top-20 users by triangle participation in the co-occurrence graph.
+    The bucket self-join bounds pair generation by per-bucket membership
+    (never all-pairs across the table); the triangle join runs on the
+    degree-oriented DAG so each triangle materializes once and wedge
+    fan-out is capped by the smaller endpoint's degree — the shape that
+    survives power-law graphs at 100 TB."""
+    from nimhdfstore_spark.operators.graph import triangle_count
+    from nimhdfstore_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+    )
+    counts = triangle_count(edges)
+    tot = counts.agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
+        .cast("long")
+        .alias("total_triangles")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(20)
+    )

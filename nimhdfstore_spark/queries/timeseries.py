@@ -302,3 +302,59 @@ def q34(spark, sf_dir):
     )
     t.merge(payload, "bucket")
     return t.df().select("bucket", "n", "sum_fp").orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# x147 — OHLC downsampling (candlestick bars): per (user, hour) open/high/
+# low/close over the event values — the canonical time-series compaction
+# for dashboards and feature stores. One map-side-combined groupBy; the
+# open/close picks are min_by/max_by on the event timestamp with event_id
+# as the deterministic tie-breaker (duplicate timestamps exist in real
+# feeds; an untied min_by would be partition-order-dependent).
+# --------------------------------------------------------------------------
+
+_X147_SQL = """
+SELECT user_id,
+       strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       (list(value ORDER BY epoch_us(ts) ASC, event_id ASC))[1] AS open_v,
+       MAX(value) AS high_v,
+       MIN(value) AS low_v,
+       (list(value ORDER BY epoch_us(ts) DESC, event_id DESC))[1] AS close_v
+FROM events
+GROUP BY user_id, 2
+ORDER BY user_id, bucket
+"""
+
+
+@query("x147_ohlc_downsample", _X147_SQL)
+def x147(spark, sf_dir):
+    from nimhdfstore_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_t", F.col("ts").cast("timestamp")
+    )
+    # (epoch_us, event_id) packed into a struct gives min_by/max_by the
+    # same lexicographic order DuckDB applies to its ordering tuple;
+    # unix_micros is exact integer microseconds (a double round-trip
+    # through fractional seconds can land one microsecond off)
+    order_key = F.struct(
+        F.unix_micros(F.col("ts_t")).alias("us"),
+        F.col("event_id").alias("eid"),
+    )
+    return (
+        ev.groupBy(
+            "user_id",
+            F.date_format(F.date_trunc("hour", "ts_t"), "yyyy-MM-dd HH:mm:ss")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", order_key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", order_key).alias("close_v"),
+        )
+        .orderBy("user_id", "bucket")
+    )
