@@ -62,7 +62,7 @@ def x116(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # x148 — triangle counting over the user co-occurrence graph (users who
-# acted in the same (event_type, hour) bucket), with degree-ordered
+# acted in the same (event_type, 5-minute) bucket), with degree-ordered
 # orientation so each triangle is found exactly once and high-degree hubs
 # never fan out (operators/graph.py:triangle_count).
 # --------------------------------------------------------------------------
@@ -73,7 +73,7 @@ WITH und AS (
                   greatest(a.user_id, b.user_id) AS b
   FROM events a JOIN events b
     ON a.event_type = b.event_type
-   AND time_bucket(INTERVAL '1 hour', a.ts) = time_bucket(INTERVAL '1 hour', b.ts)
+   AND epoch_us(a.ts) // 300000000 = epoch_us(b.ts) // 300000000
    AND a.user_id != b.user_id
 ),
 deg AS (
@@ -121,8 +121,16 @@ def x148(spark, sf_dir):
     from nimhdfstore_spark.operators.graph import triangle_count
     from nimhdfstore_spark.tables import load
 
+    # 5-minute buckets as plain integers (epoch_us div 3e8) — a finer
+    # grain than x147's hours ON PURPOSE: hourly co-occurrence at this
+    # fixture's density yields a near-complete graph (every pair of the
+    # 1500 sf0.1 users collides somewhere), and a dense graph has O(n^3)
+    # triangles no algorithm can dodge. Sparsity is a modeling decision;
+    # the orientation trick then keeps the join cost near-linear in edges.
     ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 300000000").alias("h"),
     )
     a, b = ev.alias("a"), ev.alias("b")
     edges = (
