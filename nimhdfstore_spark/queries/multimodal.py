@@ -158,7 +158,7 @@ def x118(spark, sf_dir):
 _WAV_RATES = [8000, 11025, 16000, 22050, 44100]
 
 
-def _x141_sql() -> str:
+def _x141_sql(where: str = "TRUE") -> str:
     rates = ", ".join(str(r) for r in _WAV_RATES)
     le2 = lambda x: (  # noqa: E731
         f"lpad(hex(({x}) % 256), 2, '0') || lpad(hex(({x}) // 256 % 256), 2, '0')"
@@ -171,7 +171,7 @@ WITH params AS (
          16 + doc_id % 4080 AS wd, 16 + doc_id % 2160 AS ht,
          1 + (doc_id // 2) % 2 AS ch,
          ([{rates}])[(doc_id % 5) + 1] AS rate
-  FROM documents
+  FROM documents WHERE {where}
 ),
 built AS (
   SELECT doc_id,
@@ -213,15 +213,10 @@ ORDER BY doc_id
 """
 
 
-@query("x141_multimodal_header_parse", _x141_sql())
-def x141(spark, sf_dir):
-    """Parse typed metadata (PNG width/height, WAV channels/rate/bits) out
-    of binary container headers at scan speed — fixed-offset hex substring
-    + base-16 conversion, no Python, reading ~40 bytes per payload. Even
-    doc_ids carry a synthesized valid PNG header, odd ones a WAV header;
-    the parser routes by structural signature (not the synthesis rule), so
-    a corrupt header would fall through to octet-stream with -1 fields."""
-    docs = load(spark, sf_dir, "documents")
+def synth_payload() -> "F.Column":
+    """Deterministic valid PNG/WAV payload column over (doc_id, text) —
+    the shared fixture for x141 (in-frame parse) and q41 (file-system
+    round-trip through the binaryFile source)."""
     wd = 16 + F.col("doc_id") % 4080
     ht = 16 + F.col("doc_id") % 2160
     ch = 1 + F.expr("doc_id div 2") % 2
@@ -259,5 +254,68 @@ def x141(spark, sf_dir):
             F.hex(F.substring("text", 1, 32)),
         )
     )
-    packed = docs.select("doc_id", payload.alias("payload"))
+    return payload
+
+
+@query("x141_multimodal_header_parse", _x141_sql())
+def x141(spark, sf_dir):
+    """Parse typed metadata (PNG width/height, WAV channels/rate/bits) out
+    of binary container headers at scan speed — fixed-offset hex substring
+    + base-16 conversion, no Python, reading ~40 bytes per payload. Even
+    doc_ids carry a synthesized valid PNG header, odd ones a WAV header;
+    the parser routes by structural signature (not the synthesis rule), so
+    a corrupt header would fall through to octet-stream with -1 fields."""
+    docs = load(spark, sf_dir, "documents")
+    packed = docs.select("doc_id", synth_payload().alias("payload"))
     return M.parse_media_headers(packed).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q41 — media-file ingestion through Spark's binaryFile source: payloads
+# are materialized as individual files (executor-side writes), read back
+# with spark.read.format("binaryFile"), ids recovered from paths, headers
+# parsed from the content column. This is the standard entry path for a
+# real media corpus (S3/HDFS directories of images/audio), exercised
+# end-to-end against the same oracle arithmetic as x141.
+# --------------------------------------------------------------------------
+
+_Q41_LIMIT = 200
+
+
+@query("q41_binaryfile_ingest", _x141_sql(where=f"doc_id < {_Q41_LIMIT}"))
+def q41(spark, sf_dir):
+    import os as _os
+    import shutil as _shutil
+
+    from nimhdfstore_spark.queries.core import SCRATCH_ROOT
+
+    stage = _os.path.join(
+        SCRATCH_ROOT, f"q41-{_os.path.basename(sf_dir)}", "media"
+    )
+    _shutil.rmtree(_os.path.dirname(stage), ignore_errors=True)
+    _os.makedirs(stage, exist_ok=True)
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _Q41_LIMIT)
+    packed = docs.select("doc_id", synth_payload().alias("payload"))
+
+    def write_files(it):
+        # executor-side writes: each partition lands its own files — the
+        # distributed produce step a real pipeline replaces with its
+        # upstream media fetcher
+        for pdf in it:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ext = "png" if doc_id % 2 == 0 else "wav"
+                with open(_os.path.join(stage, f"doc_{doc_id}.{ext}"), "wb") as f:
+                    f.write(bytes(payload))
+            yield pdf.iloc[0:0]
+
+    packed.mapInPandas(write_files, packed.schema).count()
+
+    files = spark.read.format("binaryFile").load(stage)
+    by_id = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return M.parse_media_headers(by_id).orderBy("doc_id")

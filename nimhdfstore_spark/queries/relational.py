@@ -1385,3 +1385,80 @@ def x130(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# x149 — grouped OLS regression + correlation from one pass of EXACT sums:
+# slope/intercept/r² of extendedprice-cents on quantity per returnflag.
+# The moment sums (n, Σx, Σy, Σx², Σxy, Σy²) are exact integers — cents
+# via floor(price*100 + 0.5) (the IEEE product is identical on both
+# engines, so the floor is too); the wide products Σxy, Σy² accumulate in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB's automatic BIGINT-sum
+# widening), both exact. Only the final closed-form arithmetic runs in
+# doubles, written as the identical op tree on both engines. One
+# map-side-combined groupBy; aggregation order cannot perturb anything.
+# --------------------------------------------------------------------------
+
+_X149_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS sxx,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_cents,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_cents,
+       ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * syy
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM m ORDER BY l_returnflag
+"""
+
+
+@query("x149_grouped_regression", _X149_SQL)
+def x149(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * syd
+    den = nd * sxxd - sxd * sxd
+    slope = num / den
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope_cents"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept_cents"),
+        F.round((num * num) / (den * (nd * F.col("syy") - syd * syd)), 6).alias("r2"),
+    ).orderBy("l_returnflag")
