@@ -431,3 +431,67 @@ def x138(spark, sf_dir):
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x151 — sentence segmentation as a Python UDTF (the §2.13 table-function
+# member of the UDF surface: one input row -> many output rows through a
+# LATERAL join). Splitting is the RE2-compatible pattern
+# '[^.!?]+[.!?]?' + space-trim, recomputed identically by Python re (the
+# UDTF), and DuckDB (the oracle's zipped unnest).
+# --------------------------------------------------------------------------
+
+_SENT_PATTERN = r"[^.!?]+[.!?]?"
+
+_X151_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_extract_all(text, '{_SENT_PATTERN}'), x -> trim(x, ' ')),
+           x -> x != '') AS sents
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(unnest(range(len(sents))) AS INT) AS sentence_idx,
+       unnest(sents) AS sentence,
+       CAST(length(unnest(sents)) AS BIGINT) AS n_chars
+FROM s
+ORDER BY doc_id, sentence_idx
+"""
+
+
+@query("x151_udtf_sentences", _X151_SQL)
+def x151(spark, sf_dir):
+    """Sentence segmentation through the Spark 4 Python UDTF API: the
+    class-based table function runs Arrow-batched on executors and the
+    LATERAL join fans each doc into its sentences — the row-to-rows
+    member of the UDF surface (scalar pandas_udf, mapInPandas,
+    applyInPandas[WithState], cogroup are covered elsewhere). Regex
+    splitting like this belongs in built-ins when possible (x138 does);
+    the UDTF form is for when per-row expansion logic outgrows SQL —
+    this query pins that the plumbing produces byte-identical results
+    to the pure-SQL twin."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_chars long")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for frag in _re.findall(_SENT_PATTERN, text):
+                frag = frag.strip(" ")
+                if frag:
+                    yield idx, frag, len(frag)
+                    idx += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    docs.createOrReplaceTempView("x151_docs")
+    return spark.sql(
+        """SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_chars
+           FROM x151_docs d, LATERAL split_sentences(d.text) s
+           ORDER BY d.doc_id, s.sentence_idx"""
+    )

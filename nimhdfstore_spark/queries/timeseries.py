@@ -358,3 +358,87 @@ def x147(spark, sf_dir):
         )
         .orderBy("user_id", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# x150 — z-score anomaly detection per event_type: two passes (moments,
+# then per-row scoring against broadcast group stats). Values scale to
+# exact integer micros (floor(value*1e6) — identical IEEE product both
+# engines); moment sums are exact (Σv int64, Σv² DECIMAL/HUGEINT), so
+# mean/std and every per-row z are the same doubles everywhere and the
+# outlier threshold cuts identically.
+# --------------------------------------------------------------------------
+
+_X150_SQL = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(v * v) AS DOUBLE) AS svv
+  FROM v GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, n,
+         CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_v,
+         sqrt((CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std_v
+  FROM m
+),
+scored AS (
+  SELECT v.event_type, s.n,
+         (CAST(v.v AS DOUBLE) - s.mean_v) / s.std_v AS z
+  FROM v JOIN stats s ON v.event_type = s.event_type
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN z > 3.0 OR z < -3.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+       ROUND(MAX(CASE WHEN z >= 0 THEN z ELSE -z END), 4) AS max_abs_z
+FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("x150_zscore_outliers", _X150_SQL)
+def x150(spark, sf_dir):
+    from nimhdfstore_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    nd, svd = F.col("n").cast("double"), F.col("sv").cast("double")
+    stats = m.select(
+        "event_type",
+        "n",
+        (svd / nd).alias("mean_v"),
+        F.sqrt((nd * F.col("svv") - svd * svd) / (nd * nd)).alias("std_v"),
+    )
+    z = (F.col("v").cast("double") - F.col("mean_v")) / F.col("std_v")
+    scored = v.join(F.broadcast(stats), "event_type").select(
+        "event_type", F.col("n"), z.alias("z")
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.when((F.col("z") > 3.0) | (F.col("z") < -3.0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(
+                F.max(F.when(F.col("z") >= 0, F.col("z")).otherwise(-F.col("z"))), 4
+            ).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )

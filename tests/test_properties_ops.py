@@ -458,3 +458,138 @@ def test_bloom_bitmap_sql_twin_no_false_negative(members):
     finally:
         con.close()
     assert n_missed == 0
+
+
+# -- round-4 operators -------------------------------------------------------
+
+def _py_sample_hash(i: int, salt: int = 0) -> int:
+    m = 1 << 32
+    h = ((i % m) + m) % m
+    h ^= (salt * 40503 + 17) % m
+    h = h * 40503 % m
+    h = (h ^ (h // 65536)) * 65599 % m
+    return h
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_hll_registers_match_python_reference(spark, seed):
+    """The Spark HLL register table must equal a pure-Python twin computed
+    from the same hash family — partitioning-independent, duplicate-
+    insensitive."""
+    from nimhdfstore_spark.operators import sketches as SK
+
+    rng = random.Random(seed)
+    ids = [rng.randrange(-(10**12), 10**12) for _ in range(4000)]
+    m, wbits, salt = SK.HLL_M, SK.HLL_WBITS, SK.HLL_SALT
+    expected: dict[int, int] = {}
+    for i in ids:
+        h = _py_sample_hash(i, salt)
+        idx, w = h % m, h // m
+        rank = (wbits + 1) if w == 0 else (wbits + 1 - w.bit_length())
+        expected[idx] = max(expected.get(idx, 0), rank)
+    df = spark.createDataFrame([(i,) for i in ids], "k long").repartition(9)
+    got = {r.idx: r.m_j for r in SK.hll_registers(df, "k").collect()}
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_chunk_tokens_matches_python_reference(spark, seed):
+    from nimhdfstore_spark.operators.text import chunk_tokens
+
+    rng = random.Random(seed)
+    docs = [
+        (d, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(0, 130))))
+        for d in range(30)
+    ]
+    size, overlap = 20, 5
+    stride = size - overlap
+    expected = set()
+    for d, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        for ci, s in enumerate(range(0, len(toks), stride)):
+            chunk = toks[s:s + size]
+            expected.add((d, ci, len(chunk), " ".join(chunk)))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(7)
+    got = {
+        (r.id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_tokens(df, "doc_id", "text", size, overlap).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_grouped_fixed_k_sample_matches_python_reference(spark, seed):
+    from nimhdfstore_spark.operators.sampling import grouped_fixed_size_hash_sample
+
+    rng = random.Random(seed)
+    rows = [(rng.randrange(4), i) for i in range(600)]
+    k, salt = 7, 3
+    by_group: dict[int, list[int]] = {}
+    for g, i in rows:
+        by_group.setdefault(g, []).append(i)
+    expected = set()
+    for g, ids in by_group.items():
+        keep = sorted(ids, key=lambda i: (_py_sample_hash(i, salt), i))[:k]
+        expected.update((g, i) for i in keep)
+    df = spark.createDataFrame(rows, "g long, id long").repartition(11)
+    got = {
+        (r.g, r.id)
+        for r in grouped_fixed_size_hash_sample(df, "id", "g", k, salt=salt).collect()
+    }
+    assert got == expected
+
+
+def test_histogram_quantiles_bound_exact_quantiles(spark):
+    """Histogram estimates must bracket the true value within one bin
+    width, and the bin table must merge additively (the mergeable-sketch
+    property)."""
+    from nimhdfstore_spark.operators import sketches as SK
+
+    vals = [(float(i * i % 997),) for i in range(5000)]
+    df = spark.createDataFrame(vals, "v double")
+    width = 16.0
+    bins = SK.histogram_bins(df, "v", width)
+    qs = [0.25, 0.5, 0.9]
+    est = {r.quantile: r.est_value
+           for r in SK.histogram_quantiles(bins, width, qs).collect()}
+    import statistics
+    raw = sorted(v for (v,) in vals)
+    for q in qs:
+        exact = raw[int(q * len(raw)) - 1]
+        assert abs(est[q] - exact) <= width, (q, est[q], exact)
+    # mergeability: half-and-half histograms sum to the full histogram
+    h1 = SK.histogram_bins(df.where("v < 500"), "v", width)
+    h2 = SK.histogram_bins(df.where("v >= 500"), "v", width)
+    merged = (
+        h1.unionByName(h2).groupBy("b").agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {r.b: r.cnt for r in bins.collect()}
+    assert {r.b: r.cnt for r in merged.collect()} == full
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_triangle_count_matches_bruteforce(spark, seed):
+    from itertools import combinations
+
+    from nimhdfstore_spark.operators.graph import triangle_count
+
+    rng = random.Random(seed)
+    nodes = list(range(25))
+    edges = {
+        tuple(sorted(rng.sample(nodes, 2)))
+        for _ in range(90)
+    }
+    adj: dict[int, set[int]] = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "u long, v long",
+    ).repartition(5)
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == expected
