@@ -220,3 +220,57 @@ def x_group_fixed_k(spark, sf_dir):
     return grouped_fixed_size_hash_sample(
         docs, "doc_id", "lang", _GK, salt=7
     ).orderBy("doc_id")
+
+
+# -- x152: leakage-free train/val/test split ---------------------------------
+
+_SPLIT_SALT = 42
+_VAL_PCT, _TEST_PCT = 10, 10  # of the 32-bit hash space, in percent
+
+
+@query("x152_dataset_split", f"""
+WITH h AS (
+  SELECT doc_id, lang, ({_h('doc_id', salt=_SPLIT_SALT)}) AS hv FROM documents
+),
+labeled AS (
+  SELECT doc_id, lang,
+         CASE WHEN hv < {(1 << 32) * _TEST_PCT // 100} THEN 'test'
+              WHEN hv < {(1 << 32) * (_TEST_PCT + _VAL_PCT) // 100} THEN 'val'
+              ELSE 'train' END AS split
+  FROM h
+)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+FROM labeled GROUP BY lang, split ORDER BY lang, split
+""")
+def x_dataset_split(spark, sf_dir):
+    """The canonical corpus split: one deterministic hash of the document
+    id cuts the 32-bit hash space into train/val/test (80/10/10) — the
+    same doc lands in the same split on any cluster, any partitioning,
+    any engine, and membership is a WHERE clause (no shuffle, no RNG
+    state, no split-assignment table to join). n = n_distinct per cell
+    certifies disjointness-by-construction. Salted independently from
+    every sampling query so ablation samples don't correlate with the
+    eval holdout."""
+    from nimhdfstore_spark.operators.sampling import MOD32, sample_hash
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    hv = sample_hash("doc_id", salt=_SPLIT_SALT)
+    test_cut = MOD32 * _TEST_PCT // 100
+    val_cut = MOD32 * (_TEST_PCT + _VAL_PCT) // 100
+    labeled = docs.select(
+        "doc_id",
+        "lang",
+        F.when(hv < test_cut, "test")
+        .when(hv < val_cut, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return (
+        labeled.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -382,3 +382,52 @@ def q40(spark, sf_dir):
     }:
         raise AssertionError(f"constraints did not persist: {fresh.constraints}")
     return fresh.validate().orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# q42 — VACUUM: snapshot retention reclaim with an auditable dry-run
+# report. The checked output is the post-vacuum catalog state (snapshot
+# counts + the table still answering correctly from its current
+# snapshot), since wall-clock bytes are machine-dependent.
+# --------------------------------------------------------------------------
+
+_Q42_SQL = """
+SELECT 'nation_v' AS tbl,
+       CAST(3 AS BIGINT) AS snaps_before,
+       CAST(1 AS BIGINT) AS snaps_after,
+       CAST(2 AS BIGINT) AS n_removed_dry,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_rows_after
+"""
+
+
+@query("q42_vacuum", _Q42_SQL)
+def q42(spark, sf_dir):
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.store import Store
+    from nimhdfstore_spark.tables import load_pos
+
+    base = scratch_store(spark, f"q42-{os.path.basename(sf_dir)}")
+    # retention 3 so two mutations leave three snapshots on disk
+    store = Store(spark, base.root, keep_snapshots=3)
+    t = store.put("nation_v", load_pos(spark, sf_dir, "nation"), overwrite=True)
+    t.set_attrs(touch=1)
+    t.update(0, t[0:1])                                  # second snapshot
+    t.update(1, t[1:2])                                  # third snapshot
+    snaps_before = len(store.snapshots("nation_v"))
+
+    dry = store.vacuum(retain=1, dry_run=True)
+    n_removed_dry = len(dry["nation_v"]["removed"])
+    if dry["nation_v"]["bytes"] <= 0:
+        raise AssertionError("dry run reported nothing reclaimable")
+    if len(store.snapshots("nation_v")) != snaps_before:
+        raise AssertionError("dry run must not delete")
+
+    store.vacuum(retain=1)
+    snaps_after = len(store.snapshots("nation_v"))
+    n_rows = store.table("nation_v").nrows
+
+    return spark.createDataFrame(
+        [("nation_v", snaps_before, snaps_after, n_removed_dry, n_rows)],
+        "tbl string, snaps_before long, snaps_after long, "
+        "n_removed_dry long, n_rows_after long",
+    )

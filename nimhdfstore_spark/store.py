@@ -383,6 +383,56 @@ class Store:
         for e in snaps[: -self.keep_snapshots]:
             shutil.rmtree(os.path.join(tdir, e), ignore_errors=True)
 
+    def vacuum(self, retain: int | None = None, dry_run: bool = False) -> dict:
+        """Lakehouse-style VACUUM: reclaim snapshot directories beyond the
+        ``retain`` newest per table (default = the store's
+        ``keep_snapshots``), never touching any table's current snapshot.
+        With ``dry_run=True`` nothing is deleted. Returns a report
+        ``{table: {"removed": [...], "kept": [...], "bytes": n}}`` —
+        driver-sized at any store size (the walk touches directory
+        entries, not data).
+
+        Retention is normally automatic (every commit prunes); an explicit
+        vacuum is for after lowering the retention depth, or for auditing
+        reclaimable space before doing so. Readers of retained-but-vacuumed
+        snapshots fail on next access, exactly like Delta/Iceberg VACUUM
+        semantics — size ``retain`` to the longest-running reader."""
+        retain = self.keep_snapshots if retain is None else retain
+        if retain < 1:
+            raise StoreError("retain must be >= 1")
+        if not dry_run:
+            self._require_writable()
+        report: dict = {}
+        for key in self.keys():
+            meta = self._read_meta(key)
+            if "link_to" in meta:
+                continue
+            tdir = self._table_dir(key)
+            snaps = sorted(
+                e for e in os.listdir(tdir)
+                if e.startswith("snap-") and os.path.isdir(os.path.join(tdir, e))
+            )
+            current = meta["current"]
+            doomed = [e for e in snaps[:-retain] if e != current] if len(
+                snaps
+            ) > retain else []
+            nbytes = 0
+            for e in doomed:
+                sdir = os.path.join(tdir, e)
+                for f in os.listdir(sdir):
+                    # hardlinked files shared with kept snapshots still
+                    # count st_size here; the simple sum is an upper bound
+                    # on reclaim (exact accounting needs st_nlink walks)
+                    nbytes += os.stat(os.path.join(sdir, f)).st_size
+                if not dry_run:
+                    shutil.rmtree(sdir, ignore_errors=True)
+            report[key] = {
+                "removed": doomed,
+                "kept": [e for e in snaps if e not in doomed],
+                "bytes": nbytes,
+            }
+        return report
+
     # -- SQL over the catalog -----------------------------------------------
 
     def sql(self, statement: str) -> DataFrame:

@@ -254,3 +254,42 @@ def test_mmr_ties_break_to_lowest_id_and_k_caps(spark):
     out = mmr_select(pool, pairs, k=5).orderBy("position").collect()
     assert [r.vec_id for r in out] == [3, 5]      # tie -> lowest id first
     assert len(out) == 2                          # k caps at pool size
+
+
+# -- vacuum ------------------------------------------------------------------
+
+def test_vacuum_retains_current_and_respects_dry_run(spark, tmp_path):
+    from nimhdfstore_spark.store import Store, StoreError
+    import pytest
+
+    store = Store(spark, str(tmp_path / "s"), keep_snapshots=5)
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["k", "v"])
+    t = store.put("t", df, order_by=["k"])
+    for _ in range(3):
+        t.update(0, t[0:1])
+    assert len(store.snapshots("t")) == 4
+    rep = store.vacuum(retain=2, dry_run=True)
+    assert len(rep["t"]["removed"]) == 2 and rep["t"]["bytes"] > 0
+    assert len(store.snapshots("t")) == 4          # dry run deleted nothing
+    rep = store.vacuum(retain=2)
+    assert len(store.snapshots("t")) == 2
+    # current snapshot survived; table still reads
+    assert store.table("t").nrows == 10
+    # vacuum to 1 keeps exactly the current snapshot
+    store.vacuum(retain=1)
+    assert len(store.snapshots("t")) == 1
+    assert store.table("t")[0:3].count() == 3
+    with pytest.raises(StoreError):
+        store.vacuum(retain=0)
+
+
+def test_vacuum_readonly_guard(spark, tmp_path):
+    from nimhdfstore_spark.store import Store, StoreError
+    import pytest
+
+    rw = Store(spark, str(tmp_path / "s"))
+    rw.put("t", spark.createDataFrame([(1,)], ["k"]), order_by=["k"])
+    ro = Store(spark, str(tmp_path / "s"), mode="r")
+    assert ro.vacuum(dry_run=True)["t"]["removed"] == []   # dry run allowed
+    with pytest.raises(StoreError):
+        ro.vacuum()
