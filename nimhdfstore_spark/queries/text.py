@@ -495,3 +495,50 @@ def x151(spark, sf_dir):
            FROM x151_docs d, LATERAL split_sentences(d.text) s
            ORDER BY d.doc_id, s.sentence_idx"""
     )
+
+
+# --------------------------------------------------------------------------
+# x154 — BPE merge-candidate statistics: counts of ADJACENT pre-token
+# pairs across the corpus — the frequency table a byte-pair-encoding
+# trainer consumes each merge round. Explode + per-doc window-lead +
+# one map-side-combined groupBy (the codegen-friendly shape; the zipped
+# array-slice form the oracle uses is semantically identical).
+# --------------------------------------------------------------------------
+
+_X154_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(text, '{T.BPE_PATTERN}'),
+                     x -> regexp_matches(x, '[^\\s]')) AS toks
+  FROM documents
+),
+p AS (
+  SELECT unnest(toks[1 : len(toks) - 1]) AS tok,
+         unnest(toks[2 : len(toks)]) AS nxt
+  FROM t WHERE len(toks) >= 2
+)
+SELECT tok, nxt, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY tok, nxt
+ORDER BY n_pairs DESC, tok, nxt LIMIT 20
+"""
+
+
+@query("x154_bpe_pair_stats", _X154_SQL)
+def x154(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(T.bpe_tokens("text")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.withColumn("nxt", F.lead("tok").over(w)).where(
+        F.col("nxt").isNotNull()
+    )
+    return (
+        pairs.groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "tok", "nxt")
+        .limit(20)
+    )
