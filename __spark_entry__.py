@@ -28,8 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_registry.QUERIES)
+    # Insertion order = the driver's sweep order, and the sweep is
+    # time-budgeted (round 2 recorded 52/170): core parity suite first,
+    # then round-robin across extension families for breadth under a cut.
+    return {n: _registry.QUERIES[n] for n in _registry.sweep_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_registry.ORACLE)
+    order = [n for n in _registry.sweep_order() if n in _registry.ORACLE]
+    return {n: _registry.ORACLE[n] for n in order}

@@ -37,6 +37,11 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # The driver json-parses the tail of combined output; progress bars
+        # and late stderr lines can displace the final JSON line (round-1
+        # BENCH tail ended in a FutureWarning, parsed:null). Keep the
+        # console quiet and print the line after spark.stop().
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
         # 43 queries' generated classes live in one JVM; the default ~240 MB
         # JIT code cache fills mid-run and compilation of the biggest
@@ -120,8 +125,12 @@ def main() -> None:
         out["queries"] = heavy
         out["queries_note"] = "top20_by_sec_full_list_in_bench_detail.json"
         line = json.dumps(out, separators=(",", ":"))
-    print(line)
+    # Stop Spark BEFORE printing: stop() (and executor teardown) can emit
+    # trailing log lines that would displace the JSON line from the tail of
+    # combined stdout+stderr the driver parses.
     spark.stop()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
