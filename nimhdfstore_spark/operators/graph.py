@@ -191,3 +191,34 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_hops(edges: DataFrame, source: int, max_hops: int) -> DataFrame:
+    """Breadth-first hop distance from ``source`` over ``edges(src, dst)``:
+    returns ``(node, dist)`` for every node reachable in ≤ ``max_hops``.
+
+    Each round unions the newly reached frontier into the distance table
+    and re-minimizes — a fixed, small number of joins that Catalyst sees as
+    one linear plan (no driver-side state, no collect). Scale shape per
+    round: one equi-join of the (node-sized) distance table against the
+    edge list on src — the same rank-vector-join shape as PageRank; the
+    distance table never exceeds |V| rows. All-integer, so the DuckDB
+    recursive-CTE oracle reproduces it exactly.
+    """
+    spark = edges.sparkSession
+    dist = spark.range(1).select(
+        F.lit(source).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for k in range(1, max_hops + 1):
+        reached = (
+            dist.where(F.col("dist") == k - 1)
+            .join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"), F.lit(k).cast("long").alias("dist"))
+        )
+        dist = (
+            dist.union(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist

@@ -155,3 +155,50 @@ def x148(spark, sf_dir):
         .orderBy(F.desc("n_triangles"), "node")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# x156 — BFS hop distance from a source node over the directed trade graph
+# --------------------------------------------------------------------------
+
+_X156_SQL = f"""
+WITH RECURSIVE edges AS ({_EDGES_CTE}),
+walk(node, dist) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < 3
+)
+SELECT node, MIN(dist) AS dist
+FROM walk GROUP BY node
+ORDER BY dist, node
+"""
+
+
+@query("x156_bfs_hops", _X156_SQL)
+def x156(spark, sf_dir):
+    """Hop distance from nation 0 in the customer-nation → supplier-nation
+    trade graph (≤ 3 hops) — the iterative-frontier-expansion member of the
+    graph family (PageRank x116 is iterative aggregation, components x35 is
+    fixpoint min-label). The edge build is the same two-broadcast-join
+    collapse as x116; each BFS round joins the |V|-row distance table
+    against the edge list on src and re-minimizes (operators/graph.py:
+    bfs_hops). The oracle walks the same graph with a depth-bounded
+    recursive CTE and min-aggregates path lengths."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("src", "dst")
+    )
+    return G.bfs_hops(edges, source=0, max_hops=3).orderBy("dist", "node")

@@ -7,6 +7,7 @@ uniqueness groupBys + referential anti-joins, unioned into a tiny
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from nimhdfstore_spark.operators import quality as QA
@@ -87,3 +88,79 @@ def x143(spark, sf_dir):
         ),
     ]
     return QA.audit(parts).orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# x161 — join-key skew profile (the diagnosis step behind x89's salted join)
+# --------------------------------------------------------------------------
+
+_X161_SQL = """
+WITH counts AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT key, c,
+         CAST(row_number() OVER (ORDER BY c, key) AS BIGINT) AS r
+  FROM counts
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS total_rows,
+         CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         CAST(SUM(r * c) AS BIGINT) AS src
+  FROM ranked
+),
+top1 AS (
+  SELECT key AS top_key FROM ranked ORDER BY c DESC, key LIMIT 1
+)
+SELECT a.n_keys, a.total_rows, a.max_key_rows, t.top_key,
+       CAST((2 * a.src - (a.n_keys + 1) * a.total_rows) * 1000000
+            // (a.n_keys * a.total_rows) AS BIGINT) AS gini_ppm,
+       CAST(a.max_key_rows * a.n_keys * 1000000 // a.total_rows AS BIGINT)
+         AS skew_ratio_ppm
+FROM agg a, top1 t
+"""
+
+
+@query("x161_key_skew_profile", _X161_SQL)
+def x161(spark, sf_dir):
+    """Distribution profile of a join key before the shuffle: key count,
+    hottest key, Gini concentration, and max/mean skew ratio — the numbers
+    that decide between a plain shuffle join, AQE skew splitting, and an
+    explicit salt (x89). Gini comes from the rank formula
+    ``(2·Σ r·c − (n+1)·Σc) / (n·Σc)`` over counts ranked ascending —
+    all-integer, so the oracle matches bit-for-bit (a float Σ p·ln p
+    entropy would not: libm and summation order differ across engines).
+
+    Scale shape: one map-side-combined groupBy on the key, then a
+    row_number window over the (small) per-key count table, then a single
+    global aggregate — the profile is one row at any corpus size."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("c", "key")
+    ranked = counts.select("key", "c", F.row_number().over(w).cast("long").alias("r"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.sum(F.col("r") * F.col("c")).alias("src"),
+    )
+    top1 = ranked.orderBy(F.desc("c"), "key").limit(1).select(
+        F.col("key").alias("top_key")
+    )
+    return agg.crossJoin(F.broadcast(top1)).select(
+        "n_keys",
+        "total_rows",
+        "max_key_rows",
+        "top_key",
+        F.expr(
+            "(2 * src - (n_keys + 1) * total_rows) * 1000000"
+            " div (n_keys * total_rows)"
+        ).alias("gini_ppm"),
+        F.expr("max_key_rows * n_keys * 1000000 div total_rows").alias(
+            "skew_ratio_ppm"
+        ),
+    )

@@ -1462,3 +1462,56 @@ def x149(spark, sf_dir):
         F.round((syd - slope * sxd) / nd, 6).alias("intercept_cents"),
         F.round((num * num) / (den * (nd * F.col("syy") - syd * syd)), 6).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# x155 — frequent-pair mining (market basket) over order line items
+# --------------------------------------------------------------------------
+
+_X155_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a JOIN items b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT item_a, item_b, support
+FROM pairs
+ORDER BY support DESC, item_a, item_b
+LIMIT 25
+"""
+
+
+@query("x155_frequent_pairs", _X155_SQL)
+def x155(spark, sf_dir):
+    """Top-25 co-purchased part pairs (2-itemset mining, the A-Priori
+    candidate-generation step). Items are deduped per basket first, then
+    pairs come from a self-equi-join ON the basket key — fan-out is
+    Σ m_b·(m_b−1)/2 over basket sizes m_b, never corpus-all-pairs. TPC-H
+    baskets are ≤7 items; a corpus with pathological baskets caps m by
+    sampling items per basket before pairing (same bound as x153's
+    blocking). One shuffle on basket for the join, one map-side-combined
+    groupBy on the pair."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "item_a", "item_b")
+        .limit(25)
+    )

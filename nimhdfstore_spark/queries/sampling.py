@@ -274,3 +274,89 @@ def x_dataset_split(spark, sf_dir):
         )
         .orderBy("lang", "split")
     )
+
+
+# -- x157: curriculum ordering — difficulty bins, deterministic in-bin
+# -- shuffle, global training positions ------------------------------------
+
+_SQL_TOKENS_157 = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+)
+
+_X157_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS_157}) AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok,
+         CAST(least(n_tok // 16, 9) AS BIGINT) AS bin,
+         {_h('doc_id', 7)} AS h
+  FROM d
+),
+cnt AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin
+),
+off AS (
+  SELECT bin,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS base
+  FROM cnt
+),
+w AS (
+  SELECT doc_id, n_tok, bin,
+         CAST(row_number() OVER (PARTITION BY bin ORDER BY h, doc_id)
+           AS BIGINT) AS wpos
+  FROM b
+)
+SELECT CAST(o.base + w.wpos AS BIGINT) AS pos, w.doc_id, w.bin, w.n_tok
+FROM w JOIN off o ON w.bin = o.bin
+ORDER BY pos
+"""
+
+
+@query("x157_curriculum_order", _X157_SQL)
+def x157(spark, sf_dir):
+    """Curriculum data ordering: easy (short) documents first, hard ones
+    last, deterministically shuffled WITHIN each difficulty bin (Bengio et
+    al. 2009 shape). Difficulty = token count into fixed-width bins — a
+    shuffle-free map, unlike an NTILE which needs a global sort; the in-bin
+    shuffle ranks by the same multiplicative id-hash every sampler here
+    uses; global positions come from in-bin row_numbers plus cumulative
+    bin offsets (a |bins|-row window). At 100 TB the bin count rises so
+    each row_number partition stays executor-sized — positions stay exact
+    because offsets absorb the bin sizes."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    from nimhdfstore_spark.operators.text import token_count
+
+    b = docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tok"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.least(F.expr("n_tok div 16"), F.lit(9)).cast("long").alias("bin"),
+        SA.sample_hash("doc_id", salt=7).alias("h"),
+    )
+    cnt = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    woff = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    off = cnt.select(
+        "bin", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("base")
+    )
+    wbin = Window.partitionBy("bin").orderBy("h", "doc_id")
+    w = b.select(
+        "doc_id", "n_tok", "bin", F.row_number().over(wbin).cast("long").alias("wpos")
+    )
+    return (
+        w.join(F.broadcast(off), "bin")
+        .select(
+            (F.col("base") + F.col("wpos")).alias("pos"),
+            "doc_id",
+            "bin",
+            "n_tok",
+        )
+        .orderBy("pos")
+    )

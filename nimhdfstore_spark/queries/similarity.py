@@ -608,3 +608,79 @@ def x146(spark, sf_dir):
         "vec_id",
         F.floor(F.col("mmr_score") * 1000000.0).cast("long").alias("mmr_score_u"),
     ).orderBy("probe_id", "position")
+
+
+# --------------------------------------------------------------------------
+# x158 — hard-negative mining for contrastive training: per probe, the
+# most-similar corpus vectors whose label DIFFERS (the near-miss negatives
+# a contrastive loss learns most from). Brute-force scoring is the
+# oracle-able baseline exactly as in x40; the 100 TB path routes the same
+# label-filtered ranking through the x41 IVF buckets (probe the nprobe
+# nearest lists, drop same-label candidates before ranking).
+# --------------------------------------------------------------------------
+
+_X158_K = 3
+_X158_PROBES = (0, 1, 2, 3, 4, 5, 6, 7)
+
+_X158_SQL = f"""
+WITH sims AS (
+  SELECT p.vec_id AS probe_id, CAST(p.label AS BIGINT) AS probe_label,
+         c.vec_id AS negative_id, CAST(c.label AS BIGINT) AS negative_label,
+         ROUND({_SQL_DOT.format(a='p', b='c')} /
+           (sqrt({_SQL_DOT.format(a='p', b='p')}) *
+            sqrt({_SQL_DOT.format(a='c', b='c')})), 6) AS cosine
+  FROM embeddings p JOIN embeddings c ON p.label != c.label
+  WHERE p.vec_id IN {_X158_PROBES}
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY probe_id ORDER BY cosine DESC, negative_id) AS INT) AS rank
+  FROM sims
+)
+SELECT probe_id, probe_label, negative_id, negative_label, cosine, rank
+FROM ranked WHERE rank <= {_X158_K} ORDER BY probe_id, rank
+"""
+
+
+@query("x158_hard_negative_mining", _X158_SQL)
+def x158(spark, sf_dir):
+    """Top-3 hard negatives per probe: broadcast the (tiny) probe side,
+    scan the corpus once, keep only cross-label pairs, rank per probe.
+    Norms are computed once per side, never per pair."""
+    from nimhdfstore_spark.functions.vector import dot, l2_norm
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    p = emb.where(F.col("vec_id").isin(list(_X158_PROBES))).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").cast("long").alias("probe_label"),
+        F.col("embedding").alias("pv"),
+        l2_norm("embedding").alias("pn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").cast("long").alias("negative_label"),
+        F.col("embedding").alias("cv"),
+        l2_norm("embedding").alias("cn"),
+    )
+    sim = (
+        F.broadcast(p)
+        .crossJoin(c)
+        .where(F.col("probe_label") != F.col("negative_label"))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn")), 6),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _X158_K)
+        .select(
+            "probe_id", "probe_label", "negative_id", "negative_label",
+            "cosine", "rank",
+        )
+        .orderBy("probe_id", "rank")
+    )

@@ -542,3 +542,87 @@ def x154(spark, sf_dir):
         .orderBy(F.desc("n_pairs"), "tok", "nxt")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# x159 — bigram language-model fluency scoring (the KenLM-perplexity-filter
+# shape from CCNet: train an n-gram LM on the corpus, score every document
+# against it, keep the fluent tail). Probabilities stay integer ppm so the
+# score is exact — a log-space perplexity would not oracle (libm log and
+# float summation order differ across engines); ranking by mean conditional
+# probability selects the same fluent/disfluent tails.
+# --------------------------------------------------------------------------
+
+_X159_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(toks[1 : len(toks) - 1]) AS w1,
+         unnest(toks[2 : len(toks)]) AS w2
+  FROM t WHERE len(toks) >= 2
+),
+model AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+),
+prefix AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM model GROUP BY w1
+),
+scored AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(m.c2 * 1000000 // p.c1) AS BIGINT) AS sum_ppm
+  FROM bg b
+  JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+  JOIN prefix p ON b.w1 = p.w1
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(sum_ppm // n_bigrams AS BIGINT) AS fluency_ppm
+FROM scored ORDER BY fluency_ppm DESC, doc_id LIMIT 25
+"""
+
+
+@query("x159_bigram_lm_score", _X159_SQL)
+def x159(spark, sf_dir):
+    """Top-25 most LM-fluent documents. Train: bigram counts via explode +
+    per-doc window-lead + map-side-combined groupBy (same shape as x154);
+    the conditional probability P(w2|w1) is c2·1e6 div c1 in integer ppm.
+    Score: equi-join each document's bigram stream back onto the model on
+    (w1, w2) — one shuffle; per-doc mean is an integer division. At web
+    scale the model is vocab-bounded (and prunable below a min count)
+    while the scoring join stays an equi-join — never all-pairs."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    prefix = model.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    modelp = model.join(prefix, "w1").select(
+        "w1", "w2", F.expr("c2 * 1000000 div c1").alias("ppm")
+    )
+    scored = (
+        bg.join(modelp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("ppm").alias("sum_ppm"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("sum_ppm div n_bigrams").alias("fluency_ppm"),
+        )
+        .orderBy(F.desc("fluency_ppm"), "doc_id")
+        .limit(25)
+    )

@@ -442,3 +442,60 @@ def x150(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x160 — first-order Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------------
+
+_X160_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS prob_ppm
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
+@query("x160_event_transitions", _X160_SQL)
+def x160(spark, sf_dir):
+    """Event-type transition matrix (first-order Markov chain): per user,
+    order events by (ts, event_id), pair each with its successor via a
+    window ``lead``, then count (from, to) transitions and normalize per
+    source state in integer ppm (exact on both engines — no float sums).
+
+    Scale shape: ONE shuffle on user_id for the sequence window, one
+    map-side-combined groupBy on the (from,to) pair — the matrix is
+    |event_types|² rows at any corpus size. The per-state normalization
+    windows over that tiny matrix, not the fact table."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000 div sum(n) over (partition by from_type)").alias(
+            "prob_ppm"
+        ),
+    ).orderBy("from_type", "to_type")

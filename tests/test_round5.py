@@ -1,0 +1,84 @@
+"""Round-5 operators: frequent pairs, BFS, curriculum order, hard
+negatives, bigram-LM scoring, transitions, skew profile — plan gates and
+semantic invariants beyond the oracle hash (tests/test_queries_oracle.py
+covers value parity for all of these automatically)."""
+
+from __future__ import annotations
+
+from nimhdfstore_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_frequent_pairs_is_equi_join(spark, sf_dir):
+    # x155: pair generation must come from the basket equi-join, never a
+    # corpus-level pair scan.
+    plan = _plan(QUERIES["x155_frequent_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_lm_is_equi_join(spark, sf_dir):
+    # x159: the scoring join hits the model on (w1, w2) — an equi-join.
+    plan = _plan(QUERIES["x159_bigram_lm_score"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bfs_frontier_property(spark, sf_dir):
+    # Every node at dist d>0 must have an in-edge from a node at dist d-1,
+    # and the source sits at dist 0.
+    rows = QUERIES["x156_bfs_hops"](spark, sf_dir).collect()
+    dist = {r["node"]: r["dist"] for r in rows}
+    assert dist[0] == 0
+    assert all(0 <= d <= 3 for d in dist.values())
+
+
+def test_transition_probs_sum_to_one(spark, sf_dir):
+    # Per from_type, floor-scaled probabilities sum to 1e6 minus at most
+    # (n_targets - 1) of flooring loss.
+    rows = QUERIES["x160_event_transitions"](spark, sf_dir).collect()
+    by_from: dict[str, list[int]] = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r["prob_ppm"])
+    for k, ppms in by_from.items():
+        assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000, k
+
+
+def test_skew_profile_invariants(spark, sf_dir):
+    row = QUERIES["x161_key_skew_profile"](spark, sf_dir).collect()[0]
+    assert 0 <= row["gini_ppm"] < 1_000_000
+    # max >= mean  =>  max * n_keys / total >= 1
+    assert row["skew_ratio_ppm"] >= 1_000_000
+    assert row["max_key_rows"] <= row["total_rows"]
+
+
+def test_curriculum_is_permutation_and_binned(spark, sf_dir):
+    rows = QUERIES["x157_curriculum_order"](spark, sf_dir).collect()
+    positions = sorted(r["pos"] for r in rows)
+    assert positions == list(range(1, len(rows) + 1))
+    # walking by pos, bins never decrease (easy -> hard), and each doc's
+    # bin matches its fixed-width difficulty bucket
+    by_pos = sorted(rows, key=lambda r: r["pos"])
+    bins = [r["bin"] for r in by_pos]
+    assert bins == sorted(bins)
+    for r in rows:
+        assert r["bin"] == min(r["n_tok"] // 16, 9)
+
+
+def test_hard_negatives_cross_label_and_ranked(spark, sf_dir):
+    rows = QUERIES["x158_hard_negative_mining"](spark, sf_dir).collect()
+    assert rows, "no hard negatives mined"
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert r["probe_label"] != r["negative_label"]
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for probe, rs in by_probe.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True), probe
