@@ -876,3 +876,45 @@ def q28(spark, sf_dir):
         )
         .orderBy(ROWID)
     )
+
+
+# --------------------------------------------------------------------------
+# Q43 — merge-on-read deletion vectors: two composed deferred deletes move
+# ZERO bytes (the snapshot directory is untouched — pinned in tests); the
+# read overlays the vector and renumbers. Deferred deletes must compose
+# exactly like q11's eager ones: logical 10..19 then logical 10..14 equals
+# raw 10..24 gone. Lakehouse DV semantics (Delta/Iceberg v2 position
+# deletes) on the positional store.
+# --------------------------------------------------------------------------
+
+_Q43_SQL = f"""
+WITH base AS ({rowid_over('customer')}),
+kept AS (
+  SELECT * FROM base WHERE {ROWID} < 10
+  UNION ALL SELECT {ROWID} - 15 AS {ROWID}, c_custkey, c_name, c_nationkey,
+                   c_acctbal, c_mktsegment
+            FROM base WHERE {ROWID} > 24
+)
+SELECT kept.*, (SELECT COUNT(*) FROM kept) AS total_count,
+       CAST(1 AS BIGINT) AS n_dv_ranges
+FROM kept WHERE {ROWID} BETWEEN 5 AND 14 ORDER BY {ROWID}
+"""
+
+
+@query("q43_deletion_vectors", _Q43_SQL)
+def q43(spark, sf_dir):
+    store = scratch_store(spark, f"q43-{os.path.basename(sf_dir)}")
+    t = store.put(
+        "customer_scratch", load_pos(spark, sf_dir, "customer"), overwrite=True
+    )
+    t.delete_deferred(10, 19)
+    t.delete_deferred(10, 14)  # logical, post-first-delete => raw 20..24
+    return (
+        t.df()
+        .where(F.col(ROWID).between(5, 14))
+        .withColumn("total_count", F.lit(t.nrows).cast("long"))
+        .withColumn(
+            "n_dv_ranges", F.lit(len(t.deletion_vector)).cast("long")
+        )
+        .orderBy(ROWID)
+    )

@@ -121,6 +121,42 @@ DEFAULT_ROWS_PER_FILE = 4_000_000
 CODECS = {"none", "uncompressed", "snappy", "gzip", "zstd", "lz4"}
 
 
+def _merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Sort inclusive ranges and merge overlapping/adjacent ones."""
+    out: list[tuple[int, int]] = []
+    for a, b in sorted(ranges):
+        if out and a <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], b))
+        else:
+            out.append((a, b))
+    return out
+
+
+def _logical_to_raw(
+    dv: list[tuple[int, int]], a: int, b: int, raw_total: int
+) -> list[tuple[int, int]]:
+    """Map the LOGICAL inclusive range [a, b] to raw-position ranges, given
+    the already-deleted raw ranges ``dv``. Kept raw segments map to
+    contiguous logical spans in order; intersect [a, b] with each span."""
+    kept: list[tuple[int, int]] = []
+    pos = 0
+    for da, db in sorted(dv):
+        if da > pos:
+            kept.append((pos, da - 1))
+        pos = max(pos, db + 1)
+    if pos < raw_total:
+        kept.append((pos, raw_total - 1))
+    out: list[tuple[int, int]] = []
+    log_start = 0
+    for ka, kb in kept:
+        span = kb - ka + 1
+        lo, hi = max(a, log_start), min(b, log_start + span - 1)
+        if lo <= hi:
+            out.append((ka + (lo - log_start), ka + (hi - log_start)))
+        log_start += span
+    return out
+
+
 class StoreError(Exception):
     pass
 
@@ -242,6 +278,9 @@ class Store:
                 hist["current"] = snap
                 hist["files"] = self._scan_ranges(sdir)
                 hist["count"] = sum(e["rows"] for e in hist["files"])
+                # a pending deletion vector overlays CURRENT only; history
+                # shows committed snapshot states
+                hist.pop("dv", None)
                 t = Table(self, name, hist, frozen=True)
                 if expect_schema is not None:
                     t.check_compatibility(expect_schema)
@@ -603,7 +642,73 @@ class Table:
         return os.path.join(self.store._table_dir(self.name), self._meta["current"])
 
     def df(self) -> DataFrame:
-        return self.store.spark.read.parquet(self.snapshot_path)
+        base = self.store.spark.read.parquet(self.snapshot_path)
+        dv = self._meta.get("dv") or []
+        if not dv:
+            return base
+        # Merge-on-read: filter the deleted raw positions out and renumber
+        # the survivors by the number of deleted positions below them. Both
+        # are plain column expressions (one term per DV range), so the whole
+        # overlay stays in whole-stage codegen; _DV_LIMIT bounds the
+        # expression size. Note the renumbered _rowid is computed, so
+        # parquet min/max pruning on _rowid is lost until the DV
+        # materializes (compact() or any physical mutation restores it).
+        r = F.col(ROWID)
+        dead = None
+        shift = F.lit(0)
+        for a, b in dv:
+            rng = r.between(int(a), int(b))
+            dead = rng if dead is None else (dead | rng)
+            shift = shift + F.when(r > int(b), int(b) - int(a) + 1).otherwise(0)
+        return base.where(~dead).withColumn(ROWID, (r - shift).cast("long"))
+
+    # -- deletion vectors (merge-on-read deletes) ----------------------------
+
+    #: materialize automatically once the overlay has this many ranges —
+    #: keeps the read-side expression (and meta) bounded
+    _DV_LIMIT = 128
+
+    @property
+    def deletion_vector(self) -> list[list[int]]:
+        """Pending deleted RAW-position ranges (inclusive), sorted/disjoint;
+        empty when the table has no merge-on-read overlay."""
+        return [list(r) for r in self._meta.get("dv") or []]
+
+    def delete_deferred(self, a: int, b: int | None = None) -> None:
+        """M4 as merge-on-read: record the deleted positions in a deletion
+        vector instead of rewriting files — the delete is O(1) metadata at
+        ANY table size (a positional delete on a 100 TB table moves zero
+        bytes). Reads overlay the vector (see ``df``); the next physical
+        mutation or ``compact()`` materializes it into a real snapshot.
+        Lakehouse equivalent of Delta/Iceberg deletion vectors; the
+        reference only has the eager form (nimtables.nim:202-227).
+
+        ``a``/``b`` are LOGICAL positions (what a reader sees); they are
+        mapped onto raw file positions through the existing vector, so
+        repeated deferred deletes compose exactly like eager ones."""
+        self.store._require_writable()
+        self._require_mutable()
+        a = self._resolve(a)
+        b = a if b is None else self._resolve(b)
+        if not (0 <= a <= b < self.nrows):
+            raise StoreError(f"delete range {a}..{b} out of range")
+        dv = [tuple(r) for r in self._meta.get("dv") or []]
+        new_raw = _logical_to_raw(dv, a, b, raw_total=sum(
+            e["rows"] for e in self._meta["files"]
+        ))
+        merged = _merge_ranges(dv + new_raw)
+        self._meta["dv"] = [list(r) for r in merged]
+        self._meta["count"] = self.nrows - (b - a + 1)
+        self.store._write_meta(self.name, self._meta)
+        if len(merged) > Table._DV_LIMIT:
+            self.compact()
+
+    def _flush_dv(self) -> None:
+        """Materialize a pending deletion vector before any physical
+        mutation: the mutators reuse raw files by position, which is only
+        sound when raw == logical."""
+        if self._meta.get("dv"):
+            self.compact()
 
     # -- zone-map value index (small-materialized-aggregates file skipping) --
 
@@ -1011,12 +1116,17 @@ class Table:
         self._meta.update(
             current=snap, count=sum(e["rows"] for e in files), files=files
         )
+        # a physical commit always starts from the logical state (mutators
+        # _flush_dv first; compact reads through df()), so any overlay is
+        # now materialized in the files
+        self._meta.pop("dv", None)
         store._write_meta(self.name, self._meta)
         store._prune_snapshots(self.name)
 
     def append(self, df: DataFrame, n: int | None = None) -> None:
         """M1 — append at end (nimtables.nim:173-175). Existing files are all
         reused; only the new rows are written."""
+        self._flush_dv()
         start = self.nrows
         new, n = self._new_rows(df, start, n)
         self._commit_pruned(self._ranges(), new, n)
@@ -1027,6 +1137,7 @@ class Table:
         splice point on are rewritten. Unlike the reference, the count is
         updated (its in-memory ``nrecords`` forgets to bump — SURVEY §2.9
         quirk) and position 0 is insertable (no ``assert n>0``)."""
+        self._flush_dv()
         i = self._resolve(i)
         if not 0 <= i <= self.nrows:
             raise StoreError(f"insert position {i} out of range 0..{self.nrows}")
@@ -1053,6 +1164,7 @@ class Table:
         """M4 — delete row or inclusive slice (nimtables.nim:202-227);
         suffix shifts down arithmetically. Files entirely before ``a`` are
         reused; the rest rewrite."""
+        self._flush_dv()
         a = self._resolve(a)
         b = a if b is None else self._resolve(b)
         if not (0 <= a <= b < self.nrows):
@@ -1074,6 +1186,7 @@ class Table:
         rows ``start..start+n-1`` of ``src`` to this table. The slice read
         prunes to the files containing the range; the append writes only the
         new rows."""
+        self._flush_dv()
         # rebase the source positions onto the tail of this table
         new = (
             src.df()
@@ -1088,6 +1201,7 @@ class Table:
         """M15 ``H5TBinsert_field``: add a column with a default. A schema
         change touches every file by definition — full rewrite is inherent,
         not an implementation shortcut."""
+        self._flush_dv()
         if name in self.df().columns:
             raise StoreError(f"field exists: {name!r}")
         body = self.df().withColumn(name, F.lit(default).cast(dtype))
@@ -1095,6 +1209,7 @@ class Table:
 
     def drop_field(self, name: str) -> None:
         """M15 ``H5TBdelete_field``: remove a column (never ``_rowid``)."""
+        self._flush_dv()
         if name == ROWID or name not in self.df().columns:
             raise StoreError(f"cannot drop field {name!r}")
         self._commit_pruned([], self.df().drop(name), self.nrows)
@@ -1166,6 +1281,7 @@ class Table:
         HDF5's touched-chunks-only behavior. Payloads are driver-sized (the
         reference marshals them in memory too); at scale, sort the ids and
         binary-search the file catalog instead of the linear probe."""
+        self._flush_dv()
         ids = [r[ROWID] for r in df.select(ROWID).collect()]
         if not ids:
             return
@@ -1198,6 +1314,7 @@ class Table:
         everything else hardlinks into the new snapshot, exactly the
         update_rows pruning. One snapshot commit covers both legs, so readers
         never observe the update without the insert."""
+        self._flush_dv()
         if key not in self.df().columns or key == ROWID:
             raise StoreError(f"no such merge key: {key!r}")
         pay = df.drop(ROWID) if ROWID in df.columns else df
@@ -1295,6 +1412,7 @@ class Table:
         ``a..b`` rewrite — a point update on a 100 TB table moves one file.
         The replacement must cover the region exactly (the reference leaves
         shape vs data.len unchecked — quirk not kept)."""
+        self._flush_dv()
         a = self._resolve(i)
         b = a if b is None else self._resolve(b)
         if not (0 <= a <= b < self.nrows):

@@ -82,3 +82,91 @@ def test_hard_negatives_cross_label_and_ranked(spark, sf_dir):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True), probe
+
+
+# -- deletion vectors (merge-on-read deletes) -------------------------------
+
+import os
+
+from pyspark.sql import functions as F
+
+from nimhdfstore_spark.rowid import ROWID
+from nimhdfstore_spark.store import Store, StoreError
+
+
+def _mk(spark, tmp_path, n=60, rows_per_file=20):
+    st = Store(spark, str(tmp_path / "dv"), rows_per_file=rows_per_file)
+    df = spark.range(n).select(
+        F.col("id").cast("long").alias(ROWID), (F.col("id") * 3).alias("v")
+    )
+    return st, st.put("t", df)
+
+
+def test_dv_delete_moves_zero_bytes(spark, tmp_path):
+    st, t = _mk(spark, tmp_path)
+    snap = t.snapshot_path
+    before = sorted(os.listdir(snap))
+    t.delete_deferred(5, 24)
+    assert t.snapshot_path == snap and sorted(os.listdir(snap)) == before
+    assert t.nrows == 40
+    assert [r["v"] for r in t.df().orderBy(ROWID).limit(6).collect()] == [
+        0, 3, 6, 9, 12, 75,
+    ]
+
+
+def test_dv_equals_eager_delete(spark, tmp_path):
+    st, t = _mk(spark, tmp_path)
+    st.put(
+        "e",
+        spark.range(60).select(
+            F.col("id").cast("long").alias(ROWID), (F.col("id") * 3).alias("v")
+        ),
+    )
+    e = st["e"]
+    t.delete_deferred(10, 19)
+    t.delete_deferred(10, 14)
+    e.delete(10, 19)
+    e.delete(10, 14)
+    got = [tuple(r) for r in t.df().orderBy(ROWID).collect()]
+    want = [tuple(r) for r in e.df().orderBy(ROWID).collect()]
+    assert got == want and t.nrows == e.nrows == 45
+    # materializing changes nothing logically
+    t.compact()
+    assert t.deletion_vector == []
+    assert [tuple(r) for r in t.df().orderBy(ROWID).collect()] == want
+
+
+def test_dv_flushes_before_physical_mutation(spark, tmp_path):
+    st, t = _mk(spark, tmp_path)
+    t.delete_deferred(0, 9)
+    t.append(
+        spark.range(2).select(
+            (F.col("id") + 50).cast("long").alias(ROWID),
+            F.lit(-1).cast("long").alias("v"),
+        )
+    )
+    assert t.deletion_vector == [] and t.nrows == 52
+    rows = t.df().orderBy(ROWID).collect()
+    assert [r[ROWID] for r in rows] == list(range(52))
+    assert rows[0]["v"] == 30 and rows[-1]["v"] == -1
+
+
+def test_dv_autocompacts_past_limit(spark, tmp_path, monkeypatch):
+    st, t = _mk(spark, tmp_path, n=40, rows_per_file=40)
+    monkeypatch.setattr(type(t), "_DV_LIMIT", 2)
+    t.delete_deferred(1)
+    t.delete_deferred(4)
+    assert len(t.deletion_vector) == 2  # at limit: still deferred
+    t.delete_deferred(8)
+    assert t.deletion_vector == []  # over limit: materialized
+    assert t.nrows == 37
+
+
+def test_dv_readonly_guard(spark, tmp_path):
+    st, t = _mk(spark, tmp_path)
+    ro = Store(spark, str(tmp_path / "dv"), mode="r")
+    try:
+        ro["t"].delete_deferred(0)
+        raise AssertionError("read-only store accepted delete_deferred")
+    except StoreError:
+        pass
