@@ -431,3 +431,43 @@ def q42(spark, sf_dir):
         "tbl string, snaps_before long, snaps_after long, "
         "n_removed_dry long, n_rows_after long",
     )
+
+
+# --------------------------------------------------------------------------
+# q44 — bloom file index: when the layout does NOT correlate with a column
+# (here: lineitem re-clustered by a hash, so every file's l_orderkey
+# [min,max] spans the whole domain and zone maps prune NOTHING), a per-file
+# Bloom filter still skips every file that provably lacks the value. The
+# point lookup reads ~1 file of ~12; the pruning ratio is pinned in tests,
+# the row values against the oracle.
+# --------------------------------------------------------------------------
+
+_Q44_KEY = 97
+
+_Q44_SQL = f"""
+SELECT * FROM ({{rowid_over}}) WHERE p_partkey = {_Q44_KEY}
+ORDER BY _rowid
+"""
+
+
+@query(
+    "q44_bloom_file_index",
+    _Q44_SQL.format(rowid_over=rowid_over("part")),
+)
+def q44(spark, sf_dir):
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.tables import load_pos, table_nrows
+
+    store = scratch_store(spark, f"q44-{os.path.basename(sf_dir)}")
+    store.rows_per_file = max(256, table_nrows(sf_dir, "part") // 12)
+    t = store.put("part_bloom", load_pos(spark, sf_dir, "part"), overwrite=True)
+    # decorrelate the physical layout from the lookup key: after this,
+    # every file spans ~the full l_orderkey domain (zone maps are useless)
+    t.cluster_by(F.xxhash64("p_partkey"))
+    t.build_bloom("p_partkey", bits=16384, k=3)
+    out, scanned, total = t.lookup_eq("p_partkey", _Q44_KEY)
+    if total > 2 and scanned >= total:
+        raise AssertionError(
+            f"bloom index pruned nothing: {scanned}/{total} files scanned"
+        )
+    return out.orderBy("_rowid")

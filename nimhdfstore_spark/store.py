@@ -279,8 +279,10 @@ class Store:
                 hist["files"] = self._scan_ranges(sdir)
                 hist["count"] = sum(e["rows"] for e in hist["files"])
                 # a pending deletion vector overlays CURRENT only; history
-                # shows committed snapshot states
+                # shows committed snapshot states. The bloom index likewise
+                # describes the current snapshot's files.
                 hist.pop("dv", None)
+                hist.pop("bloom", None)
                 t = Table(self, name, hist, frozen=True)
                 if expect_schema is not None:
                     t.check_compatibility(expect_schema)
@@ -642,17 +644,22 @@ class Table:
         return os.path.join(self.store._table_dir(self.name), self._meta["current"])
 
     def df(self) -> DataFrame:
-        base = self.store.spark.read.parquet(self.snapshot_path)
+        return self._dv_overlay(
+            self.store.spark.read.parquet(self.snapshot_path)
+        )
+
+    def _dv_overlay(self, base: DataFrame) -> DataFrame:
+        """Apply the pending deletion vector (if any) to a frame of raw
+        snapshot rows: filter the deleted raw positions out and renumber
+        the survivors by the number of deleted positions below them. Both
+        are plain column expressions (one term per DV range), so the whole
+        overlay stays in whole-stage codegen; _DV_LIMIT bounds the
+        expression size. Note the renumbered _rowid is computed, so
+        parquet min/max pruning on _rowid is lost until the DV
+        materializes (compact() or any physical mutation restores it)."""
         dv = self._meta.get("dv") or []
         if not dv:
             return base
-        # Merge-on-read: filter the deleted raw positions out and renumber
-        # the survivors by the number of deleted positions below them. Both
-        # are plain column expressions (one term per DV range), so the whole
-        # overlay stays in whole-stage codegen; _DV_LIMIT bounds the
-        # expression size. Note the renumbered _rowid is computed, so
-        # parquet min/max pruning on _rowid is lost until the DV
-        # materializes (compact() or any physical mutation restores it).
         r = F.col(ROWID)
         dead = None
         shift = F.lit(0)
@@ -808,7 +815,106 @@ class Table:
             return empty, 0, total
         paths = [os.path.join(self.snapshot_path, n) for n in keep]
         df = self.store.spark.read.parquet(*paths)
-        return df.where(F.col(column).between(lo, hi)), len(keep), total
+        df = self._dv_overlay(df.where(F.col(column).between(lo, hi)))
+        return df, len(keep), total
+
+    # -- bloom file index (equality file skipping) ---------------------------
+
+    def build_bloom(self, column: str, bits: int = 2048, k: int = 3) -> dict:
+        """Build a per-file Bloom-filter index over ``column`` and persist
+        it in the catalog: for point lookups on a column the physical
+        layout does NOT correlate with, zone maps prune nothing (every
+        file's [min, max] spans the domain) but a bloom filter still skips
+        every file that provably lacks the value — the Parquet
+        bloom-filter / Delta file-skipping idea at file granularity, where
+        a skipped file costs zero tasks.
+
+        Build: ONE distributed scan — each row hashes to ``k`` bit
+        positions (``xxhash64(col, seed)``), positions aggregate per input
+        file via a map-side-combined ``collect_set`` (bounded by ``bits``),
+        and only ``files × bits/8`` bytes ever reach the driver/catalog.
+        The index is snapshot-scoped; any physical commit drops it (stale
+        by definition — rebuild is a maintenance job, same as zone maps).
+
+        Sizing: with rows-per-file r, false-positive rate per file is
+        ~(1 - e^(-k·r/bits))^k — size ``bits`` ≈ 10·r for ~1% at k=3; the
+        catalog cost stays bits/8 bytes per file regardless of r."""
+        self.store._require_writable()
+        self._require_mutable()
+        if column not in self.df().columns or column == ROWID:
+            raise StoreError(f"cannot bloom-index column {column!r}")
+        if bits % 8 or bits <= 0:
+            raise StoreError("bits must be a positive multiple of 8")
+        spark = self.store.spark
+        raw = spark.read.parquet(self.snapshot_path)
+        pos = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(column), F.lit(i)), F.lit(bits)).cast(
+                    "int"
+                )
+                for i in range(k)
+            ]
+        )
+        per_file = (
+            raw.select(
+                F.input_file_name().alias("__f"), F.explode(pos).alias("p")
+            )
+            .groupBy("__f")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )
+        files: dict[str, str] = {}
+        for r in per_file:
+            bitmap = bytearray(bits // 8)
+            for p in r["ps"]:
+                bitmap[p // 8] |= 1 << (p % 8)
+            files[os.path.basename(r["__f"])] = bitmap.hex()
+        idx = {"bits": bits, "k": k, "files": files}
+        self._meta.setdefault("bloom", {})[column] = idx
+        self.store._write_meta(self.name, self._meta)
+        return idx
+
+    def lookup_eq(self, column: str, value) -> tuple[DataFrame, int, int]:
+        """Point lookup through the bloom index: files whose filter lacks
+        any of the value's ``k`` bits cannot contain it and are never
+        opened. Returns ``(frame, files_scanned, files_total)``; the
+        equality predicate still applies row-exactly to the survivors
+        (bloom positives are only probabilistic). The value is hashed by
+        the same ``xxhash64`` expression the build ran, cast to the
+        column's type first — a literal of a narrower type would hash
+        differently."""
+        idx = (self._meta.get("bloom") or {}).get(column)
+        if idx is None:
+            raise StoreError(f"no bloom index on column {column!r}")
+        if value is None:
+            raise StoreError("bloom lookup requires a non-null value")
+        spark = self.store.spark
+        bits, kk = int(idx["bits"]), int(idx["k"])
+        dtype = dict(self.df().dtypes)[column]
+        lit = F.lit(value).cast(dtype)
+        positions = (
+            spark.range(1)
+            .select(
+                *[
+                    F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bits))
+                    .cast("int")
+                    .alias(f"p{i}")
+                    for i in range(kk)
+                ]
+            )
+            .collect()[0]
+        )
+        total = len(idx["files"])
+        keep = []
+        for name, hexmap in idx["files"].items():
+            bm = bytes.fromhex(hexmap)
+            if all(bm[p // 8] & (1 << (p % 8)) for p in positions):
+                keep.append(name)
+        if not keep:
+            return self.df().where(F.lit(False)), 0, total
+        paths = [os.path.join(self.snapshot_path, n) for n in keep]
+        df = spark.read.parquet(*paths).where(F.col(column) == value)
+        return self._dv_overlay(df), len(keep), total
 
     @property
     def schema(self) -> StructType:
@@ -1118,8 +1224,10 @@ class Table:
         )
         # a physical commit always starts from the logical state (mutators
         # _flush_dv first; compact reads through df()), so any overlay is
-        # now materialized in the files
+        # now materialized in the files; per-file bloom indexes describe the
+        # PREVIOUS snapshot's files and go stale with them
         self._meta.pop("dv", None)
+        self._meta.pop("bloom", None)
         store._write_meta(self.name, self._meta)
         store._prune_snapshots(self.name)
 

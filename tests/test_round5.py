@@ -170,3 +170,59 @@ def test_dv_readonly_guard(spark, tmp_path):
         raise AssertionError("read-only store accepted delete_deferred")
     except StoreError:
         pass
+
+
+# -- bloom file index -------------------------------------------------------
+
+
+def test_bloom_prunes_uncorrelated_layout(spark, tmp_path):
+    st = Store(spark, str(tmp_path / "bl"), rows_per_file=200)
+    df = spark.range(2000).select(
+        F.col("id").cast("long").alias(ROWID),
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+    )
+    t = st.put("t", df)
+    t.cluster_by(F.xxhash64("k"))
+    t.build_bloom("k", bits=4096, k=3)
+    out, scanned, total = t.lookup_eq("k", 1234)
+    rows = out.collect()
+    assert [r["k"] for r in rows] == [1234]
+    assert total == 10 and scanned <= 3  # ~1 true file + rare false positives
+    # absent value: typically zero files survive, never a wrong row
+    out2, s2, t2 = t.lookup_eq("k", 10**9)
+    assert out2.count() == 0 and s2 <= 2
+
+
+def test_bloom_index_goes_stale_on_commit(spark, tmp_path):
+    st = Store(spark, str(tmp_path / "bl2"), rows_per_file=100)
+    df = spark.range(300).select(
+        F.col("id").cast("long").alias(ROWID), F.col("id").alias("k")
+    )
+    t = st.put("t", df)
+    t.build_bloom("k")
+    t.append(
+        spark.range(5).select(
+            (F.col("id") + 300).cast("long").alias(ROWID),
+            (F.col("id") + 300).alias("k"),
+        )
+    )
+    try:
+        t.lookup_eq("k", 3)
+        raise AssertionError("stale bloom index survived a commit")
+    except StoreError:
+        pass
+
+
+def test_bloom_respects_deletion_vector(spark, tmp_path):
+    st = Store(spark, str(tmp_path / "bl3"), rows_per_file=100)
+    df = spark.range(300).select(
+        F.col("id").cast("long").alias(ROWID), F.col("id").alias("k")
+    )
+    t = st.put("t", df)
+    t.build_bloom("k")
+    t.delete_deferred(0, 9)  # metadata-only: bloom stays valid for raw files
+    out, _, _ = t.lookup_eq("k", 5)
+    assert out.count() == 0  # deleted row must not resurrect
+    out2, _, _ = t.lookup_eq("k", 15)
+    assert [(r[ROWID], r["k"]) for r in out2.collect()] == [(5, 15)]
