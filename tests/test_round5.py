@@ -226,3 +226,43 @@ def test_bloom_respects_deletion_vector(spark, tmp_path):
     assert out.count() == 0  # deleted row must not resurrect
     out2, _, _ = t.lookup_eq("k", 15)
     assert [(r[ROWID], r["k"]) for r in out2.collect()] == [(5, 15)]
+
+
+# -- incremental join-view maintenance --------------------------------------
+
+
+def test_ivm_appends_without_rewriting_base_files(spark, tmp_path):
+    from pyspark.sql import Window
+
+    from nimhdfstore_spark.operators.ivm import join_delta
+
+    st = Store(spark, str(tmp_path / "ivm"), rows_per_file=50)
+    a = spark.range(200).select(
+        F.col("id").alias("ak"), (F.col("id") % 40).alias("k"),
+        (F.col("id") * 2).alias("av"),
+    )
+    b = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") + 100).alias("bv")
+    )
+    base_a, delta_a = a.where("ak % 5 != 0"), a.where("ak % 5 = 0")
+    base_b, delta_b = b.where("k % 8 != 0"), b.where("k % 8 = 0")
+    v0 = base_a.join(base_b, "k")
+    t = st.put("v", v0, order_by=["ak"])
+    files_before = {e["name"] for e in t._meta["files"]}
+    dv = join_delta(base_a, delta_a, base_b, delta_b, "k", "k")
+    w = Window.orderBy("ak")
+    from nimhdfstore_spark.rowid import ROWID
+
+    t.append(dv.withColumn(ROWID, (F.row_number().over(w) - 1).cast("long")))
+    files_after = {e["name"] for e in t._meta["files"]}
+    assert files_before <= files_after, "append rewrote existing view files"
+    # IVM result == full recompute (order-insensitive multiset compare)
+    got = sorted(
+        (r["ak"], r["k"], r["av"], r["bv"])
+        for r in t.df().select("ak", "k", "av", "bv").collect()
+    )
+    want = sorted(
+        (r["ak"], r["k"], r["av"], r["bv"])
+        for r in a.join(b, "k").select("ak", "k", "av", "bv").collect()
+    )
+    assert got == want
