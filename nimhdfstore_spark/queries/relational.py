@@ -1577,3 +1577,225 @@ def q45(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# x163 — winsorization: clip each group's values at its own exact p05/p95
+# before aggregating (the robust-statistics preprocessing step; heavy-tail
+# feature columns get capped this way before training). Quantiles are the
+# same exact-percentile surface as x80; the clipped aggregate is summed in
+# integer cents so the result is order-independent on both engines.
+# --------------------------------------------------------------------------
+
+_X163_SQL = """
+WITH thr AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+),
+clipped AS (
+  SELECT l.l_returnflag,
+         CASE WHEN l.l_extendedprice < t.p05 THEN 1 ELSE 0 END AS below,
+         CASE WHEN l.l_extendedprice > t.p95 THEN 1 ELSE 0 END AS above,
+         least(greatest(l.l_extendedprice, t.p05), t.p95) AS v
+  FROM lineitem l JOIN thr t ON l.l_returnflag = t.l_returnflag
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(below) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(above) AS BIGINT) AS n_clipped_high,
+       CAST(SUM(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS winsorized_cents
+FROM clipped GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("x163_winsorize", _X163_SQL)
+def x163(spark, sf_dir):
+    """Group-wise winsorized aggregate. Scale shape: one map-side-combined
+    pass computes the per-group exact percentiles (the group count is tiny),
+    the thresholds broadcast back onto the fact table, and the clipped sum
+    is integer cents — no float accumulation order to diverge."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.05), F.lit(0.95)))
+    thr = li.groupBy("l_returnflag").agg(
+        pct[0].alias("p05"), pct[1].alias("p95")
+    )
+    v = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    clipped = li.join(F.broadcast(thr), "l_returnflag").select(
+        "l_returnflag",
+        F.when(F.col("l_extendedprice") < F.col("p05"), 1).otherwise(0).alias("below"),
+        F.when(F.col("l_extendedprice") > F.col("p95"), 1).otherwise(0).alias("above"),
+        v.alias("v"),
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("below").alias("n_clipped_low"),
+            F.sum("above").alias("n_clipped_high"),
+            F.sum(F.floor(F.col("v") * 100 + 0.5).cast("long")).alias(
+                "winsorized_cents"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# x165 — chi-square test of independence (lang × source over documents):
+# the dataset-bias diagnostic run before mixing corpora. All arithmetic on
+# exact integers/decimals — per-cell contribution is
+# (O·N − rt·ct)² · 1e6 div (rt·ct·N) in DECIMAL(38,0), summed as integers,
+# so both engines agree bit-for-bit (a float chi² would diverge in the
+# cell-sum order). At larger N the DECIMAL width absorbs the square.
+# --------------------------------------------------------------------------
+
+_X165_SQL = """
+WITH obs AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rtot FROM obs GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ctot FROM obs GROUP BY source),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS total FROM obs),
+cells AS (
+  SELECT obs.lang, obs.source, obs.o, rt.rtot, ct.ctot, n.total,
+         CAST(
+           CAST((obs.o * n.total - rt.rtot * ct.ctot) AS HUGEINT)
+           * CAST((obs.o * n.total - rt.rtot * ct.ctot) AS HUGEINT)
+           * 1000000
+           // CAST(rt.rtot * ct.ctot AS HUGEINT)
+           // CAST(n.total AS HUGEINT)
+         AS BIGINT) AS chi2_ppm
+  FROM obs JOIN rt ON obs.lang = rt.lang
+           JOIN ct ON obs.source = ct.source
+           CROSS JOIN n
+)
+SELECT lang, source, o AS observed,
+       CAST(rtot * ctot * 1000000 // total AS BIGINT) AS expected_ppm,
+       chi2_ppm,
+       (SELECT CAST(SUM(chi2_ppm) AS BIGINT) FROM cells) AS chi2_total_ppm
+FROM cells
+ORDER BY lang, source
+"""
+
+
+@query("x165_chi_square_independence", _X165_SQL)
+def x165(spark, sf_dir):
+    """Contingency table + exact-arithmetic chi-square. One groupBy builds
+    the observed cells (|lang|×|source| rows at any corpus size); margins
+    and the total are windows over that tiny table; every division is a
+    scaled integer floor-div in DECIMAL so cell contributions sum exactly."""
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    from pyspark.sql import Window
+
+    rtot = F.sum("o").over(Window.partitionBy("lang"))
+    ctot = F.sum("o").over(Window.partitionBy("source"))
+    total = F.sum("o").over(Window.partitionBy())
+    cells = obs.select(
+        "lang",
+        "source",
+        "o",
+        rtot.alias("rtot"),
+        ctot.alias("ctot"),
+        total.alias("total"),
+    )
+    cells = cells.withColumn(
+        "chi2_ppm",
+        F.expr(
+            "cast(cast((o * total - rtot * ctot) as decimal(38,0)) "
+            "* cast((o * total - rtot * ctot) as decimal(38,0)) "
+            "* 1000000 div cast(rtot * ctot as decimal(38,0)) "
+            "div cast(total as decimal(38,0)) as bigint)"
+        ),
+    )
+    wtot = Window.partitionBy()
+    return cells.select(
+        "lang",
+        "source",
+        F.col("o").alias("observed"),
+        F.expr("cast(rtot * ctot * 1000000 div total as bigint)").alias(
+            "expected_ppm"
+        ),
+        "chi2_ppm",
+        F.sum("chi2_ppm").over(wtot).alias("chi2_total_ppm"),
+    ).orderBy("lang", "source")
+
+
+# --------------------------------------------------------------------------
+# x167 — association lift for co-purchased pairs: x155 ranks by raw
+# support, which just surfaces popular items; lift = P(a,b)/(P(a)·P(b))
+# normalizes away item popularity. All-rational in scaled integers
+# (support·N·1e6 div (n_a·n_b)) — a float log-PMI would not oracle.
+# --------------------------------------------------------------------------
+
+_X167_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM items),
+freq AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM items GROUP BY item
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item HAVING COUNT(*) >= 3
+)
+SELECT p.item_a, p.item_b, p.support,
+       CAST(p.support * n.n_baskets * 1000000 // (fa.n_item * fb.n_item)
+         AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN freq fa ON p.item_a = fa.item
+JOIN freq fb ON p.item_b = fb.item
+CROSS JOIN n
+ORDER BY lift_ppm DESC, p.item_a, p.item_b
+LIMIT 25
+"""
+
+
+@query("x167_pair_lift", _X167_SQL)
+def x167(spark, sf_dir):
+    """Top-25 part pairs by lift among pairs with support >= 3. Same
+    basket-equi-join pair generation as x155; item frequencies broadcast
+    back onto the (already tiny) surviving pair table; the basket total is
+    a 1-row crossJoin kept as a plan node."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    n = items.agg(F.countDistinct("basket").alias("n_baskets"))
+    freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    fa = freq.select(F.col("item").alias("item_a"), F.col("n_item").alias("na"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("n_item").alias("nb"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.expr("support * n_baskets * 1000000 div (na * nb)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), "item_a", "item_b")
+        .limit(25)
+    )

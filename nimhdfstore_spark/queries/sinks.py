@@ -471,3 +471,63 @@ def q44(spark, sf_dir):
             f"bloom index pruned nothing: {scanned}/{total} files scanned"
         )
     return out.orderBy("_rowid")
+
+
+# --------------------------------------------------------------------------
+# q46 — the HDF5 interchange leg EXECUTES: write lineitem through the
+# connector (h5py when present, else the from-scratch h5lite backend —
+# sources/h5lite.py implements the public HDF5 v0 structures directly) and
+# read it back with chunk-aligned partition planning; the aggregate of
+# what came back must match the oracle over the original parquet. This is
+# the reference's native format actually flowing, not a gated stub
+# (nimtables.nim:94-171).
+# --------------------------------------------------------------------------
+
+_Q46_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS qty_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("q46_hdf5_roundtrip", _Q46_SQL)
+def q46(spark, sf_dir):
+    from nimhdfstore_spark.queries.core import SCRATCH_ROOT
+    from nimhdfstore_spark.sources.hdf5 import (
+        read_hdf5_table,
+        write_hdf5_table,
+    )
+    from nimhdfstore_spark.tables import load, table_nrows
+
+    os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    path = os.path.join(
+        SCRATCH_ROOT, f"q46-{os.path.basename(sf_dir)}.h5"
+    )
+    if os.path.exists(path):
+        os.remove(path)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag",
+    )
+    write_hdf5_table(li, path, "lineitem")
+    back = read_hdf5_table(
+        spark, path, "lineitem",
+        target_records=max(5000, table_nrows(sf_dir, "lineitem") // 8),
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")).alias(
+                "qty_cents"
+            ),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("price_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

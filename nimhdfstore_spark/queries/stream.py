@@ -571,3 +571,50 @@ def x_stream_restart_recovery(spark, sf_dir):
     from nimhdfstore_spark.streaming.windows import restart_recovery_stream
 
     return restart_recovery_stream(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# x166 — streaming positional DELETE consumer over merge-on-read deletion
+# vectors (q43's write path driven from a command stream): two micro-
+# batches of delete commands apply as O(1) metadata each; the drain
+# rewrites ZERO data files. Composition across batches must equal q43's
+# composed eager semantics — delete logical [100,199] then [100,149] ⇒ raw
+# [100,249] gone (one merged DV range).
+# --------------------------------------------------------------------------
+
+_X166_SQL = """
+WITH base AS (
+  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS _rowid,
+         doc_id, lang, source
+  FROM documents
+),
+kept AS (
+  SELECT _rowid, doc_id, lang, source FROM base WHERE _rowid < 100
+  UNION ALL
+  SELECT _rowid - 150, doc_id, lang, source FROM base WHERE _rowid > 249
+)
+SELECT kept.*, (SELECT COUNT(*) FROM kept) AS total_count,
+       CAST(1 AS BIGINT) AS n_dv_ranges
+FROM kept WHERE _rowid BETWEEN 95 AND 104 ORDER BY _rowid
+"""
+
+
+@query("x166_stream_deferred_deletes", _X166_SQL)
+def x166(spark, sf_dir):
+    import os as _os
+
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.rowid import ROWID
+    from nimhdfstore_spark.streaming.windows import stream_deletes_into_store
+
+    store = scratch_store(spark, f"x166-{_os.path.basename(sf_dir)}")
+    stream_deletes_into_store(spark, sf_dir, store, "docs_mor")
+    t = store.table("docs_mor")
+    return (
+        t.df()
+        .where(F.col(ROWID).between(95, 104))
+        .select(ROWID, "doc_id", "lang", "source")
+        .withColumn("total_count", F.lit(t.nrows).cast("long"))
+        .withColumn("n_dv_ranges", F.lit(len(t.deletion_vector)).cast("long"))
+        .orderBy(ROWID)
+    )

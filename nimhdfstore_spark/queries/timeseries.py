@@ -499,3 +499,69 @@ def x160(spark, sf_dir):
             "prob_ppm"
         ),
     ).orderBy("from_type", "to_type")
+
+
+# --------------------------------------------------------------------------
+# x164 — median-absolute-deviation outliers: the robust twin of x150's
+# z-score (a few extreme points drag mean/std toward themselves; the
+# median/MAD cut doesn't move). Exact percentiles are the proven x80
+# parity surface; deviations and the 3×MAD comparison are single IEEE ops
+# on identical doubles, and the reported counts are integers.
+# --------------------------------------------------------------------------
+
+_X164_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS d, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev
+  GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN d.d > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(MAX(d.med), 4) AS median_v,
+       ROUND(MAX(a.mad), 4) AS mad_v
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@query("x164_mad_outliers", _X164_SQL)
+def x164(spark, sf_dir):
+    """Two grouped exact-percentile passes (median, then MAD over the
+    broadcast-joined deviations) and one counting aggregate — three
+    map-side-combined shuffles on event_type, never a global sort of the
+    fact table."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.round(F.max("med"), 4).alias("median_v"),
+            F.round(F.max("mad"), 4).alias("mad_v"),
+        )
+        .orderBy("event_type")
+    )

@@ -17,6 +17,8 @@ leg is a single-writer job (HDF5 has no parallel write without MPI).
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,12 +44,19 @@ except ImportError:
     h5py = None
     HAVE_H5PY = False
 
+#: I/O backend: h5py (full format: chunked, compressed, VLEN) when
+#: installed, else the from-scratch pure-Python subset in h5lite.py
+#: (contiguous compound datasets) — so the HDF5 legs EXECUTE everywhere.
+BACKEND = "h5py" if HAVE_H5PY else "h5lite"
+
 
 def _require_h5py() -> None:
     if not HAVE_H5PY:
         raise RuntimeError(
-            "h5py is required for HDF5 I/O but is not installed; "
-            "the Parquet store backend is the supported default"
+            "h5py is required for this HDF5 feature (VLEN/chunked/"
+            "compressed datasets) but is not installed; scalar and "
+            "fixed-width-string tables go through the built-in h5lite "
+            "backend, and the Parquet store remains the scale default"
         )
 
 
@@ -116,15 +125,26 @@ def plan_partitions(
 
 def table_info(path: str, dataset: str) -> dict:
     """Driver-side catalog lookup: (nrecords, chunk_size, schema)."""
-    _require_h5py()
-    with h5py.File(path, "r") as f:
-        d = f[dataset]
-        return {
-            "nrecords": int(d.shape[0]),
-            "chunk_size": int(d.chunks[0]) if d.chunks else int(d.shape[0]) or 1,
-            "schema": compound_to_schema(d.dtype),
-            "columns": list(d.dtype.names),
-        }
+    if HAVE_H5PY:
+        with h5py.File(path, "r") as f:
+            d = f[dataset]
+            return {
+                "nrecords": int(d.shape[0]),
+                "chunk_size": int(d.chunks[0]) if d.chunks else int(d.shape[0]) or 1,
+                "schema": compound_to_schema(d.dtype),
+                "columns": list(d.dtype.names),
+            }
+    from nimhdfstore_spark.sources import h5lite
+
+    info = h5lite.catalog(path)[dataset]
+    return {
+        "nrecords": int(info["nrows"]),
+        # h5lite files are contiguous; plan at the reference's default
+        # table chunk (openHDFStore chunkSize=5000, nimtables.nim:60)
+        "chunk_size": 5000,
+        "schema": compound_to_schema(info["dtype"]),
+        "columns": list(info["dtype"].names),
+    }
 
 
 def read_hdf5_table(
@@ -155,24 +175,34 @@ def read_hdf5_table(
     def read_range(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        _require_h5py()
-        with h5py.File(path, "r") as f:
-            d = f[dataset]
+        def to_frame(rec) -> pd.DataFrame:
+            cols = {}
+            for n in names:
+                v = rec[n]
+                if n in str_cols and v.dtype.kind in ("S", "O"):
+                    # HDF5 strings surface as bytes (fixed S* and
+                    # vlen alike); Arrow needs str
+                    v = [
+                        x.decode("utf-8") if isinstance(x, bytes) else x
+                        for x in v
+                    ]
+                cols[n] = v
+            return pd.DataFrame(cols)
+
+        if HAVE_H5PY:
+            with h5py.File(path, "r") as f:
+                d = f[dataset]
+                for pdf in batches:
+                    for start, stop in zip(pdf["start"], pdf["stop"]):
+                        yield to_frame(d[int(start):int(stop)])
+        else:
+            from nimhdfstore_spark.sources import h5lite
+
             for pdf in batches:
                 for start, stop in zip(pdf["start"], pdf["stop"]):
-                    rec = d[int(start):int(stop)]
-                    cols = {}
-                    for n in names:
-                        v = rec[n]
-                        if n in str_cols and v.dtype.kind in ("S", "O"):
-                            # HDF5 strings surface as bytes (fixed S* and
-                            # vlen alike); Arrow needs str
-                            v = [
-                                x.decode("utf-8") if isinstance(x, bytes) else x
-                                for x in v
-                            ]
-                        cols[n] = v
-                    yield pd.DataFrame(cols)
+                    yield to_frame(
+                        h5lite.read_range(path, dataset, int(start), int(stop))
+                    )
 
     return spec.mapInPandas(read_range, schema=schema)
 
@@ -191,7 +221,8 @@ def write_hdf5_table(
     nimtables.nim:60-67). HDF5 has no parallel non-MPI write, so partitions
     stream through the driver (``toLocalIterator``) — the format's inherent
     bottleneck, documented rather than hidden."""
-    _require_h5py()
+    if not HAVE_H5PY:
+        return _write_hdf5_table_lite(df, path, dataset)
     import numpy as np
 
     fields = [(f.name, spark_to_numpy_descriptor(f.dataType)) for f in df.schema.fields]
@@ -226,6 +257,65 @@ def write_hdf5_table(
             d.resize((n + len(rec),))
             d[n : n + len(rec)] = rec
             n += len(rec)
+
+
+def _write_hdf5_table_lite(df: DataFrame, path: str, dataset: str) -> None:
+    """h5lite write leg: scalar + string columns only (VLEN sequences need
+    the global heap — h5py territory). Strings become EXACT-max-width
+    fixed S members measured from the data (never the silent S64
+    truncation of round 1); the whole table materializes driver-side
+    (single-writer interchange leg, same bottleneck class as the h5py
+    streaming path, only less incremental)."""
+    import numpy as np
+
+    from nimhdfstore_spark.sources import h5lite
+
+    fields = [(f.name, spark_to_numpy_descriptor(f.dataType)) for f in df.schema.fields]
+    for name, (kind, _) in fields:
+        if kind == "vlen":
+            raise TypeError(
+                f"column {name!r}: array columns need the h5py backend "
+                "(VLEN data lives in the HDF5 global heap)"
+            )
+    batches = list(df.toArrow().to_batches())
+    cols: dict[str, list] = {name: [] for name, _ in fields}
+    for batch in batches:
+        for name, (kind, np_t) in fields:
+            col = batch.column(name)
+            if kind == "fixed":
+                cols[name].append(col.to_numpy(zero_copy_only=False))
+            else:  # vlen_str -> exact-width fixed S
+                cols[name].append(
+                    ["" if v is None else v for v in col.to_pylist()]
+                )
+    n = sum(b.num_rows for b in batches)
+    np_fields = []
+    data = {}
+    for name, (kind, np_t) in fields:
+        if kind == "fixed":
+            arr = (
+                np.concatenate(cols[name]) if cols[name]
+                else np.empty(0, dtype=np_t)
+            )
+            np_fields.append((name, np_t))
+            data[name] = arr.astype(np_t, copy=False)
+        else:
+            vals = [v for chunk in cols[name] for v in chunk]
+            width = max([len(v.encode("utf-8")) for v in vals] or [0]) or 1
+            np_fields.append((name, f"S{width}"))
+            data[name] = np.array(
+                [v.encode("utf-8") for v in vals], dtype=f"S{width}"
+            )
+    rec = np.empty(n, dtype=np.dtype(np_fields))
+    for name, _ in np_fields:
+        rec[name] = data[name]
+    existing = {}
+    if os.path.exists(path):
+        existing = {
+            k: h5lite.read(path, k) for k in h5lite.catalog(path) if k != dataset
+        }
+    existing[dataset] = rec
+    h5lite.write(path, existing)
 
 
 #: fixed-width Spark → numpy codes (unsigned never appears on the write leg);

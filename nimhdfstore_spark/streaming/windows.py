@@ -738,3 +738,62 @@ def restart_recovery_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(stage)
     run_once()                 # restart: recovers state, drains only the new file
     return spark.read.parquet(out).orderBy("event_type")
+
+
+def stream_deletes_into_store(
+    spark: SparkSession,
+    sf_dir: str,
+    store,
+    name: str = "docs_mor",
+) -> None:
+    """Streaming DELETE consumer over merge-on-read deletion vectors: each
+    micro-batch carries positional delete commands (a, b in LOGICAL
+    coordinates at apply time) and applies them as ``delete_deferred`` —
+    O(1) metadata per command, zero file rewrites across the whole drain
+    (the GDPR-erasure / retention-expiry consumer shape: a 100 TB table
+    absorbs a delete stream without moving a byte until the next
+    compaction). Commands are staged as two single-command files with
+    maxFilesPerTrigger=1 to force >= 2 micro-batches; within a batch,
+    commands apply in descending position order so earlier applications
+    never shift later ones."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    base = store.spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if name in store:
+        store.drop(name)
+    store.put(name, base, order_by=["doc_id"])
+
+    cmds = os.path.join(store.root, "_staged_deletes")
+    _shutil.rmtree(cmds, ignore_errors=True)
+    spark.createDataFrame([(100, 199)], "a long, b long").coalesce(1).write.parquet(cmds)
+    spark.createDataFrame([(100, 149)], "a long, b long").coalesce(1).write.mode(
+        "append"
+    ).parquet(cmds)
+
+    stream = (
+        spark.readStream.schema("a long, b long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(cmds)
+    )
+
+    def apply_deletes(batch_df, batch_id: int) -> None:
+        rows = sorted(
+            ((r["a"], r["b"]) for r in batch_df.collect()), reverse=True
+        )
+        if not rows:
+            return
+        t = store.table(name)
+        for a, b in rows:
+            t.delete_deferred(int(a), int(b))
+
+    q = (
+        stream.writeStream.foreachBatch(apply_deletes)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(store.root, f"_ckpt_del_{_uuid.uuid4().hex[:8]}"),
+        )
+        .start()
+    )
+    q.awaitTermination()

@@ -1,6 +1,7 @@
-"""HDF5 connector (sources/hdf5.py): the pure planning/type logic is fully
-tested; the h5py-dependent I/O legs are gated (skip when absent, with the
-no-h5py error path asserted)."""
+"""HDF5 connector (sources/hdf5.py): planning/type logic plus the I/O
+legs, which now run on EVERY box — through h5py when installed, else
+through the from-scratch h5lite backend (sources/h5lite.py). Only VLEN
+sequences remain h5py-gated (global heap)."""
 
 from __future__ import annotations
 
@@ -94,17 +95,16 @@ def test_spark_to_numpy_descriptor():
         h5src.spark_to_numpy_descriptor(BooleanType())
 
 
-@pytest.mark.skipif(h5src.HAVE_H5PY, reason="asserts the no-h5py error path")
-def test_missing_h5py_raises_clearly(spark, tmp_path):
-    with pytest.raises(RuntimeError, match="h5py"):
-        h5src.table_info(str(tmp_path / "x.h5"), "t")
-    with pytest.raises(RuntimeError, match="h5py"):
-        h5src.read_hdf5_table(spark, str(tmp_path / "x.h5"), "t")
+@pytest.mark.skipif(h5src.HAVE_H5PY, reason="asserts the h5py-only gates")
+def test_vlen_paths_gated_without_h5py(spark, tmp_path):
+    # only the VLEN surfaces stay gated; scalar/string I/O runs via h5lite
     with pytest.raises(RuntimeError, match="h5py"):
         h5src._resolve_dtype([("k", ("fixed", "i8"))])
+    df = spark.createDataFrame([(1, [1.0])], "k long, vals array<double>")
+    with pytest.raises(TypeError, match="h5py backend"):
+        h5src.write_hdf5_table(df, str(tmp_path / "x.h5"), "t")
 
 
-@pytest.mark.skipif(not h5src.HAVE_H5PY, reason="h5py not installed")
 def test_hdf5_roundtrip(spark, tmp_path):
     path = str(tmp_path / "store.h5")
     df = spark.createDataFrame(
@@ -137,16 +137,8 @@ def test_hdf5_roundtrip_vlen_and_strings(spark, tmp_path):
         assert got[i] == (name, vals)
 
 
-@pytest.mark.skipif(h5src.HAVE_H5PY, reason="asserts the no-h5py error path")
-def test_migration_helpers_gated(spark, tmp_path):
-    from nimhdfstore_spark.store import Store
-
-    s = Store(spark, str(tmp_path / "store"))
-    with pytest.raises(RuntimeError, match="h5py"):
-        h5src.hdf5_to_store(s, str(tmp_path / "x.h5"), "t")
 
 
-@pytest.mark.skipif(not h5src.HAVE_H5PY, reason="h5py not installed")
 def test_migration_roundtrip(spark, tmp_path):
     import numpy as np
 
@@ -165,3 +157,38 @@ def test_migration_roundtrip(spark, tmp_path):
     h5src.store_to_hdf5(t, out, "t")
     back = h5src.read_hdf5_table(spark, out, "t")
     assert back.count() == 5_000
+
+
+def test_h5lite_format_structures(tmp_path):
+    # the from-scratch writer/reader agree on the spec structures, strings
+    # round-trip at exact width, and range reads slice bytes correctly
+    import numpy as np
+
+    from nimhdfstore_spark.sources import h5lite
+
+    dt = np.dtype([("id", "<i8"), ("v", "<f8"), ("tag", "S7"), ("n", "<i4")])
+    arr = np.zeros(999, dtype=dt)
+    arr["id"] = np.arange(999)
+    arr["v"] = np.arange(999) / 3.0
+    arr["tag"] = [f"t{i%13}".encode() for i in range(999)]
+    arr["n"] = np.arange(999, dtype="<i4") * -2
+    p = str(tmp_path / "x.h5")
+    h5lite.write(p, {"a": arr, "b": arr[:5]})
+    with open(p, "rb") as f:
+        assert f.read(8) == b"\x89HDF\r\n\x1a\n"  # spec signature
+    cat = h5lite.catalog(p)
+    assert set(cat) == {"a", "b"}
+    assert cat["a"]["nrows"] == 999 and cat["a"]["dtype"] == dt
+    assert (h5lite.read(p, "a") == arr).all()
+    assert (h5lite.read_range(p, "a", 990, 2000) == arr[990:]).all()
+    assert h5lite.read_range(p, "a", 5, 5).shape == (0,)
+
+
+def test_h5lite_exact_string_width(spark, tmp_path):
+    # a 200-char string must survive (round-1 S64 truncation regression)
+    p = str(tmp_path / "wide.h5")
+    long_s = "y" * 200
+    df = spark.createDataFrame([(1, long_s), (2, "s")], "k long, t string")
+    h5src.write_hdf5_table(df, p, "t")
+    got = {r["k"]: r["t"] for r in h5src.read_hdf5_table(spark, p, "t").collect()}
+    assert got[1] == long_s and got[2] == "s"
