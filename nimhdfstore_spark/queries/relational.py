@@ -1557,9 +1557,13 @@ def q45(spark, sf_dir):
     delta_c = cust.where(F.col("c_custkey") % 7 == 0)
 
     v0 = base_o.join(base_c, F.col("o_custkey") == F.col("c_custkey"))
-    t = store.put(
-        "order_cust_view", v0, order_by=["o_orderkey"], overwrite=True
-    )
+    # rank explicitly: Catalyst's sizeInBytes estimate for a join is the
+    # side product, which pushes with_rowid's auto strategy onto the
+    # distributed prefix-sum path — 3 extra passes over a re-computed join.
+    # The view is skinny; a single-task window rank is the cheaper plan.
+    wv = Window.orderBy("o_orderkey")
+    v0r = v0.withColumn(ROWID, (F.row_number().over(wv) - 1).cast("long"))
+    t = store.put("order_cust_view", v0r, overwrite=True)
     dv = join_delta(
         base_o, delta_o, base_c, delta_c, "o_custkey", "c_custkey"
     )
