@@ -565,3 +565,129 @@ def x164(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x168 — SCD Type-2 dimension build: collapse each user's event stream into
+# state-validity intervals (state = event_type; consecutive duplicates
+# merge; the open interval is the current state). The warehouse
+# slowly-changing-dimension construction, done with two windows — no
+# self-join, no driver loop.
+# --------------------------------------------------------------------------
+
+_X168_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_ts
+  FROM seq
+  WHERE prev_type IS NULL OR prev_type != event_type
+)
+SELECT user_id, event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(strftime(next_ts, '%Y-%m-%d %H:%M:%S'), 'current')
+         AS valid_to,
+       CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
+FROM changes
+ORDER BY user_id, valid_from
+"""
+
+
+@query("x168_scd2_intervals", _X168_SQL)
+def x168(spark, sf_dir):
+    """Per-user state intervals. Scale shape: one shuffle on user_id; both
+    windows (change detection, interval close) reuse that partitioning, so
+    AQE plans a single exchange; output rows = number of state CHANGES,
+    not events."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = seq.where(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        F.lead("ts").over(w2).alias("next_ts"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return iv.select(
+        "user_id",
+        "state",
+        F.date_format(F.col("ts").cast("timestamp"), fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.col("next_ts").cast("timestamp"), fmt),
+            F.lit("current"),
+        ).alias("valid_to"),
+        F.when(F.col("next_ts").isNull(), 1).otherwise(0).alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+
+
+# --------------------------------------------------------------------------
+# x169 — time-weighted average (TWAP) over irregular samples: each reading
+# holds until the next one, so the mean weights each value by its holding
+# duration — the IoT/finance aggregate a plain AVG gets wrong on irregular
+# data. All integer: micros durations × value-cents, one final division.
+# --------------------------------------------------------------------------
+
+_X169_SQL = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t_next
+  FROM events
+),
+seg AS (
+  SELECT user_id, v_cents, t_next - t AS dur_us
+  FROM s WHERE t_next IS NOT NULL AND t_next > t
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dur_us) AS BIGINT) AS span_us,
+       CAST(SUM(v_cents * dur_us) // SUM(dur_us) AS BIGINT) AS twap_cents
+FROM seg GROUP BY user_id
+HAVING COUNT(*) >= 5
+ORDER BY user_id
+"""
+
+
+@query("x169_time_weighted_average", _X169_SQL)
+def x169(spark, sf_dir):
+    """Per-user TWAP. One shuffle on user_id for the lead window, one
+    map-side-combined groupBy; duration×cents products stay < 2^63 for
+    any realistic span (micros × cents over a year ≈ 3e13 × values)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.expr("unix_micros(cast(ts as timestamp))")
+    s = ev.select(
+        "user_id",
+        t.alias("t"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+        F.lead(t).over(w).alias("t_next"),
+    )
+    seg = s.where(
+        F.col("t_next").isNotNull() & (F.col("t_next") > F.col("t"))
+    ).select("user_id", "v_cents", (F.col("t_next") - F.col("t")).alias("dur_us"))
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_us").alias("span_us"),
+            F.expr("sum(v_cents * dur_us) div sum(dur_us)").alias("twap_cents"),
+        )
+        .where(F.col("n_segments") >= 5)
+        .orderBy("user_id")
+    )
