@@ -1803,3 +1803,103 @@ def x167(spark, sf_dir):
         .orderBy(F.desc("lift_ppm"), "item_a", "item_b")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# x170 — grouped correlation MATRIX from ONE scan: all three pairwise
+# Pearson correlations of (quantity, price-cents, discount-bp) per
+# returnflag. One groupBy computes every exact moment sum (the x149
+# discipline: ints/DECIMAL until the closed form); the matrix then
+# unpivots from that tiny aggregate — never a second pass over the fact
+# table per pair.
+# --------------------------------------------------------------------------
+
+def _corr_sql(pair: str, x: str, y: str) -> str:
+    n, sx, sy = "CAST(n AS DOUBLE)", f"CAST(s{x} AS DOUBLE)", f"CAST(s{y} AS DOUBLE)"
+    sxy = f"CAST(s{x}{y} AS DOUBLE)"
+    sxx, syy = f"CAST(s{x}{x} AS DOUBLE)", f"CAST(s{y}{y} AS DOUBLE)"
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    den = f"sqrt(({n} * {sxx} - {sx} * {sx}) * ({n} * {syy} - {sy} * {sy}))"
+    return (
+        f"SELECT l_returnflag, '{pair}' AS pair, n, "
+        f"ROUND({num} / {den}, 6) AS corr FROM m"
+    )
+
+
+_X170_SQL = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS sp,
+         CAST(SUM(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+              AS BIGINT) AS sd,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS DOUBLE) AS sqq,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS DOUBLE) AS spp,
+         CAST(SUM(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+                  * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+              AS DOUBLE) AS sdd,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS DOUBLE) AS sqp,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+              AS DOUBLE) AS sqd,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+              AS DOUBLE) AS spd
+  FROM lineitem GROUP BY l_returnflag
+)
+{_corr_sql('qty_price', 'q', 'p')}
+UNION ALL
+{_corr_sql('qty_disc', 'q', 'd')}
+UNION ALL
+{_corr_sql('price_disc', 'p', 'd')}
+ORDER BY l_returnflag, pair
+"""
+
+
+@query("x170_correlation_matrix", _X170_SQL)
+def x170(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    p = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    d = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(d).alias("sd"),
+        F.sum(dec(q * q)).cast("double").alias("sqq"),
+        F.sum(dec(p * p)).cast("double").alias("spp"),
+        F.sum(dec(d * d)).cast("double").alias("sdd"),
+        F.sum(dec(q * p)).cast("double").alias("sqp"),
+        F.sum(dec(q * d)).cast("double").alias("sqd"),
+        F.sum(dec(p * d)).cast("double").alias("spd"),
+    )
+
+    def corr(pair, x, y):
+        nn = F.col("n").cast("double")
+        sx, sy = F.col(f"s{x}").cast("double"), F.col(f"s{y}").cast("double")
+        sxy = F.col(f"s{x}{y}")
+        sxx, syy = F.col(f"s{x}{x}"), F.col(f"s{y}{y}")
+        num = nn * sxy - sx * sy
+        den = F.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+        return m.select(
+            "l_returnflag",
+            F.lit(pair).alias("pair"),
+            "n",
+            F.round(num / den, 6).alias("corr"),
+        )
+
+    return (
+        corr("qty_price", "q", "p")
+        .unionByName(corr("qty_disc", "q", "d"))
+        .unionByName(corr("price_disc", "p", "d"))
+        .orderBy("l_returnflag", "pair")
+    )

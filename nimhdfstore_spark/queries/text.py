@@ -626,3 +626,76 @@ def x159(spark, sf_dir):
         .orderBy(F.desc("fluency_ppm"), "doc_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# x171 — n-gram novelty scoring: what fraction of a document's distinct
+# trigrams appears in NO other document. The curation metric that finds
+# boilerplate-heavy corpora (low novelty everywhere) and near-duplicate
+# clusters (novelty collapses for the copies) without any pairwise work —
+# one corpus-wide groupBy on the trigram, integer-ppm fraction.
+# --------------------------------------------------------------------------
+
+_X171_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(len(toks) - 2),
+                i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))
+           AS gram
+  FROM t WHERE len(toks) >= 3
+),
+freq AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       CAST(SUM(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM grams g JOIN freq f ON g.gram = f.gram
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@query("x171_ngram_novelty", _X171_SQL)
+def x171(spark, sf_dir):
+    """Per-document trigram novelty. Distinct trigrams per doc (explode of
+    a transform over the token array — no window needed), one map-side-
+    combined groupBy for corpus document-frequency, one equi-join back.
+    The trigram vocabulary is what shuffles — corpus-bounded, never
+    pairwise."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3), "
+                    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+                )
+            )
+        ).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    uniq = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+    return (
+        grams.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            uniq.cast("long").alias("n_unique"),
+            F.expr(
+                "sum(case when n_docs = 1 then 1 else 0 end) * 1000000"
+                " div count(*)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
