@@ -266,3 +266,61 @@ def test_ivm_appends_without_rewriting_base_files(spark, tmp_path):
         for r in a.join(b, "k").select("ak", "k", "av", "bv").collect()
     )
     assert got == want
+
+
+# -- plan gates for the round-5 batch ---------------------------------------
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    # x168's two windows share the user_id partitioning: exactly one
+    # shuffle of the fact table (the final presentation orderBy adds a
+    # rangepartitioning exchange over the already-collapsed intervals).
+    plan = _plan(QUERIES["x168_scd2_intervals"](spark, sf_dir))
+    import re
+
+    hash_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_exchanges == 1, f"expected 1 hash exchange:\n{plan[:1500]}"
+
+
+def test_correlation_matrix_single_scan_per_branch(spark, sf_dir):
+    # x170: all moment sums come from ONE aggregate; the three matrix rows
+    # re-use it (union of projections). No join, no second fact aggregate
+    # per pair.
+    df = QUERIES["x170_correlation_matrix"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in opt, opt[:1500]
+
+
+def test_winsorize_broadcasts_thresholds(spark, sf_dir):
+    plan = _plan(QUERIES["x163_winsorize"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_novelty_no_pairwise_join(spark, sf_dir):
+    plan = _plan(QUERIES["x171_ngram_novelty"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twap_values_bounded_by_min_max(spark, sf_dir):
+    rows = QUERIES["x169_time_weighted_average"](spark, sf_dir).collect()
+    assert rows, "no TWAP rows"
+    for r in rows:
+        assert r["n_segments"] >= 5 and r["span_us"] > 0
+        assert 0 <= r["twap_cents"] <= 100 * 100000
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir):
+    # intervals per user must be contiguous: each valid_to equals the next
+    # interval's valid_from, one open interval per user
+    rows = QUERIES["x168_scd2_intervals"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in rs) == 1, u
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"], u
+            assert a["state"] != b["state"], u
+        assert rs[-1]["valid_to"] == "current"
