@@ -319,3 +319,59 @@ def q41(spark, sf_dir):
         F.col("content").alias("payload"),
     )
     return M.parse_media_headers(by_id).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x172 — PCM16 audio feature extraction that REALLY decodes sample data:
+# deterministic int16 waveforms are packed to little-endian bytes JVM-side,
+# the operator parses them back with zero-copy np.frombuffer and computes
+# per-window energy / zero-crossings (operators/multimodal.py:
+# pcm16_features). The oracle recomputes the features straight from the
+# generator formula — one flipped byte anywhere in pack→bytes→parse and
+# the integer energies diverge. (x50's image decode is lib-gated; PCM16
+# needs only byte order, so this leg EXECUTES.)
+# --------------------------------------------------------------------------
+
+_X172_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+s AS (
+  SELECT d.doc_id, t.i, ((d.doc_id * 31 + t.i * 17) % 2003) - 1001 AS v
+  FROM d, range(256) t(i)
+),
+w AS (
+  SELECT doc_id, i // 64 AS window_id, v,
+         lag(v) OVER (PARTITION BY doc_id, i // 64 ORDER BY i) AS pv
+  FROM s
+)
+SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS zero_crossings
+FROM w GROUP BY doc_id, window_id
+ORDER BY doc_id, window_id
+"""
+
+
+@query("x172_audio_pcm_features", _X172_SQL)
+def x172(spark, sf_dir):
+    from nimhdfstore_spark.operators.multimodal import pcm16_features
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # pack s_i = ((doc_id*31 + i*17) % 2003) - 1001 as int16 LE hex pairs
+    pcm = docs.select(
+        "doc_id",
+        F.unhex(
+            F.array_join(
+                F.expr(
+                    "transform(sequence(0, 255), i -> "
+                    "concat(substring(lpad(hex(((doc_id * 31 + i * 17) % 2003"
+                    ") - 1001 & 65535), 4, '0'), 3, 2), "
+                    "substring(lpad(hex(((doc_id * 31 + i * 17) % 2003) - 1001"
+                    " & 65535), 4, '0'), 1, 2)))"
+                ),
+                "",
+            )
+        ).alias("pcm"),
+    )
+    return pcm16_features(pcm).orderBy("doc_id", "window_id")
