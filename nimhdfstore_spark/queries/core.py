@@ -918,3 +918,52 @@ def q43(spark, sf_dir):
         )
         .orderBy(ROWID)
     )
+
+
+# --------------------------------------------------------------------------
+# Q47 — multi-table atomic publish: a summary table AND its per-segment
+# index table commit in ONE transaction (all snapshots written before any
+# catalog pointer flips; an aborted transaction leaves both untouched —
+# pinned in tests). The cross-table publish single-table lakehouse formats
+# lack. Result reads BOTH tables back joined — consistent by construction.
+# --------------------------------------------------------------------------
+
+_Q47_SQL = """
+WITH summary AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS bal_cents
+  FROM customer GROUP BY c_mktsegment
+),
+idx AS (
+  SELECT c_mktsegment, CAST(MIN(c_custkey) AS BIGINT) AS first_key,
+         CAST(MAX(c_custkey) AS BIGINT) AS last_key
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT s.c_mktsegment, s.n_customers, s.bal_cents, i.first_key, i.last_key
+FROM summary s JOIN idx i ON s.c_mktsegment = i.c_mktsegment
+ORDER BY s.c_mktsegment
+"""
+
+
+@query("q47_transaction_publish", _Q47_SQL)
+def q47(spark, sf_dir):
+    store = scratch_store(spark, f"q47-{os.path.basename(sf_dir)}")
+    cust = load(spark, sf_dir, "customer")
+    summary = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")).alias(
+            "bal_cents"
+        ),
+    )
+    idx = cust.groupBy("c_mktsegment").agg(
+        F.min("c_custkey").alias("first_key"),
+        F.max("c_custkey").alias("last_key"),
+    )
+    with store.transaction() as tx:
+        tx.put("seg_summary", summary, order_by=["c_mktsegment"], overwrite=True)
+        tx.put("seg_index", idx, order_by=["c_mktsegment"], overwrite=True)
+    s = store["seg_summary"].df().drop(ROWID)
+    i = store["seg_index"].df().drop(ROWID)
+    return s.join(i, "c_mktsegment").orderBy("c_mktsegment")

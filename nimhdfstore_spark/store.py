@@ -359,6 +359,7 @@ class Store:
         codec: str | None = None,
         overwrite: bool = False,
         attrs: dict[str, Any] | None = None,
+        _defer_meta: bool = False,
     ) -> "Table":
         """Create table ``name`` from ``df``.
 
@@ -407,10 +408,29 @@ class Store:
         # no separate count job (which would recompute the whole sort).
         meta["files"] = self._scan_ranges(os.path.join(tdir, meta["current"]))
         meta["count"] = sum(e["rows"] for e in meta["files"])
+        if _defer_meta:
+            # transaction staging: snapshot written, catalog pointer NOT
+            # flipped — the Transaction flips every staged table together
+            return Table(self, name, meta)
         self._write_meta(name, meta)
         if old_meta is not None:
             self._prune_snapshots(name)
         return Table(self, name, meta)
+
+    def transaction(self) -> "Transaction":
+        """Multi-table atomic publish: ``with store.transaction() as tx:
+        tx.put(a, ...); tx.put(b, ...)`` — ALL snapshots are fully written
+        before ANY catalog pointer flips, and an exception inside the block
+        discards every staged snapshot, leaving every table at its prior
+        state. The cross-table commit lakehouse formats mostly lack
+        (Delta/Iceberg are single-table; this is the Nessie-style publish),
+        scoped to CTAS/overwrite ``put``s. On local FS the flip phase is a
+        per-table pointer write — a crash mid-flip can expose a prefix of
+        the tables (documented local-FS stand-in for a single catalog
+        manifest swap); readers never see a partially-written snapshot
+        because flips only start after every write finished."""
+        self._require_writable()
+        return Transaction(self)
 
     def _prune_snapshots(self, name: str) -> None:
         """Drop snapshot dirs beyond the ``keep_snapshots`` newest. Runs
@@ -611,6 +631,53 @@ class Store:
             .option("maxRecordsPerFile", self.rows_per_file)
             .parquet(os.path.join(self._table_dir(name), snap))
         )
+
+
+class Transaction:
+    """Staged multi-table publish (see :meth:`Store.transaction`)."""
+
+    def __init__(self, store: Store) -> None:
+        self.store = store
+        self._staged: list[tuple[str, Table]] = []
+        self._done = False
+
+    def put(self, name: str, df: DataFrame, **kwargs) -> None:
+        """Stage a table: the snapshot is written NOW (fail-fast inside the
+        transaction block), the catalog pointer flips at commit."""
+        if self._done:
+            raise StoreError("transaction already closed")
+        if any(n == name for n, _ in self._staged):
+            raise StoreError(f"table {name!r} already staged in this transaction")
+        t = self.store.put(name, df, _defer_meta=True, **kwargs)
+        self._staged.append((name, t))
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        self._done = True
+        if exc_type is not None:
+            # roll back: remove every staged (unreferenced) snapshot dir
+            for name, t in self._staged:
+                sdir = os.path.join(
+                    self.store._table_dir(name), t._meta["current"]
+                )
+                shutil.rmtree(sdir, ignore_errors=True)
+                tdir = self.store._table_dir(name)
+                # a brand-new table dir with no meta is an empty husk
+                if os.path.isdir(tdir) and not os.path.isfile(
+                    os.path.join(tdir, "_meta.json")
+                ) and not os.listdir(tdir):
+                    os.rmdir(tdir)
+            self._staged.clear()
+            return False  # propagate
+        # commit: flip every pointer, then prune superseded snapshots
+        for name, t in self._staged:
+            self.store._write_meta(name, t._meta)
+        for name, _t in self._staged:
+            self.store._prune_snapshots(name)
+        self._staged.clear()
+        return False
 
 
 class Table:

@@ -324,3 +324,41 @@ def test_scd2_intervals_partition_time(spark, sf_dir):
             assert a["valid_to"] == b["valid_from"], u
             assert a["state"] != b["state"], u
         assert rs[-1]["valid_to"] == "current"
+
+
+# -- multi-table transaction ------------------------------------------------
+
+
+def test_transaction_commits_all_or_nothing(spark, tmp_path):
+    st = Store(spark, str(tmp_path / "tx"))
+    df = spark.range(10).select(
+        F.col("id").cast("long").alias(ROWID), F.col("id").alias("v")
+    )
+    st.put("a", df)  # pre-existing state
+    # failing transaction: nothing flips
+    try:
+        with st.transaction() as tx:
+            tx.put("a", df.withColumn("v", F.col("v") * 10), overwrite=True)
+            tx.put("b", df)
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert "b" not in st
+    assert [r["v"] for r in st["a"].df().orderBy(ROWID).collect()] == list(range(10))
+    # successful transaction: both visible, consistent
+    with st.transaction() as tx:
+        tx.put("a", df.withColumn("v", F.col("v") * 10), overwrite=True)
+        tx.put("b", df)
+    assert [r["v"] for r in st["a"].df().orderBy(ROWID).collect()] == [
+        i * 10 for i in range(10)
+    ]
+    assert st["b"].nrows == 10
+    # duplicate staging rejected
+    try:
+        with st.transaction() as tx:
+            tx.put("c", df)
+            tx.put("c", df)
+        raise AssertionError("duplicate staged table accepted")
+    except StoreError:
+        pass
+    assert "c" not in st  # the failed txn rolled c's staged snapshot back
