@@ -684,3 +684,96 @@ def x158(spark, sf_dir):
         )
         .orderBy("probe_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# x174 — Johnson-Lindenstrauss random projection (64 → 16 dims) with
+# deterministic Rademacher signs: the dimensionality-reduction step a
+# scale ANN pipeline runs before indexing (4× fewer bytes per vector, ~2×
+# distance error bounded by JL). Signs come from an integer hash of
+# (in_dim, out_dim) — engine-independent — and every fold runs in a fixed
+# sequential order, so projected vectors and both distance columns
+# hash-match the oracle exactly.
+# --------------------------------------------------------------------------
+
+_X174_N = 40     # corpus prefix: 780 pairs at any sf
+_X174_OUT = 16
+
+def _x174_sign(i: str, j: str) -> str:
+    # ((i*97 + j*61 + 7) * 40503 % 65536) >= 32768  ->  +1 else -1
+    return f"(CASE WHEN (({i} * 97 + {j} * 61 + 7) * 40503 % 65536) >= 32768 THEN 1 ELSE -1 END)"
+
+
+def _x174_sql() -> str:
+    # projected component j of a row alias e: fold over the 64 input dims
+    proj = (
+        "list_transform(range({out}), j -> "
+        "list_reduce(list_transform(range(64), i -> "
+        f"{_x174_sign('i', 'j')} * CAST({{a}}.embedding[i + 1] AS DOUBLE)), "
+        "(x, y) -> x + y))"
+    ).format(out=_X174_OUT, a="{a}")
+    d2 = (
+        "list_reduce(list_transform(range({n}), i -> "
+        "({x}[i + 1] - {y}[i + 1]) * ({x}[i + 1] - {y}[i + 1])), "
+        "(x, y) -> x + y)"
+    )
+    full = d2.format(n=64, x="ca", y="cb")
+    prj = d2.format(n=_X174_OUT, x="pa", y="pb")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb,
+         {proj.format(a="embeddings")} AS p
+  FROM embeddings WHERE vec_id < {_X174_N}
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.emb AS ca, b.emb AS cb, a.p AS pa, b.p AS pb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND({full}, 4) AS d2_full,
+       ROUND({prj} / {_X174_OUT} * 4, 4) AS d2_proj_scaled
+FROM pairs ORDER BY id_a, id_b
+"""
+
+
+@query("x174_jl_projection", _x174_sql())
+def x174(spark, sf_dir):
+    """Pairwise squared L2 in full space vs the JL-projected space
+    (scaled by out_dims/in_ratio so magnitudes are comparable). The
+    projection is a per-row transform (no shuffle); the pair join here is
+    the VERIFICATION harness over a 40-vector prefix, not the production
+    path — at scale the projected vectors feed the x41 IVF index."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < _X174_N)
+    sign = (
+        "(case when ((i * 97 + j * 61 + 7) * 40503 % 65536) >= 32768 "
+        "then 1 else -1 end)"
+    )
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, v -> cast(v as double))").alias("emb"),
+        F.expr(
+            f"transform(sequence(0, {_X174_OUT - 1}), j -> "
+            f"aggregate(sequence(0, 63), cast(0.0 as double), "
+            f"(acc, i) -> acc + {sign} * cast(embedding[i] as double)))"
+        ).alias("p"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    d2 = (
+        lambda n, x, y: F.expr(
+            f"aggregate(sequence(0, {n - 1}), cast(0.0 as double), "
+            f"(acc, i) -> acc + ({x}[i] - {y}[i]) * ({x}[i] - {y}[i]))"
+        )
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(d2(64, "a.emb", "b.emb"), 4).alias("d2_full"),
+            F.round(
+                d2(_X174_OUT, "a.p", "b.p") / _X174_OUT * 4, 4
+            ).alias("d2_proj_scaled"),
+        )
+        .orderBy("id_a", "id_b")
+    )

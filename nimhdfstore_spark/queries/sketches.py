@@ -226,3 +226,112 @@ def x145(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     bins = SK.histogram_bins(li, "l_extendedprice", _HQ_WIDTH)
     return SK.histogram_quantiles(bins, _HQ_WIDTH, _HQ_QS).orderBy("quantile")
+
+
+# --------------------------------------------------------------------------
+# x173 — sliding-window distinct users via HLL register MERGE: per-hour
+# register tables merge into trailing 3-hour estimates by MAX over aligned
+# registers — the mergeability that makes HLL the OLAP pre-aggregation
+# sketch (Druid/Pinot style: store per-bucket sketches, answer any window
+# by merging, never re-scan raw events). Register build and merge are
+# all-integer; the one IEEE division is the x139-proven estimate step.
+# --------------------------------------------------------------------------
+
+def _x173_sql() -> str:
+    p, m, salt = SK.HLL_P, SK.HLL_M, SK.HLL_SALT
+    wbits, rmax = SK.HLL_WBITS, SK.HLL_RMAX
+    return f"""
+WITH e AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, user_id FROM events
+),
+hashed AS (
+  SELECT hr, CAST(({_h('user_id', salt=salt)}) % {m} AS INT) AS idx,
+         ({_h('user_id', salt=salt)}) // {m} AS w
+  FROM e
+),
+regs AS (
+  SELECT hr, idx,
+         MAX(CASE WHEN w = 0 THEN {wbits + 1}
+                  ELSE {wbits + 1} - length(bin(w)) END) AS m_j
+  FROM hashed GROUP BY hr, idx
+),
+contrib AS (
+  SELECT r.hr + s.sh AS th, r.idx, r.m_j
+  FROM regs r, (SELECT unnest([0, 1, 2]) AS sh) s
+),
+hours AS (SELECT DISTINCT hr FROM e),
+merged AS (
+  SELECT c.th, c.idx, MAX(c.m_j) AS m_j
+  FROM contrib c JOIN hours h ON c.th = h.hr
+  GROUP BY c.th, c.idx
+),
+agg AS (
+  SELECT th,
+         CAST(SUM(1::BIGINT << ({rmax} - m_j)) AS BIGINT)
+           + ({m} - COUNT(*)) * (1::BIGINT << {rmax}) AS sum_scaled,
+         CAST(COUNT(*) AS BIGINT) AS n_registers_used
+  FROM merged GROUP BY th
+)
+SELECT CAST(th AS BIGINT) AS hour_bucket, sum_scaled, n_registers_used,
+       ROUND({SK.HLL_NUMER!r} / sum_scaled, 4) AS users_estimate
+FROM agg ORDER BY hour_bucket
+"""
+
+
+@query("x173_sliding_hll_distinct", _x173_sql())
+def x173(spark, sf_dir):
+    """Trailing-3h distinct-user estimates for every active hour. Scale
+    shape: raw events collapse to ≤ 256 registers per hour (map-side
+    combined), the window merge runs over REGISTERS (hours × 256 rows), and
+    the raw table is scanned once — the pre-aggregated-sketch pattern.
+    Each register row contributes to 3 target hours via a 3-element
+    explode, never a range self-join."""
+    from nimhdfstore_spark.operators.sampling import sample_hash
+
+    p, m = SK.HLL_P, SK.HLL_M
+    wbits, rmax = SK.HLL_WBITS, SK.HLL_RMAX
+    ev = load(spark, sf_dir, "events")
+    h = sample_hash("user_id", salt=SK.HLL_SALT)
+    hashed = ev.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("hr"),
+        h.alias("h"),
+    ).select(
+        "hr",
+        (F.col("h") % m).cast("int").alias("idx"),
+        F.expr(f"h div {m}").cast("long").alias("w"),
+    )
+    rank = (
+        F.when(F.col("w") == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(F.col("w"))))
+        .cast("int")
+    )
+    regs = hashed.select("hr", "idx", rank.alias("rank")).groupBy(
+        "hr", "idx"
+    ).agg(F.max("rank").alias("m_j"))
+    contrib = regs.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("sh"),
+        "hr",
+        "idx",
+        "m_j",
+    ).select((F.col("hr") + F.col("sh")).alias("th"), "idx", "m_j")
+    hours = ev.select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("th")
+    ).distinct()
+    merged = contrib.join(F.broadcast(hours), "th").groupBy("th", "idx").agg(
+        F.max("m_j").alias("m_j")
+    )
+    agg = merged.groupBy("th").agg(
+        (
+            F.sum(F.expr(f"shiftleft(1L, {rmax} - m_j)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << rmax)
+        ).alias("sum_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_registers_used"),
+    )
+    return agg.select(
+        F.col("th").cast("long").alias("hour_bucket"),
+        "sum_scaled",
+        "n_registers_used",
+        F.round(F.lit(SK.HLL_NUMER) / F.col("sum_scaled"), 4).alias(
+            "users_estimate"
+        ),
+    ).orderBy("hour_bucket")
