@@ -1903,3 +1903,87 @@ def x170(spark, sf_dir):
         .unionByName(corr("price_disc", "p", "d"))
         .orderBy("l_returnflag", "pair")
     )
+
+
+# --------------------------------------------------------------------------
+# x175 — grid-bucketed spatial proximity join: customers and suppliers get
+# deterministic planar coordinates, the supplier side explodes into its
+# 3×3 cell neighborhood, candidates come from the CELL equi-join (never
+# all-pairs), and exact integer distance² verifies. Cell size (16) >
+# radius (6) guarantees the neighborhood covers every qualifying pair —
+# the guarantee that makes grid spatial joins correct, and the same
+# bucket-then-verify shape as the LSH dedup family, in 2-D.
+# --------------------------------------------------------------------------
+
+_X175_R2 = 36  # radius 6 < cell 16
+
+_X175_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, (c_custkey * 40503) % 256 AS px,
+         (c_custkey * 65599) % 256 AS py
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey, (s_suppkey * 48271) % 256 AS px,
+         (s_suppkey * 69621) % 256 AS py
+  FROM supplier
+),
+sn AS (
+  SELECT s.s_suppkey, s.px, s.py,
+         s.px // 16 + dx.v AS cx, s.py // 16 + dy.v AS cy
+  FROM s, (SELECT unnest([-1, 0, 1]) AS v) dx,
+          (SELECT unnest([-1, 0, 1]) AS v) dy
+),
+cand AS (
+  SELECT c.c_custkey, sn.s_suppkey,
+         (c.px - sn.px) * (c.px - sn.px)
+           + (c.py - sn.py) * (c.py - sn.py) AS d2
+  FROM c JOIN sn ON c.px // 16 = sn.cx AND c.py // 16 = sn.cy
+)
+SELECT c_custkey, s_suppkey, CAST(d2 AS BIGINT) AS dist2
+FROM cand WHERE d2 <= {_X175_R2}
+ORDER BY c_custkey, s_suppkey
+"""
+
+
+@query("x175_spatial_grid_join", _X175_SQL)
+def x175(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 40503 % 256).alias("px"),
+        (F.col("c_custkey") * 65599 % 256).alias("py"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 48271 % 256).alias("px"),
+        (F.col("s_suppkey") * 69621 % 256).alias("py"),
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    sn = (
+        supp.withColumn("dx", d)
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "s_suppkey",
+            F.col("px").alias("spx"),
+            F.col("py").alias("spy"),
+            (F.expr("px div 16") + F.col("dx")).alias("cx"),
+            (F.expr("py div 16") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("px") - F.col("spx")) * (F.col("px") - F.col("spx")) + (
+        F.col("py") - F.col("spy")
+    ) * (F.col("py") - F.col("spy"))
+    return (
+        cust.join(
+            F.broadcast(sn),
+            (F.expr("px div 16") == F.col("cx"))
+            & (F.expr("py div 16") == F.col("cy")),
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            d2.cast("long").alias("dist2"),
+        )
+        .where(F.col("dist2") <= _X175_R2)
+        .orderBy("c_custkey", "s_suppkey")
+    )

@@ -89,3 +89,89 @@ def test_flatten_shape_and_order(data):
     flat, shape = _flatten(data)
     assert shape == [len(data), 3]
     assert flat == [x for row in data for x in row]
+
+
+# -- deletion-vector composition model (pure Python, no Spark) --------------
+
+from nimhdfstore_spark.store import _logical_to_raw, _merge_ranges
+
+
+@given(
+    st.integers(5, 60),
+    st.lists(st.tuples(st.integers(0, 59), st.integers(0, 14)), min_size=1, max_size=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_deletion_vector_matches_list_model(n, deletes):
+    # model: raw rows are ints 0..n-1; each delete removes a LOGICAL
+    # inclusive range [a, a+k] from the current list
+    live = list(range(n))
+    dv: list[tuple[int, int]] = []
+    for a, k in deletes:
+        if not live:
+            break
+        a = a % len(live)
+        b = min(a + k, len(live) - 1)
+        new_raw = _logical_to_raw(dv, a, b, raw_total=n)
+        # the raw positions mapped must be exactly the list elements removed
+        removed = live[a : b + 1]
+        flat = [r for lo, hi in new_raw for r in range(lo, hi + 1)]
+        assert flat == removed, (dv, a, b, new_raw, removed)
+        dv = _merge_ranges(dv + new_raw)
+        del live[a : b + 1]
+    # final state: dv's complement in 0..n-1 equals the surviving rows
+    dead = {r for lo, hi in dv for r in range(lo, hi + 1)}
+    assert [r for r in range(n) if r not in dead] == live
+    # dv is sorted, disjoint, non-adjacent
+    for (a1, b1), (a2, b2) in zip(dv, dv[1:]):
+        assert b1 + 1 < a2
+
+
+# -- h5lite structured round-trip (pure numpy, no Spark) --------------------
+
+_H5_SCALARS = ["<i2", "<i4", "<i8", "<f4", "<f8", "S3", "S9"]
+
+
+@given(
+    st.lists(st.sampled_from(_H5_SCALARS), min_size=1, max_size=5),
+    st.integers(0, 200),
+    st.integers(0, 7),
+)
+@settings(max_examples=60, deadline=None)
+def test_h5lite_roundtrip_property(codes, nrows, seed):
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from nimhdfstore_spark.sources import h5lite
+
+    dt = np.dtype([(f"c{i}", c) for i, c in enumerate(codes)])
+    rng = np.random.RandomState(seed)
+    arr = np.zeros(nrows, dtype=dt)
+    for name in dt.names:
+        k = dt.fields[name][0].kind
+        if k == "i":
+            info = np.iinfo(dt.fields[name][0])
+            arr[name] = rng.randint(info.min, info.max, size=nrows)
+        elif k == "f":
+            arr[name] = rng.randn(nrows).astype(dt.fields[name][0])
+        else:
+            w = dt.fields[name][0].itemsize
+            arr[name] = [
+                bytes(rng.randint(65, 90, size=rng.randint(0, w + 1)).astype("u1"))
+                for _ in range(nrows)
+            ]
+    fd, path = tempfile.mkstemp(suffix=".h5")
+    os.close(fd)
+    try:
+        h5lite.write(path, {"t": arr})
+        back = h5lite.read(path, "t")
+        assert back.dtype == arr.dtype
+        assert len(back) == nrows
+        if nrows:
+            for name in dt.names:
+                assert (back[name] == arr[name]).all(), name
+            lo, hi = nrows // 3, 2 * nrows // 3
+            assert (h5lite.read_range(path, "t", lo, hi) == arr[lo:hi]).all()
+    finally:
+        os.unlink(path)
