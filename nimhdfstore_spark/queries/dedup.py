@@ -224,13 +224,6 @@ _COS_TAU = 0.4
 _EMB_PLANES, _EMB_BANDS, _EMB_DIMS = 64, 16, 64
 _EMB_W = _EMB_PLANES // _EMB_BANDS
 
-_SQL_DOT = (
-    "list_reduce(list_transform(range(64), i -> "
-    "CAST({a}.embedding[i+1] AS DOUBLE) * CAST({b}.embedding[i+1] AS DOUBLE)), "
-    "(x, y) -> x + y)"
-)
-
-
 def _emb_lsh_sql() -> str:
     # fixed-point projections (round(v*2^20) — integer sums commute, see
     # operators/dedup.FXP): each plane is a plain SUM aggregate over the
@@ -276,14 +269,23 @@ cand AS (
   FROM cb a JOIN cb b ON a.k = b.k AND a.bucket = b.bucket
                      AND a.vec_id < b.vec_id
 ),
+qv AS MATERIALIZED (
+  -- fixed-point vector + exact squared norm: int sums <= 2^46 are exactly
+  -- representable in DOUBLE, so list_dot_product's float fold is exact and
+  -- order-insensitive — bit-identical to the Spark side's int64 einsum
+  SELECT vec_id,
+         list(CAST(iv AS DOUBLE) ORDER BY d) AS q,
+         CAST(sum(iv * iv) AS DOUBLE) AS n2
+  FROM ev GROUP BY vec_id
+),
 scored AS (
   SELECT id_a, id_b,
-    ROUND({_SQL_DOT.format(a='x', b='y')} /
-      (sqrt({_SQL_DOT.format(a='x', b='x')}) *
-       sqrt({_SQL_DOT.format(a='y', b='y')})), 6) AS cosine
+    CASE WHEN x.n2 > 0 AND y.n2 > 0 THEN
+      ROUND(list_dot_product(x.q, y.q) / (sqrt(x.n2) * sqrt(y.n2)), 6)
+    END AS cosine
   FROM cand
-  JOIN embeddings x ON x.vec_id = cand.id_a
-  JOIN embeddings y ON y.vec_id = cand.id_b
+  JOIN qv x ON x.vec_id = cand.id_a
+  JOIN qv y ON y.vec_id = cand.id_b
 )
 SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_COS_TAU}
 ORDER BY id_a, id_b
