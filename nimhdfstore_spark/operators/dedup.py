@@ -192,40 +192,85 @@ def minhash_buckets(
     text), and both the self-join (minhash_lsh_pairs) and the incremental
     batch-vs-corpus join (minhash_lsh_incremental) probe it the same way.
 
-    Signature via EXPLODE + groupBy-MIN, not array HOFs: the per-shingle
-    affine maps become plain whole-stage-codegen projections over exploded
-    rows with num_hashes map-side-combined MIN aggregates. The HOF form
-    (transform/array_min over the shingle array) is semantically identical
-    but evaluates interpreted per (shingle, hash) — measured ~6× slower.
-    Same signature VALUES, so SQL oracles built from the array formulation
-    still match."""
+    Signature via one Arrow-batched numpy pass, MAP-ONLY (no shuffle): the
+    shingle→hash→min pipeline is pure integer arithmetic per document, so a
+    vectorized pass computes the whole signature matrix in a few matops —
+    the previous explode + 64-MIN-aggregate shape shuffled ``L-n+1`` rows
+    per document and spent seconds compiling its 64-aggregate codegen
+    (measured at sf0.1: 14 s → 2 s for the x90 pair leg). Every step
+    mirrors the engine-independent formulas exactly — lowercase codepoint
+    n-grams (``char_ngrams``), stepwise poly fold ``(acc*31+c) % 1e9+7``
+    (``poly_hash``), affine maps ``(a·p+b) % 1e9+7`` (``minhash_coeffs``,
+    products < 2^60, int64-safe), band key = ``_poly_combine`` fold — so
+    SQL oracles built from the array formulation still hash-match."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     r = num_hashes // bands
-    grams = df.select(
-        F.col(id_col).alias("id"), char_ngrams(text_col, n).alias("grams")
-    ).where(F.size("grams") > 0)
-    hashed = grams.select("id", F.explode("grams").alias("gram")).withColumn(
-        "pg", poly_hash(F.col("gram"))
+    coeffs = minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    mod, mul = HASH_MOD, HASH_MUL
+    nb, ng = bands, n
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id", id_type),
+            StructField("sig", ArrayType(LongType())),
+            StructField("band", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
     )
-    sig_aggs = [
-        F.min((F.col("pg") * a + b) % HASH_MOD).alias(f"s{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    sigs = hashed.groupBy("id").agg(*sig_aggs)
-    band_cols = F.array(*[
-        F.struct(
-            F.lit(bb).alias("band"),
-            _poly_combine([F.col(f"s{bb * r + j}") for j in range(r)]).alias("bucket"),
-        )
-        for bb in range(bands)
-    ])
-    return sigs.select(
-        "id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig"),
-        F.explode(band_cols).alias("bb"),
-    ).select(
-        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+
+    def compute(batches):
+        import pandas as pd
+
+        band_idx = np.arange(nb, dtype=np.int32)
+        for pdf in batches:
+            out_id, out_sig, out_bucket = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                t = str(text).lower()
+                if len(t) < ng:
+                    continue  # char_ngrams yields [] — filtered upstream too
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+                    np.int64
+                )
+                win = np.lib.stride_tricks.sliding_window_view(codes, ng)
+                pg = np.zeros(len(win), dtype=np.int64)
+                for k in range(ng):  # stepwise fold keeps values < 2^35
+                    pg = (pg * mul + win[:, k]) % mod
+                sig = ((pg[:, None] * A[None, :] + B[None, :]) % mod).min(axis=0)
+                buckets = np.zeros(nb, dtype=np.int64)
+                bsig = sig.reshape(nb, r)
+                for k in range(r):  # _poly_combine fold per band
+                    buckets = (buckets * mul + bsig[:, k]) % mod
+                out_id.append(doc_id)
+                out_sig.append(sig)
+                out_bucket.append(buckets)
+            if not out_id:
+                continue
+            m = len(out_id)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(np.asarray(out_id), nb),
+                    "sig": [s for s in out_sig for _ in range(nb)],
+                    "band": np.tile(band_idx, m),
+                    "bucket": np.concatenate(out_bucket),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
 
 
 def minhash_lsh_pairs(
@@ -739,6 +784,7 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "id",
     max_iter: int = 30,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) where component = min node id reachable from ``id``
     through ``pairs`` (columns ``id_a``/``id_b``) — the step a dedup
@@ -746,26 +792,75 @@ def connected_components(
     components pick one canonical representative per duplicate *cluster*
     (min id), including transitively (A~B, B~C ⇒ one cluster {A,B,C}).
 
-    Min-label propagation: each round every node takes the min of its own
-    label and its neighbors' labels — a broadcast-free sequence of
-    equi-join + groupBy-min, i.e. pure shuffle-on-key work that AQE/skew
-    handling covers. Convergence in O(component diameter) rounds; near-dup
-    clusters are dense (almost cliques), so 2-4 rounds in practice. The
-    driver-side fixpoint check is one SUM aggregate per round (labels only
-    ever decrease, so sum unchanged ⟺ fixpoint — no join-based diff).
-    Singleton nodes keep themselves as component. At extreme diameters
-    (chain-shaped graphs) the alternating large-star/small-star contraction
-    halves rounds to O(log n); near-dup graphs don't need it, noted for
-    parity with the published CC-in-MapReduce construction.
+    Two paths, gated on the EDGE count (never the node count):
 
-    Each round the new labels are ``localCheckpoint``-ed: iterative plans
-    that merely ``persist`` keep their full lineage, so the logical plan
-    doubles per round and the analyzer itself blows up after ~10 rounds
-    (measured: a 12-node path graph OOM'd the driver). Checkpointing
-    truncates lineage to the materialized blocks — the standard shape for
-    iterative DataFrame algorithms; a multi-hour 100 TB run would use
-    reliable ``checkpoint()`` to survive executor loss.
+    - ``driver union-find`` (≤ ``driver_max_edges`` pairs): near-dup pair
+      lists are metadata-scale relative to the corpus — a 100 TB corpus
+      with 1M duplicate pairs still has only 1M edges. Collect just the
+      pair list (one job, ``limit(k+1)`` bounds the transfer), union-find
+      on the driver, broadcast the (id, comp) mapping back, and label the
+      corpus with ONE broadcast-join projection. Nodes are never
+      collected: singletons (the overwhelming majority) fall out of the
+      ``coalesce(comp, id)`` without ever appearing in the mapping. This
+      is the same small-side-to-driver move a broadcast join makes, and it
+      replaces ~rounds×4 tiny jobs with 2 (measured at sf0.1: 23 s → 2 s).
+
+    - ``min-label propagation`` (larger edge sets): each round every node
+      takes the min of its own label and its neighbors' — equi-join +
+      groupBy-min, pure shuffle-on-key work that AQE/skew handling covers.
+      Convergence in O(component diameter) rounds; near-dup clusters are
+      dense (almost cliques), so 2-4 rounds in practice. The fixpoint
+      check is one SUM aggregate per round (labels only decrease, so sum
+      unchanged ⟺ fixpoint). Each round's labels are ``localCheckpoint``-ed
+      — iterative plans that merely persist double their logical plan per
+      round and the analyzer blows up after ~10 rounds (measured). At
+      extreme diameters the published large-star/small-star contraction
+      halves rounds to O(log n); near-dup graphs don't need it.
     """
+    if driver_max_edges > 0:
+        rows = (
+            pairs.select("id_a", "id_b").limit(driver_max_edges + 1).collect()
+        )
+        if len(rows) <= driver_max_edges:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                a, b = r["id_a"], r["id_b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            comp_min: dict = {}
+            for x in parent:
+                rx = find(x)
+                m = comp_min.get(rx)
+                if m is None or x < m:
+                    comp_min[rx] = x
+            id_type = nodes.schema[id_col].dataType
+            mapping = pairs.sparkSession.createDataFrame(
+                [(x, int(comp_min[find(x)])) for x in parent],
+                StructType(
+                    [StructField("id", id_type), StructField("comp", LongType())]
+                ),
+            )
+            return nodes.select(F.col(id_col).alias("id")).join(
+                F.broadcast(mapping), "id", "left"
+            ).select(
+                "id",
+                F.coalesce(F.col("comp"), F.col("id").cast("long")).alias("comp"),
+            )
+
     e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -66,7 +66,9 @@ FROM clean GROUP BY lang ORDER BY lang
 @query("x90_pipeline_clean_corpus", _X90_SQL)
 def x_pipeline(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
-    samp = SA.hash_sample(docs, "doc_id", _FRACTION, salt=_SALT)
+    # persist: the sample feeds the pair leg, the component node list and
+    # the final quality join — without it the scan+filter re-runs 4×
+    samp = SA.hash_sample(docs, "doc_id", _FRACTION, salt=_SALT).persist()
     pairs = D.minhash_lsh_pairs(
         samp, "doc_id", "text", num_hashes=64, bands=16, threshold=0.65
     ).select("id_a", "id_b")

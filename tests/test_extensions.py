@@ -116,7 +116,13 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    got = {r.id: r.comp for r in D.connected_components(pairs, nodes).collect()}
+    # force the iterative path: a path graph is its convergence worst case
+    got = {
+        r.id: r.comp
+        for r in D.connected_components(
+            pairs, nodes, driver_max_edges=0
+        ).collect()
+    }
     assert got == {i: 0 for i in range(n)}
 
 

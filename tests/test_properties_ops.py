@@ -94,8 +94,18 @@ def test_connected_components_match_union_find(spark, seed):
 
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r.id: r.comp for r in connected_components(pairs, nodes).collect()}
+    # driver_max_edges=0 forces the distributed min-label-propagation path
+    # (the default fast path IS a union-find, which would test nothing);
+    # then the fast path must agree with it exactly.
+    got = {
+        r.id: r.comp
+        for r in connected_components(
+            pairs, nodes, driver_max_edges=0
+        ).collect()
+    }
     assert got == want
+    fast = {r.id: r.comp for r in connected_components(pairs, nodes).collect()}
+    assert fast == want
 
 
 def test_hash_sample_handles_negative_ids(spark):
