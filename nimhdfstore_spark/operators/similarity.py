@@ -544,3 +544,108 @@ def mmr_select(
             fn, "probe_id long, position int, vec_id long, mmr_score double"
         )
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dims: int = 64,
+    fxp: int = 1 << 20,
+) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH: the top-k cosine neighbors of EVERY
+    vector (not just a probe set) — the all-points variant a curation
+    pipeline runs before graph-based dedup/clustering (kNN-graph spectral
+    methods, mutual-kNN pruning). Complements ``brute_force_topk`` (probe
+    set × corpus) and the approximate paths (IVF x41, LSH x34).
+
+    Plan: the corpus (id + fixed-point vector, ~0.5 KB/row) is collected
+    once and broadcast; each partition then computes its rows' cosine
+    against the broadcast matrix with ONE int64 matmul and emits its rows'
+    top-k — embarrassingly parallel, no shuffle at all, wall-clock linear
+    in partitions. Exact kNN is inherently O(n²) in dot products; this is
+    the blocked-matmul shape (FAISS brute-force mode), and the broadcast
+    bounds it to corpora that fit executor memory (~10M×64 dims = 5 GB).
+    Beyond that, block the right side too (chunked cross join) or switch
+    to the approximate paths.
+
+    Determinism: fixed-point quantization (round(v·2^20), Spark HALF_UP)
+    makes dot/norms exact int64 sums, so cosine doubles are bit-identical
+    in numpy and the SQL oracle; ranking orders by the UNROUNDED cosine
+    (ties exact on both engines) then neighbor id; the output value is
+    rounded to 6 decimals JVM-side."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    x = V * fxp
+    Q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+    n2 = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+    bc = df.sparkSession.sparkContext.broadcast((ids, Q, n2))
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("vec_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("cosine_raw", DoubleType()),
+            StructField("rank", IntegerType()),
+        ]
+    )
+    kk = k
+
+    def topk(batches):
+        import pandas as pd
+
+        all_ids, all_q, all_n2 = bc.value
+        order = np.argsort(all_ids, kind="stable")
+        c_ids, c_q, c_n2 = all_ids[order], all_q[order], all_n2[order]
+        for pdf in batches:
+            m = len(pdf)
+            if not m:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * fxp
+            q = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+                np.int64
+            )
+            n2 = np.sqrt(np.einsum("ij,ij->i", q, q).astype(np.float64))
+            G = (q @ c_q.T).astype(np.float64)
+            denom = np.outer(n2, c_n2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(denom > 0, G / denom, -np.inf)
+            my_ids = pdf[id_col].to_numpy()
+            C[my_ids[:, None] == c_ids[None, :]] = -np.inf  # exclude self
+            out_src, out_nbr, out_cos, out_rank = [], [], [], []
+            for i in range(m):
+                row = C[i]
+                # top-k by (cosine desc, neighbor id asc): c_ids ascending,
+                # stable mergesort on -cosine keeps id order within ties
+                top = np.argsort(-row, kind="stable")[:kk]
+                out_src.extend([my_ids[i]] * len(top))
+                out_nbr.extend(c_ids[top])
+                out_cos.extend(row[top])
+                out_rank.extend(range(1, len(top) + 1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": out_src,
+                    "neighbor_id": out_nbr,
+                    "cosine_raw": out_cos,
+                    "rank": np.array(out_rank, dtype=np.int32),
+                }
+            )
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(topk, schema=schema)
+        .withColumn("cosine", F.round(F.col("cosine_raw"), 6))
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )

@@ -164,3 +164,46 @@ def x161(spark, sf_dir):
             "skew_ratio_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# x176 — k-anonymity / l-diversity audit: the privacy sweep a training-data
+# release runs over quasi-identifier combinations (here: lang × length
+# bucket, with `source` as the sensitive attribute). Classes smaller than k
+# re-identify members; classes with fewer than l distinct sensitive values
+# leak the attribute even at k. One map-side-combined groupBy — the same
+# shape at 100 TB (distinct-count is the only shuffle-wide aggregate).
+# Public basis: Sweeney 2002 (k-anonymity), Machanavajjhala 2007
+# (l-diversity). Extension surface — the reference has no audit layer.
+# --------------------------------------------------------------------------
+
+_K_ANON, _L_DIV = 5, 2
+
+_X176_SQL = f"""
+SELECT lang,
+       n_chars // 200 AS len_bucket,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT source) AS INT) AS n_sources,
+       count(*) < {_K_ANON} AS k_at_risk,
+       count(DISTINCT source) < {_L_DIV} AS l_at_risk
+FROM documents
+GROUP BY lang, len_bucket
+ORDER BY lang, len_bucket
+"""
+
+
+@query("x176_k_anonymity", _X176_SQL)
+def x176(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang", F.expr("n_chars div 200").alias("len_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.count_distinct("source").cast("int").alias("n_sources"),
+        )
+        .withColumn("k_at_risk", F.col("class_size") < _K_ANON)
+        .withColumn("l_at_risk", F.col("n_sources") < _L_DIV)
+        .orderBy("lang", "len_bucket")
+    )

@@ -777,3 +777,51 @@ def x174(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# x177 — exact k-nearest-neighbor GRAPH: top-k cosine neighbors of EVERY
+# vector (the pre-step of graph dedup / mutual-kNN pruning), via the
+# broadcast + blocked int64 matmul in operators/similarity.knn_graph.
+# Oracle: DuckDB recomputes the identical fixed-point cosine (exact int
+# sums -> bit-identical doubles) and ranks by the unrounded value with the
+# same id tie-break.
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+
+_X177_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, d,
+         CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1048576) AS BIGINT) AS iv
+  FROM embeddings, range(64) t(d)
+),
+qv AS MATERIALIZED (
+  SELECT vec_id, list(CAST(iv AS DOUBLE) ORDER BY d) AS q,
+         CAST(sum(iv * iv) AS DOUBLE) AS n2
+  FROM ev GROUP BY vec_id
+),
+sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.q, b.q) / (sqrt(a.n2) * sqrt(b.n2)) AS cosine_raw
+  FROM qv a JOIN qv b ON a.vec_id != b.vec_id
+  WHERE a.n2 > 0 AND b.n2 > 0
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cosine_raw,
+         CAST(row_number() OVER (
+           PARTITION BY vec_id ORDER BY cosine_raw DESC, neighbor_id
+         ) AS INT) AS rank
+  FROM sims
+)
+SELECT vec_id, neighbor_id, ROUND(cosine_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= {_KNN_K} ORDER BY vec_id, rank
+"""
+
+
+@query("x177_knn_graph", _X177_SQL)
+def x177(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, "vec_id", "embedding", k=_KNN_K).orderBy(
+        "vec_id", "rank"
+    )

@@ -1,0 +1,123 @@
+"""Round-6 additions: exact kNN graph, k-anonymity audit, and the
+vectorized dedup kernels' exactness pins."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from nimhdfstore_spark.operators import dedup as D
+from nimhdfstore_spark.operators import similarity as S
+
+
+def test_knn_graph_planted_neighbors(spark):
+    # 3 tight clusters of 3 around orthogonal axes: each vector's 2 nearest
+    # must be its cluster mates, ranked above everything cross-cluster
+    rows = []
+    vid = 0
+    for axis in range(3):
+        for jitter in (0.0, 0.01, -0.01):
+            v = [0.0] * 8
+            v[axis] = 1.0
+            v[(axis + 3) % 8] = jitter
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = S.knn_graph(df, "vec_id", "embedding", k=2, dims=8).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.vec_id, []).append(r.neighbor_id)
+    assert len(by_src) == 9
+    for src, nbrs in by_src.items():
+        cluster = src // 3
+        assert all(n // 3 == cluster for n in nbrs), (src, nbrs)
+        assert len(nbrs) == 2
+
+
+def test_knn_graph_rank_deterministic_on_ties(spark):
+    # identical vectors -> identical cosines; rank ties must break by
+    # ascending neighbor id on every run
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = S.knn_graph(df, "vec_id", "embedding", k=3, dims=4).collect()
+    for r in got:
+        expect = [n for n in range(5) if n != r.vec_id][r.rank - 1]
+        assert r.neighbor_id == expect
+        assert r.cosine == 1.0
+
+
+def test_knn_graph_matches_bruteforce_python(spark, sf_dir):
+    # pin the whole operator against a direct python recompute at sf0.001
+    from nimhdfstore_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    q = {
+        i: [math.floor(x * (1 << 20) + 0.5) if x >= 0 else math.ceil(x * (1 << 20) - 0.5) for x in v]
+        for i, v in vecs.items()
+    }
+
+    def cos(a, b):
+        da = sum(x * x for x in q[a])
+        db = sum(x * x for x in q[b])
+        dd = sum(x * y for x, y in zip(q[a], q[b]))
+        return dd / (math.sqrt(da) * math.sqrt(db))
+
+    got = S.knn_graph(emb, "vec_id", "embedding", k=3).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id))
+    for src, ranked in by_src.items():
+        want = sorted(
+            (o for o in vecs if o != src), key=lambda o: (-cos(src, o), o)
+        )[:3]
+        assert [n for _, n in sorted(ranked)] == want, src
+
+
+def test_k_anonymity_flags(spark, sf_dir):
+    from nimhdfstore_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["x176_k_anonymity"](spark, sf_dir).collect()
+    assert rows, "audit must produce equivalence classes"
+    for r in rows:
+        assert r.k_at_risk == (r.class_size < 5)
+        assert r.l_at_risk == (r.n_sources < 2)
+        assert r.n_sources <= r.class_size
+
+
+def test_minhash_buckets_match_sql_shape(spark):
+    # the vectorized signature must equal the documented formulas on a
+    # hand-computable doc: poly hash of each 3-gram, affine min
+    docs = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    got = D.minhash_buckets(docs, "doc_id", "text", n=3, num_hashes=4, bands=2)
+    rows = got.collect()
+    assert len(rows) == 2  # one per band
+    grams = ["abc", "bcd"]
+
+    def ph(g):
+        acc = 0
+        for c in g:
+            acc = (acc * 31 + ord(c)) % 1_000_000_007
+        return acc
+
+    pgs = [ph(g) for g in grams]
+    want_sig = [
+        min((p * a + b) % 1_000_000_007 for p in pgs)
+        for a, b in D.minhash_coeffs(4)
+    ]
+    assert rows[0].sig == want_sig
+    for r in rows:
+        s = want_sig[r.band * 2 : r.band * 2 + 2]
+        acc = 0
+        for v in s:
+            acc = (acc * 31 + v) % 1_000_000_007
+        assert r.bucket == acc
+
+
+def test_hyperplane_bits_table_empty_and_null_safe(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64)], "vec_id long, embedding array<double>"
+    ).where(F.col("vec_id") < 0)
+    assert D.hyperplane_bits_table(df, "vec_id", "embedding").count() == 0
