@@ -766,10 +766,17 @@ def stream_deletes_into_store(
 
     cmds = os.path.join(store.root, "_staged_deletes")
     _shutil.rmtree(cmds, ignore_errors=True)
-    spark.createDataFrame([(100, 199)], "a long, b long").coalesce(1).write.parquet(cmds)
-    spark.createDataFrame([(100, 149)], "a long, b long").coalesce(1).write.mode(
-        "append"
-    ).parquet(cmds)
+    # VALUES → JVM LocalRelation. A python-list createDataFrame plans as a
+    # LogicalRDD with defaultParallelism python-backed slices, and
+    # coalesce(1) (narrow) evaluates all 32 in ONE task sequentially —
+    # ~140 ms of Python-worker round-trip per slice, 4.5 s per 1-row write
+    # (measured). The SQL literal form never leaves the JVM: 0.2 s.
+    spark.sql(
+        "SELECT CAST(100 AS BIGINT) AS a, CAST(199 AS BIGINT) AS b"
+    ).coalesce(1).write.parquet(cmds)
+    spark.sql(
+        "SELECT CAST(100 AS BIGINT) AS a, CAST(149 AS BIGINT) AS b"
+    ).coalesce(1).write.mode("append").parquet(cmds)
 
     stream = (
         spark.readStream.schema("a long, b long")
