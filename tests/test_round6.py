@@ -121,3 +121,61 @@ def test_hyperplane_bits_table_empty_and_null_safe(spark):
         [(1, [0.5] * 64)], "vec_id long, embedding array<double>"
     ).where(F.col("vec_id") < 0)
     assert D.hyperplane_bits_table(df, "vec_id", "embedding").count() == 0
+
+
+# --------------------------------------------------------------------------
+# property: the vectorized (numpy) minhash kernel equals a from-scratch
+# pure-python recompute of the documented formulas on arbitrary text,
+# including unicode, empty, and shorter-than-n strings
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_MOD, _MUL = 1_000_000_007, 31
+
+
+def _py_minhash(text: str, n: int, num_hashes: int):
+    t = text.lower()
+    if len(t) < n:
+        return None
+    grams = [t[i : i + n] for i in range(len(t) - n + 1)]
+    pgs = []
+    for g in grams:
+        acc = 0
+        for c in g:
+            acc = (acc * _MUL + ord(c)) % _MOD
+        pgs.append(acc)
+    return [
+        min((p * a + b) % _MOD for p in pgs) for a, b in D.minhash_coeffs(num_hashes)
+    ]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_minhash_buckets_match_python(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.id: r.sig
+        for r in D.minhash_buckets(docs, "doc_id", "text", n=3, num_hashes=8, bands=4)
+        .select("id", "sig")
+        .dropDuplicates(["id"])
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        want = _py_minhash(t, 3, 8)
+        if want is None:
+            assert i not in got
+        else:
+            assert got[i] == want, (t,)
