@@ -580,6 +580,7 @@ def hyperplane_bits_table(
         import pandas as pd
 
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -670,6 +671,7 @@ def embedding_lsh_pairs(
         import pandas as pd
 
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             n = len(pdf)
             if not n:
                 continue

@@ -584,7 +584,7 @@ def knn_graph(
         StructType,
     )
 
-    rows = df.select(id_col, vec_col).collect()
+    rows = [r for r in df.select(id_col, vec_col).collect() if r[1] is not None]
     ids = np.array([r[0] for r in rows])
     V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     x = V * fxp
@@ -610,6 +610,7 @@ def knn_graph(
         order = np.argsort(all_ids, kind="stable")
         c_ids, c_q, c_n2 = all_ids[order], all_q[order], all_n2[order]
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             m = len(pdf)
             if not m:
                 continue

@@ -825,3 +825,81 @@ def x177(spark, sf_dir):
     return S.knn_graph(emb, "vec_id", "embedding", k=_KNN_K).orderBy(
         "vec_id", "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# x178 — mutual-kNN clustering: keep an edge only when BOTH endpoints rank
+# each other in their top-k (the standard false-neighbor filter over a kNN
+# graph), then label connected components. The semantic-dedup shape that
+# needs no distance threshold: mutuality itself is the cutoff. Composes
+# x177's exact graph with the dedup components operator; the oracle replays
+# the identical fixed-point ranking, mutual join, and a recursive
+# min-reachable-id CTE.
+# --------------------------------------------------------------------------
+
+_X178_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT vec_id, d,
+         CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1048576) AS BIGINT) AS iv
+  FROM embeddings, range(64) t(d)
+),
+qv AS MATERIALIZED (
+  SELECT vec_id, list(CAST(iv AS DOUBLE) ORDER BY d) AS q,
+         CAST(sum(iv * iv) AS DOUBLE) AS n2
+  FROM ev GROUP BY vec_id
+),
+sims AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.q, b.q) / (sqrt(a.n2) * sqrt(b.n2)) AS cosine_raw
+  FROM qv a JOIN qv b ON a.vec_id != b.vec_id
+  WHERE a.n2 > 0 AND b.n2 > 0
+),
+knn AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cosine_raw DESC, neighbor_id) AS rank
+    FROM sims
+  ) WHERE rank <= {_KNN_K}
+),
+mu AS (
+  SELECT a.vec_id AS id_a, a.neighbor_id AS id_b
+  FROM knn a JOIN knn b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.vec_id < a.neighbor_id
+),
+ed AS (SELECT id_a AS src, id_b AS dst FROM mu
+       UNION ALL SELECT id_b, id_a FROM mu),
+nn AS (SELECT vec_id AS nid FROM embeddings),
+reach(nid, r) AS (
+  SELECT nid, nid FROM nn
+  UNION
+  SELECT ed.src, reach.r FROM ed JOIN reach ON ed.dst = reach.nid
+)
+SELECT nid AS vec_id, CAST(min(r) AS BIGINT) AS cluster
+FROM reach GROUP BY nid ORDER BY vec_id
+"""
+
+
+@query("x178_mutual_knn_clusters", _X178_SQL)
+def x178(spark, sf_dir):
+    from nimhdfstore_spark.operators import dedup as D
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = S.knn_graph(emb, "vec_id", "embedding", k=_KNN_K)
+    a, b = g.alias("a"), g.alias("b")
+    mutual = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.vec_id")),
+        )
+        .where(F.col("a.vec_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("a.neighbor_id").alias("id_b"),
+        )
+    )
+    comp = D.connected_components(mutual, emb, id_col="vec_id")
+    return comp.select(
+        F.col("id").alias("vec_id"), F.col("comp").alias("cluster")
+    ).orderBy("vec_id")
