@@ -278,3 +278,39 @@ def test_hll_state_is_bounded(spark, sf_dir):
     assert "HashAggregate" in before_exchange, (
         f"HLL register build does not partial-aggregate:\n{plan[:2000]}"
     )
+
+
+def test_knn_graph_plan_has_no_shuffle(spark, sf_dir):
+    # x177: broadcast corpus + per-partition matmul — any Exchange means the
+    # blocked shape regressed to a join
+    from nimhdfstore_spark.operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    plan = _plan(knn_graph(emb, "vec_id", "embedding", k=3))
+    assert "Exchange" not in plan, f"kNN graph plans a shuffle:\n{plan[:2000]}"
+    assert "Join" not in plan, f"kNN graph plans a join:\n{plan[:2000]}"
+
+
+def test_embedding_lsh_single_groupby_shuffle(spark, sf_dir):
+    # x34: ONE pair-producing shuffle — the (band, bucket) groupBy feeding
+    # applyInPandas — plus the final dropDuplicates exchange; no join at all
+    from nimhdfstore_spark.operators.dedup import embedding_lsh_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    plan = _plan(
+        embedding_lsh_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    )
+    assert "Join" not in plan, f"bucketed LSH plans a join:\n{plan[:2000]}"
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 2, f"{n_exchange} hash exchanges (want <=2):\n{plan[:2000]}"
+
+
+def test_minhash_buckets_map_only(spark, sf_dir):
+    # signature computation must be a scan -> ArrowEvalPython/mapInPandas
+    # pipeline with no Exchange (the old explode+agg shape shuffled L-n+1
+    # rows per doc)
+    from nimhdfstore_spark.operators.dedup import minhash_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _plan(minhash_buckets(docs, "doc_id", "text"))
+    assert "Exchange" not in plan, f"minhash signatures shuffle:\n{plan[:2000]}"
