@@ -1987,3 +1987,112 @@ def x175(spark, sf_dir):
         .where(F.col("dist2") <= _X175_R2)
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# x179 — trajectory top-k similarity (REPOSE, ICDE 2021, public: candidates
+# from shared reference cells, never all-pairs): each user's "trajectory"
+# is the distinct set of grid cells their events visit (deterministic
+# planar coords from event_id, same construction as x175); probe users
+# find their top-k most-similar users by cell-set Jaccard. The ONLY
+# pair-producing step is the equi-join on cell — cost tracks true
+# co-visitation density; exact integer overlap counts verify.
+# --------------------------------------------------------------------------
+
+_X179_K = 5
+_X179_PROBES = (0, 1, 2, 3)
+
+_X179_SQL = f"""
+WITH cells AS (
+  SELECT DISTINCT user_id,
+         ((event_id * 40503) % 256) // 16 AS cx,
+         ((event_id * 65599) % 256) // 16 AS cy
+  FROM events
+),
+sizes AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_cells
+  FROM cells GROUP BY user_id
+),
+shared AS (
+  SELECT a.user_id AS probe_id, b.user_id AS user_id,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM cells a JOIN cells b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.user_id != b.user_id
+  WHERE a.user_id IN {_X179_PROBES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.probe_id, s.user_id,
+         ROUND(s.n_shared * 1.0
+               / (pa.n_cells + pb.n_cells - s.n_shared), 6) AS jaccard
+  FROM shared s
+  JOIN sizes pa ON pa.user_id = s.probe_id
+  JOIN sizes pb ON pb.user_id = s.user_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY probe_id ORDER BY jaccard DESC, user_id) AS INT) AS rank
+  FROM scored
+)
+SELECT probe_id, user_id, jaccard, rank FROM ranked
+WHERE rank <= {_X179_K} ORDER BY probe_id, rank
+"""
+
+
+@query("x179_trajectory_topk", _X179_SQL)
+def x179(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    cells = ev.select(
+        "user_id",
+        F.expr("((event_id * 40503) % 256) div 16").alias("cx"),
+        F.expr("((event_id * 65599) % 256) div 16").alias("cy"),
+    ).dropDuplicates(["user_id", "cx", "cy"])
+    sizes = cells.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    probes = cells.where(F.col("user_id").isin(list(_X179_PROBES)))
+    shared = (
+        probes.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("probe_id"),
+            F.col("b.user_id").alias("user_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    scored = (
+        shared.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("user_id").alias("probe_id"),
+                    F.col("n_cells").alias("na"),
+                )
+            ),
+            "probe_id",
+        )
+        .join(sizes.withColumnRenamed("n_cells", "nb"), "user_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") * 1.0
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("jaccard").desc(), F.col("user_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _X179_K)
+        .select("probe_id", "user_id", "jaccard", "rank")
+        .orderBy("probe_id", "rank")
+    )

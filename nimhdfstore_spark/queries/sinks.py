@@ -531,3 +531,44 @@ def q46(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q48 — fine-grained read policies (row filter + column subset + masking):
+# the governed-read surface a shared lakehouse needs (engine-enforced
+# row-level security and column masking, not caller discipline). The
+# policy lives in the catalog meta, survives re-open, and rewrites the
+# SAME lazy frame df() returns — the filter still pushes to the scan.
+# Oracle: DuckDB applies the identical predicate, sha256 mask and
+# projection over the canonical-rowid view.
+# --------------------------------------------------------------------------
+
+_Q48_SQL = (
+    "SELECT {rowid}, c_custkey, sha256(c_name) AS c_name, c_mktsegment "
+    "FROM ({rowid_over}) WHERE c_mktsegment = 'BUILDING' ORDER BY {rowid}"
+)
+
+
+@query(
+    "q48_read_policies",
+    _Q48_SQL.format(rowid="_rowid", rowid_over=rowid_over("customer")),
+)
+def q48(spark, sf_dir):
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.tables import load_pos
+
+    store = scratch_store(spark, f"q48-{os.path.basename(sf_dir)}")
+    store.put("cust", load_pos(spark, sf_dir, "customer"), overwrite=True)
+    t = store.table("cust")
+    t.set_policy(
+        "analyst",
+        row_filter="c_mktsegment = 'BUILDING'",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+        masks={"c_name": "sha256"},
+    )
+    # re-open through a fresh handle: the policy must come from the catalog
+    return (
+        store.table("cust")
+        .df_as("analyst")
+        .orderBy("_rowid")
+    )

@@ -1027,6 +1027,88 @@ class Table:
             raise StoreError(f"no attribute {key!r} on {self.name!r}") from None
         self.store._write_meta(self.name, self._meta)
 
+    # -- fine-grained read policies (row filter / column subset / masking) --
+    # Extension surface: per-principal governed reads in the catalog, the
+    # lakehouse access-control idea (row-level filters + column masks
+    # enforced by the engine, not the caller — see e.g. the Spark
+    # fine-grained-access-control literature, SIGMOD 2025). The reference
+    # has no auth layer; policies compose with every existing read feature
+    # (DV overlay, time travel) because they rewrite the SAME lazy frame.
+
+    def set_policy(
+        self,
+        principal: str,
+        row_filter: str | None = None,
+        columns: Sequence[str] | None = None,
+        masks: dict[str, str] | None = None,
+    ) -> None:
+        """Attach a read policy for ``principal``: ``row_filter`` is a SQL
+        boolean expression over the table's columns (parsed as an
+        expression — statements don't parse), ``columns`` the visible
+        subset (``_rowid`` always stays visible — positional identity is
+        part of the data model), ``masks`` maps columns to ``"sha256"``
+        (format-preserving-ish, joinable) or ``"null"`` (redact)."""
+        self._require_mutable()
+        cols = set(self.df().columns)
+        for c in list(columns or []) + list((masks or {}).keys()):
+            if c not in cols:
+                raise StoreError(f"policy references unknown column {c!r}")
+        for c, m in (masks or {}).items():
+            if m not in ("sha256", "null"):
+                raise StoreError(f"unknown mask {m!r} for column {c!r}")
+        if row_filter is not None:
+            # fail fast: force parse + analysis (F.expr alone defers the
+            # parse until the plan is analyzed), catching syntax errors and
+            # unknown columns at policy-set time, not first read
+            try:
+                self.df().where(F.expr(row_filter)).schema
+            except Exception as e:
+                raise StoreError(f"bad row_filter {row_filter!r}: {e}") from None
+        pol: dict[str, Any] = {}
+        if row_filter is not None:
+            pol["row_filter"] = row_filter
+        if columns is not None:
+            pol["columns"] = list(columns)
+        if masks:
+            pol["masks"] = dict(masks)
+        self._meta.setdefault("policies", {})[principal] = pol
+        self.store._write_meta(self.name, self._meta)
+
+    def drop_policy(self, principal: str) -> None:
+        self._require_mutable()
+        try:
+            del self._meta["policies"][principal]
+        except KeyError:
+            raise StoreError(f"no policy for {principal!r}") from None
+        self.store._write_meta(self.name, self._meta)
+
+    @property
+    def policies(self) -> dict[str, dict]:
+        return {k: dict(v) for k, v in (self._meta.get("policies") or {}).items()}
+
+    def df_as(self, principal: str) -> DataFrame:
+        """Policy-enforced read: row filter → masks → column projection,
+        all plain column rewrites of the same lazy frame ``df()`` returns,
+        so Catalyst still pushes the filter to the scan and prunes the
+        file set — governance costs nothing at plan level. A principal
+        with no policy reads everything (owner semantics)."""
+        df = self.df()
+        pol = (self._meta.get("policies") or {}).get(principal)
+        if pol is None:
+            return df
+        if "row_filter" in pol:
+            df = df.where(F.expr(pol["row_filter"]))
+        types = dict(df.dtypes)
+        for c, m in (pol.get("masks") or {}).items():
+            if m == "sha256":
+                df = df.withColumn(c, F.sha2(F.col(c).cast("string"), 256))
+            else:  # "null"
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
+        if "columns" in pol:
+            keep = [c for c in df.columns if c in set(pol["columns"]) or c == ROWID]
+            df = df.select(*keep)
+        return df
+
     # -- declarative constraints (data-quality surface; extension — the
     # reference's only validation is structural schema compatibility on
     # open, nimtables.nim:133-138) --------------------------------------

@@ -179,3 +179,83 @@ def test_minhash_buckets_match_python(spark, texts):
             assert i not in got
         else:
             assert got[i] == want, (t,)
+
+
+# --------------------------------------------------------------------------
+# fine-grained read policies (q48 surface)
+# --------------------------------------------------------------------------
+
+
+def _policy_store(spark, tmp_path):
+    from nimhdfstore_spark.store import Store
+
+    store = Store(spark, str(tmp_path / "polstore"))
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+        (F.col("id") % 3).alias("grp"),
+    )
+    store.put("t", df, order_by=["k"])
+    return store
+
+
+def test_policy_filters_masks_projects_and_persists(spark, tmp_path):
+    from nimhdfstore_spark.store import Store
+
+    store = _policy_store(spark, tmp_path)
+    store.table("t").set_policy(
+        "reader", row_filter="grp = 1", columns=["k", "name"],
+        masks={"name": "sha256"},
+    )
+    # fresh store handle: policy must load from the catalog, not memory
+    again = Store(spark, store.root)
+    rows = again.table("t").df_as("reader").orderBy("k").collect()
+    assert [r.k for r in rows] == [1, 4, 7]
+    assert set(rows[0].asDict()) == {"_rowid", "k", "name"}
+    import hashlib
+
+    assert rows[0].name == hashlib.sha256(b"name-1").hexdigest()
+
+
+def test_policy_null_mask_and_owner_access(spark, tmp_path):
+    store = _policy_store(spark, tmp_path)
+    t = store.table("t")
+    t.set_policy("redacted", masks={"name": "null"})
+    rows = t.df_as("redacted").orderBy("k").collect()
+    assert all(r.name is None for r in rows) and len(rows) == 10
+    # principals without a policy read everything unmasked
+    full = t.df_as("owner").orderBy("k").collect()
+    assert full[0].name == "name-0"
+
+
+def test_policy_validation_and_drop(spark, tmp_path):
+    import pytest as _pytest
+
+    from nimhdfstore_spark.store import StoreError
+
+    store = _policy_store(spark, tmp_path)
+    t = store.table("t")
+    with _pytest.raises(StoreError):
+        t.set_policy("x", columns=["nope"])
+    with _pytest.raises(StoreError):
+        t.set_policy("x", masks={"name": "rot13"})
+    with _pytest.raises(Exception):
+        t.set_policy("x", row_filter="this is not an expression !!")
+    t.set_policy("x", row_filter="grp = 0")
+    assert "x" in t.policies
+    t.drop_policy("x")
+    assert "x" not in t.policies
+    with _pytest.raises(StoreError):
+        t.drop_policy("x")
+
+
+def test_policy_filter_pushes_to_scan(spark, tmp_path):
+    from nimhdfstore_spark.plans import executed_plan
+
+    store = _policy_store(spark, tmp_path)
+    t = store.table("t")
+    t.set_policy("reader", row_filter="k >= 7")
+    plan = executed_plan(t.df_as("reader"))
+    assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1], (
+        f"policy row filter did not push down:\n{plan[:1500]}"
+    )
