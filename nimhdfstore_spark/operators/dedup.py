@@ -511,6 +511,28 @@ def rademacher_sign(h: int, d: int) -> float:
 FXP = 1 << 20
 
 
+def quantize_fxp(x):
+    """Fixed-point quantization of a float ndarray with Spark ROUND
+    semantics — HALF_UP (away from zero), NOT numpy's half-even ``rint``.
+    The single definition every Arrow kernel shares: the rounding rule is
+    part of the cross-engine contract (oracles recompute ``round(v·2^20)``
+    with SQL ROUND), so it must never diverge between kernels."""
+    import numpy as np
+
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+
+def rademacher_signs_matrix(num_planes: int, dims: int):
+    """(dims × planes) ±1 int64 matrix of ``rademacher_sign`` — the one
+    projection matrix every Arrow kernel and SQL oracle share."""
+    import numpy as np
+
+    return np.array(
+        [[int(rademacher_sign(h, d)) for h in range(num_planes)] for d in range(dims)],
+        dtype=np.int64,
+    )
+
+
 def hyperplane_bits(vec: Column, num_planes: int = 64, dims: int = 64) -> Column:
     """Sign-bit code of ``vec`` against ``num_planes`` Rademacher
     hyperplanes over FIXED-POINT components: bit_h =
@@ -562,14 +584,10 @@ def hyperplane_bits_table(
     this pass is narrow (id + 64 ints out) and map-only — no shuffle at
     all, which is the plan a 100 TB corpus needs."""
     import numpy as np
-    import pandas as pd  # noqa: F401 — worker-side import, keep local
 
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
-    signs = np.array(
-        [[int(rademacher_sign(h, d)) for h in range(num_planes)] for d in range(dims)],
-        dtype=np.int64,
-    )
+    signs = rademacher_signs_matrix(num_planes, dims)
     fxp = FXP
     id_type = df.schema[id_col].dataType
     schema = StructType(
@@ -584,9 +602,7 @@ def hyperplane_bits_table(
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            x = v * fxp
-            # Spark ROUND = HALF_UP (away from zero); np.rint is HALF_EVEN
-            iv = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+            iv = quantize_fxp(v * fxp)
             bits = (iv @ signs >= 0).astype(np.int32)
             yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "bits": list(bits)})
 
@@ -650,10 +666,7 @@ def embedding_lsh_pairs(
     )
 
     w = num_planes // bands
-    signs = np.array(
-        [[int(rademacher_sign(h, d)) for h in range(num_planes)] for d in range(dims)],
-        dtype=np.int64,
-    )
+    signs = rademacher_signs_matrix(num_planes, dims)
     weights = (2 ** np.arange(w - 1, -1, -1)).astype(np.int64)
     fxp = FXP
     nb_bands = bands
@@ -676,9 +689,7 @@ def embedding_lsh_pairs(
             if not n:
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            x = v * fxp
-            # Spark ROUND = HALF_UP (away from zero), not numpy's HALF_EVEN
-            iv = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+            iv = quantize_fxp(v * fxp)
             bits = (iv @ signs >= 0).astype(np.int64)
             buckets = bits.reshape(n, nb_bands, w) @ weights  # (n, bands)
             ids = pdf[id_col].to_numpy()
@@ -819,12 +830,20 @@ def connected_components(
       extreme diameters the published large-star/small-star contraction
       halves rounds to O(log n); near-dup graphs don't need it.
     """
-    if driver_max_edges > 0:
+    from pyspark.sql.types import IntegerType, LongType, ShortType
+
+    # the driver path (and the distributed path's comp = id cast long)
+    # both assume integral ids; non-integral ids fall through to the
+    # distributed path, preserving its existing semantics
+    _integral = isinstance(
+        nodes.schema[id_col].dataType, (LongType, IntegerType, ShortType)
+    )
+    if driver_max_edges > 0 and _integral:
         rows = (
             pairs.select("id_a", "id_b").limit(driver_max_edges + 1).collect()
         )
         if len(rows) <= driver_max_edges:
-            from pyspark.sql.types import LongType, StructField, StructType
+            from pyspark.sql.types import StructField, StructType
 
             parent: dict = {}
 
@@ -838,6 +857,8 @@ def connected_components(
 
             for r in rows:
                 a, b = r["id_a"], r["id_b"]
+                if a is None or b is None:
+                    continue  # equi-joins never match null keys; same here
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)
                 ra, rb = find(a), find(b)

@@ -584,13 +584,7 @@ def knn_graph(
         StructType,
     )
 
-    rows = [r for r in df.select(id_col, vec_col).collect() if r[1] is not None]
-    ids = np.array([r[0] for r in rows])
-    V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    x = V * fxp
-    Q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
-    n2 = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
-    bc = df.sparkSession.sparkContext.broadcast((ids, Q, n2))
+    from nimhdfstore_spark.operators.dedup import quantize_fxp
 
     id_type = df.schema[id_col].dataType
     schema = StructType(
@@ -601,22 +595,38 @@ def knn_graph(
             StructField("rank", IntegerType()),
         ]
     )
+    out_schema = ["vec_id", "neighbor_id", "cosine", "rank"]
+
+    rows = [r for r in df.select(id_col, vec_col).collect() if r[1] is not None]
+    if not rows:
+        return df.sparkSession.createDataFrame([], schema).withColumn(
+            "cosine", F.round(F.col("cosine_raw"), 6)
+        ).select(*out_schema)
+    ids = np.array([r[0] for r in rows])
+    V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    if V.shape[1] != dims:
+        raise ValueError(f"expected {dims}-dim vectors, got {V.shape[1]}")
+    # sort the corpus by id ONCE, driver-side: the tie-break relies on
+    # ascending neighbor ids, and sorting here saves an argsort + three
+    # array copies per task on the broadcast (O(n log n) each at ~10M rows)
+    order = np.argsort(ids, kind="stable")
+    ids, V = ids[order], V[order]
+    Q = quantize_fxp(V * fxp)
+    n2 = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+    bc = df.sparkSession.sparkContext.broadcast((ids, Q, n2))
     kk = k
 
     def topk(batches):
         import pandas as pd
 
-        all_ids, all_q, all_n2 = bc.value
-        order = np.argsort(all_ids, kind="stable")
-        c_ids, c_q, c_n2 = all_ids[order], all_q[order], all_n2[order]
+        c_ids, c_q, c_n2 = bc.value
         for pdf in batches:
             pdf = pdf[pdf[vec_col].notna()]
             m = len(pdf)
             if not m:
                 continue
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * fxp
-            q = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
-                np.int64
+            q = quantize_fxp(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * fxp
             )
             n2 = np.sqrt(np.einsum("ij,ij->i", q, q).astype(np.float64))
             G = (q @ c_q.T).astype(np.float64)
@@ -629,8 +639,12 @@ def knn_graph(
             for i in range(m):
                 row = C[i]
                 # top-k by (cosine desc, neighbor id asc): c_ids ascending,
-                # stable mergesort on -cosine keeps id order within ties
+                # stable mergesort on -cosine keeps id order within ties.
+                # -inf marks INVALID entries (self, zero-norm pairs) — the
+                # oracle excludes those pairs entirely, so drop them rather
+                # than let them pad out a short candidate list
                 top = np.argsort(-row, kind="stable")[:kk]
+                top = top[np.isfinite(row[top])]
                 out_src.extend([my_ids[i]] * len(top))
                 out_nbr.extend(c_ids[top])
                 out_cos.extend(row[top])
@@ -648,5 +662,5 @@ def knn_graph(
         df.select(id_col, vec_col)
         .mapInPandas(topk, schema=schema)
         .withColumn("cosine", F.round(F.col("cosine_raw"), 6))
-        .select("vec_id", "neighbor_id", "cosine", "rank")
+        .select(*out_schema)
     )
