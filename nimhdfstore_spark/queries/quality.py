@@ -207,3 +207,73 @@ def x176(spark, sf_dir):
         .withColumn("l_at_risk", F.col("n_sources") < _L_DIV)
         .orderBy("lang", "len_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# x180 — distribution drift between two periods (train/serve skew, the
+# data-quality check a production pipeline runs before retraining): per
+# event_type, total-variation distance between the first- and second-half
+# `value` distributions over fixed-width buckets. TV = ½·Σ|p_i − q_i| in
+# SCALED INTEGERS: d_i = a_i·N_B − b_i·N_A is exact in int64, and the ppm
+# result uses staged integer division (floor on positive ints — identical
+# in both engines; beyond ~10⁹ rows/period the products need
+# DECIMAL(38,0), the x165 pattern). One scan: conditional-sum groupBy per
+# (type, bucket), then a tiny per-type rollup.
+# --------------------------------------------------------------------------
+
+_X180_SPLIT = "2024-01-16"
+_X180_BUCKET = 50  # value in [0, 490] -> 10 buckets
+
+_X180_SQL = f"""
+WITH b AS (
+  SELECT event_type, CAST(floor(value / {_X180_BUCKET}) AS BIGINT) AS bucket,
+         CAST(sum(CASE WHEN ts <  TIMESTAMP '{_X180_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_X180_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS b_n
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(sum(a_n) AS BIGINT) AS na, CAST(sum(b_n) AS BIGINT) AS nb
+  FROM b GROUP BY 1
+)
+SELECT b.event_type, t.na AS n_first, t.nb AS n_second,
+       CAST(count(*) AS INT) AS n_buckets,
+       CAST((sum(abs(b.a_n * t.nb - b.b_n * t.na)) * 500000) // t.na // t.nb
+            AS BIGINT) AS tv_ppm
+FROM b JOIN tot t ON b.event_type = t.event_type
+GROUP BY b.event_type, t.na, t.nb
+ORDER BY b.event_type
+"""
+
+
+@query("x180_drift_tv", _X180_SQL)
+def x180(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    first = F.col("ts") < F.lit(_X180_SPLIT).cast("timestamp")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / _X180_BUCKET).cast("long").alias("bucket"),
+    ).agg(
+        F.sum(F.when(first, 1).otherwise(0)).cast("long").alias("a_n"),
+        F.sum(F.when(~first, 1).otherwise(0)).cast("long").alias("b_n"),
+    )
+    tot = b.groupBy("event_type").agg(
+        F.sum("a_n").cast("long").alias("na"),
+        F.sum("b_n").cast("long").alias("nb"),
+    )
+    j = b.join(F.broadcast(tot), "event_type")
+    return (
+        j.groupBy("event_type", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_buckets"),
+            F.sum(F.abs(F.col("a_n") * F.col("nb") - F.col("b_n") * F.col("na")))
+            .alias("s"),
+        )
+        .select(
+            "event_type",
+            F.col("na").alias("n_first"),
+            F.col("nb").alias("n_second"),
+            "n_buckets",
+            F.expr("CAST(((s * 500000) div na) div nb AS BIGINT)").alias("tv_ppm"),
+        )
+        .orderBy("event_type")
+    )
