@@ -18,6 +18,33 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+#: state-store partitions for a bounded availableNow drain. Stateful
+#: shuffles create ONE state directory per shuffle partition and commit
+#: each per micro-batch; at bench scale (10^5 events, 2-3 batches) that
+#: fixed commit cost dominates — measured at sf0.1: the outer stream-stream
+#: join 14.6 s at 32 partitions vs 2.7 s at 4. A production deployment
+#: sizes this to the state volume (state must distribute across
+#: executors); the checkpoint pins whatever count the first batch ran
+#: with, and every drain here uses a fresh checkpoint.
+STATE_PARTITIONS = 8
+
+
+def drain(spark: SparkSession, writer, timeout_s: int | None = None) -> None:
+    """Start an ``availableNow`` streaming writer with the bench-scale
+    state-partition count and block until it drains, restoring the
+    session's ``spark.sql.shuffle.partitions`` afterwards (the streaming
+    plan reads the conf at ``start()``)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        q = writer.start()
+        if timeout_s is None:
+            q.awaitTermination()
+        else:
+            q.awaitTermination(timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 def _event_ts(df: DataFrame) -> DataFrame:
     # events ts arrives as bigint nanos (see tables.normalize_events_ts) or
@@ -63,14 +90,15 @@ def tumbling_counts_stream(
         )
     )
     name = f"tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
+    drain(
+        spark,
+        (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
+        ),
     )
-    q.awaitTermination()
     return spark.table(name).orderBy("window_start")
 
 
@@ -130,23 +158,15 @@ def user_totals_stateful_stream(spark: SparkSession, events_dir: str) -> DataFra
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"user_totals_{uuid.uuid4().hex[:8]}"
-    # the shuffle-partition conf at stream start fixes the state-store shard
-    # count for the checkpoint's lifetime; 8 shards bound per-batch state
-    # commit overhead here (one-off backfill). A long-lived 100 TB deployment
-    # sizes this to its key-space/executor count once, up front.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    drain(
+        spark,
+        (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        ),
+    )
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -214,14 +234,15 @@ def dedup_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value")
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (
+    drain(
+        spark,
+        (
         deduped.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
+        ),
     )
-    q.awaitTermination()
     return spark.table(name).orderBy("event_id")
 
 
@@ -267,14 +288,15 @@ def session_window_stream(
         )
     )
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
+    drain(
+        spark,
+        (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
+        ),
     )
-    q.awaitTermination()
     return spark.table(name).orderBy("user_id", "session_start")
 
 
@@ -318,14 +340,15 @@ def purchase_attribution_stream(spark: SparkSession, events_dir: str) -> DataFra
         F.col("c_id").alias("click_id"),
     )
     name = f"attr_{uuid.uuid4().hex[:8]}"
-    q = (
+    drain(
+        spark,
+        (
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
+        ),
     )
-    q.awaitTermination()
     return spark.table(name).orderBy("purchase_id", "click_id")
 
 
@@ -366,16 +389,17 @@ def stream_into_store(
         else:
             store.put(name, ranked.withColumn(ROWID, F.col(ROWID).cast("long")))
 
-    q = (
+    drain(
+        spark,
+        (
         stream.writeStream.foreachBatch(ingest)
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
             os.path.join(store.root, f"_checkpoint_{name}_{uuid.uuid4().hex[:8]}"),
         )
-        .start()
+        ),
     )
-    q.awaitTermination()
 
 
 def sliding_counts_stream(
@@ -409,14 +433,15 @@ def sliding_counts_stream(
         )
     )
     name = f"sliding_{uuid.uuid4().hex[:8]}"
-    q = (
+    drain(
+        spark,
+        (
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
+        ), timeout_s=120,
     )
-    q.awaitTermination(120)
     return spark.table(name).orderBy("window_start")
 
 
@@ -456,14 +481,15 @@ def countmin_user_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     name = f"cmstream_{_uuid.uuid4().hex[:8]}"
-    q = (
+    drain(
+        spark,
+        (
         cells.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .start()
+        ),
     )
-    q.awaitTermination()
     return spark.table(name)
 
 
@@ -529,16 +555,17 @@ def stream_merge_into_store(
         else:
             store.put(name, delta, order_by=["user_id"])
 
-    q = (
+    drain(
+        spark,
+        (
         stream.writeStream.foreachBatch(upsert)
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
             os.path.join(store.root, f"_ckpt_merge_{_uuid.uuid4().hex[:8]}"),
         )
-        .start()
+        ),
     )
-    q.awaitTermination()
 
 
 def purchase_attribution_outer_stream(
@@ -585,14 +612,15 @@ def purchase_attribution_outer_stream(
         F.col("c_id").alias("click_id"),
     )
     name = f"attro_{uuid.uuid4().hex[:8]}"
-    q = (
+    drain(
+        spark,
+        (
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
+        ),
     )
-    q.awaitTermination()
     return spark.table(name)
 
 
@@ -669,14 +697,15 @@ def timeout_sessions_stream(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
+        drain(
+            spark,
+            (
             out.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
             .trigger(availableNow=True)
-            .start()
+            ),
         )
-        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
@@ -725,14 +754,15 @@ def restart_recovery_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         def sink(batch_df: DataFrame, _batch_id: int) -> None:
             batch_df.write.mode("overwrite").parquet(out)
 
-        q = (
+        drain(
+            spark,
+            (
             agg.writeStream.foreachBatch(sink)
             .outputMode("complete")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
-            .start()
+            ),
         )
-        q.awaitTermination()
 
     run_once()                 # drains the even half, checkpoints, stops
     ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(stage)
@@ -794,13 +824,14 @@ def stream_deletes_into_store(
         for a, b in rows:
             t.delete_deferred(int(a), int(b))
 
-    q = (
+    drain(
+        spark,
+        (
         stream.writeStream.foreachBatch(apply_deletes)
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
             os.path.join(store.root, f"_ckpt_del_{_uuid.uuid4().hex[:8]}"),
         )
-        .start()
+        ),
     )
-    q.awaitTermination()
