@@ -114,3 +114,49 @@ def x29(spark, sf_dir):
         .orderBy(F.col("df").desc(), "token")
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------------
+# x182 — trigram-indexed substring search (the pg_trgm discipline for
+# accelerating LIKE '%needle%'): candidate docs come from intersecting the
+# posting lists of the needle's distinct trigrams (docs containing EVERY
+# needle trigram — a groupBy-count over the trigram equi-join, never a
+# full-corpus contains() scan), then an exact contains() verifies the
+# survivors (trigram containment is necessary, not sufficient: the grams
+# can appear scattered). At 100 TB the posting lists are the persisted
+# index and the probe touches |needle|-2 postings; the final result is
+# EXACT, so the oracle is the plain substring scan.
+# --------------------------------------------------------------------------
+
+_X182_NEEDLE = "fast merge"
+
+_X182_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE position('{_X182_NEEDLE}' IN lower(text)) > 0
+ORDER BY doc_id
+"""
+
+
+@query("x182_trigram_substring_search", _X182_SQL)
+def x182(spark, sf_dir):
+    from nimhdfstore_spark.operators.dedup import char_ngrams
+
+    needle = _X182_NEEDLE.lower()
+    grams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+    docs = load(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(char_ngrams("text", 3)).alias("gram")
+    ).where(F.col("gram").isin(grams))
+    cand = (
+        postings.groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("hits"))
+        .where(F.col("hits") == len(grams))
+        .select("doc_id")
+    )
+    return (
+        docs.join(cand, "doc_id", "left_semi")
+        .where(F.instr(F.lower(F.col("text")), needle) > 0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

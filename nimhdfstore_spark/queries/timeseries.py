@@ -691,3 +691,77 @@ def x169(spark, sf_dir):
         .where(F.col("n_segments") >= 5)
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x181 — leakage-free quantile binning (fit/transform): bin BOUNDARIES are
+# fit on the first period only (exact interpolated percentiles — the same
+# formula both engines implement, pinned by x80), then SECOND-period rows
+# are bucketed with those frozen boundaries. The fit-on-train /
+# apply-to-serve discipline every feature pipeline needs — fitting on the
+# full data would leak the serving distribution into the transform. The
+# fit result is a per-type 3-number table (broadcast); the transform is a
+# CASE projection — one scan each, no extra shuffle.
+# --------------------------------------------------------------------------
+
+_X181_SPLIT = "2024-01-16"
+
+_X181_SQL = f"""
+WITH fit AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS p25,
+         quantile_cont(value, 0.50) AS p50,
+         quantile_cont(value, 0.75) AS p75
+  FROM events WHERE ts < TIMESTAMP '{_X181_SPLIT}'
+  GROUP BY event_type
+),
+applied AS (
+  SELECT e.event_type,
+         CASE WHEN e.value < f.p25 THEN 0
+              WHEN e.value < f.p50 THEN 1
+              WHEN e.value < f.p75 THEN 2
+              ELSE 3 END AS bin
+  FROM events e JOIN fit f ON e.event_type = f.event_type
+  WHERE e.ts >= TIMESTAMP '{_X181_SPLIT}'
+)
+SELECT event_type, CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM applied GROUP BY event_type, bin ORDER BY event_type, bin
+"""
+
+
+@query("x181_quantile_binning", _X181_SQL)
+def x181(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(_X181_SPLIT).cast("timestamp")
+    pct = F.percentile(
+        "value", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    fit = (
+        ev.where(F.col("ts") < split)
+        .groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p25"),
+            F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p75"),
+        )
+    )
+    binned = (
+        ev.where(F.col("ts") >= split)
+        .join(F.broadcast(fit), "event_type")
+        .withColumn(
+            "bin",
+            F.when(F.col("value") < F.col("p25"), 0)
+            .when(F.col("value") < F.col("p50"), 1)
+            .when(F.col("value") < F.col("p75"), 2)
+            .otherwise(3)
+            .cast("int"),
+        )
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy("event_type", "bin")
+    )
