@@ -120,7 +120,10 @@ def main() -> None:
     if failures:
         out["failures"] = {k.split("_", 1)[0]: v[:60] for k, v in failures.items()}
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 2400:  # still too long: keep total + the 20 heaviest
+    # Threshold from evidence: the round-2 BENCH record preserved ~4.6 KB of
+    # tail, so 3000 keeps the full per-query dict well inside the window
+    # (203 short-id entries ≈ 2.4 KB) with margin for failures entries.
+    if len(line) > 3000:  # still too long: keep total + the 20 heaviest
         heavy = dict(sorted(out["queries"].items(), key=lambda kv: -kv[1])[:20])
         out["queries"] = heavy
         out["queries_note"] = "top20_by_sec_full_list_in_bench_detail.json"
