@@ -259,3 +259,19 @@ def test_policy_filter_pushes_to_scan(spark, tmp_path):
     assert "PushedFilters" in plan and "k" in plan.split("PushedFilters")[1], (
         f"policy row filter did not push down:\n{plan[:1500]}"
     )
+
+
+def test_drain_restores_shuffle_partitions_on_failure(spark):
+    from nimhdfstore_spark.streaming.windows import drain
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+
+    class Boom:
+        def start(self):
+            raise RuntimeError("boom")
+
+    try:
+        drain(spark, Boom())
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
