@@ -303,6 +303,87 @@ def x_embedding(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# x183 — multi-probe LSH (Lv et al., VLDB 2007): few WIDE bands (4 × 16
+# bits), recall recovered by also probing every band bucket at Hamming
+# distance 1 — the published cost/recall axis complementary to x34's
+# many-narrow-bands scheme. The oracle rebuilds the identical probe
+# expansion with xor(bucket, 1<<j).
+# --------------------------------------------------------------------------
+
+_MP_TAU, _MP_BANDS = 0.95, 4
+_MP_W = _EMB_PLANES // _MP_BANDS
+
+
+def _emb_multiprobe_sql() -> str:
+    def plane_bit(h: int) -> str:
+        signs = ",".join(
+            "1" if D.rademacher_sign(h, d) > 0 else "-1"
+            for d in range(_EMB_DIMS)
+        )
+        return f"CASE WHEN SUM(iv * ([{signs}])[d+1]) >= 0 THEN 1 ELSE 0 END"
+
+    bits = ",\n    ".join(plane_bit(h) for h in range(_EMB_PLANES))
+    bucket = " + ".join(
+        f"bits[{_MP_W}*k + {j + 1}] * {2 ** (_MP_W - 1 - j)}"
+        for j in range(_MP_W)
+    )
+    return f"""
+WITH ev AS (
+  SELECT vec_id, d,
+         CAST(round(CAST(embedding[d+1] AS DOUBLE) * {D.FXP}) AS BIGINT) AS iv
+  FROM embeddings, range({_EMB_DIMS}) t(d)
+),
+c AS MATERIALIZED (
+  SELECT vec_id, list_value(
+    {bits}) AS bits
+  FROM ev GROUP BY vec_id
+),
+cb AS (
+  SELECT vec_id, k, CAST({bucket} AS BIGINT) AS bucket
+  FROM c, (SELECT unnest(range({_MP_BANDS})) AS k)
+),
+probes AS (
+  SELECT vec_id, k,
+         unnest(list_prepend(bucket,
+           list_transform(range({_MP_W}), j -> xor(bucket, 1::BIGINT << j)))) AS pbucket
+  FROM cb
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM probes a JOIN cb b ON a.k = b.k AND a.pbucket = b.bucket
+                         AND a.vec_id < b.vec_id
+),
+qv AS MATERIALIZED (
+  SELECT vec_id,
+         list(CAST(iv AS DOUBLE) ORDER BY d) AS q,
+         CAST(sum(iv * iv) AS DOUBLE) AS n2
+  FROM ev GROUP BY vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+    CASE WHEN x.n2 > 0 AND y.n2 > 0 THEN
+      ROUND(list_dot_product(x.q, y.q) / (sqrt(x.n2) * sqrt(y.n2)), 6)
+    END AS cosine
+  FROM cand
+  JOIN qv x ON x.vec_id = cand.id_a
+  JOIN qv y ON y.vec_id = cand.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_MP_TAU}
+ORDER BY id_a, id_b
+"""
+
+
+@query("x183_dedup_multiprobe_lsh", _emb_multiprobe_sql())
+def x_multiprobe(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return D.embedding_multiprobe_pairs(
+        emb, "vec_id", "embedding",
+        threshold=_MP_TAU,
+        num_planes=_EMB_PLANES, bands=_MP_BANDS, dims=_EMB_DIMS,
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
 # near-dup clusters — connected components over the exact-Jaccard pairs:
 # the canonical-representative step of a dedup pipeline (pairs → clusters →
 # keep min doc_id per cluster). Oracle: DuckDB recursive CTE computing the

@@ -275,3 +275,26 @@ def test_drain_restores_shuffle_partitions_on_failure(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_multiprobe_recall_on_planted_neardups(spark):
+    # 60 planted near-identical pairs (cosine ~0.9995): multi-probe with 4
+    # wide bands must recover nearly all of them at tau=0.95
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        near = [v + rng.uniform(-0.01, 0.01) for v in base]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, near))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_multiprobe_pairs(
+            df, "vec_id", "embedding", threshold=0.95, bands=4
+        ).collect()
+    }
+    hits = sum((2 * i, 2 * i + 1) in got for i in range(60))
+    assert hits >= 54, f"multi-probe recall {hits}/60 < 0.9"
