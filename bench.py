@@ -119,14 +119,20 @@ def main() -> None:
     }
     if failures:
         out["failures"] = {k.split("_", 1)[0]: v[:60] for k, v in failures.items()}
+    # The driver's capture window is 2000 bytes of combined-output tail
+    # (BENCH_r03 `tail` was exactly 2000 chars, front-clipped mid-JSON, so
+    # parsed:null three rounds running). Shrink the line until it fits with
+    # margin: full dict if it fits, else total + top-K heaviest queries.
     line = json.dumps(out, separators=(",", ":"))
-    # Threshold from evidence: the round-2 BENCH record preserved ~4.6 KB of
-    # tail, so 3000 keeps the full per-query dict well inside the window
-    # (203 short-id entries ≈ 2.4 KB) with margin for failures entries.
-    if len(line) > 3000:  # still too long: keep total + the 20 heaviest
-        heavy = dict(sorted(out["queries"].items(), key=lambda kv: -kv[1])[:20])
-        out["queries"] = heavy
-        out["queries_note"] = "top20_by_sec_full_list_in_bench_detail.json"
+    for k in (40, 30, 20, 15, 10, 5):
+        if len(line) <= 1700:
+            break
+        heavy = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:k])
+        out["queries"] = {n.split("_", 1)[0]: round(v, 2) for n, v in heavy.items()}
+        out["queries_note"] = f"top{k}_by_sec_full_list_in_bench_detail.json"
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1700 and "failures" in out:  # last resort: count, not text
+        out["failures"] = {"count": len(failures)}
         line = json.dumps(out, separators=(",", ":"))
     # Stop Spark BEFORE printing: stop() (and executor teardown) can emit
     # trailing log lines that would displace the JSON line from the tail of

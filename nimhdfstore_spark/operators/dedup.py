@@ -519,7 +519,15 @@ def quantize_fxp(x):
     with SQL ROUND), so it must never diverge between kernels."""
     import numpy as np
 
-    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+    # NOT floor(x + 0.5): for doubles just below a .5 boundary (e.g.
+    # 0.49999999999999994) the ADDITION rounds x+0.5 up to 1.0 and floor
+    # then disagrees with SQL ROUND (which sees frac < 0.5 → 0). The
+    # fractional part x - floor(x) is computed exactly for |x| < 2^52, so
+    # comparing IT against 0.5 reproduces HALF_UP bit-exactly.
+    ax = np.abs(x)
+    fl = np.floor(ax)
+    mag = np.where(ax - fl >= 0.5, fl + 1.0, fl)
+    return (np.where(x < 0, -mag, mag)).astype(np.int64)
 
 
 def rademacher_signs_matrix(num_planes: int, dims: int):
@@ -619,6 +627,7 @@ def embedding_lsh_pairs(
     num_planes: int = 64,
     bands: int = 16,
     dims: int = 64,
+    hot_bucket_block: int = 4096,
 ) -> DataFrame:
     """Bucketed embedding near-dup — the 100 TB primary: pairs that share at
     least one hyperplane-LSH band bucket AND have cosine >= τ.
@@ -646,11 +655,15 @@ def embedding_lsh_pairs(
 
     Collision probability per bit is 1-θ/π: at near-dup thresholds (τ≥0.9)
     wider bands (8 bits) cut candidates ~30×; at permissive τ narrower
-    bands keep recall. Scale note: a pathological hot bucket does O(m²)
-    verify work in one task — standard LSH practice caps or splits buckets
-    above a size bound; at near-dup thresholds buckets are clique-shaped
-    and small, and the quantized Gram matmul does ~10⁸ int-ops/s/core, so
-    the cap only matters for adversarial distributions.
+    bands keep recall. Hot buckets: the in-bucket verify enumerates the
+    pair triangle in ``hot_bucket_block``-sized tiles, so per-task memory
+    is O(block²) regardless of bucket size (an adversarial distribution
+    that lands ~n/bands rows in one bucket costs time in that task, never
+    an executor OOM); the tile sweep visits exactly the full (i<j) pair
+    set, pinned identical with/without tiling by a planted-hot-bucket
+    property test. CPU within the one task is still O(m²) dot products —
+    inherent to in-bucket verification; ``embedding_multiprobe_pairs``'s
+    equi-join verify shape distributes even that if a workload needs it.
     """
     if num_planes % bands:
         raise ValueError("num_planes must divide evenly into bands")
@@ -714,6 +727,8 @@ def embedding_lsh_pairs(
     )
     pre_tau = threshold - 1e-6
 
+    blk = int(hot_bucket_block)
+
     def bucket_pairs(key, pdf):
         import pandas as pd
 
@@ -726,15 +741,38 @@ def embedding_lsh_pairs(
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         Q = np.stack(pdf["q"].to_numpy())[order].astype(np.int64)
-        G = Q @ Q.T  # exact int64 Gram matrix (|entries| <= 2^46)
-        n2 = np.sqrt(np.diag(G).astype(np.float64))
-        denom = np.outer(n2, n2)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            C = np.where(denom > 0, G.astype(np.float64) / denom, np.nan)
-        ia, ib = np.triu_indices(m, 1)
-        keep = C[ia, ib] >= pre_tau
+        # Hot-bucket memory bound: enumerate the upper triangle in
+        # (blk × blk) tiles instead of one m×m Gram — peak memory is
+        # O(blk²) however large the bucket (an adversarial distribution
+        # can put ~n/bands rows in one bucket; the full Gram would be
+        # O((n/bands)²) bytes in ONE task). Tile-by-tile enumeration
+        # visits exactly the same (i < j) pairs, so the result is
+        # identical (pinned by test_properties_ops hot-bucket test).
+        n2 = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, m, blk):
+            i1 = min(i0 + blk, m)
+            for j0 in range(i0, m, blk):
+                j1 = min(j0 + blk, m)
+                G = (Q[i0:i1] @ Q[j0:j1].T).astype(np.float64)
+                denom = np.outer(n2[i0:i1], n2[j0:j1])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    C = np.where(denom > 0, G / denom, np.nan)
+                if i0 == j0:  # diagonal tile: strict upper triangle only
+                    ia, ib = np.triu_indices(i1 - i0, 1)
+                else:
+                    ia, ib = np.indices((i1 - i0, j1 - j0)).reshape(2, -1)
+                vals = C[ia, ib]
+                keep = vals >= pre_tau
+                out_a.append(ids[i0 + ia[keep]])
+                out_b.append(ids[j0 + ib[keep]])
+                out_c.append(vals[keep])
         return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine_raw": C[ia, ib][keep]}
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_raw": np.concatenate(out_c),
+            }
         )
 
     near = bucketed.groupBy("band", "bucket").applyInPandas(
@@ -798,12 +836,24 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 30,
     driver_max_edges: int = 1_000_000,
+    strict: bool = False,
 ) -> DataFrame:
     """(id, component) where component = min node id reachable from ``id``
     through ``pairs`` (columns ``id_a``/``id_b``) — the step a dedup
     pipeline needs after pair generation: pairs only say "these two match",
     components pick one canonical representative per duplicate *cluster*
     (min id), including transitively (A~B, B~C ⇒ one cluster {A,B,C}).
+
+    Precondition: ``pairs`` ids must be a subset of ``nodes`` ids. Every
+    in-repo pair generator derives pairs FROM the node corpus, so this
+    holds by construction. It matters because the two paths below diverge
+    on dangling ids: driver union-find would merge components THROUGH an
+    unlabeled id (and can pick it as the min label), while min-label
+    propagation only propagates across labeled nodes — which path runs
+    (and hence the answer) would otherwise depend on the edge count.
+    ``strict=True`` enforces the precondition with a semi-join of pairs
+    against nodes on both endpoints (costs a shuffle of ``nodes`` — off by
+    default; turn it on for externally-sourced pair lists).
 
     Two paths, gated on the EDGE count (never the node count):
 
@@ -831,6 +881,13 @@ def connected_components(
       halves rounds to O(log n); near-dup graphs don't need it.
     """
     from pyspark.sql.types import IntegerType, LongType, ShortType
+
+    if strict:
+        node_ids = nodes.select(F.col(id_col).alias("__nid"))
+        pairs = (
+            pairs.join(node_ids, pairs["id_a"] == F.col("__nid"), "left_semi")
+            .join(node_ids, pairs["id_b"] == F.col("__nid"), "left_semi")
+        )
 
     # the driver path (and the distributed path's comp = id cast long)
     # both assume integral ids; non-integral ids fall through to the

@@ -553,6 +553,7 @@ def knn_graph(
     k: int = 5,
     dims: int = 64,
     fxp: int = 1 << 20,
+    max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact k-nearest-neighbor GRAPH: the top-k cosine neighbors of EVERY
     vector (not just a probe set) — the all-points variant a curation
@@ -597,6 +598,19 @@ def knn_graph(
     )
     out_schema = ["vec_id", "neighbor_id", "cosine", "rank"]
 
+    # Size gate BEFORE the driver collect (same contract as
+    # connected_components' driver_max_edges): exact all-points kNN is
+    # inherently bounded by what one matrix broadcast can hold, and a
+    # silent 100 TB collect would OOM the driver long before the matmul.
+    # limit(max_rows+1) bounds the gate's own transfer to one extra row.
+    probe = df.select(id_col).limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"knn_graph is an exact all-points method bounded to max_rows="
+            f"{max_rows} vectors (corpus exceeds it); use the approximate "
+            "paths for larger corpora: ivf_topk (IVF), pq_topk (PQ-ADC), or "
+            "embedding_lsh_pairs / embedding_multiprobe_pairs (LSH)."
+        )
     rows = [r for r in df.select(id_col, vec_col).collect() if r[1] is not None]
     if not rows:
         return df.sparkSession.createDataFrame([], schema).withColumn(

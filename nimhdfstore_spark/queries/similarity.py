@@ -501,28 +501,28 @@ def _x146_sql() -> str:
         f"(sqrt({_SQL_DOT.format(a=a, b=a)}) * sqrt({_SQL_DOT.format(a=b, b=b)})), 6)"
     )
     ctes = [
-        f"""sims AS (
+        f"""sims AS MATERIALIZED (
   SELECT p.vec_id AS probe_id, c.vec_id AS id, {cos('p', 'c')} AS qsim
   FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
   WHERE p.vec_id IN {_MMR_PROBES}
 ),
-pool AS (
+pool AS MATERIALIZED (
   SELECT probe_id, id, qsim FROM (
     SELECT *, row_number() OVER (PARTITION BY probe_id
         ORDER BY qsim DESC, id) AS rank FROM sims
   ) WHERE rank <= {_MMR_POOL}
 ),
-poolv AS (
+poolv AS MATERIALIZED (
   SELECT p.probe_id, p.id, e.embedding FROM pool p
   JOIN embeddings e ON e.vec_id = p.id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.probe_id, a.id AS id_a, b.id AS id_b,
          {cos('a', 'b')} AS sim
   FROM poolv a JOIN poolv b
     ON a.probe_id = b.probe_id AND a.id != b.id
 ),
-sel1 AS (
+sel1 AS MATERIALIZED (
   SELECT probe_id,
          (list(id ORDER BY {LAM}*qsim - {MU}*0.0 DESC, id))[1] AS s1,
          (list({LAM}*qsim - {MU}*0.0
@@ -539,7 +539,7 @@ sel1 AS (
             for i in range(1, n)
         )
         greatest = ", ".join(f"COALESCE(p{i}.sim, 0.0)" for i in range(1, n))
-        ctes.append(f"""score{n} AS (
+        ctes.append(f"""score{n} AS MATERIALIZED (
   SELECT c.probe_id, c.id,
          {LAM}*c.qsim - {MU}*GREATEST({greatest}) AS score
   FROM pool c
@@ -547,7 +547,7 @@ sel1 AS (
     {joins}
   WHERE c.id NOT IN ({prev})
 ),
-sel{n} AS (
+sel{n} AS MATERIALIZED (
   SELECT s.probe_id, {carry},
          (list(sc.id ORDER BY sc.score DESC, sc.id))[1] AS s{n},
          (list(sc.score ORDER BY sc.score DESC, sc.id))[1] AS c{n}

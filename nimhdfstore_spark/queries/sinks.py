@@ -126,7 +126,7 @@ def q32(spark, sf_dir):
 # with the column — here the store's canonical order IS l_orderkey.
 # --------------------------------------------------------------------------
 
-_Q33_LO, _Q33_HI = 5000, 9000
+_Q33_LO, _Q33_HI = 5000, 5999
 
 _Q33_SQL = f"""
 SELECT * FROM ({{rowid_over}}) WHERE l_orderkey BETWEEN {_Q33_LO} AND {_Q33_HI}
@@ -167,7 +167,7 @@ def q33(spark, sf_dir):
 
 _Q35_SQL = f"""
 SELECT * FROM ({{rowid_over}})
-WHERE l_partkey BETWEEN 0 AND 127 ORDER BY _rowid
+WHERE l_partkey BETWEEN 0 AND 31 ORDER BY _rowid
 """
 
 
@@ -184,7 +184,7 @@ def q35(spark, sf_dir):
     store.rows_per_file = max(4096, table_nrows(sf_dir, "lineitem") // 12)
     t = store.put("li_z", load_pos(spark, sf_dir, "lineitem"), overwrite=True)
     t.cluster_by(morton_code("l_partkey", "l_suppkey"))
-    out, scanned, total = t.scan_between("l_partkey", 0, 127)
+    out, scanned, total = t.scan_between("l_partkey", 0, 31)
     if total > 2 and scanned >= total:
         raise AssertionError(
             f"z-order + zone map pruned nothing: {scanned}/{total}"
@@ -244,11 +244,11 @@ SELECT * FROM ({{rowid_over}}) WHERE _rowid BETWEEN 200 AND 449 ORDER BY _rowid
 )
 def q38(spark, sf_dir):
     from nimhdfstore_spark.queries.core import scratch_store
-    from nimhdfstore_spark.sources.pyds import StoreDataSource
+    from nimhdfstore_spark.sources.pyds import ensure_registered
     from nimhdfstore_spark.tables import load_pos
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(StoreDataSource)
+    ensure_registered(spark)
     store = scratch_store(spark, f"q38-{os.path.basename(sf_dir)}")
     store.rows_per_file = 256
     store.put("cust", load_pos(spark, sf_dir, "customer"), overwrite=True)
@@ -280,11 +280,11 @@ SELECT * FROM ({{rowid_over}}) WHERE _rowid BETWEEN 50 AND 149 ORDER BY _rowid
 )
 def q39(spark, sf_dir):
     from nimhdfstore_spark.queries.core import SCRATCH_ROOT
-    from nimhdfstore_spark.sources.pyds import StoreDataSource
+    from nimhdfstore_spark.sources.pyds import ensure_registered
     from nimhdfstore_spark.store import Store
     from nimhdfstore_spark.tables import load_pos
 
-    spark.dataSource.register(StoreDataSource)
+    ensure_registered(spark)
     root = os.path.join(SCRATCH_ROOT, f"q39-{os.path.basename(sf_dir)}", "store")
     body = load_pos(spark, sf_dir, "supplier").repartitionByRange(
         4, F.col("_rowid")
@@ -530,6 +530,83 @@ def q46(spark, sf_dir):
             ).alias("price_cents"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 — VLEN columns through the HDF5 leg: an array<double> column written
+# and read back via the connector's backend (global-heap objects in
+# h5lite, reference nimhdf5/datasets.nim:1023-1115 / datatypes.nim:376-382
+# semantics). The vlen data is generated deterministically from the
+# documents table so the oracle can recompute the projected per-row
+# aggregate without touching HDF5.
+# --------------------------------------------------------------------------
+
+_Q49_N = 400
+
+_Q49_SQL = f"""
+WITH src AS (
+  SELECT doc_id, doc_id % 7 AS n_vals
+  FROM documents WHERE doc_id < {_Q49_N}
+),
+js AS (SELECT unnest(range(7)) AS j)
+SELECT doc_id, CAST(n_vals AS BIGINT) AS n_vals,
+       CAST(COALESCE(SUM(CASE WHEN js.j < n_vals THEN
+           CAST(round((doc_id + js.j / 10.0) * 100) AS BIGINT) END), 0)
+         AS BIGINT) AS sum_fp
+FROM src CROSS JOIN js
+GROUP BY doc_id, n_vals ORDER BY doc_id
+"""
+
+
+@query("q49_hdf5_vlen_roundtrip", _Q49_SQL)
+def q49(spark, sf_dir):
+    from nimhdfstore_spark.queries.core import SCRATCH_ROOT
+    from nimhdfstore_spark.sources.hdf5 import (
+        read_hdf5_table,
+        write_hdf5_table,
+    )
+    from nimhdfstore_spark.tables import load
+
+    os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    path = os.path.join(SCRATCH_ROOT, f"q49-{os.path.basename(sf_dir)}.h5")
+    if os.path.exists(path):
+        os.remove(path)
+    src = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _Q49_N)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    (F.col("doc_id") % 7).cast("int") - 1,
+                ),
+                lambda j: F.col("doc_id") + j.cast("double") / 10.0,
+            ).alias("vals"),
+        )
+        .withColumn(
+            "vals",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.array().cast("array<double>")).otherwise(F.col("vals")),
+        )
+    )
+    write_hdf5_table(src, path, "docs_vlen")
+    back = read_hdf5_table(spark, path, "docs_vlen", target_records=100)
+    return (
+        back.select(
+            "doc_id",
+            F.size("vals").cast("long").alias("n_vals"),
+            F.aggregate(
+                F.transform(
+                    "vals",
+                    lambda v: F.round(v * 100).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sum_fp"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -242,7 +242,7 @@ def x55(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # q34 — continuous aggregate (hypertable rollup) with incremental refresh:
-# an hourly rollup table in the store is brought up to date for a late
+# a daily rollup table in the store is brought up to date for a late
 # batch by MERGEing only the touched buckets — the TimescaleDB-style
 # maintenance shape. The oracle recomputes the rollup from ALL events; the
 # incremental path must land on identical values, which is why the summed
@@ -251,7 +251,7 @@ def x55(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _Q34_SQL = """
-SELECT concat(CAST(CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS VARCHAR),
+SELECT concat(CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS VARCHAR),
               ':', event_type) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_fp
@@ -267,7 +267,7 @@ def q34(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events").select(
         F.concat(
-            F.expr("cast(cast(ts as timestamp) as bigint) div 3600").cast("string"),
+            F.expr("cast(cast(ts as timestamp) as bigint) div 86400").cast("string"),
             F.lit(":"),
             F.col("event_type"),
         ).alias("bucket"),

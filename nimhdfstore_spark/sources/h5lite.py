@@ -14,15 +14,25 @@ messages), so the leg runs everywhere. h5py, when present, reads these
 files; the structures written here are the same ones libhdf5 emits for a
 plain contiguous compound dataset.
 
+Variable-length (VLEN) members are supported through the HDF5 GLOBAL HEAP
+(spec III.E; reference surface nimhdf5/datasets.nim:1023-1115,
+datatypes.nim:376-382): a vlen cell is stored in the record as a 16-byte
+{uint32 count, 8-byte collection address, uint32 object index} and the
+elements live as a global-heap object in a GCOL collection. Write emits
+one or more collections after the raw data (objects in row order,
+≤ 65534 per collection — the object index is 16-bit); read resolves only
+the collections a partition's records reference. VLEN members surface as
+numpy ``object`` dtypes tagged ``metadata={"vlen": base}`` — the same
+convention h5py uses, so the connector's type mapping is backend-agnostic.
+
 Deliberately out of scope (documented, not silently wrong): chunked
-layout, compression filters, variable-length types (they need the global
-heap), nested groups, attributes. The parquet store remains the scale
-backend; this is the interchange leg.
+layout, compression filters, nested groups, attributes, region references.
+The parquet store remains the scale backend; this is the interchange leg.
 
 Addresses/lengths are 8 bytes; everything little-endian. Layout of a
 written file: superblock → root object header → local heap → group B-tree
-→ SNOD → per dataset (object header, raw data), EOF recorded in the
-superblock.
+→ SNOD → per dataset (object header, raw data) → global heap collections,
+EOF recorded in the superblock.
 """
 
 from __future__ import annotations
@@ -38,6 +48,27 @@ _SIG = b"\x89HDF\r\n\x1a\n"
 
 def _pad8(b: bytes) -> bytes:
     return b + b"\x00" * (-len(b) % 8)
+
+
+#: file-side layout of one vlen record cell (spec: hvl_t on disk)
+_VLEN_FILE_DT = None  # built lazily (numpy import stays function-local)
+
+
+def _vlen_file_dt() -> "np.dtype":
+    global _VLEN_FILE_DT
+    if _VLEN_FILE_DT is None:
+        _VLEN_FILE_DT = np.dtype(
+            [("len", "<u4"), ("addr", "<u8"), ("idx", "<u4")]
+        )
+    return _VLEN_FILE_DT
+
+
+def _is_vlen(dt: np.dtype) -> bool:
+    return dt.kind == "O" and "vlen" in (dt.metadata or {})
+
+
+def _vlen_base(dt: np.dtype):
+    return (dt.metadata or {})["vlen"]
 
 
 # -- datatype message encoding (spec IV.A.2.d) ------------------------------
@@ -64,15 +95,44 @@ def _dt_scalar(np_dt: np.dtype) -> bytes:
     if k == "S":
         # null-padded ASCII fixed-width string
         return struct.pack("<B3BI", 0x13, 0x01, 0, 0, size)
+    if _is_vlen(np_dt):
+        base = _vlen_base(np_dt)
+        if base is str or base is bytes:
+            # vlen string: type=1, null-terminate padding, ASCII charset
+            head = struct.pack("<B3BI", 0x19, 0x01, 0, 0, 16)
+            return head + _dt_scalar(np.dtype("S1"))
+        # vlen sequence: type=0, base datatype follows
+        head = struct.pack("<B3BI", 0x19, 0x00, 0, 0, 16)
+        return head + _dt_scalar(np.dtype(base))
     raise ValueError(f"unsupported member dtype {np_dt!r}")
 
 
+def _file_scalar_dt(np_dt: np.dtype) -> np.dtype:
+    """On-disk representation of one member: vlen members occupy 16 bytes
+    (count + global heap id); everything else is stored as-is."""
+    return _vlen_file_dt() if _is_vlen(np_dt) else np_dt
+
+
+def _file_dt(dt: np.dtype) -> np.dtype:
+    """Packed file-side compound dtype for a (possibly vlen-bearing)
+    structured dtype. Identical to ``dt`` when no member is vlen."""
+    if dt.names is None:
+        return _file_scalar_dt(dt)
+    if not any(_is_vlen(dt.fields[n][0]) for n in dt.names):
+        return dt
+    return np.dtype([(n, _file_scalar_dt(dt.fields[n][0])) for n in dt.names])
+
+
 def _dt_compound(dt: np.dtype) -> bytes:
-    """Encode a packed compound datatype (version 1 member layout)."""
+    """Encode a packed compound datatype (version 1 member layout). Member
+    offsets/sizes are the FILE-side ones (vlen members occupy 16 bytes on
+    disk regardless of their in-memory object representation)."""
+    fdt = _file_dt(dt)
     n = len(dt.names)
-    out = struct.pack("<B3BI", 0x16, n & 0xFF, (n >> 8) & 0xFF, 0, dt.itemsize)
+    out = struct.pack("<B3BI", 0x16, n & 0xFF, (n >> 8) & 0xFF, 0, fdt.itemsize)
     for name in dt.names:
-        sub, offset = dt.fields[name][0], dt.fields[name][1]
+        sub = dt.fields[name][0]
+        offset = fdt.fields[name][1]
         nm = _pad8(name.encode() + b"\x00")
         out += nm
         out += struct.pack("<IB3BII4I", offset, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
@@ -80,8 +140,12 @@ def _dt_compound(dt: np.dtype) -> bytes:
     return out
 
 
-def _parse_dt(buf: bytes, pos: int) -> tuple[np.dtype, int]:
-    """Decode a datatype message at ``pos``; returns (numpy dtype, end)."""
+def _parse_dt(buf: bytes, pos: int) -> tuple[np.dtype, np.dtype, int]:
+    """Decode a datatype message at ``pos``; returns ``(mem_dtype,
+    file_dtype, end)``. The two differ only when vlen members are present:
+    mem carries ``object`` members tagged ``metadata={'vlen': ...}``
+    (the h5py convention the connector maps to Spark types), file carries
+    their 16-byte on-disk record layout for raw-buffer overlay."""
     ver_cls, b0, b1, b2 = struct.unpack_from("<B3B", buf, pos)
     cls, ver = ver_cls & 0x0F, ver_cls >> 4
     size = struct.unpack_from("<I", buf, pos + 4)[0]
@@ -89,15 +153,23 @@ def _parse_dt(buf: bytes, pos: int) -> tuple[np.dtype, int]:
     if cls == 0:  # fixed-point
         pos += 4  # bit offset + precision
         kind = "i" if (b0 & 0x08) else "u"
-        return np.dtype(f"<{kind}{size}"), pos
+        dt = np.dtype(f"<{kind}{size}")
+        return dt, dt, pos
     if cls == 1:  # float
         pos += 12
-        return np.dtype(f"<f{size}"), pos
+        dt = np.dtype(f"<f{size}")
+        return dt, dt, pos
     if cls == 3:  # string
-        return np.dtype(f"S{size}"), pos
+        dt = np.dtype(f"S{size}")
+        return dt, dt, pos
+    if cls == 9:  # variable-length (sequence or string); base type follows
+        vtype = b0 & 0x0F
+        base_mem, _base_file, pos = _parse_dt(buf, pos)
+        meta = {"vlen": bytes} if vtype == 1 else {"vlen": base_mem}
+        return np.dtype("O", metadata=meta), _vlen_file_dt(), pos
     if cls == 6:  # compound
         n = b0 | (b1 << 8)
-        names, formats, offsets = [], [], []
+        names, mem_formats, file_formats, offsets = [], [], [], []
         for _ in range(n):
             end = buf.index(b"\x00", pos)
             name = buf[pos:end].decode()
@@ -106,17 +178,20 @@ def _parse_dt(buf: bytes, pos: int) -> tuple[np.dtype, int]:
                 raise ValueError(f"unsupported compound member version {ver}")
             offset = struct.unpack_from("<I", buf, pos)[0]
             pos += 4 + 4 + 4 + 4 + 16  # offset, rank+res, perm, res, dims
-            sub, pos = _parse_dt(buf, pos)
+            sub_mem, sub_file, pos = _parse_dt(buf, pos)
             names.append(name)
-            formats.append(sub)
+            mem_formats.append(sub_mem)
+            file_formats.append(sub_file)
             offsets.append(offset)
-        return (
-            np.dtype(
-                {"names": names, "formats": formats, "offsets": offsets,
-                 "itemsize": size}
-            ),
-            pos,
+        file_dt = np.dtype(
+            {"names": names, "formats": file_formats, "offsets": offsets,
+             "itemsize": size}
         )
+        if any(f.kind == "O" for f in mem_formats):
+            mem_dt = np.dtype(list(zip(names, mem_formats)))
+        else:
+            mem_dt = file_dt
+        return mem_dt, file_dt, pos
     raise ValueError(f"unsupported datatype class {cls}")
 
 
@@ -140,7 +215,7 @@ def _dataset_header(nrows: int, dt: np.dtype, data_addr: int) -> bytes:
     space = struct.pack("<BBB5B", 1, 1, 0, 0, 0, 0, 0, 0) + struct.pack(
         "<Q", nrows
     )
-    layout = struct.pack("<BBQQ", 3, 1, data_addr, nrows * dt.itemsize)
+    layout = struct.pack("<BBQQ", 3, 1, data_addr, nrows * _file_dt(dt).itemsize)
     return _object_header(
         [
             _message(0x0001, space),
@@ -152,9 +227,46 @@ def _dataset_header(nrows: int, dt: np.dtype, data_addr: int) -> bytes:
 
 # -- public API -------------------------------------------------------------
 
+#: max objects per global heap collection (object index is 16-bit; 0 is
+#: reserved for the free-space object)
+_GCOL_MAX_OBJECTS = 65_534
+
+
+def _vlen_cell_bytes(cell, base) -> tuple[int, bytes]:
+    """(element count, raw bytes) of one vlen cell for the global heap."""
+    if base is str or base is bytes:
+        raw = (
+            cell.encode("utf-8") if isinstance(cell, str)
+            else bytes(cell or b"")
+        )
+        return len(raw), raw
+    a = np.asarray([] if cell is None else cell, dtype=np.dtype(base))
+    return len(a), a.tobytes()
+
+
+def _build_gcols(collections: list[list[bytes]], base_addr: int):
+    """Encode global heap collections; returns (blob, per-collection
+    absolute addresses)."""
+    addrs, out = [], bytearray()
+    pos = base_addr
+    for objs in collections:
+        body = bytearray()
+        for i, data in enumerate(objs, start=1):
+            body += struct.pack("<HH4xQ", i, 1, len(data))
+            body += _pad8(data)
+        total = 16 + len(body)
+        out += b"GCOL" + struct.pack("<B3B", 1, 0, 0, 0)
+        out += struct.pack("<Q", total)
+        out += body
+        addrs.append(pos)
+        pos += total
+    return bytes(out), addrs
+
+
 def write(path: str, datasets: dict[str, np.ndarray]) -> None:
     """Write ``{name: 1-D structured array}`` as an HDF5 file (contiguous
-    compound datasets in the root group)."""
+    compound datasets in the root group; vlen members via the global
+    heap)."""
     for name, arr in datasets.items():
         if arr.dtype.names is None or arr.ndim != 1:
             raise ValueError(f"dataset {name!r} must be a 1-D structured array")
@@ -188,8 +300,37 @@ def write(path: str, datasets: dict[str, np.ndarray]) -> None:
         ds_oh_addr[n] = pos
         pos += len(oh)
         ds_data_addr[n] = pos
-        pos += arr.nbytes
-    eof = pos
+        pos += len(arr) * _file_dt(arr.dtype).itemsize
+    heap_region_addr = pos
+
+    # ---- global heap: assign every non-empty vlen cell an object slot ----
+    # cells_plan[ds][member] = per-row (collection_no, object_idx, count);
+    # collections hold raw object bytes in assignment order (row-major,
+    # member order within a row), capped at _GCOL_MAX_OBJECTS each.
+    collections: list[list[bytes]] = []
+    cells_plan: dict[str, dict[str, list[tuple[int, int, int]]]] = {}
+    for n in names:
+        arr = datasets[n]
+        vmembers = [
+            m for m in arr.dtype.names if _is_vlen(arr.dtype.fields[m][0])
+        ]
+        if not vmembers:
+            continue
+        plan: dict[str, list[tuple[int, int, int]]] = {m: [] for m in vmembers}
+        for row in arr:
+            for m in vmembers:
+                base = _vlen_base(arr.dtype.fields[m][0])
+                count, raw = _vlen_cell_bytes(row[m], base)
+                if count == 0:
+                    plan[m].append((-1, 0, 0))
+                    continue
+                if not collections or len(collections[-1]) >= _GCOL_MAX_OBJECTS:
+                    collections.append([])
+                collections[-1].append(raw)
+                plan[m].append((len(collections) - 1, len(collections[-1]), count))
+        cells_plan[n] = plan
+    heap_blob, gcol_addrs = _build_gcols(collections, heap_region_addr)
+    eof = heap_region_addr + len(heap_blob)
 
     # ---- emit -------------------------------------------------------------
     out = bytearray()
@@ -231,19 +372,37 @@ def write(path: str, datasets: dict[str, np.ndarray]) -> None:
         arr = datasets[n]
         out += _dataset_header(len(arr), arr.dtype, ds_data_addr[n])
         assert len(out) == ds_data_addr[n]
-        out += arr.tobytes()
+        fdt = _file_dt(arr.dtype)
+        if fdt is arr.dtype:
+            out += arr.tobytes()
+        else:
+            rec = np.zeros(len(arr), dtype=fdt)
+            plan = cells_plan.get(n, {})
+            for m in arr.dtype.names:
+                if not _is_vlen(arr.dtype.fields[m][0]):
+                    rec[m] = arr[m]
+                    continue
+                slots = plan[m]
+                rec[m]["len"] = [c for _cn, _i, c in slots]
+                rec[m]["addr"] = [
+                    gcol_addrs[cn] if cn >= 0 else 0 for cn, _i, _c in slots
+                ]
+                rec[m]["idx"] = [i for _cn, i, _c in slots]
+            out += rec.tobytes()
+    out += heap_blob
     assert len(out) == eof
 
     with open(path, "wb") as f:
         f.write(bytes(out))
 
 
-def _read_messages(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
-    ver, _, nmsg, _, hsize = struct.unpack_from("<BBHII", buf, addr)
+def _read_messages_f(f, addr: int) -> list[tuple[int, bytes]]:
+    head = f_read(f, addr, 16)
+    ver, _, nmsg, _, hsize = struct.unpack_from("<BBHII", head, 0)
     if ver != 1:
         raise ValueError(f"unsupported object header version {ver}")
-    pos = addr + 16
-    out = []
+    buf = f_read(f, addr + 16, hsize)
+    pos, out = 0, []
     for _ in range(nmsg):
         mtype, msize = struct.unpack_from("<HH", buf, pos)
         out.append((mtype, buf[pos + 8 : pos + 8 + msize]))
@@ -251,37 +410,46 @@ def _read_messages(buf: bytes, addr: int) -> list[tuple[int, bytes]]:
     return out
 
 
-def _catalog(buf: bytes) -> dict[str, dict[str, Any]]:
-    if buf[:8] != _SIG:
+def f_read(f, addr: int, n: int) -> bytes:
+    f.seek(addr)
+    return f.read(n)
+
+
+def _catalog_f(f) -> dict[str, dict[str, Any]]:
+    """Catalog via targeted seeks — the structures read here total a few
+    KB regardless of file size, so an executor partition read never slurps
+    the data region of other partitions."""
+    if f_read(f, 0, 8) != _SIG:
         raise ValueError("not an HDF5 file (bad signature)")
     # superblock v0: root entry at fixed offset 24+32; scratch has btree/heap
-    btree_addr, heap_addr = struct.unpack_from("<QQ", buf, 24 + 32 + 24)
-    heap_data_addr = struct.unpack_from("<Q", buf, heap_addr + 24)[0]
-    if buf[btree_addr : btree_addr + 4] != b"TREE":
+    btree_addr, heap_addr = struct.unpack("<QQ", f_read(f, 24 + 32 + 24, 16))
+    heap_data_addr = struct.unpack("<Q", f_read(f, heap_addr + 24, 8))[0]
+    bt_head = f_read(f, btree_addr, 8)
+    if bt_head[:4] != b"TREE":
         raise ValueError("bad group B-tree signature")
-    entries_used = struct.unpack_from("<H", buf, btree_addr + 6)[0]
+    entries_used = struct.unpack_from("<H", bt_head, 6)[0]
+    children = f_read(f, btree_addr + 24, 16 * entries_used + 8)
     out: dict[str, dict[str, Any]] = {}
     for c in range(entries_used):
-        child = struct.unpack_from(
-            "<Q", buf, btree_addr + 24 + 8 + c * 16
-        )[0]
-        if buf[child : child + 4] != b"SNOD":
+        child = struct.unpack_from("<Q", children, 8 + c * 16)[0]
+        sn_head = f_read(f, child, 8)
+        if sn_head[:4] != b"SNOD":
             raise ValueError("bad symbol node signature")
-        nsym = struct.unpack_from("<H", buf, child + 6)[0]
+        nsym = struct.unpack_from("<H", sn_head, 6)[0]
+        entries = f_read(f, child + 8, 40 * nsym)
         for i in range(nsym):
-            e = child + 8 + 40 * i
-            noff, oh_addr = struct.unpack_from("<QQ", buf, e)
-            end = buf.index(b"\x00", heap_data_addr + noff)
-            name = buf[heap_data_addr + noff : end].decode()
+            noff, oh_addr = struct.unpack_from("<QQ", entries, 40 * i)
+            nm = f_read(f, heap_data_addr + noff, 256)
+            name = nm[: nm.index(b"\x00")].decode()
             info: dict[str, Any] = {}
-            for mtype, mdata in _read_messages(buf, oh_addr):
+            for mtype, mdata in _read_messages_f(f, oh_addr):
                 if mtype == 0x0001:  # dataspace
                     rank = mdata[1]
                     if rank != 1:
                         raise ValueError("only 1-D datasets supported")
                     info["nrows"] = struct.unpack_from("<Q", mdata, 8)[0]
                 elif mtype == 0x0003:
-                    info["dtype"], _ = _parse_dt(mdata, 0)
+                    info["dtype"], info["file_dtype"], _ = _parse_dt(mdata, 0)
                 elif mtype == 0x0008:
                     ver, cls = mdata[0], mdata[1]
                     if ver != 3 or cls != 1:
@@ -296,23 +464,77 @@ def _catalog(buf: bytes) -> dict[str, dict[str, Any]]:
 
 
 def catalog(path: str) -> dict[str, dict[str, Any]]:
-    """{dataset name: {nrows, dtype, addr, size}} for the root group."""
+    """{dataset name: {nrows, dtype, file_dtype, addr, size}} for the root
+    group."""
     with open(path, "rb") as f:
-        return _catalog(f.read())
+        return _catalog_f(f)
+
+
+def _parse_gcol(f, addr: int) -> dict[int, bytes]:
+    """Parse one global heap collection at ``addr``: {object index: bytes}."""
+    f.seek(addr)
+    head = f.read(16)
+    if head[:4] != b"GCOL":
+        raise ValueError(f"bad global heap signature at {addr}")
+    total = struct.unpack_from("<Q", head, 8)[0]
+    body = f.read(total - 16)
+    objs: dict[int, bytes] = {}
+    pos = 0
+    while pos + 16 <= len(body):
+        idx, _rc = struct.unpack_from("<HH", body, pos)
+        osize = struct.unpack_from("<Q", body, pos + 8)[0]
+        if idx == 0:  # free-space object terminates the scan
+            break
+        objs[idx] = body[pos + 16 : pos + 16 + osize]
+        pos += 16 + osize + (-osize % 8)  # object data padded to 8
+    return objs
 
 
 def read_range(path: str, name: str, start: int, stop: int) -> np.ndarray:
     """Records [start, stop) of one dataset — reads ONLY that byte range
-    (the executor-side partition read: each task seeks to its slice)."""
+    plus any global heap collections the range's vlen cells reference (the
+    executor-side partition read: each task seeks to its slice)."""
     info = catalog(path)[name]
+    mem_dt, file_dt = info["dtype"], info["file_dtype"]
     stop = min(stop, info["nrows"])
     if stop <= start:
-        return np.empty(0, dtype=info["dtype"])
-    itemsize = info["dtype"].itemsize
+        return np.empty(0, dtype=mem_dt)
+    itemsize = file_dt.itemsize
     with open(path, "rb") as f:
         f.seek(info["addr"] + start * itemsize)
-        raw = f.read((stop - start) * itemsize)
-    return np.frombuffer(raw, dtype=info["dtype"]).copy()
+        raw = np.frombuffer(
+            f.read((stop - start) * itemsize), dtype=file_dt
+        )
+        if mem_dt is file_dt:
+            return raw.copy()
+        out = np.empty(len(raw), dtype=mem_dt)
+        gcache: dict[int, dict[int, bytes]] = {}
+        for m in mem_dt.names:
+            sub = mem_dt.fields[m][0]
+            if not _is_vlen(sub):
+                out[m] = raw[m]
+                continue
+            base = _vlen_base(sub)
+            is_str = base is str or base is bytes
+            base_dt = None if is_str else np.dtype(base)
+            lens = raw[m]["len"]
+            addrs = raw[m]["addr"]
+            idxs = raw[m]["idx"]
+            cells = np.empty(len(raw), dtype=object)
+            for i in range(len(raw)):
+                if lens[i] == 0 or addrs[i] == 0:
+                    cells[i] = b"" if is_str else np.empty(0, dtype=base_dt)
+                    continue
+                a = int(addrs[i])
+                if a not in gcache:
+                    gcache[a] = _parse_gcol(f, a)
+                data = gcache[a][int(idxs[i])]
+                if is_str:
+                    cells[i] = data
+                else:
+                    cells[i] = np.frombuffer(data, dtype=base_dt)[: lens[i]].copy()
+            out[m] = cells
+        return out
 
 
 def read(path: str, name: str) -> np.ndarray:

@@ -44,7 +44,7 @@ except ImportError:
     h5py = None
     HAVE_H5PY = False
 
-#: I/O backend: h5py (full format: chunked, compressed, VLEN) when
+#: I/O backend: h5py (full format: chunked, compressed) when
 #: installed, else the from-scratch pure-Python subset in h5lite.py
 #: (contiguous compound datasets) — so the HDF5 legs EXECUTE everywhere.
 BACKEND = "h5py" if HAVE_H5PY else "h5lite"
@@ -260,23 +260,18 @@ def write_hdf5_table(
 
 
 def _write_hdf5_table_lite(df: DataFrame, path: str, dataset: str) -> None:
-    """h5lite write leg: scalar + string columns only (VLEN sequences need
-    the global heap — h5py territory). Strings become EXACT-max-width
-    fixed S members measured from the data (never the silent S64
-    truncation of round 1); the whole table materializes driver-side
-    (single-writer interchange leg, same bottleneck class as the h5py
-    streaming path, only less incremental)."""
+    """h5lite write leg: scalar, string and VLEN-sequence columns. Arrays
+    go through h5lite's global heap writer (reference
+    nimhdf5/datasets.nim:1023-1115); strings become EXACT-max-width fixed
+    S members measured from the data (never the silent S64 truncation of
+    round 1); the whole table materializes driver-side (single-writer
+    interchange leg, same bottleneck class as the h5py streaming path,
+    only less incremental)."""
     import numpy as np
 
     from nimhdfstore_spark.sources import h5lite
 
     fields = [(f.name, spark_to_numpy_descriptor(f.dataType)) for f in df.schema.fields]
-    for name, (kind, _) in fields:
-        if kind == "vlen":
-            raise TypeError(
-                f"column {name!r}: array columns need the h5py backend "
-                "(VLEN data lives in the HDF5 global heap)"
-            )
     batches = list(df.toArrow().to_batches())
     cols: dict[str, list] = {name: [] for name, _ in fields}
     for batch in batches:
@@ -284,6 +279,8 @@ def _write_hdf5_table_lite(df: DataFrame, path: str, dataset: str) -> None:
             col = batch.column(name)
             if kind == "fixed":
                 cols[name].append(col.to_numpy(zero_copy_only=False))
+            elif kind == "vlen":
+                cols[name].append(col.to_pylist())
             else:  # vlen_str -> exact-width fixed S
                 cols[name].append(
                     ["" if v is None else v for v in col.to_pylist()]
@@ -299,6 +296,15 @@ def _write_hdf5_table_lite(df: DataFrame, path: str, dataset: str) -> None:
             )
             np_fields.append((name, np_t))
             data[name] = arr.astype(np_t, copy=False)
+        elif kind == "vlen":
+            base = np.dtype(np_t)
+            vals = np.empty(n, dtype=object)
+            vals[:] = [
+                np.asarray([] if v is None else v, dtype=base)
+                for chunk in cols[name] for v in chunk
+            ]
+            np_fields.append((name, np.dtype("O", metadata={"vlen": base})))
+            data[name] = vals
         else:
             vals = [v for chunk in cols[name] for v in chunk]
             width = max([len(v.encode("utf-8")) for v in vals] or [0]) or 1

@@ -143,6 +143,19 @@ class StoreReader(DataSourceReader):
             yield batch
 
 
+_REGISTERED: set[int] = set()
+
+
+def ensure_registered(spark) -> None:
+    """Register the source once per session: ``spark.dataSource.register``
+    costs ~1 s of Py4J + pickling per call, and repeated registration of
+    the same class is a no-op semantically."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(StoreDataSource)
+        _REGISTERED.add(key)
+
+
 class StoreDataSource(DataSource):
     """``spark.dataSource.register(StoreDataSource)`` then
     ``spark.read.format("nimhdfstore")``."""

@@ -161,6 +161,30 @@ class StoreError(Exception):
     pass
 
 
+#: mutation/merge payloads are driver-sized by contract (the reference's
+#: mutation APIs take an in-memory seq, nimtables.nim:173-233); this bounds
+#: the silent driver materialization of a distributed payload
+PAYLOAD_MAX_ROWS = 1_000_000
+
+
+def _collect_payload(df: DataFrame, what: str) -> list:
+    """Collect a driver-sized payload, refusing unbounded frames: a
+    distributed payload routed through a mutation API would otherwise
+    silently ``collect()`` the cluster onto the driver. Driver-local plans
+    skip the gate (their size is bounded by construction and the extra
+    count job would double tiny-mutation latency)."""
+    if df.isLocal():
+        return df.collect()
+    probe = df.limit(PAYLOAD_MAX_ROWS + 1).count()
+    if probe > PAYLOAD_MAX_ROWS:
+        raise StoreError(
+            f"{what} payload exceeds {PAYLOAD_MAX_ROWS} rows; mutation "
+            "payloads are driver-sized by contract — bulk-load with "
+            "Store.put, or attach _rowid positions and use update_rows"
+        )
+    return df.collect()
+
+
 def _codec_name(codec: str) -> str:
     codec = codec.lower()
     if codec not in CODECS:
@@ -206,6 +230,11 @@ class Store:
         self.rows_per_file = rows_per_file
         self.keep_snapshots = keep_snapshots
         self.mode = mode
+        # Lazy base-DataFrame per (table, snapshot): snapshot dirs are
+        # immutable once committed, so the analyzed read plan (whose schema
+        # resolution costs a driver-side footer read + listing per call) is
+        # reusable for every df() against the same snapshot.
+        self._base_cache: dict[tuple[str, str], DataFrame] = {}
         if mode == "r":
             if not os.path.isdir(self.root):
                 raise StoreError(f"no such store: {root!r}")
@@ -312,6 +341,14 @@ class Store:
         if name not in self:
             raise StoreError(f"no such table: {name!r}")
         shutil.rmtree(self._table_dir(name))
+        self._invalidate(name)
+
+    def _invalidate(self, name: str) -> None:
+        """Evict cached base frames for ``name``: a drop + re-create reuses
+        snap-00000000 under the same path, and the cached plan's file
+        listing (pinned at analysis) would silently read the old files."""
+        for k in [k for k in self._base_cache if k[0] == name]:
+            del self._base_cache[k]
 
     def copy(self, src: str, dst: str, into: "Store | None" = None) -> None:
         """M8 — object copy (h5util.nim:159-209) as a snapshot re-write,
@@ -403,6 +440,7 @@ class Store:
             "attrs": dict(attrs or {}),
             "order_by": list(order_by or []),
         }
+        self._invalidate(name)  # snap paths can repeat after drop/stray rmtree
         self._write_files(name, meta["current"], body, meta["codec"])
         # count + per-file rowid catalog come from the written footers —
         # no separate count job (which would recompute the whole sort).
@@ -610,6 +648,69 @@ class Store:
         out.sort(key=lambda e: e["lo"])
         return out
 
+    # Spark dtypes whose pyarrow-written Parquet encoding is byte-compatible
+    # with Spark's own writer within one mixed snapshot. Timestamps are
+    # excluded (Spark's default INT96 vs arrow's int64-micros), as are
+    # decimals and nested types (physical-encoding variants).
+    _LOCAL_WRITE_TYPES = frozenset(
+        ("bigint", "int", "smallint", "tinyint", "double", "float", "string",
+         "boolean", "binary", "date")
+    )
+    _LOCAL_WRITE_CODECS = {
+        "uncompressed": "NONE", "snappy": "SNAPPY", "gzip": "GZIP",
+        "zstd": "ZSTD",
+    }
+
+    def _write_local(
+        self, name: str, snap: str, body: DataFrame, codec: str
+    ) -> bool:
+        """Driver-direct write for driver-sized payloads: mutation batches
+        are in-memory rows by contract (reference parity — nimtables
+        mutation APIs take a driver seq), so a Spark write job would spend
+        ~0.7 s of scheduler/committer fixed cost to move a handful of rows.
+        A pyarrow file write lands the same sorted, stat-carrying Parquet
+        in milliseconds. Taken when the frame carries the driver-rows
+        marker ``_new_rows`` attaches (zero jobs: the rows are already on
+        the driver) or Spark reports the plan local (one ``toArrow``), and
+        only for types whose pyarrow encoding matches Spark's writer
+        (mixed snapshots must stay uniform); returns False to fall through
+        to the distributed path otherwise."""
+        local_rows = getattr(body, "_nimhdfstore_rows", None)
+        if local_rows is None and not body.isLocal():
+            return False
+        pq_codec = self._LOCAL_WRITE_CODECS.get(codec)
+        if pq_codec is None:
+            return False
+        if any(t not in self._LOCAL_WRITE_TYPES for _c, t in body.dtypes):
+            return False
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if local_rows is not None:
+            rows, schema = local_rows
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            tbl = pa.Table.from_pylist(
+                [dict(zip(schema.names, r)) for r in rows],
+                schema=to_arrow_schema(schema),
+            )
+        else:
+            tbl = body.toArrow()
+        if ROWID in tbl.column_names:
+            tbl = tbl.sort_by(ROWID)
+        snap_dir = os.path.join(self._table_dir(name), snap)
+        os.makedirs(snap_dir, exist_ok=True)
+        step = max(1, int(self.rows_per_file))
+        for i, lo in enumerate(range(0, max(tbl.num_rows, 1), step)):
+            chunk = tbl.slice(lo, step)
+            fn = f"part-{i:05d}-local-{uuid.uuid4().hex[:12]}.parquet"
+            pq.write_table(
+                chunk, os.path.join(snap_dir, fn), compression=pq_codec
+            )
+        return True
+
     def _write_files(
         self,
         name: str,
@@ -622,6 +723,8 @@ class Store:
         # partitions, and cap rows per output file: sorted non-overlapping
         # files without needing a row count up front. With ``cluster`` the
         # physical order is the cluster key instead (Table.cluster_by).
+        if cluster is None and self._write_local(name, snap, body, codec):
+            return
         keys = [F.col(c) if isinstance(c, str) else c for c in cluster] if cluster \
             else [F.col(ROWID)]
         out = body.repartitionByRange(*keys).sortWithinPartitions(*keys)
@@ -711,9 +814,19 @@ class Table:
         return os.path.join(self.store._table_dir(self.name), self._meta["current"])
 
     def df(self) -> DataFrame:
-        return self._dv_overlay(
-            self.store.spark.read.parquet(self.snapshot_path)
-        )
+        cache = getattr(self.store, "_base_cache", None)
+        if cache is None:  # handle constructed against a legacy/mock store
+            return self._dv_overlay(
+                self.store.spark.read.parquet(self.snapshot_path)
+            )
+        key = (self.name, self._meta["current"])
+        base = cache.get(key)
+        if base is None:
+            if len(cache) > 512:
+                cache.clear()
+            base = self.store.spark.read.parquet(self.snapshot_path)
+            cache[key] = base
+        return self._dv_overlay(base)
 
     def _dv_overlay(self, base: DataFrame) -> DataFrame:
         """Apply the pending deletion vector (if any) to a frame of raw
@@ -1314,17 +1427,18 @@ class Table:
             # payloads should attach their own _rowid (or use Store.put).
             from pyspark.sql.types import LongType, StructField, StructType
 
-            rows = df.collect()
+            rows = _collect_payload(df, "mutation")
             n = len(rows)
             schema = StructType(
                 [StructField(ROWID, LongType())] + list(df.schema.fields)
             )
-            return (
-                self.store.spark.createDataFrame(
-                    [(start + i, *r) for i, r in enumerate(rows)], schema
-                ),
-                n,
-            )
+            positioned = [(start + i, *r) for i, r in enumerate(rows)]
+            out = self.store.spark.createDataFrame(positioned, schema)
+            # driver-rows marker: _write_local writes these rows directly
+            # (createDataFrame plans are RDD-backed, so isLocal() can't
+            # identify them as driver-sized)
+            out._nimhdfstore_rows = (positioned, schema)
+            return out, n
         cols = [ROWID] + [c for c in df.columns if c != ROWID]
         return body.select(*cols), n
 
@@ -1581,7 +1695,7 @@ class Table:
                 f"payload schema {dict(pay.dtypes)} does not match table "
                 f"schema {table_types}"
             )
-        rows = pay.collect()
+        rows = _collect_payload(pay, "merge")
         keys = [r[key] for r in rows]
         if len(keys) != len(set(keys)):
             raise StoreError("duplicate key in merge payload")

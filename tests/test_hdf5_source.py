@@ -96,13 +96,11 @@ def test_spark_to_numpy_descriptor():
 
 
 @pytest.mark.skipif(h5src.HAVE_H5PY, reason="asserts the h5py-only gates")
-def test_vlen_paths_gated_without_h5py(spark, tmp_path):
-    # only the VLEN surfaces stay gated; scalar/string I/O runs via h5lite
+def test_h5py_only_gates_without_h5py(spark, tmp_path):
+    # _resolve_dtype builds h5py special dtypes and stays gated; ALL I/O
+    # (scalar/string/vlen) now runs via h5lite
     with pytest.raises(RuntimeError, match="h5py"):
         h5src._resolve_dtype([("k", ("fixed", "i8"))])
-    df = spark.createDataFrame([(1, [1.0])], "k long, vals array<double>")
-    with pytest.raises(TypeError, match="h5py backend"):
-        h5src.write_hdf5_table(df, str(tmp_path / "x.h5"), "t")
 
 
 def test_hdf5_roundtrip(spark, tmp_path):
@@ -118,11 +116,11 @@ def test_hdf5_roundtrip(spark, tmp_path):
     )
 
 
-@pytest.mark.skipif(not h5src.HAVE_H5PY, reason="h5py not installed")
 def test_hdf5_roundtrip_vlen_and_strings(spark, tmp_path):
     # VLEN sequences + variable-width strings (reference
     # datatypes.nim:376-382,424-453), incl. strings longer than the old
-    # fixed-S64 limit
+    # fixed-S64 limit; runs on BOTH backends (h5py when present, else the
+    # h5lite global-heap implementation)
     path = str(tmp_path / "vlen.h5")
     rows = [
         (i, "x" * (i % 100), [float(j) for j in range(i % 5)])
