@@ -3,12 +3,13 @@
 Media travel as opaque ``binary`` columns with a typed metadata struct —
 the pattern that scales: bytes stay in Arrow buffers end-to-end, decode
 happens executor-side in batched Pandas UDFs (``mapInPandas``), and Spark
-never interprets the payload. The decode libraries (PIL/librosa/av) are not
-in this container, so the actual pixel/sample decoding is STUBBED: with the
-libs absent, ``decode_meta`` computes a deterministic fake (pure function of
-the bytes — so it is testable and oracle-checkable), and the transform stubs
-raise ``NotImplementedError``. The Spark-side plumbing — schema, batching,
-UDF signatures, partitioning — is real and tested.
+never interprets the payload. Image decode is REAL for PNG
+(``decode_images`` / ``resize_images`` via the pure zlib+numpy codec in
+operators/png.py) and for PCM16 audio (``pcm16_features``); video frame
+sampling stays stubbed (no demuxer exists in this container and a video
+codec is not reimplementable from a short public spec).
+``decode_meta`` keeps its deterministic byte-derived fake for
+format-agnostic pipelines whose oracle must not depend on any codec.
 
 Reference tie-in: HDF5's image API (S13, hl/H5IMpublic.nim:26-56) and opaque
 type class (wrapper/H5Tpublic.nim:44) are this surface's ancestors.
@@ -90,19 +91,120 @@ def decode_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=DECODED_META)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Batched image resize (mapInPandas over payload bytes). Requires the
-    imaging stack — STUB in this container."""
-    if not HAVE_IMAGE_LIBS:
-        raise NotImplementedError(
-            "image decode libraries (PIL) are not installed in this "
-            "environment; resize_images is plumbing-complete but stubbed"
-        )
-    raise NotImplementedError("real decode path not implemented yet")
+#: schema of a real pixel decode: per-image dimensions + exact pixel stats
+DECODED_PIXELS = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("bit_depth", IntegerType()),
+    StructField("n_pixels", LongType()),
+    StructField("px_sum", LongType()),
+    StructField("px_min", IntegerType()),
+    StructField("px_max", IntegerType()),
+])
+
+
+def decode_images(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode over a binary column — PNG via the pure
+    zlib+numpy codec (operators/png.py; reference image surface
+    hl/H5IMpublic.nim:26-56). Arrow-batched ``mapInPandas``: each task
+    inflates and unfilters its payloads and emits exact integer pixel
+    stats (sum/min/max over all samples) — stateless per-row work, no
+    shuffle, parallelism = input partitions. Payloads that are not
+    decodable PNGs are dropped (route with ``sniff_mime`` upstream;
+    real corpora carry mislabeled bytes and a decoder that throws on
+    them takes down the stage)."""
+    from nimhdfstore_spark.operators.png import decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    img = decode_png(bytes(payload))
+                except Exception:
+                    continue  # not a (supported) PNG: dropped by contract
+                h, w, c = img.shape
+                flat = img.astype(np.int64)
+                rows.append((
+                    int(did), w, h, c, 8, h * w * c,
+                    int(flat.sum()), int(img.min()), int(img.max()),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DECODED_PIXELS.fields]
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(batches, schema=DECODED_PIXELS)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("px_sum", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL batched image resize: decode PNG → nearest-neighbor resample
+    (source index = floor(dst·src/dst), integer-exact so an oracle can
+    recompute the picked pixels) → re-encode PNG (filter 0). Emits the
+    resized payload plus its exact pixel sum; undecodable payloads are
+    dropped (same contract as ``decode_images``)."""
+    from nimhdfstore_spark.operators.png import (
+        decode_png, encode_png, resize_nearest,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    img = decode_png(bytes(payload))
+                except Exception:
+                    continue
+                small = resize_nearest(img, width, height)
+                rows.append((
+                    int(did), width, height, small.shape[2],
+                    int(small.astype(np.int64).sum()),
+                    bytearray(encode_png(small)),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
-    """Video frame sampling stub — same contract as resize_images."""
+    """Video frame sampling stub — the one remaining lib-gated decode leg
+    (no container/codec demuxer exists in this environment, and unlike
+    PNG a video codec is not reimplementable from a short public spec).
+    The chunking/dispatch plumbing in front of it (chunk_binary,
+    sniff_mime) is real and tested."""
     raise NotImplementedError(
         "video decode libraries are not installed in this environment; "
         "sample_frames is plumbing-complete but stubbed"

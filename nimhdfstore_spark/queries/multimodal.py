@@ -375,3 +375,110 @@ def x172(spark, sf_dir):
         ).alias("pcm"),
     )
     return pcm16_features(pcm).orderBy("doc_id", "window_id")
+
+
+# --------------------------------------------------------------------------
+# x184 — REAL PNG pixel decode (operators/png.py: zlib inflate + row
+# unfilter, no imaging library): deterministic grayscale gradients are
+# encoded as genuine PNG files executor-side, decoded back by the
+# operator, and the oracle recomputes the exact integer pixel stats from
+# the closed-form pixel rule pixel(y, x) = (doc_id + x + 3y) % 256.
+# Reference surface: 8-bit image datasets, hl/H5IMpublic.nim:26-56.
+# --------------------------------------------------------------------------
+
+_X184_N = 300
+
+_X184_SQL = f"""
+WITH src AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+  FROM documents WHERE doc_id < {_X184_N}
+),
+xs AS (SELECT unnest(range(17)) AS x),
+ys AS (SELECT unnest(range(15)) AS y),
+px AS (
+  SELECT doc_id, w, h, (doc_id + x + 3 * y) % 256 AS v
+  FROM src CROSS JOIN xs CROSS JOIN ys
+  WHERE x < w AND y < h
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS channels, CAST(8 AS INT) AS bit_depth,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+def _png_gradient_payloads(spark, sf_dir, limit):
+    """(doc_id, payload) of real PNGs: grayscale w=4+id%13, h=4+id%11,
+    pixel(y,x) = (id + x + 3y) % 256 — encoded executor-side."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < limit)
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        from nimhdfstore_spark.operators.png import encode_png
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 4 + d % 13, 4 + d % 11
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((d + x + 3 * y) % 256).astype(np.uint8)
+                rows.append((d, bytearray(encode_png(img))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+
+
+@query("x184_png_decode_pixels", _X184_SQL)
+def x184(spark, sf_dir):
+    packed = _png_gradient_payloads(spark, sf_dir, _X184_N)
+    return M.decode_images(packed).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x185 — PNG resize end-to-end: decode → nearest-neighbor resample
+# (source index = floor(dst·src/dst), integer-exact) → re-encode PNG →
+# decode AGAIN; the oracle recomputes the resampled pixel sum from the
+# same closed form, so a defect anywhere in the decode/resize/encode
+# cycle breaks the hash.
+# --------------------------------------------------------------------------
+
+_X185_N = 200
+_X185_W, _X185_H = 6, 5
+
+_X185_SQL = f"""
+WITH src AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+  FROM documents WHERE doc_id < {_X185_N}
+),
+js AS (SELECT unnest(range({_X185_W})) AS j),
+is_ AS (SELECT unnest(range({_X185_H})) AS i),
+px AS (
+  SELECT doc_id,
+         (doc_id + (j * w) // {_X185_W} + 3 * ((i * h) // {_X185_H})) % 256
+           AS v
+  FROM src CROSS JOIN js CROSS JOIN is_
+)
+SELECT doc_id, CAST({_X185_W} AS INT) AS width,
+       CAST({_X185_H} AS INT) AS height, CAST(1 AS INT) AS channels,
+       CAST(8 AS INT) AS bit_depth,
+       CAST({_X185_W} * {_X185_H} AS BIGINT) AS n_pixels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("x185_png_resize_roundtrip", _X185_SQL)
+def x185(spark, sf_dir):
+    packed = _png_gradient_payloads(spark, sf_dir, _X185_N)
+    resized = M.resize_images(packed, _X185_W, _X185_H).select(
+        "doc_id", "payload"
+    )
+    return M.decode_images(resized).orderBy("doc_id")

@@ -70,8 +70,9 @@ def test_multimodal_stubs_and_plumbing(spark, sf_dir):
     for r in rows:
         assert r.width == r.n_bytes % 64
         assert r.height == (r.n_bytes // 64) % 64
-    with pytest.raises(NotImplementedError):
-        M.resize_images(packed, 32, 32)
+    # resize_images is REAL now (PNG codec); non-PNG payloads are dropped
+    # by contract rather than crashing the stage
+    assert M.resize_images(packed, 32, 32).count() == 0
     with pytest.raises(NotImplementedError):
         M.sample_frames(packed, 10)
 
