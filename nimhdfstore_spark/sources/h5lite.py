@@ -25,14 +25,24 @@ the collections a partition's records reference. VLEN members surface as
 numpy ``object`` dtypes tagged ``metadata={"vlen": base}`` — the same
 convention h5py uses, so the connector's type mapping is backend-agnostic.
 
-Deliberately out of scope (documented, not silently wrong): chunked
-layout, compression filters, nested groups, attributes, region references.
-The parquet store remains the scale backend; this is the interchange leg.
+Chunked layout (v1 raw-data chunk B-tree) and the gzip filter pipeline —
+the reference's actual table layout (nimtables.nim:60-67: chunkSize=5000,
+optional deflate) — are supported on BOTH legs: the writer emits one
+B-tree leaf per dataset (≤64 chunks; raise chunk_rows beyond that), the
+reader walks trees of any depth and reverses gzip/shuffle/fletcher32
+filters, so libhdf5-written chunked files read too.
+
+Deliberately out of scope (documented, not silently wrong): nested
+groups, attributes, region references, Adam7-style v2 B-trees. The
+parquet store remains the scale backend; this is the interchange leg.
 
 Addresses/lengths are 8 bytes; everything little-endian. Layout of a
 written file: superblock → root object header → local heap → group B-tree
-→ SNOD → per dataset (object header, raw data) → global heap collections,
-EOF recorded in the superblock.
+→ SNOD → global heap collections → per dataset (object header, then raw
+contiguous data or chunk B-tree + chunk blobs), EOF recorded in the
+superblock. The heap precedes the data regions because compressed vlen
+chunks embed heap addresses in their (compressed) bytes — sizes must be
+final before any data region address is assigned.
 """
 
 from __future__ import annotations
@@ -211,18 +221,71 @@ def _object_header(messages: list[bytes]) -> bytes:
     )
 
 
-def _dataset_header(nrows: int, dt: np.dtype, data_addr: int) -> bytes:
+def _dataset_header(
+    nrows: int,
+    dt: np.dtype,
+    data_addr: int,
+    chunk_rows: int | None = None,
+    compress: int | None = None,
+) -> bytes:
+    """Dataset object header. Contiguous layout by default; with
+    ``chunk_rows`` the layout message is v3 class 2 (chunked) and
+    ``data_addr`` is the chunk B-tree address; ``compress`` adds a filter
+    pipeline message with gzip at that level."""
     space = struct.pack("<BBB5B", 1, 1, 0, 0, 0, 0, 0, 0) + struct.pack(
         "<Q", nrows
     )
-    layout = struct.pack("<BBQQ", 3, 1, data_addr, nrows * _file_dt(dt).itemsize)
-    return _object_header(
-        [
-            _message(0x0001, space),
-            _message(0x0003, _dt_compound(dt)),
-            _message(0x0008, layout),
-        ]
-    )
+    elem = _file_dt(dt).itemsize
+    msgs = [_message(0x0001, space), _message(0x0003, _dt_compound(dt))]
+    if chunk_rows is None:
+        msgs.append(
+            _message(0x0008, struct.pack("<BBQQ", 3, 1, data_addr, nrows * elem))
+        )
+    else:
+        if compress is not None:
+            # filter pipeline v1: gzip (filter id 1), one client value
+            fname = _pad8(b"deflate\x00")
+            filt = struct.pack("<HHHH", 1, len(fname), 1, 1) + fname
+            filt += struct.pack("<I", int(compress)) + b"\x00" * 4  # pad to 8
+            # version 1, nfilters 1, 6 reserved bytes
+            pipeline = struct.pack("<BB6x", 1, 1) + filt
+            msgs.append(_message(0x000B, pipeline))
+        # layout v3 class 2: dimensionality counts the element-size dim
+        layout = struct.pack(
+            "<BBBQ", 3, 2, 2, data_addr
+        ) + struct.pack("<II", chunk_rows, elem)
+        msgs.append(_message(0x0008, layout))
+    return _object_header(msgs)
+
+
+#: chunk B-tree leaf capacity (HDF5 default K=32 → 2K=64 children); the
+#: writer emits ONE leaf, so chunk_rows must satisfy ceil(n/chunk) <= 64
+_BTREE_MAX_CHUNKS = 64
+
+
+def _chunk_btree(
+    chunks: list[tuple[int, int, int]], total_rows_padded: int
+) -> bytes:
+    """Encode one leaf (level-0) v1 B-tree node for raw-data chunks.
+    ``chunks`` = [(row_offset, addr, stored_nbytes)]. The node is padded
+    to the size libhdf5 computes from K=32 so readers that read the full
+    fixed-size node never hit EOF."""
+    n = len(chunks)
+    if n > _BTREE_MAX_CHUNKS:
+        raise ValueError(
+            f"{n} chunks exceed one B-tree leaf ({_BTREE_MAX_CHUNKS}); "
+            "raise chunk_rows"
+        )
+    out = bytearray()
+    out += b"TREE" + struct.pack("<BBH", 1, 0, n)
+    out += struct.pack("<QQ", UNDEF, UNDEF)
+    for row_off, addr, nbytes in chunks:
+        # key: stored chunk size, filter mask, offsets (row, elem)
+        out += struct.pack("<IIQQ", nbytes, 0, row_off, 0)
+        out += struct.pack("<Q", addr)
+    out += struct.pack("<IIQQ", 0, 0, total_rows_padded, 0)  # closing key
+    # fixed node size for K=32: header 24 + 65 keys * 24 + 64 children * 8
+    return bytes(out.ljust(24 + 65 * 24 + 64 * 8, b"\x00"))
 
 
 # -- public API -------------------------------------------------------------
@@ -263,13 +326,26 @@ def _build_gcols(collections: list[list[bytes]], base_addr: int):
     return bytes(out), addrs
 
 
-def write(path: str, datasets: dict[str, np.ndarray]) -> None:
-    """Write ``{name: 1-D structured array}`` as an HDF5 file (contiguous
-    compound datasets in the root group; vlen members via the global
-    heap)."""
+def write(
+    path: str,
+    datasets: dict[str, np.ndarray],
+    chunk_rows: int | None = None,
+    compress: int | None = None,
+) -> None:
+    """Write ``{name: 1-D structured array}`` as an HDF5 file (compound
+    datasets in the root group; vlen members via the global heap).
+
+    Default layout is contiguous. ``chunk_rows`` switches to chunked
+    layout (v1 chunk B-tree, the reference's table layout —
+    nimtables.nim:60 chunkSize=5000) and ``compress`` adds the gzip
+    filter pipeline at that level (nimtables.nim:67 deflate). The writer
+    emits one B-tree leaf, so ``ceil(rows / chunk_rows)`` must be ≤ 64;
+    the reader walks B-trees of any depth (libhdf5-written files)."""
     for name, arr in datasets.items():
         if arr.dtype.names is None or arr.ndim != 1:
             raise ValueError(f"dataset {name!r} must be a 1-D structured array")
+    if compress is not None and chunk_rows is None:
+        raise ValueError("compress requires chunked layout (chunk_rows)")
 
     names = sorted(datasets)  # symbol nodes store entries in name order
     # ---- plan addresses ---------------------------------------------------
@@ -291,17 +367,7 @@ def write(path: str, datasets: dict[str, np.ndarray]) -> None:
     snod_addr = btree_addr + btree_size
     snod_size = 8 + 40 * len(names)
 
-    pos = snod_addr + snod_size
-    ds_oh_addr: dict[str, int] = {}
-    ds_data_addr: dict[str, int] = {}
-    for n in names:
-        arr = datasets[n]
-        oh = _dataset_header(len(arr), arr.dtype, 0)  # size probe
-        ds_oh_addr[n] = pos
-        pos += len(oh)
-        ds_data_addr[n] = pos
-        pos += len(arr) * _file_dt(arr.dtype).itemsize
-    heap_region_addr = pos
+    heap_region_addr = snod_addr + snod_size
 
     # ---- global heap: assign every non-empty vlen cell an object slot ----
     # cells_plan[ds][member] = per-row (collection_no, object_idx, count);
@@ -330,7 +396,64 @@ def write(path: str, datasets: dict[str, np.ndarray]) -> None:
                 plan[m].append((len(collections) - 1, len(collections[-1]), count))
         cells_plan[n] = plan
     heap_blob, gcol_addrs = _build_gcols(collections, heap_region_addr)
-    eof = heap_region_addr + len(heap_blob)
+
+    # ---- build per-dataset regions (heap addresses now known) -------------
+    # region = object header + (contiguous raw bytes | B-tree node + chunk
+    # blobs); addresses assigned sequentially after the global heap
+    pos = heap_region_addr + len(heap_blob)
+    ds_region: dict[str, bytes] = {}
+    ds_oh_addr: dict[str, int] = {}
+    for n in names:
+        arr = datasets[n]
+        fdt = _file_dt(arr.dtype)
+        if fdt is arr.dtype:
+            raw = arr.tobytes()
+        else:
+            rec = np.zeros(len(arr), dtype=fdt)
+            plan = cells_plan.get(n, {})
+            for m in arr.dtype.names:
+                if not _is_vlen(arr.dtype.fields[m][0]):
+                    rec[m] = arr[m]
+                    continue
+                slots = plan[m]
+                rec[m]["len"] = [c for _cn, _i, c in slots]
+                rec[m]["addr"] = [
+                    gcol_addrs[cn] if cn >= 0 else 0 for cn, _i, _c in slots
+                ]
+                rec[m]["idx"] = [i for _cn, i, _c in slots]
+            raw = rec.tobytes()
+        ds_oh_addr[n] = pos
+        if chunk_rows is None:
+            oh = _dataset_header(len(arr), arr.dtype, 0)  # size probe
+            data_addr = pos + len(oh)
+            region = _dataset_header(len(arr), arr.dtype, data_addr) + raw
+        else:
+            elem = fdt.itemsize
+            nchunks = max(1, -(-len(arr) // chunk_rows))
+            oh = _dataset_header(len(arr), arr.dtype, 0, chunk_rows, compress)
+            btree_at = pos + len(oh)
+            node_size = 24 + 65 * 24 + 64 * 8
+            blobs, chunk_meta, coff = [], [], btree_at + node_size
+            full = chunk_rows * elem
+            for ci in range(nchunks):
+                blob = raw[ci * full : (ci + 1) * full]
+                if len(blob) < full:  # chunks are never clipped: pad
+                    blob = blob + b"\x00" * (full - len(blob))
+                if compress is not None:
+                    import zlib as _zlib
+
+                    blob = _zlib.compress(blob, int(compress))
+                blobs.append(blob)
+                chunk_meta.append((ci * chunk_rows, coff, len(blob)))
+                coff += len(blob)
+            region = (
+                _dataset_header(len(arr), arr.dtype, btree_at, chunk_rows, compress)
+                + _chunk_btree(chunk_meta, nchunks * chunk_rows)
+                + b"".join(blobs)
+            )
+        ds_region[n] = region
+        pos += len(region)
+    eof = pos
 
     # ---- emit -------------------------------------------------------------
     out = bytearray()
@@ -368,28 +491,10 @@ def write(path: str, datasets: dict[str, np.ndarray]) -> None:
         sn += b"\x00" * 16
     out += sn.ljust(snod_size, b"\x00")
 
-    for n in names:
-        arr = datasets[n]
-        out += _dataset_header(len(arr), arr.dtype, ds_data_addr[n])
-        assert len(out) == ds_data_addr[n]
-        fdt = _file_dt(arr.dtype)
-        if fdt is arr.dtype:
-            out += arr.tobytes()
-        else:
-            rec = np.zeros(len(arr), dtype=fdt)
-            plan = cells_plan.get(n, {})
-            for m in arr.dtype.names:
-                if not _is_vlen(arr.dtype.fields[m][0]):
-                    rec[m] = arr[m]
-                    continue
-                slots = plan[m]
-                rec[m]["len"] = [c for _cn, _i, c in slots]
-                rec[m]["addr"] = [
-                    gcol_addrs[cn] if cn >= 0 else 0 for cn, _i, _c in slots
-                ]
-                rec[m]["idx"] = [i for _cn, i, _c in slots]
-            out += rec.tobytes()
     out += heap_blob
+    for n in names:
+        assert len(out) == ds_oh_addr[n]
+        out += ds_region[n]
     assert len(out) == eof
 
     with open(path, "wb") as f:
@@ -452,13 +557,22 @@ def _catalog_f(f) -> dict[str, dict[str, Any]]:
                     info["dtype"], info["file_dtype"], _ = _parse_dt(mdata, 0)
                 elif mtype == 0x0008:
                     ver, cls = mdata[0], mdata[1]
-                    if ver != 3 or cls != 1:
+                    if ver != 3 or cls not in (1, 2):
                         raise ValueError(
-                            "only v3 contiguous data layout supported"
+                            "only v3 contiguous/chunked data layouts supported"
                         )
-                    info["addr"], info["size"] = struct.unpack_from(
-                        "<QQ", mdata, 2
-                    )
+                    if cls == 1:
+                        info["addr"], info["size"] = struct.unpack_from(
+                            "<QQ", mdata, 2
+                        )
+                    else:  # chunked: dimensionality, B-tree addr, dims
+                        dim = mdata[2]
+                        info["btree"] = struct.unpack_from("<Q", mdata, 3)[0]
+                        dims = struct.unpack_from(f"<{dim}I", mdata, 11)
+                        info["chunk_rows"] = int(dims[0])
+                        info["chunk_elem"] = int(dims[-1])
+                elif mtype == 0x000B:
+                    info["filters"] = _parse_filters(mdata)
             out[name] = info
     return out
 
@@ -468,6 +582,70 @@ def catalog(path: str) -> dict[str, dict[str, Any]]:
     group."""
     with open(path, "rb") as f:
         return _catalog_f(f)
+
+
+def _parse_filters(mdata: bytes) -> list[tuple[int, tuple]]:
+    """Filter pipeline message v1 → [(filter_id, client_values)] in write
+    order (readers apply them reversed)."""
+    ver = mdata[0]
+    if ver != 1:
+        raise ValueError(f"unsupported filter pipeline version {ver}")
+    nfilters = mdata[1]
+    pos = 8
+    out = []
+    for _ in range(nfilters):
+        fid, nlen, _flags, ncd = struct.unpack_from("<HHHH", mdata, pos)
+        pos += 8
+        pos += nlen + (-nlen % 8) if nlen else 0
+        vals = struct.unpack_from(f"<{ncd}I", mdata, pos)
+        pos += 4 * ncd
+        if ncd % 2:  # odd client-data count pads 4 bytes
+            pos += 4
+        out.append((fid, vals))
+    return out
+
+
+def _defilter(blob: bytes, filters: list[tuple[int, tuple]], elem: int) -> bytes:
+    """Reverse the filter pipeline on one stored chunk: gzip (1) inflate,
+    shuffle (2) byte-de-transpose, fletcher32 (3) checksum strip."""
+    for fid, _vals in reversed(filters):
+        if fid == 1:  # deflate
+            import zlib as _zlib
+
+            blob = _zlib.decompress(blob)
+        elif fid == 2:  # shuffle: [byte0 of all elems][byte1 ...] → rows
+            count = len(blob) // elem
+            blob = (
+                np.frombuffer(blob, dtype=np.uint8)
+                .reshape(elem, count).T.tobytes()
+            )
+        elif fid == 3:  # fletcher32: trailing 4-byte checksum (not verified)
+            blob = blob[:-4]
+        else:
+            raise ValueError(f"unsupported HDF5 filter id {fid}")
+    return blob
+
+
+def _walk_chunk_btree(f, addr: int, out: list) -> None:
+    """Collect [(row_offset, chunk_addr, stored_nbytes)] from a v1 raw-data
+    chunk B-tree of any depth (rank-1 data: key = size, mask, row, elem)."""
+    head = f_read(f, addr, 24)
+    if head[:4] != b"TREE":
+        raise ValueError(f"bad chunk B-tree signature at {addr}")
+    ntype, level, nused = struct.unpack_from("<BBH", head, 4)
+    if ntype != 1:
+        raise ValueError("expected raw-data chunk B-tree (type 1)")
+    body = f_read(f, addr + 24, nused * (24 + 8) + 24)
+    pos = 0
+    for _ in range(nused):
+        nbytes, _mask, row_off, _eoff = struct.unpack_from("<IIQQ", body, pos)
+        pos += 24
+        child = struct.unpack_from("<Q", body, pos)[0]
+        pos += 8
+        if level > 0:
+            _walk_chunk_btree(f, child, out)
+        else:
+            out.append((int(row_off), int(child), int(nbytes)))
 
 
 def _parse_gcol(f, addr: int) -> dict[int, bytes]:
@@ -491,9 +669,10 @@ def _parse_gcol(f, addr: int) -> dict[int, bytes]:
 
 
 def read_range(path: str, name: str, start: int, stop: int) -> np.ndarray:
-    """Records [start, stop) of one dataset — reads ONLY that byte range
-    plus any global heap collections the range's vlen cells reference (the
-    executor-side partition read: each task seeks to its slice)."""
+    """Records [start, stop) of one dataset — reads ONLY the chunks/byte
+    range covering the slice plus any global heap collections the range's
+    vlen cells reference (the executor-side partition read: each task
+    seeks to its slice)."""
     info = catalog(path)[name]
     mem_dt, file_dt = info["dtype"], info["file_dtype"]
     stop = min(stop, info["nrows"])
@@ -501,10 +680,29 @@ def read_range(path: str, name: str, start: int, stop: int) -> np.ndarray:
         return np.empty(0, dtype=mem_dt)
     itemsize = file_dt.itemsize
     with open(path, "rb") as f:
-        f.seek(info["addr"] + start * itemsize)
-        raw = np.frombuffer(
-            f.read((stop - start) * itemsize), dtype=file_dt
-        )
+        if "btree" in info:  # chunked layout: assemble intersecting chunks
+            chunk_rows = info["chunk_rows"]
+            filters = info.get("filters", [])
+            chunks: list[tuple[int, int, int]] = []
+            _walk_chunk_btree(f, info["btree"], chunks)
+            parts = []
+            for row_off, caddr, nbytes in sorted(chunks):
+                if row_off >= stop or row_off + chunk_rows <= start:
+                    continue
+                blob = _defilter(f_read(f, caddr, nbytes), filters, itemsize)
+                arr = np.frombuffer(blob, dtype=file_dt)
+                lo = max(start, row_off) - row_off
+                hi = min(stop, row_off + chunk_rows) - row_off
+                parts.append(arr[lo:hi])
+            raw = (
+                np.concatenate(parts) if parts
+                else np.empty(0, dtype=file_dt)
+            )
+        else:
+            f.seek(info["addr"] + start * itemsize)
+            raw = np.frombuffer(
+                f.read((stop - start) * itemsize), dtype=file_dt
+            )
         if mem_dt is file_dt:
             return raw.copy()
         out = np.empty(len(raw), dtype=mem_dt)

@@ -139,9 +139,10 @@ def table_info(path: str, dataset: str) -> dict:
     info = h5lite.catalog(path)[dataset]
     return {
         "nrecords": int(info["nrows"]),
-        # h5lite files are contiguous; plan at the reference's default
-        # table chunk (openHDFStore chunkSize=5000, nimtables.nim:60)
-        "chunk_size": 5000,
+        # chunked files align partitions to their real chunk size;
+        # contiguous ones plan at the reference's default table chunk
+        # (openHDFStore chunkSize=5000, nimtables.nim:60)
+        "chunk_size": int(info.get("chunk_rows", 5000)),
         "schema": compound_to_schema(info["dtype"]),
         "columns": list(info["dtype"].names),
     }
@@ -222,7 +223,9 @@ def write_hdf5_table(
     stream through the driver (``toLocalIterator``) — the format's inherent
     bottleneck, documented rather than hidden."""
     if not HAVE_H5PY:
-        return _write_hdf5_table_lite(df, path, dataset)
+        return _write_hdf5_table_lite(
+            df, path, dataset, chunk_size=chunk_size, compression=compression
+        )
     import numpy as np
 
     fields = [(f.name, spark_to_numpy_descriptor(f.dataType)) for f in df.schema.fields]
@@ -259,14 +262,21 @@ def write_hdf5_table(
             n += len(rec)
 
 
-def _write_hdf5_table_lite(df: DataFrame, path: str, dataset: str) -> None:
+def _write_hdf5_table_lite(
+    df: DataFrame,
+    path: str,
+    dataset: str,
+    chunk_size: int = 5000,
+    compression: bool = False,
+) -> None:
     """h5lite write leg: scalar, string and VLEN-sequence columns. Arrays
     go through h5lite's global heap writer (reference
     nimhdf5/datasets.nim:1023-1115); strings become EXACT-max-width fixed
     S members measured from the data (never the silent S64 truncation of
-    round 1); the whole table materializes driver-side (single-writer
-    interchange leg, same bottleneck class as the h5py streaming path,
-    only less incremental)."""
+    round 1); chunked layout + gzip mirror the reference's table defaults
+    (nimtables.nim:60-67); the whole table materializes driver-side
+    (single-writer interchange leg, same bottleneck class as the h5py
+    streaming path, only less incremental)."""
     import numpy as np
 
     from nimhdfstore_spark.sources import h5lite
@@ -321,7 +331,14 @@ def _write_hdf5_table_lite(df: DataFrame, path: str, dataset: str) -> None:
             k: h5lite.read(path, k) for k in h5lite.catalog(path) if k != dataset
         }
     existing[dataset] = rec
-    h5lite.write(path, existing)
+    # one B-tree leaf per dataset: widen the chunk if 64 chunks won't cover
+    max_rows = max((len(a) for a in existing.values()), default=0)
+    chunk_rows = max(int(chunk_size), -(-max_rows // 64) if max_rows else 1)
+    h5lite.write(
+        path, existing,
+        chunk_rows=chunk_rows,
+        compress=6 if compression else None,
+    )
 
 
 #: fixed-width Spark → numpy codes (unsigned never appears on the write leg);

@@ -1,7 +1,7 @@
 """HDF5 connector (sources/hdf5.py): planning/type logic plus the I/O
-legs, which now run on EVERY box — through h5py when installed, else
-through the from-scratch h5lite backend (sources/h5lite.py). Only VLEN
-sequences remain h5py-gated (global heap)."""
+legs, which run on EVERY box — through h5py when installed, else through
+the from-scratch h5lite backend (sources/h5lite.py): contiguous and
+chunked(+gzip) layouts, VLEN via the global heap."""
 
 from __future__ import annotations
 
@@ -190,3 +190,26 @@ def test_h5lite_exact_string_width(spark, tmp_path):
     h5src.write_hdf5_table(df, p, "t")
     got = {r["k"]: r["t"] for r in h5src.read_hdf5_table(spark, p, "t").collect()}
     assert got[1] == long_s and got[2] == "s"
+
+
+def test_hdf5_chunked_compressed_roundtrip(spark, tmp_path):
+    # the reference's actual table layout: chunked + gzip
+    # (openHDFStore chunkSize=5000, compression → deflate,
+    # nimtables.nim:60-67) through the h5lite chunk B-tree writer/reader
+    path = str(tmp_path / "chunked.h5")
+    df = spark.createDataFrame(
+        [(i, float(i) * 0.5, f"tag{i % 7}") for i in range(20_000)],
+        "k long, v double, tag string",
+    )
+    h5src.write_hdf5_table(df, path, "t", chunk_size=1024, compression=True)
+    if not h5src.HAVE_H5PY:
+        from nimhdfstore_spark.sources import h5lite
+
+        info = h5lite.catalog(path)["t"]
+        assert info["chunk_rows"] == 1024 and "btree" in info
+        assert any(fid == 1 for fid, _v in info["filters"])  # gzip
+    back = h5src.read_hdf5_table(spark, path, "t", target_records=3000)
+    assert back.count() == 20_000
+    got = {r["k"]: (r["v"], r["tag"]) for r in back.where("k % 4999 = 0").collect()}
+    for k in (0, 4999, 9998, 14997, 19996):
+        assert got[k] == (k * 0.5, f"tag{k % 7}")
