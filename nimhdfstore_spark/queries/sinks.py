@@ -247,10 +247,16 @@ def q38(spark, sf_dir):
     from nimhdfstore_spark.sources.pyds import ensure_registered
     from nimhdfstore_spark.tables import load_pos
 
+    from nimhdfstore_spark.tables import table_nrows
+
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     ensure_registered(spark)
     store = scratch_store(spark, f"q38-{os.path.basename(sf_dir)}")
-    store.rows_per_file = 256
+    # ~8 files at any sf: pruning still skips most partitions while the
+    # staging write isn't dominated by tiny-file commit overhead (the
+    # round-3 256-rows/file layout wrote 59 files at sf0.1 — the write,
+    # not the connector, was the cost)
+    store.rows_per_file = max(512, table_nrows(sf_dir, "customer") // 8)
     store.put("cust", load_pos(spark, sf_dir, "customer"), overwrite=True)
     back = (
         spark.read.format("nimhdfstore")

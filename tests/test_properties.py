@@ -175,3 +175,85 @@ def test_h5lite_roundtrip_property(codes, nrows, seed):
             assert (h5lite.read_range(path, "t", lo, hi) == arr[lo:hi]).all()
     finally:
         os.unlink(path)
+
+
+# -- h5lite round-trip property: random tables × random layouts ------------
+
+_H5_SCALARS = ["<i8", "<i4", "<i2", "<f8", "<f4", "S5"]
+
+
+@st.composite
+def _h5_tables(draw):
+    import numpy as np
+
+    ncols = draw(st.integers(1, 4))
+    nrows = draw(st.integers(0, 120))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    fields, cols = [], {}
+    for c in range(ncols):
+        kind = draw(st.sampled_from(_H5_SCALARS + ["vlen_f8", "vlen_i4"]))
+        name = f"c{c}"
+        if kind.startswith("vlen"):
+            base = np.dtype("<f8" if kind == "vlen_f8" else "<i4")
+            dt = np.dtype("O", metadata={"vlen": base})
+            vals = np.empty(nrows, dtype=object)
+            for i in range(nrows):
+                k = int(rng.integers(0, 6))
+                vals[i] = (rng.integers(-50, 50, size=k)).astype(base)
+            fields.append((name, dt))
+            cols[name] = vals
+        else:
+            dt = np.dtype(kind)
+            if dt.kind == "S":
+                vals = np.array(
+                    [f"s{int(v)}".encode()[:5] for v in rng.integers(0, 999, nrows)],
+                    dtype=dt,
+                ) if nrows else np.empty(0, dtype=dt)
+            elif dt.kind == "f":
+                vals = rng.normal(size=nrows).astype(dt)
+            else:
+                vals = rng.integers(-1000, 1000, size=nrows).astype(dt)
+            fields.append((name, dt))
+            cols[name] = vals
+    arr = np.empty(nrows, dtype=np.dtype(fields))
+    for name, _dt in fields:
+        arr[name] = cols[name]
+    chunk = draw(st.sampled_from([None, 7, 40, 1000]))
+    comp = draw(st.sampled_from([None, 1, 6])) if chunk else None
+    return arr, chunk, comp
+
+
+@settings(max_examples=40, deadline=None)
+@given(_h5_tables(), st.integers(0, 130), st.integers(0, 130))
+def test_h5lite_roundtrip_property(table, a, b):
+    """write → catalog → read_range == in-memory slice, for random column
+    mixes (scalars, strings, vlen) × layouts (contiguous, chunked,
+    chunked+gzip) × arbitrary slice bounds."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from nimhdfstore_spark.sources import h5lite
+
+    arr, chunk, comp = table
+    if chunk is not None and len(arr) > chunk * 64:
+        chunk = -(-len(arr) // 64)
+    fd, path = tempfile.mkstemp(suffix=".h5")
+    os.close(fd)
+    try:
+        h5lite.write(path, {"t": arr}, chunk_rows=chunk, compress=comp)
+        info = h5lite.catalog(path)["t"]
+        assert info["nrows"] == len(arr)
+        lo, hi = min(a, b), max(a, b)
+        got = h5lite.read_range(path, "t", lo, hi)
+        want = arr[lo:min(hi, len(arr))]
+        assert len(got) == len(want)
+        for name in arr.dtype.names:
+            if h5lite._is_vlen(arr.dtype.fields[name][0]):
+                for g, w in zip(got[name], want[name]):
+                    assert np.asarray(g).tolist() == np.asarray(w).tolist()
+            else:
+                assert got[name].tolist() == want[name].tolist()
+    finally:
+        os.unlink(path)
