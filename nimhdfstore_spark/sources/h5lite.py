@@ -32,9 +32,14 @@ B-tree leaf per dataset (≤64 chunks; raise chunk_rows beyond that), the
 reader walks trees of any depth and reverses gzip/shuffle/fletcher32
 filters, so libhdf5-written chunked files read too.
 
+Scalar attributes (int64/float64/string, message 0x000C) write and read
+on dataset headers, so store attrs survive HDF5 migration round-trips
+(reference attribute surface, attributes.nim:207-437).
+
 Deliberately out of scope (documented, not silently wrong): nested
-groups, attributes, region references, Adam7-style v2 B-trees. The
-parquet store remains the scale backend; this is the interchange leg.
+groups, non-scalar attributes, region references, Adam7-style v2
+B-trees. The parquet store remains the scale backend; this is the
+interchange leg.
 
 Addresses/lengths are 8 bytes; everything little-endian. Layout of a
 written file: superblock → root object header → local heap → group B-tree
@@ -227,6 +232,7 @@ def _dataset_header(
     data_addr: int,
     chunk_rows: int | None = None,
     compress: int | None = None,
+    attrs: dict | None = None,
 ) -> bytes:
     """Dataset object header. Contiguous layout by default; with
     ``chunk_rows`` the layout message is v3 class 2 (chunked) and
@@ -255,7 +261,51 @@ def _dataset_header(
             "<BBBQ", 3, 2, 2, data_addr
         ) + struct.pack("<II", chunk_rows, elem)
         msgs.append(_message(0x0008, layout))
+    for k in sorted(attrs or {}):
+        msgs.append(_attr_message(k, attrs[k]))
     return _object_header(msgs)
+
+
+def _attr_message(name: str, value) -> bytes:
+    """Attribute message (0x000C) v1 for a scalar int64/float64/string
+    value (reference attribute surface: attributes.nim:207-437)."""
+    if isinstance(value, bool):  # bools travel as int64 (HDF5 has no bool)
+        value = int(value)
+    if isinstance(value, int):
+        dt, data = np.dtype("<i8"), struct.pack("<q", value)
+    elif isinstance(value, float):
+        dt, data = np.dtype("<f8"), struct.pack("<d", value)
+    elif isinstance(value, str):
+        raw = value.encode("utf-8") or b"\x00"
+        dt, data = np.dtype(f"S{len(raw)}"), raw
+    else:
+        raise ValueError(f"unsupported attribute type {type(value).__name__}")
+    nm = name.encode() + b"\x00"
+    dt_msg = _dt_scalar(dt)
+    sp_msg = struct.pack("<BBB5B", 1, 0, 0, 0, 0, 0, 0, 0)  # scalar space
+    body = struct.pack("<BBHHH", 1, 0, len(nm), len(dt_msg), len(sp_msg))
+    body += _pad8(nm) + _pad8(dt_msg) + _pad8(sp_msg) + data
+    return _message(0x000C, body)
+
+
+def _parse_attr(mdata: bytes):
+    """Attribute message v1 → (name, python value)."""
+    ver, _res, nsz, dtsz, spsz = struct.unpack_from("<BBHHH", mdata, 0)
+    if ver != 1:
+        raise ValueError(f"unsupported attribute message version {ver}")
+    pos = 8
+    name = mdata[pos : pos + nsz].split(b"\x00", 1)[0].decode()
+    pos += nsz + (-nsz % 8)
+    _mem, file_dt, _end = _parse_dt(mdata, pos)
+    pos += dtsz + (-dtsz % 8)
+    rank = mdata[pos + 1]
+    if rank != 0:
+        raise ValueError("only scalar attributes supported")
+    pos += spsz + (-spsz % 8)
+    raw = mdata[pos : pos + file_dt.itemsize]
+    if file_dt.kind == "S":
+        return name, raw.split(b"\x00", 1)[0].decode("utf-8", "replace")
+    return name, np.frombuffer(raw, dtype=file_dt)[0].item()
 
 
 #: chunk B-tree leaf capacity (HDF5 default K=32 → 2K=64 children); the
@@ -331,9 +381,12 @@ def write(
     datasets: dict[str, np.ndarray],
     chunk_rows: int | None = None,
     compress: int | None = None,
+    attrs: dict[str, dict] | None = None,
 ) -> None:
     """Write ``{name: 1-D structured array}`` as an HDF5 file (compound
     datasets in the root group; vlen members via the global heap).
+    ``attrs`` attaches per-dataset scalar attributes ({dataset: {name:
+    int|float|str|bool}}) as attribute messages in the object header.
 
     Default layout is contiguous. ``chunk_rows`` switches to chunked
     layout (v1 chunk B-tree, the reference's table layout —
@@ -424,13 +477,19 @@ def write(
             raw = rec.tobytes()
         ds_oh_addr[n] = pos
         if chunk_rows is None:
-            oh = _dataset_header(len(arr), arr.dtype, 0)  # size probe
+            a = (attrs or {}).get(n)
+            oh = _dataset_header(len(arr), arr.dtype, 0, attrs=a)  # size probe
             data_addr = pos + len(oh)
-            region = _dataset_header(len(arr), arr.dtype, data_addr) + raw
+            region = _dataset_header(
+                len(arr), arr.dtype, data_addr, attrs=a
+            ) + raw
         else:
             elem = fdt.itemsize
             nchunks = max(1, -(-len(arr) // chunk_rows))
-            oh = _dataset_header(len(arr), arr.dtype, 0, chunk_rows, compress)
+            a = (attrs or {}).get(n)
+            oh = _dataset_header(
+                len(arr), arr.dtype, 0, chunk_rows, compress, attrs=a
+            )
             btree_at = pos + len(oh)
             node_size = 24 + 65 * 24 + 64 * 8
             blobs, chunk_meta, coff = [], [], btree_at + node_size
@@ -447,7 +506,10 @@ def write(
                 chunk_meta.append((ci * chunk_rows, coff, len(blob)))
                 coff += len(blob)
             region = (
-                _dataset_header(len(arr), arr.dtype, btree_at, chunk_rows, compress)
+                _dataset_header(
+                    len(arr), arr.dtype, btree_at, chunk_rows, compress,
+                    attrs=a,
+                )
                 + _chunk_btree(chunk_meta, nchunks * chunk_rows)
                 + b"".join(blobs)
             )
@@ -573,6 +635,9 @@ def _catalog_f(f) -> dict[str, dict[str, Any]]:
                         info["chunk_elem"] = int(dims[-1])
                 elif mtype == 0x000B:
                     info["filters"] = _parse_filters(mdata)
+                elif mtype == 0x000C:
+                    k, v = _parse_attr(mdata)
+                    info.setdefault("attrs", {})[k] = v
             out[name] = info
     return out
 

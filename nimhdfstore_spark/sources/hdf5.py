@@ -44,19 +44,21 @@ except ImportError:
     h5py = None
     HAVE_H5PY = False
 
-#: I/O backend: h5py (full format: chunked, compressed) when
-#: installed, else the from-scratch pure-Python subset in h5lite.py
-#: (contiguous compound datasets) — so the HDF5 legs EXECUTE everywhere.
+#: I/O backend: h5py when installed, else the from-scratch pure-Python
+#: implementation in h5lite.py (contiguous + chunked/gzip compound
+#: datasets, VLEN via the global heap, scalar attributes) — so the HDF5
+#: legs EXECUTE everywhere.
 BACKEND = "h5py" if HAVE_H5PY else "h5lite"
 
 
 def _require_h5py() -> None:
     if not HAVE_H5PY:
         raise RuntimeError(
-            "h5py is required for this HDF5 feature (VLEN/chunked/"
-            "compressed datasets) but is not installed; scalar and "
-            "fixed-width-string tables go through the built-in h5lite "
-            "backend, and the Parquet store remains the scale default"
+            "h5py is required for this feature (h5py special dtypes) but "
+            "is not installed; table I/O (scalar/string/vlen columns, "
+            "chunked/gzip layouts, attrs) goes through the built-in "
+            "h5lite backend, and the Parquet store remains the scale "
+            "default"
         )
 
 
@@ -133,6 +135,7 @@ def table_info(path: str, dataset: str) -> dict:
                 "chunk_size": int(d.chunks[0]) if d.chunks else int(d.shape[0]) or 1,
                 "schema": compound_to_schema(d.dtype),
                 "columns": list(d.dtype.names),
+                "attrs": {k: v for k, v in d.attrs.items()},
             }
     from nimhdfstore_spark.sources import h5lite
 
@@ -145,6 +148,7 @@ def table_info(path: str, dataset: str) -> dict:
         "chunk_size": int(info.get("chunk_rows", 5000)),
         "schema": compound_to_schema(info["dtype"]),
         "columns": list(info["dtype"].names),
+        "attrs": dict(info.get("attrs", {})),
     }
 
 
@@ -216,6 +220,7 @@ def write_hdf5_table(
     dataset: str,
     chunk_size: int = 5000,
     compression: bool = False,
+    attrs: dict | None = None,
 ) -> None:
     """Single-writer HDF5 table write (H5TBmake_table analog, nimtables.nim:
     94-104; default chunk 5000 and optional deflate match openHDFStore,
@@ -224,7 +229,8 @@ def write_hdf5_table(
     bottleneck, documented rather than hidden."""
     if not HAVE_H5PY:
         return _write_hdf5_table_lite(
-            df, path, dataset, chunk_size=chunk_size, compression=compression
+            df, path, dataset, chunk_size=chunk_size, compression=compression,
+            attrs=attrs,
         )
     import numpy as np
 
@@ -237,6 +243,8 @@ def write_hdf5_table(
             dataset, shape=(0,), maxshape=(None,), dtype=dt,
             chunks=(chunk_size,), compression="gzip" if compression else None,
         )
+        for k, v in _scalar_attrs(attrs).items():
+            d.attrs[k] = v
         n = 0
         # stream Arrow batches driver-side (bounded memory, no row loop for
         # fixed-width columns; vlen columns are per-cell objects by nature)
@@ -262,12 +270,26 @@ def write_hdf5_table(
             n += len(rec)
 
 
+def _scalar_attrs(attrs: dict | None) -> dict:
+    """Store attrs → HDF5-attachable scalars: int/float/str/bool pass
+    through, anything else (lists, dicts) JSON-stringifies — HDF5 scalar
+    attributes can't hold them natively and dropping them silently would
+    lose catalog metadata in a migration."""
+    import json as _json
+
+    out = {}
+    for k, v in (attrs or {}).items():
+        out[k] = v if isinstance(v, (int, float, str, bool)) else _json.dumps(v)
+    return out
+
+
 def _write_hdf5_table_lite(
     df: DataFrame,
     path: str,
     dataset: str,
     chunk_size: int = 5000,
     compression: bool = False,
+    attrs: dict | None = None,
 ) -> None:
     """h5lite write leg: scalar, string and VLEN-sequence columns. Arrays
     go through h5lite's global heap writer (reference
@@ -338,6 +360,7 @@ def _write_hdf5_table_lite(
         path, existing,
         chunk_rows=chunk_rows,
         compress=6 if compression else None,
+        attrs={dataset: _scalar_attrs(attrs)} if attrs else None,
     )
 
 
@@ -406,6 +429,7 @@ def hdf5_to_store(
     stable positions. Returns the new :class:`Table`."""
     df = read_hdf5_table(store.spark, path, dataset)
     keys = list(order_by) if order_by else [df.columns[0]]
+    put_kwargs.setdefault("attrs", table_info(path, dataset).get("attrs"))
     return store.put(name or dataset, df, order_by=keys, **put_kwargs)
 
 
@@ -416,4 +440,5 @@ def store_to_hdf5(table, path: str, dataset: str, **write_kwargs) -> None:
     from nimhdfstore_spark.rowid import ROWID
 
     df = table.df().orderBy(ROWID).drop(ROWID)
+    write_kwargs.setdefault("attrs", table.attrs)
     write_hdf5_table(df, path, dataset, **write_kwargs)

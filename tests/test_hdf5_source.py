@@ -213,3 +213,25 @@ def test_hdf5_chunked_compressed_roundtrip(spark, tmp_path):
     got = {r["k"]: (r["v"], r["tag"]) for r in back.where("k % 4999 = 0").collect()}
     for k in (0, 4999, 9998, 14997, 19996):
         assert got[k] == (k * 0.5, f"tag{k % 7}")
+
+
+def test_migration_carries_attrs(spark, tmp_path):
+    # store attrs survive store → HDF5 → store (scalar attribute messages
+    # in the dataset object header; non-scalars JSON-stringify)
+    from nimhdfstore_spark.store import Store
+
+    s = Store(spark, str(tmp_path / "store"))
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "k long, v double")
+    t = s.put("t", df, order_by=["k"],
+              attrs={"unit": "kelvin", "scale": 2.5, "n": 7, "tags": [1, 2]})
+    out = str(tmp_path / "out.h5")
+    h5src.store_to_hdf5(t, out, "t")
+    info = h5src.table_info(out, "t")
+    assert info["attrs"]["unit"] == "kelvin"
+    assert info["attrs"]["scale"] == 2.5
+    assert info["attrs"]["n"] == 7
+    assert info["attrs"]["tags"] == "[1, 2]"  # JSON-stringified non-scalar
+    s2 = Store(spark, str(tmp_path / "store2"))
+    t2 = h5src.hdf5_to_store(s2, out, "t", order_by=["k"])
+    assert t2.attrs["unit"] == "kelvin" and t2.attrs["n"] == 7
+    assert t2.nrows == 100
