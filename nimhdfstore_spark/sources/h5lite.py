@@ -302,6 +302,8 @@ def _parse_attr(mdata: bytes):
     if rank != 0:
         raise ValueError("only scalar attributes supported")
     pos += spsz + (-spsz % 8)
+    if file_dt.kind == "V":  # vlen-typed attr from a foreign writer
+        raise ValueError("variable-length attributes not supported")
     raw = mdata[pos : pos + file_dt.itemsize]
     if file_dt.kind == "S":
         return name, raw.split(b"\x00", 1)[0].decode("utf-8", "replace")

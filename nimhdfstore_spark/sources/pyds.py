@@ -143,14 +143,19 @@ class StoreReader(DataSourceReader):
             yield batch
 
 
-_REGISTERED: set[int] = set()
+_REGISTERED: set[str] = set()
 
 
 def ensure_registered(spark) -> None:
     """Register the source once per session: ``spark.dataSource.register``
     costs ~1 s of Py4J + pickling per call, and repeated registration of
-    the same class is a no-op semantically."""
-    key = id(spark)
+    the same class is a no-op semantically. Keyed by applicationId (a
+    fresh session after stop() must re-register; ``id(spark)`` could be
+    reused by the allocator)."""
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:
+        key = str(id(spark))
     if key not in _REGISTERED:
         spark.dataSource.register(StoreDataSource)
         _REGISTERED.add(key)
