@@ -482,3 +482,131 @@ def x185(spark, sf_dir):
         "doc_id", "payload"
     )
     return M.decode_images(resized).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x186 — multimodal DISPATCH pipeline end-to-end: a mixed corpus (real
+# decodable PNGs on even doc_ids, canonical WAV containers with real
+# PCM16 payloads on odd) is routed by sniff_mime to the per-format
+# decoders — decode_images for PNG pixels, parse_media_headers +
+# pcm16_features for WAV — and the per-doc metrics union into one frame.
+# This is the route-by-sniffed-type shape a real media corpus needs
+# (mislabeled bytes go to the right decoder or fall out, never crash the
+# stage); every metric has a closed form the oracle recomputes.
+# --------------------------------------------------------------------------
+
+_X186_N = 120
+
+def _x186_sql() -> str:
+    rates = ", ".join(str(r) for r in _WAV_RATES)
+    return f"""
+WITH src AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+  FROM documents WHERE doc_id < {_X186_N}
+),
+xs AS (SELECT unnest(range(17)) AS x),
+ys AS (SELECT unnest(range(15)) AS y),
+png AS (
+  SELECT s.doc_id, CAST(s.w AS BIGINT) AS m1, CAST(s.h AS BIGINT) AS m2,
+         CAST(SUM((s.doc_id + x + 3 * y) % 256) AS BIGINT) AS m3
+  FROM src s CROSS JOIN xs CROSS JOIN ys
+  WHERE x < s.w AND y < s.h AND s.doc_id % 2 = 0
+  GROUP BY s.doc_id, s.w, s.h
+),
+is_ AS (SELECT unnest(range(64)) AS i),
+wav AS (
+  SELECT s.doc_id,
+         CAST(1 + (s.doc_id // 2) % 2 AS BIGINT) AS m1,
+         CAST(([{rates}])[CAST(s.doc_id % 5 AS INT) + 1] AS BIGINT) AS m2,
+         CAST(SUM(POWER((s.doc_id * 31 + i * 17) % 2003 - 1001, 2))
+           AS BIGINT) AS m3
+  FROM src s CROSS JOIN is_
+  WHERE s.doc_id % 2 = 1
+  GROUP BY s.doc_id
+)
+SELECT doc_id, 'png' AS kind, m1, m2, m3 FROM png
+UNION ALL
+SELECT doc_id, 'wav' AS kind, m1, m2, m3 FROM wav
+ORDER BY doc_id
+"""
+
+
+@query("x186_media_dispatch_pipeline", _x186_sql())
+def x186(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _X186_N)
+
+    # evens: real decodable gradient PNGs (shared x184 fixture rule)
+    pngs = _png_gradient_payloads(spark, sf_dir, _X186_N).where(
+        F.col("doc_id") % 2 == 0
+    )
+
+    # odds: canonical RIFF/WAVE container + 64 real PCM16-LE samples
+    # s_i = ((doc_id*31 + i*17) % 2003) - 1001 (the x172 generator)
+    ch = (1 + F.expr("doc_id div 2") % 2).cast("long")
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in _WAV_RATES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    ).cast("long")
+
+    def le(x, nbytes):
+        parts = [
+            F.lpad(F.hex((x / F.lit(256 ** i)).cast("long") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    pcm_hex = F.array_join(
+        F.expr(
+            "transform(sequence(0, 63), i -> "
+            "concat(substring(lpad(hex(((doc_id * 31 + i * 17) % 2003) - 1001"
+            " & 65535), 4, '0'), 3, 2), "
+            "substring(lpad(hex(((doc_id * 31 + i * 17) % 2003) - 1001"
+            " & 65535), 4, '0'), 1, 2)))"
+        ),
+        "",
+    )
+    data_bytes = F.lit(128)  # 64 samples * 2 bytes
+    wav_hex = F.concat(
+        F.lit("52494646"), le(data_bytes + 36, 4), F.lit("57415645"),
+        F.lit("666D7420"), le(F.lit(16), 4), le(F.lit(1), 2), le(ch, 2),
+        le(rate, 4), le(rate * ch * 2, 4), le(ch * 2, 2), le(F.lit(16), 2),
+        F.lit("64617461"), le(data_bytes, 4), pcm_hex,
+    )
+    wavs = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.unhex(wav_hex).alias("payload")
+    )
+
+    # materialize the tiny routed corpus ONCE: three downstream legs each
+    # rescan it, and the PNG-encode mapInPandas + 44-term WAV hex assembly
+    # would otherwise re-execute per leg (measured 3× the work)
+    corpus = pngs.unionByName(wavs)
+    sniffed = M.sniff_mime(corpus).select("doc_id", "sniffed_mime")
+    routed = corpus.join(sniffed, "doc_id").persist()
+
+    png_leg = M.decode_images(
+        routed.where(F.col("sniffed_mime") == "image/png")
+    ).select(
+        "doc_id", F.lit("png").alias("kind"),
+        F.col("width").cast("long").alias("m1"),
+        F.col("height").cast("long").alias("m2"),
+        F.col("px_sum").alias("m3"),
+    )
+
+    wav_payloads = routed.where(F.col("sniffed_mime") == "audio/wav")
+    hdr = M.parse_media_headers(wav_payloads).select(
+        "doc_id", "n_channels", "sample_rate"
+    )
+    pcm = wav_payloads.select(
+        "doc_id", F.expr("substring(payload, 45, 128)").alias("pcm")
+    )
+    energy = (
+        M.pcm16_features(pcm, id_col="doc_id", pcm_col="pcm", window=64)
+        .groupBy("doc_id")
+        .agg(F.sum("energy").alias("m3"))
+    )
+    wav_leg = hdr.join(energy, "doc_id").select(
+        "doc_id", F.lit("wav").alias("kind"),
+        F.col("n_channels").alias("m1"),
+        F.col("sample_rate").alias("m2"), "m3",
+    )
+    return png_leg.unionByName(wav_leg).orderBy("doc_id")
