@@ -172,6 +172,149 @@ def bpe_token_count(text: Column | str) -> Column:
 
 
 # --------------------------------------------------------------------------
+# Real byte-pair-encoding: learn merges from the corpus word histogram,
+# apply them with a broadcast merge table (Sennrich et al., ACL 2016 —
+# the published algorithm; the x154 pair-stat query is its per-round
+# frequency table). Training consumes the WORD HISTOGRAM, not the corpus:
+# at 100 TB the distinct-word count table is the only thing that moves,
+# and it is capped (top-V by frequency) like every practical BPE trainer.
+# --------------------------------------------------------------------------
+
+# end-of-word sentinel: newline is whitespace, and whitespace-run
+# pre-tokens are filtered before encoding, so no word symbol can ever
+# contain it -- a merged symbol carries it only as its final character
+_EOW = "\n"
+
+
+def _word_syms(word: str) -> tuple:
+    return tuple(word) + (_EOW,)
+
+
+def _merge_word(syms: tuple, pair: tuple) -> tuple:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 50,
+    top_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges: ONE distributed pass builds the
+    (word, count) histogram (explode + groupBy — map-side combined), the
+    top ``top_words`` rows collect to the driver (histogram-sized, never
+    corpus-sized — the same cap every practical trainer applies), and the
+    published merge loop runs there. Ties break deterministically by
+    (count desc, pair lexicographic), so the merge list is reproducible
+    on any engine/partitioning."""
+    hist_rows = (
+        df.select(F.explode(bpe_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .limit(top_words)
+        .collect()
+    )
+    vocab = {_word_syms(r["w"]): int(r["count"]) for r in hist_rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple, int] = {}
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        vocab = {
+            _merge_word(syms, best): cnt for syms, cnt in vocab.items()
+        }
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode every document with a learned merge list: Arrow-batched
+    ``mapInPandas``, merges broadcast by closure (rank dict), per-batch
+    memoization over distinct words (corpus word reuse makes the encode
+    cost per DISTINCT word, not per occurrence). Output:
+    ``(id, n_pretokens, n_tokens, tokens array<string>)`` — merging only
+    ever shrinks n_tokens toward n_pretokens' lower bound."""
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    pattern = BPE_PATTERN
+
+    def encode_word(word: str, cache: dict) -> list:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = _word_syms(word)
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for a, b in zip(syms, syms[1:]):
+                r = ranks.get((a, b))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (a, b), r
+            if best is None:
+                break
+            syms = _merge_word(syms, best)
+        out = []
+        for s in syms:
+            if s.endswith(_EOW):
+                s = s[:-1]
+            if s:
+                out.append(s)
+        cache[word] = out
+        return out
+
+    def run(batches):
+        import re
+
+        import pandas as pd
+
+        rx = re.compile(pattern)
+        for pdf in batches:
+            cache: dict = {}
+            ids, npre, ntok, toks = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [
+                    w for w in rx.findall(text or "") if not w.isspace()
+                ]
+                enc: list = []
+                for w in words:
+                    enc.extend(encode_word(w, cache))
+                ids.append(did)
+                npre.append(len(words))
+                ntok.append(len(enc))
+                toks.append(enc)
+            yield pd.DataFrame(
+                {
+                    id_col: ids, "n_pretokens": npre,
+                    "n_tokens": ntok, "tokens": toks,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        f"{id_col} long, n_pretokens long, n_tokens long, "
+        "tokens array<string>",
+    )
+
+
+# --------------------------------------------------------------------------
 # RAG-style token-window chunking — the standard retrieval/pre-training
 # preprocessing step: split each document into overlapping fixed-size token
 # windows. Everything is built-in JVM functions (split/sequence/explode/

@@ -699,3 +699,34 @@ def x171(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x187 — REAL BPE: learn merges from the corpus word histogram (Sennrich
+# et al. 2016 — x154 is one round's frequency table), encode every
+# document with the broadcast merge table. Iterative in-word rewriting
+# has no SQL analog, so this is a rows-only registry entry; correctness
+# is pinned by an independent reimplementation + hypothesis equivalence
+# in tests/test_round7.py (merge-order vs min-rank-first encoding), and
+# the in-query invariant n_pretokens <= n_tokens <= char count is
+# asserted on every row.
+# --------------------------------------------------------------------------
+
+
+@query("x187_bpe_encode", None)
+def x187(spark, sf_dir):
+    from nimhdfstore_spark.operators.text import bpe_apply, bpe_learn
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_learn(docs, "text", num_merges=24, top_words=2000)
+    enc = bpe_apply(docs, "doc_id", "text", merges)
+    out = enc.select(
+        "doc_id", "n_pretokens", "n_tokens",
+        F.array_join(F.slice("tokens", 1, 8), "|").alias("head_tokens"),
+    )
+    bad = out.where(
+        (F.col("n_tokens") < F.col("n_pretokens")) | (F.col("n_tokens") < 0)
+    ).count()
+    if bad:
+        raise AssertionError(f"{bad} rows violate the BPE count invariant")
+    return out.orderBy("doc_id")

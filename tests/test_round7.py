@@ -259,3 +259,162 @@ def test_minhash_kernel_matches_spark_formulation_non_ascii(spark):
     kern_sigs = {r["id"]: list(r["sig"])
                  for r in kern.select("id", "sig").distinct().collect()}
     assert kern_sigs == jvm_sigs
+
+
+# --------------------------------------------------------------------------
+# real BPE (x187): independent-reimplementation equivalence
+# --------------------------------------------------------------------------
+
+def _ref_learn(word_counts: dict, num_merges: int):
+    """Independent Sennrich reference: list-based, no shared helpers."""
+    vocab = {tuple(w) + ("\n",): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get(
+                    (syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def _ref_encode(word: str, merges):
+    """Reference encoding: apply merges IN RANK ORDER, each to fixpoint
+    (Sennrich order) — must equal the operator's min-rank-first loop."""
+    syms = list(word) + ["\n"]
+    for pair in merges:
+        changed = True
+        while changed:
+            changed = False
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == tuple(pair):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+    return [s[:-1] if s.endswith("\n") else s for s in syms if s != "\n" and s]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdef!", min_size=1, max_size=8), min_size=1,
+        max_size=30,
+    ),
+    st.integers(0, 20),
+)
+def test_bpe_learn_matches_reference(words, num_merges):
+    from collections import Counter
+
+    from nimhdfstore_spark.operators.text import (
+        _merge_word, _word_syms,
+    )
+
+    counts = Counter(words)
+    ref = _ref_learn(dict(counts), num_merges)
+    # operator-side learn loop on the same histogram (driver part only)
+    vocab = {_word_syms(w): c for w, c in counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        nv = {}
+        for syms, cnt in vocab.items():
+            m = _merge_word(syms, best)
+            nv[m] = nv.get(m, 0) + cnt
+        vocab = nv
+    assert merges == ref
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=10), min_size=1,
+        max_size=25,
+    ),
+    st.text(alphabet="abcd", min_size=0, max_size=12),
+)
+def test_bpe_encode_min_rank_equals_rank_order(train_words, word):
+    """min-rank-first iteration (the operator) == rank-order-to-fixpoint
+    (the reference) for merges actually learned from a corpus."""
+    from collections import Counter
+
+    merges = _ref_learn(dict(Counter(train_words)), 12)
+    ranks = {tuple(p): r for r, p in enumerate(merges)}
+
+    from nimhdfstore_spark.operators.text import _merge_word, _word_syms
+
+    syms = _word_syms(word) if word else ("\n",)
+    while len(syms) > 1:
+        best, br = None, None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (br is None or r < br):
+                best, br = (a, b), r
+        if best is None:
+            break
+        syms = _merge_word(syms, best)
+    got = [s[:-1] if s.endswith("\n") else s for s in syms]
+    got = [s for s in got if s]
+    assert got == (_ref_encode(word, merges) if word else [])
+
+
+def test_bpe_spark_end_to_end(spark):
+    from nimhdfstore_spark.operators.text import bpe_apply, bpe_learn
+
+    rows = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "low new low new low"),
+        (3, ""),
+        (4, "xyz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_learn(df, "text", num_merges=10, top_words=100)
+    assert merges and all(len(p) == 2 for p in merges)
+    enc = {r["doc_id"]: r for r in bpe_apply(df, "doc_id", "text", merges).collect()}
+    assert enc[3]["n_tokens"] == 0 and enc[3]["tokens"] == []
+    for d, text in rows:
+        words = [w for w in __import__("re").findall(
+            r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+", text)
+            if not w.isspace()]
+        joined = "".join(enc[d]["tokens"])
+        assert joined == "".join(words)  # lossless segmentation
+        for w in set(words):
+            assert enc[d]["n_tokens"] >= enc[d]["n_pretokens"]
+    # frequent words compress below character count
+    assert enc[0]["n_tokens"] < sum(len(w) for w in "low lower lowest low low".split()) + 5
