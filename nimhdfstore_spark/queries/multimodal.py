@@ -610,3 +610,69 @@ def x186(spark, sf_dir):
         F.col("sample_rate").alias("m2"), "m3",
     )
     return png_leg.unionByName(wav_leg).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x188 — STREAMING media ingestion: the x184 PNG corpus lands as an
+# append-only parquet directory of (doc_id, payload) and a Structured
+# Streaming job decodes pixels in-flight (mapInPandas on the streaming
+# frame — stateless map-only decode, so at 100 TB/day the ingest scales
+# with source partitions and needs no state store at all). availableNow
+# drains the backfill into a memory sink; the oracle is x184's closed
+# form. This is the arrival path of a production media pipeline: files
+# appear, pixels and stats stream out.
+# --------------------------------------------------------------------------
+
+_X188_N = 150
+
+_X188_SQL = f"""
+WITH src AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+  FROM documents WHERE doc_id < {_X188_N}
+),
+xs AS (SELECT unnest(range(17)) AS x),
+ys AS (SELECT unnest(range(15)) AS y),
+px AS (
+  SELECT doc_id, w, h, (doc_id + x + 3 * y) % 256 AS v
+  FROM src CROSS JOIN xs CROSS JOIN ys
+  WHERE x < w AND y < h
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS channels, CAST(8 AS INT) AS bit_depth,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+@query("x188_stream_media_ingest", _X188_SQL)
+def x188(spark, sf_dir):
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from nimhdfstore_spark.queries.core import SCRATCH_ROOT
+    from nimhdfstore_spark.streaming.windows import drain
+
+    stage = _os.path.join(
+        SCRATCH_ROOT, f"x188-{_os.path.basename(sf_dir)}"
+    )
+    _shutil.rmtree(stage, ignore_errors=True)
+    src_dir = _os.path.join(stage, "arrivals")
+    _png_gradient_payloads(spark, sf_dir, _X188_N).write.parquet(src_dir)
+
+    sdf = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .parquet(src_dir)
+    )
+    decoded = M.decode_images(sdf)
+    table = f"x188_sink_{_uuid.uuid4().hex[:8]}"
+    drain(
+        spark,
+        decoded.writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", _os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True),
+    )
+    return spark.table(table).orderBy("doc_id")
