@@ -576,12 +576,18 @@ def x186(spark, sf_dir):
         "doc_id", F.unhex(wav_hex).alias("payload")
     )
 
-    # materialize the tiny routed corpus ONCE: three downstream legs each
-    # rescan it, and the PNG-encode mapInPandas + 44-term WAV hex assembly
-    # would otherwise re-execute per leg (measured 3× the work)
+    # materialize the tiny routed corpus ONCE, driver-side: three
+    # downstream legs each rescan it, and the PNG-encode mapInPandas +
+    # 44-term WAV hex assembly would otherwise re-execute per leg
+    # (measured 3× the work). collect+createDataFrame instead of persist:
+    # a lazy frame returned with pinned cache blocks would leak executor
+    # storage into the rest of a 200-query sweep session.
     corpus = pngs.unionByName(wavs)
     sniffed = M.sniff_mime(corpus).select("doc_id", "sniffed_mime")
-    routed = corpus.join(sniffed, "doc_id").persist()
+    routed_rows = corpus.join(sniffed, "doc_id")
+    routed = spark.createDataFrame(
+        routed_rows.collect(), routed_rows.schema
+    )
 
     png_leg = M.decode_images(
         routed.where(F.col("sniffed_mime") == "image/png")

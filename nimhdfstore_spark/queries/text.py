@@ -720,13 +720,11 @@ def x187(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     merges = bpe_learn(docs, "text", num_merges=24, top_words=2000)
     enc = bpe_apply(docs, "doc_id", "text", merges)
-    out = enc.select(
+    # the count invariant (n_pretokens <= n_tokens) is structural in the
+    # encoder — every word emits >= 1 symbol — and is pinned by the
+    # round-7 property tests; re-checking it here would execute the
+    # mapInPandas encode a second time for a driver-side count
+    return enc.select(
         "doc_id", "n_pretokens", "n_tokens",
         F.array_join(F.slice("tokens", 1, 8), "|").alias("head_tokens"),
-    )
-    bad = out.where(
-        (F.col("n_tokens") < F.col("n_pretokens")) | (F.col("n_tokens") < 0)
-    ).count()
-    if bad:
-        raise AssertionError(f"{bad} rows violate the BPE count invariant")
-    return out.orderBy("doc_id")
+    ).orderBy("doc_id")

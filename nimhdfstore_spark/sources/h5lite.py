@@ -608,7 +608,12 @@ def _catalog_f(f) -> dict[str, dict[str, Any]]:
         entries = f_read(f, child + 8, 40 * nsym)
         for i in range(nsym):
             noff, oh_addr = struct.unpack_from("<QQ", entries, 40 * i)
-            nm = f_read(f, heap_data_addr + noff, 256)
+            nm = b""
+            while b"\x00" not in nm:  # names are arbitrary-length
+                more = f_read(f, heap_data_addr + noff + len(nm), 256)
+                if not more:
+                    raise ValueError("unterminated link name in local heap")
+                nm += more
             name = nm[: nm.index(b"\x00")].decode()
             info: dict[str, Any] = {}
             for mtype, mdata in _read_messages_f(f, oh_addr):

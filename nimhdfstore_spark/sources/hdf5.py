@@ -135,7 +135,16 @@ def table_info(path: str, dataset: str) -> dict:
                 "chunk_size": int(d.chunks[0]) if d.chunks else int(d.shape[0]) or 1,
                 "schema": compound_to_schema(d.dtype),
                 "columns": list(d.dtype.names),
-                "attrs": {k: v for k, v in d.attrs.items()},
+                "attrs": {
+                    # h5py yields numpy scalars/bytes; Store.put meta is
+                    # json.dump'd, which cannot serialize np.int64/np.bool_
+                    k: (
+                        v.item() if hasattr(v, "item")
+                        else v.decode("utf-8", "replace")
+                        if isinstance(v, bytes) else v
+                    )
+                    for k, v in d.attrs.items()
+                },
             }
     from nimhdfstore_spark.sources import h5lite
 
@@ -158,13 +167,14 @@ def read_hdf5_table(
     dataset: str,
     columns: Sequence[str] | None = None,
     target_records: int = 4_000_000,
+    _info: dict | None = None,
 ) -> DataFrame:
     """Parallel scan of an HDF5 compound table: one task per chunk-aligned
     record range; each executor reads only its hyperslab (mirrors
     ``H5TBread_records`` + chunk intersection). Column projection happens in
     the h5py read (field subsetting), the analog of ``H5TBread_fields_name``
     (P8, hl/H5TBpublic.nim:73-76)."""
-    info = table_info(path, dataset)
+    info = _info if _info is not None else table_info(path, dataset)
     schema = info["schema"]
     if columns:
         keep = [f for f in schema.fields if f.name in set(columns)]
@@ -348,11 +358,18 @@ def _write_hdf5_table_lite(
     for name, _ in np_fields:
         rec[name] = data[name]
     existing = {}
+    all_attrs: dict[str, dict] = {}
     if os.path.exists(path):
-        existing = {
-            k: h5lite.read(path, k) for k in h5lite.catalog(path) if k != dataset
-        }
+        cat = h5lite.catalog(path)
+        for k, info in cat.items():
+            if k == dataset:
+                continue
+            existing[k] = h5lite.read(path, k)
+            if info.get("attrs"):  # rewrite must not drop other datasets' attrs
+                all_attrs[k] = info["attrs"]
     existing[dataset] = rec
+    if attrs:
+        all_attrs[dataset] = _scalar_attrs(attrs)
     # one B-tree leaf per dataset: widen the chunk if 64 chunks won't cover
     max_rows = max((len(a) for a in existing.values()), default=0)
     chunk_rows = max(int(chunk_size), -(-max_rows // 64) if max_rows else 1)
@@ -360,7 +377,7 @@ def _write_hdf5_table_lite(
         path, existing,
         chunk_rows=chunk_rows,
         compress=6 if compression else None,
-        attrs={dataset: _scalar_attrs(attrs)} if attrs else None,
+        attrs=all_attrs or None,
     )
 
 
@@ -427,9 +444,10 @@ def hdf5_to_store(
     defaults to the first column, mirroring how the reference's tables are
     keyed by their leading field in practice; pass the real unique key for
     stable positions. Returns the new :class:`Table`."""
-    df = read_hdf5_table(store.spark, path, dataset)
+    info = table_info(path, dataset)
+    df = read_hdf5_table(store.spark, path, dataset, _info=info)
     keys = list(order_by) if order_by else [df.columns[0]]
-    put_kwargs.setdefault("attrs", table_info(path, dataset).get("attrs"))
+    put_kwargs.setdefault("attrs", info.get("attrs"))
     return store.put(name or dataset, df, order_by=keys, **put_kwargs)
 
 

@@ -143,22 +143,25 @@ class StoreReader(DataSourceReader):
             yield batch
 
 
-_REGISTERED: set[str] = set()
+import weakref
+
+_REGISTERED = weakref.WeakSet()
 
 
 def ensure_registered(spark) -> None:
     """Register the source once per session: ``spark.dataSource.register``
     costs ~1 s of Py4J + pickling per call, and repeated registration of
-    the same class is a no-op semantically. Keyed by applicationId (a
-    fresh session after stop() must re-register; ``id(spark)`` could be
-    reused by the allocator)."""
+    the same class is a no-op semantically. Tracked in a WeakSet of the
+    session OBJECTS — registration is per-SparkSession (newSession() under
+    the same applicationId needs its own), and weak references can never
+    alias a dead session's recycled ``id()``."""
     try:
-        key = spark.sparkContext.applicationId
-    except Exception:
-        key = str(id(spark))
-    if key not in _REGISTERED:
+        if spark in _REGISTERED:
+            return
         spark.dataSource.register(StoreDataSource)
-        _REGISTERED.add(key)
+        _REGISTERED.add(spark)
+    except TypeError:  # non-weakref-able session object: just register
+        spark.dataSource.register(StoreDataSource)
 
 
 class StoreDataSource(DataSource):
