@@ -131,12 +131,31 @@ def ivf_topk(
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF ANN: search only each probe's ``nprobe`` nearest clusters."""
-    from nimhdfstore_spark.functions.vector import dot, l2_norm
-
     cents = deterministic_centroids(corpus, num_centroids, id_col)
     assigned = assign_clusters(corpus, cents, id_col, vec_col)
+    cent = cents.select(
+        F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centv")
+    )
+    return ivf_probe(assigned, cent, probes, id_col, vec_col, k, nprobe)
 
-    cent = cents.select(F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("centv"))
+
+def ivf_probe(
+    assigned: DataFrame,
+    cent: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The IVF SEARCH phase over a prebuilt index: ``assigned`` is the
+    inverted list table (cluster_id, id, vec, vn — ``assign_clusters``
+    output, possibly read back from a persisted store table), ``cent``
+    the (cluster_id, centv) routing table (tiny → broadcast). Split out
+    so a persisted index is probed without rebuilding (x189); ``ivf_topk``
+    composes build + probe for the one-shot case."""
+    from nimhdfstore_spark.functions.vector import dot, l2_norm
+
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv"),
         l2_norm(vec_col).alias("pn"),

@@ -903,3 +903,71 @@ def x178(spark, sf_dir):
     return comp.select(
         F.col("id").alias("vec_id"), F.col("comp").alias("cluster")
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# x189 — PERSISTED IVF index probed from disk: the index (routing
+# centroids + inverted lists) is built once and stored as store TABLES —
+# assignments ordered by (cluster_id, id), so each cluster's rows land in
+# contiguous, zone-map-prunable files — then a FRESH read-only store
+# handle probes it: route each probe to nprobe clusters via the broadcast
+# centroid table, scan ONLY those clusters' files (pruning asserted
+# in-query through the cluster_id zone map), exact-cosine verify, top-k.
+# This is x140's persisted-index shape for vector search: per-batch probe
+# cost tracks batch size + cluster width, never corpus size, and index
+# build cost amortizes across every future batch. Same math as x41, so
+# the same oracle pins the values.
+# --------------------------------------------------------------------------
+
+
+@query("x189_ann_ivf_persisted", _ivf_sql())
+def x189(spark, sf_dir):
+    import os as _os
+
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.store import Store
+
+    emb = load(spark, sf_dir, "embeddings")
+    store = scratch_store(spark, f"x189-{_os.path.basename(sf_dir)}")
+
+    # build phase: persist routing table + inverted lists
+    cents = S.deterministic_centroids(emb, _IVF_K, "vec_id")
+    cent = cents.select(
+        F.col("vec_id").alias("cluster_id"), F.col("embedding").alias("centv")
+    )
+    assigned = S.assign_clusters(emb, cents, "vec_id", "embedding")
+    from nimhdfstore_spark.tables import table_nrows
+
+    # ~12 files at any sf: zone-map selectivity check stays meaningful
+    # without drowning larger scales in tiny-file write overhead
+    store.rows_per_file = max(48, table_nrows(sf_dir, "embeddings") // 12)
+    store.put("ivf/centroids", cent, order_by=["cluster_id"], overwrite=True)
+    store.put(
+        "ivf/assignments", assigned, order_by=["cluster_id", "id"],
+        overwrite=True,
+    )
+
+    # probe phase: fresh read-only handles — everything comes off disk
+    ro = Store(spark, store.root, mode="r")
+    cent_t = ro.table("ivf/centroids")
+    asg_t = ro.table("ivf/assignments")
+    probes = emb.where(F.col("vec_id").isin(list(_PROBES)))
+    out = S.ivf_probe(
+        asg_t.df().drop("_rowid"),
+        cent_t.df().drop("_rowid"),
+        probes, k=_K, nprobe=_IVF_NPROBE,
+    )
+
+    # the layout must actually prune: with the inverted lists ordered by
+    # cluster_id, per-file cluster spans are narrow and disjoint-ish, so a
+    # probe touching nprobe clusters skips files whose span misses them.
+    # Assert the zone map is selective (identical spans everywhere would
+    # mean the layout degenerated and nothing can ever prune).
+    zm = asg_t.zone_map("cluster_id")
+    if len(zm) > 2:
+        spans = [(e["lo"], e["hi"]) for e in zm]
+        if all(sp == spans[0] for sp in spans):
+            raise AssertionError(
+                f"assignments layout is not cluster-selective: {spans[:4]}"
+            )
+    return out.orderBy("probe_id", "rank")
