@@ -941,9 +941,21 @@ def x189(spark, sf_dir):
     # ~12 files at any sf: zone-map selectivity check stays meaningful
     # without drowning larger scales in tiny-file write overhead
     store.rows_per_file = max(48, table_nrows(sf_dir, "embeddings") // 12)
-    store.put("ivf/centroids", cent, order_by=["cluster_id"], overwrite=True)
+    # pin the single-task window rowid: the assignment frame is SKINNY
+    # (one row per vector) but its plan is a crossJoin + window, whose
+    # product-of-sides sizeInBytes estimate pushes with_rowid's auto
+    # strategy onto the prefix-sum path — which re-executes the join per
+    # pass (the q45 failure mode, 37 s in-bench at sf0.1; window: ~2 s)
+    from nimhdfstore_spark.rowid import with_rowid
+
     store.put(
-        "ivf/assignments", assigned, order_by=["cluster_id", "id"],
+        "ivf/centroids",
+        with_rowid(cent, ["cluster_id"], strategy="window"),
+        overwrite=True,
+    )
+    store.put(
+        "ivf/assignments",
+        with_rowid(assigned, ["cluster_id", "id"], strategy="window"),
         overwrite=True,
     )
 
