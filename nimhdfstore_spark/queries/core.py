@@ -392,10 +392,19 @@ def q13(spark, sf_dir):
 # array cells (unhashable lists) — so the *checked* output projects the array
 # to a sortable scalar on BOTH engines (%.1f is exact here: every element is
 # id + j/10 with one decimal digit). The store still round-trips ArrayType.
+#
+# One query asserts BOTH P7 projections (round-4 verdict ask #2: the driver's
+# sweep is a ~50-entry count cap, so the core suite is frozen at ≤49 entries —
+# never add a 50th): the scalar per-row view (n_vals, vals_str) AND the
+# exploded element view (j, val) via posexplode_outer, which keeps the
+# empty-array rows (id % 7 == 0) as null (j, val) so all 1000 ids stay
+# covered. DuckDB mirrors with a LEFT JOIN on the element range.
 _Q14_SQL = (
-    "SELECT id, CAST(id % 7 AS BIGINT) AS n_vals, "
-    "coalesce(array_to_string(list_transform(range(id % 7), j -> printf('%.1f', id + j/10.0)), ','), '') AS vals_str "
-    "FROM range(1000) t(id) ORDER BY id"
+    "SELECT t.id, CAST(t.id % 7 AS BIGINT) AS n_vals, "
+    "coalesce(array_to_string(list_transform(range(t.id % 7), j -> printf('%.1f', t.id + j/10.0)), ','), '') AS vals_str, "
+    "CAST(s.j AS BIGINT) AS j, t.id + s.j/10.0 AS val "
+    "FROM range(1000) t(id) LEFT JOIN range(7) s(j) ON s.j < t.id % 7 "
+    "ORDER BY t.id, s.j"
 )
 
 
@@ -423,23 +432,11 @@ def q14(spark, sf_dir):
             F.array_join(
                 F.transform("vals", lambda v: F.format_string("%.1f", v)), ","
             ).alias("vals_str"),
+            F.posexplode_outer("vals").alias("j", "val"),
         )
-        .orderBy("id")
+        .withColumn("j", F.col("j").cast("long"))
+        .orderBy("id", "j")
     )
-
-
-_Q14B_SQL = (
-    "SELECT t.id, CAST(s.j AS BIGINT) AS j, t.id + s.j/10.0 AS val "
-    "FROM range(1000) t(id), range(7) s(j) WHERE s.j < t.id % 7 ORDER BY t.id, s.j"
-)
-
-
-@query("q14b_vlen_exploded", _Q14B_SQL)
-def q14b(spark, sf_dir):
-    df = _vlen_df(spark)
-    return df.select(
-        "id", F.posexplode("vals").alias("j", "val")
-    ).withColumn("j", F.col("j").cast("long")).orderBy("id", "j")
 
 
 # --------------------------------------------------------------------------

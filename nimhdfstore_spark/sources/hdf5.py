@@ -125,6 +125,24 @@ def plan_partitions(
 
 # -- read leg -----------------------------------------------------------------
 
+def _attr_value(v):
+    """JSON-safe Python value for an h5py attribute. Scalars via ``.item()``;
+    bytes decoded; ARRAY-valued attributes (legal HDF5, written by foreign
+    tools) via ``.tolist()`` — ``.item()`` on those raises ValueError and
+    used to crash table_info for the whole dataset."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if hasattr(v, "item"):
+        try:
+            if getattr(v, "size", 1) == 1:
+                out = v.item()
+                return out.decode("utf-8", "replace") if isinstance(out, bytes) else out
+            return v.tolist()
+        except (ValueError, AttributeError):
+            return str(v)
+    return v
+
+
 def table_info(path: str, dataset: str) -> dict:
     """Driver-side catalog lookup: (nrecords, chunk_size, schema)."""
     if HAVE_H5PY:
@@ -137,12 +155,11 @@ def table_info(path: str, dataset: str) -> dict:
                 "columns": list(d.dtype.names),
                 "attrs": {
                     # h5py yields numpy scalars/bytes; Store.put meta is
-                    # json.dump'd, which cannot serialize np.int64/np.bool_
-                    k: (
-                        v.item() if hasattr(v, "item")
-                        else v.decode("utf-8", "replace")
-                        if isinstance(v, bytes) else v
-                    )
+                    # json.dump'd, which cannot serialize np.int64/np.bool_.
+                    # .item() only applies to size-1 values — a foreign file
+                    # with an array-valued attribute must degrade to a list,
+                    # not crash the whole table_info call.
+                    k: _attr_value(v)
                     for k, v in d.attrs.items()
                 },
             }

@@ -175,14 +175,19 @@ def _collect_payload(df: DataFrame, what: str) -> list:
     count job would double tiny-mutation latency)."""
     if df.isLocal():
         return df.collect()
-    probe = df.limit(PAYLOAD_MAX_ROWS + 1).count()
-    if probe > PAYLOAD_MAX_ROWS:
+    # ONE bounded job: limit(N+1).collect(), then check the length. The
+    # earlier count-then-collect shape executed the payload plan twice —
+    # a nondeterministic payload (sample(), rand()-derived filters) could
+    # pass the gate with one row set and collect a different one, and every
+    # distributed mutation paid an extra Spark job.
+    rows = df.limit(PAYLOAD_MAX_ROWS + 1).collect()
+    if len(rows) > PAYLOAD_MAX_ROWS:
         raise StoreError(
             f"{what} payload exceeds {PAYLOAD_MAX_ROWS} rows; mutation "
             "payloads are driver-sized by contract — bulk-load with "
             "Store.put, or attach _rowid positions and use update_rows"
         )
-    return df.collect()
+    return rows
 
 
 def _codec_name(codec: str) -> str:
@@ -662,7 +667,12 @@ class Store:
     }
 
     def _write_local(
-        self, name: str, snap: str, body: DataFrame, codec: str
+        self,
+        name: str,
+        snap: str,
+        body: DataFrame,
+        codec: str,
+        expected_rows: int | None = None,
     ) -> bool:
         """Driver-direct write for driver-sized payloads: mutation batches
         are in-memory rows by contract (reference parity — nimtables
@@ -690,6 +700,17 @@ class Store:
 
         if local_rows is not None:
             rows, schema = local_rows
+            # the marker is only valid when the frame flowed unmodified from
+            # _new_rows: a caller that filtered/unioned the marked frame but
+            # kept the attribute would silently write the stale marker rows.
+            # The committer knows the row count it expects — cross-check it.
+            if expected_rows is not None and len(rows) != expected_rows:
+                raise StoreError(
+                    f"driver-rows marker has {len(rows)} rows but the commit "
+                    f"expects {expected_rows}: the marked frame was "
+                    "transformed after _new_rows — drop the marker or pass "
+                    "the transformed frame without it"
+                )
             from pyspark.sql.pandas.types import to_arrow_schema
 
             tbl = pa.Table.from_pylist(
@@ -701,7 +722,13 @@ class Store:
         if ROWID in tbl.column_names:
             tbl = tbl.sort_by(ROWID)
         snap_dir = os.path.join(self._table_dir(name), snap)
-        os.makedirs(snap_dir, exist_ok=True)
+        # Overwrite semantics, matching the distributed path's
+        # mode("overwrite"): a prior attempt at this snapshot number that
+        # crashed mid-write leaves uuid-named files behind — appending new
+        # ones beside them would double-catalog the rows (silent
+        # duplication) and break _commit_pruned's hardlinks.
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        os.makedirs(snap_dir)
         step = max(1, int(self.rows_per_file))
         for i, lo in enumerate(range(0, max(tbl.num_rows, 1), step)):
             chunk = tbl.slice(lo, step)
@@ -718,12 +745,15 @@ class Store:
         body: DataFrame,
         codec: str,
         cluster: list | None = None,
+        expected_rows: int | None = None,
     ) -> None:
         # Range-shuffle on _rowid (AQE picks the partition count), sort within
         # partitions, and cap rows per output file: sorted non-overlapping
         # files without needing a row count up front. With ``cluster`` the
         # physical order is the cluster key instead (Table.cluster_by).
-        if cluster is None and self._write_local(name, snap, body, codec):
+        if cluster is None and self._write_local(
+            name, snap, body, codec, expected_rows=expected_rows
+        ):
             return
         keys = [F.col(c) if isinstance(c, str) else c for c in cluster] if cluster \
             else [F.col(ROWID)]
@@ -1473,8 +1503,15 @@ class Table:
         snap = _SNAP.format(cur + 1)
         old_dir = self.snapshot_path
         new_dir = os.path.join(store._table_dir(self.name), snap)
+        # clear debris from a crashed prior attempt at this snapshot number
+        # (same overwrite semantics as the write paths) so the hardlink loop
+        # below cannot hit FileExistsError or co-catalog stale files
+        shutil.rmtree(new_dir, ignore_errors=True)
         if rewrite is not None and rewrite_count > 0:
-            store._write_files(self.name, snap, rewrite, self.codec, cluster=cluster)
+            store._write_files(
+                self.name, snap, rewrite, self.codec, cluster=cluster,
+                expected_rows=rewrite_count,
+            )
         else:
             os.makedirs(new_dir, exist_ok=True)
         for e in keep:
@@ -1650,24 +1687,34 @@ class Table:
         don't shift, so only the files containing a targeted ``_rowid``
         rewrite — M13 coordinate-write (nimhdf5/datasets.nim:1117-1275) with
         HDF5's touched-chunks-only behavior. Payloads are driver-sized (the
-        reference marshals them in memory too); at scale, sort the ids and
-        binary-search the file catalog instead of the linear probe."""
+        reference marshals them in memory too) and routed through the
+        ``_collect_payload`` gate like every other mutation; the collected
+        rows are re-localized so a nondeterministic payload plan cannot
+        diverge between the id probe and the written body. The touched-file
+        probe bisects the sorted ids against each file's [lo, hi] span —
+        O(files × log ids), not the linear O(files × ids) scan."""
         self._flush_dv()
-        ids = [r[ROWID] for r in df.select(ROWID).collect()]
+        import bisect
+
+        rows = _collect_payload(df, "update")
+        ids = [r[ROWID] for r in rows]
         if not ids:
             return
         if len(ids) != len(set(ids)):
             raise StoreError("duplicate _rowid in update payload")
         if min(ids) < 0 or max(ids) >= self.nrows:
             raise StoreError(f"update _rowid out of range 0..{self.nrows - 1}")
+        ids_sorted = sorted(ids)
         touched, keep = [], []
         for e in self._ranges():
-            if any(e["lo"] <= i <= e["hi"] for i in ids):
+            pos = bisect.bisect_left(ids_sorted, e["lo"])
+            if pos < len(ids_sorted) and ids_sorted[pos] <= e["hi"]:
                 touched.append(e)
             else:
                 keep.append(e)
         old = self._read_files(touched)
-        body = old.where(~F.col(ROWID).isin(ids)).unionByName(df)
+        pay_df = self.store.spark.createDataFrame(rows, df.schema)
+        body = old.where(~F.col(ROWID).isin(ids)).unionByName(pay_df)
         self._commit_pruned(keep, body, sum(e["rows"] for e in touched))
 
     def merge(self, df: DataFrame, key: str) -> dict:
