@@ -619,6 +619,51 @@ def hyperplane_bits_table(
     )
 
 
+def _tile_pairs(ids_a, Q_a, ids_b, Q_b, blk: int, pre_tau: float, upper: bool):
+    """Enumerate near-threshold cosine pairs between two row blocks in
+    (blk × blk) tiles — the shared kernel of the cold (whole-bucket) and hot
+    (sub-bucket) paths. ``upper=True`` requires ids_a/Q_a be the same sorted
+    block as ids_b/Q_b and emits the strict upper triangle; ``upper=False``
+    emits the full cross product of two DISJOINT blocks, canonicalized to
+    id_a < id_b. Peak memory is O(blk²) regardless of block sizes; the tile
+    sweep visits each unordered pair exactly once (property-pinned)."""
+    import numpy as np
+
+    n2a = np.sqrt(np.einsum("ij,ij->i", Q_a, Q_a).astype(np.float64))
+    n2b = n2a if upper else np.sqrt(
+        np.einsum("ij,ij->i", Q_b, Q_b).astype(np.float64)
+    )
+    out_a, out_b, out_c = [], [], []
+    ma, mb = len(ids_a), len(ids_b)
+    for i0 in range(0, ma, blk):
+        i1 = min(i0 + blk, ma)
+        for j0 in range(i0 if upper else 0, mb, blk):
+            j1 = min(j0 + blk, mb)
+            G = (Q_a[i0:i1] @ Q_b[j0:j1].T).astype(np.float64)
+            denom = np.outer(n2a[i0:i1], n2b[j0:j1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(denom > 0, G / denom, np.nan)
+            if upper and i0 == j0:  # diagonal tile: strict upper triangle
+                ia, ib = np.triu_indices(i1 - i0, 1)
+            else:
+                ia, ib = np.indices((i1 - i0, j1 - j0)).reshape(2, -1)
+            vals = C[ia, ib]
+            keep = vals >= pre_tau
+            out_a.append(ids_a[i0 + ia[keep]])
+            out_b.append(ids_b[j0 + ib[keep]])
+            out_c.append(vals[keep])
+    if not out_a:
+        empty = np.array([], dtype=ids_a.dtype)
+        return empty, empty, np.array([], dtype=np.float64)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    c = np.concatenate(out_c)
+    if not upper:  # unordered pair → (min, max); fancy-index RHS copies first
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+    return a, b, c
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -628,6 +673,7 @@ def embedding_lsh_pairs(
     bands: int = 16,
     dims: int = 64,
     hot_bucket_block: int = 4096,
+    hot_bucket_split: int | None = None,
 ) -> DataFrame:
     """Bucketed embedding near-dup — the 100 TB primary: pairs that share at
     least one hyperplane-LSH band bucket AND have cosine >= τ.
@@ -661,9 +707,13 @@ def embedding_lsh_pairs(
     that lands ~n/bands rows in one bucket costs time in that task, never
     an executor OOM); the tile sweep visits exactly the full (i<j) pair
     set, pinned identical with/without tiling by a planted-hot-bucket
-    property test. CPU within the one task is still O(m²) dot products —
-    inherent to in-bucket verification; ``embedding_multiprobe_pairs``'s
-    equi-join verify shape distributes even that if a workload needs it.
+    property test. CPU within one bucket's task is O(m²) dot products —
+    ``hot_bucket_split`` additionally SPLITS buckets above the bound into
+    id-hash sub-buckets and fans their pair space out over S·(S+1)/2
+    independent tasks (triangle partitioning), distributing the wall-clock
+    too, at the cost of a detection pass (persist + key counts) and S×
+    replication of the split buckets' rows; ``embedding_multiprobe_pairs``'s
+    equi-join verify shape is the alternative when even that is too coarse.
     """
     if num_planes % bands:
         raise ValueError("num_planes must divide evenly into bands")
@@ -729,55 +779,124 @@ def embedding_lsh_pairs(
 
     blk = int(hot_bucket_block)
 
+    def _empty_pairs():
+        import pandas as pd
+
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine_raw": []}).astype(
+            {"cosine_raw": "float64"}
+        )
+
     def bucket_pairs(key, pdf):
         import pandas as pd
 
         m = len(pdf)
         if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_raw": []}).astype(
-                {"cosine_raw": "float64"}
-            )
+            return _empty_pairs()
         ids = pdf["id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         Q = np.stack(pdf["q"].to_numpy())[order].astype(np.int64)
-        # Hot-bucket memory bound: enumerate the upper triangle in
-        # (blk × blk) tiles instead of one m×m Gram — peak memory is
+        # Hot-bucket memory bound: _tile_pairs enumerates the upper triangle
+        # in (blk × blk) tiles instead of one m×m Gram — peak memory is
         # O(blk²) however large the bucket (an adversarial distribution
         # can put ~n/bands rows in one bucket; the full Gram would be
         # O((n/bands)²) bytes in ONE task). Tile-by-tile enumeration
         # visits exactly the same (i < j) pairs, so the result is
-        # identical (pinned by test_properties_ops hot-bucket test).
-        n2 = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
-        out_a, out_b, out_c = [], [], []
-        for i0 in range(0, m, blk):
-            i1 = min(i0 + blk, m)
-            for j0 in range(i0, m, blk):
-                j1 = min(j0 + blk, m)
-                G = (Q[i0:i1] @ Q[j0:j1].T).astype(np.float64)
-                denom = np.outer(n2[i0:i1], n2[j0:j1])
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    C = np.where(denom > 0, G / denom, np.nan)
-                if i0 == j0:  # diagonal tile: strict upper triangle only
-                    ia, ib = np.triu_indices(i1 - i0, 1)
-                else:
-                    ia, ib = np.indices((i1 - i0, j1 - j0)).reshape(2, -1)
-                vals = C[ia, ib]
-                keep = vals >= pre_tau
-                out_a.append(ids[i0 + ia[keep]])
-                out_b.append(ids[j0 + ib[keep]])
-                out_c.append(vals[keep])
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "cosine_raw": np.concatenate(out_c),
-            }
-        )
+        # identical (pinned by test_round7 hot-bucket test).
+        a, b, c = _tile_pairs(ids, Q, ids, Q, blk, pre_tau, upper=True)
+        return pd.DataFrame({"id_a": a, "id_b": b, "cosine_raw": c})
 
-    near = bucketed.groupBy("band", "bucket").applyInPandas(
-        bucket_pairs, schema=pair_schema
-    )
+    def hot_bucket_pairs(key, pdf):
+        # task key = (band, bucket, s1, s2): the (s1, s2) sub-bucket pair of
+        # one hot bucket. Diagonal tasks (s1 == s2) hold the rows of that one
+        # sub-bucket and emit its internal triangle; cross tasks hold the two
+        # disjoint sub-buckets and emit only cross pairs — so each unordered
+        # pair of the bucket is produced by exactly one task.
+        import pandas as pd
+
+        s1, s2 = int(key[2]), int(key[3])
+        ids = pdf["id"].to_numpy()
+        Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        if s1 == s2:
+            if len(ids) < 2:
+                return _empty_pairs()
+            order = np.argsort(ids, kind="stable")
+            a, b, c = _tile_pairs(
+                ids[order], Q[order], ids[order], Q[order], blk, pre_tau,
+                upper=True,
+            )
+        else:
+            sb = pdf["sb"].to_numpy()
+            ma = sb == s1
+            if not ma.any() or ma.all():
+                return _empty_pairs()
+            a, b, c = _tile_pairs(
+                ids[ma], Q[ma], ids[~ma], Q[~ma], blk, pre_tau, upper=False
+            )
+        return pd.DataFrame({"id_a": a, "id_b": b, "cosine_raw": c})
+
+    # Wall-clock parallelism for adversarially hot buckets (round-4 verdict
+    # ask #5): tiling bounds MEMORY but one hot bucket still serializes all
+    # its tiles in a single task. With ``hot_bucket_split`` set, buckets
+    # larger than the bound are split into S = ceil(m / bound) sub-buckets
+    # by id-hash and their pair space fans out over S·(S+1)/2 independent
+    # tasks (each row replicated S times — the classic all-pairs triangle
+    # partitioning), so the O(m²) dot products spread across the cluster.
+    # Detection costs one persisted pass + a tiny key-count aggregate, and
+    # the sub-bucket hash only routes work — the emitted pair set is
+    # identical (property-pinned), so results stay engine-exact. Default
+    # None keeps today's single-pass plan byte-for-byte (no detection job).
+    if hot_bucket_split is not None:
+        from pyspark import StorageLevel
+
+        split = int(hot_bucket_split)
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+        hot_rows = (
+            bucketed.groupBy("band", "bucket")
+            .count()
+            .where(F.col("count") > split)
+            .collect()
+        )
+    else:
+        hot_rows = []
+
+    if not hot_rows:
+        near = bucketed.groupBy("band", "bucket").applyInPandas(
+            bucket_pairs, schema=pair_schema
+        )
+    else:
+        _S_MAX = 64  # replication cap: S tasks per row of a split bucket
+        spark = df.sparkSession
+        hot_df = spark.createDataFrame(
+            [
+                (int(r["band"]), int(r["bucket"]),
+                 int(min(_S_MAX, -(-int(r["count"]) // split))))
+                for r in hot_rows
+            ],
+            "band int, bucket long, s int",
+        )
+        marked = bucketed.join(F.broadcast(hot_df), ["band", "bucket"], "left_outer")
+        cold_near = (
+            marked.where(F.col("s").isNull())
+            .drop("s")
+            .groupBy("band", "bucket")
+            .applyInPandas(bucket_pairs, schema=pair_schema)
+        )
+        # sub-bucket by id-hash (routing only — never touches values), then
+        # replicate each row to its S (s1, s2) task keys
+        hot_near = (
+            marked.where(F.col("s").isNotNull())
+            .withColumn("sb", F.pmod(F.xxhash64("id"), F.col("s")).cast("int"))
+            .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("s") - 1)))
+            .select(
+                "band", "bucket", "id", "q", "sb",
+                F.least("sb", "t").alias("s1"),
+                F.greatest("sb", "t").alias("s2"),
+            )
+            .groupBy("band", "bucket", "s1", "s2")
+            .applyInPandas(hot_bucket_pairs, schema=pair_schema)
+        )
+        near = cold_near.unionByName(hot_near)
     return (
         near.withColumn("cosine", F.round(F.col("cosine_raw"), 6))
         .where(F.col("cosine") >= threshold)

@@ -89,6 +89,24 @@ def test_embedding_lsh_hot_bucket_tiling_identical(spark):
     assert a == b
     assert len(a) >= 40 * 39 // 2  # the planted clique survived
 
+    # round-4 verdict ask #5: splitting the hot bucket into id-hash
+    # sub-buckets (wall-clock parallelism, not just memory) must emit the
+    # IDENTICAL pair set — every unordered pair lands in exactly one
+    # (s1, s2) task, cross pairs canonicalized to id_a < id_b
+    split = embedding_lsh_pairs(df, "id", "embedding",
+                                hot_bucket_block=7, hot_bucket_split=10, **kw)
+    c = sorted(map(tuple, split.collect()))
+    assert a == c
+
+    # string ids exercise the non-numeric canonicalization leg
+    sdf = df.select(F.format_string("doc-%03d", "id").alias("id"), "embedding")
+    sfull = embedding_lsh_pairs(sdf, "id", "embedding",
+                                hot_bucket_block=10_000, **kw)
+    ssplit = embedding_lsh_pairs(sdf, "id", "embedding",
+                                 hot_bucket_block=7, hot_bucket_split=10, **kw)
+    assert sorted(map(tuple, sfull.collect())) == \
+        sorted(map(tuple, ssplit.collect()))
+
 
 # --------------------------------------------------------------------------
 # knn_graph size gate (VERDICT r3 #3)
