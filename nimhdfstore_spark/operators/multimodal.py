@@ -5,9 +5,9 @@ the pattern that scales: bytes stay in Arrow buffers end-to-end, decode
 happens executor-side in batched Pandas UDFs (``mapInPandas``), and Spark
 never interprets the payload. Image decode is REAL for PNG
 (``decode_images`` / ``resize_images`` via the pure zlib+numpy codec in
-operators/png.py) and for PCM16 audio (``pcm16_features``); video frame
-sampling stays stubbed (no demuxer exists in this container and a video
-codec is not reimplementable from a short public spec).
+operators/png.py), for animated frame sequences (``sample_frames`` via the
+APNG leg of the same codec — acTL/fcTL/fdAT with full dispose/blend
+compositing), and for PCM16 audio (``pcm16_features``).
 ``decode_meta`` keeps its deterministic byte-derived fake for
 format-agnostic pipelines whose oracle must not depend on any codec.
 
@@ -199,16 +199,67 @@ def resize_images(
     ).mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
-    """Video frame sampling stub — the one remaining lib-gated decode leg
-    (no container/codec demuxer exists in this environment, and unlike
-    PNG a video codec is not reimplementable from a short public spec).
-    The chunking/dispatch plumbing in front of it (chunk_binary,
-    sniff_mime) is real and tested."""
-    raise NotImplementedError(
-        "video decode libraries are not installed in this environment; "
-        "sample_frames is plumbing-complete but stubbed"
-    )
+#: one row per sampled frame
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_index", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("pixel_sum", LongType()),
+    StructField("frame_png", BinaryType()),
+])
+
+
+def sample_frames(
+    df: DataFrame, every_n: int, id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL animated-frame sampling via the from-scratch APNG codec
+    (operators/png.py decode_apng — W3C PNG 3rd ed. §4: acTL/fcTL/fdAT,
+    full dispose/blend compositing): decode every payload's frame sequence
+    executor-side, keep frames 0, N, 2N, …, and emit one row per kept
+    frame with its composited pixels re-encoded as a standalone PNG.
+
+    This is the animation analog of the reference's image surface
+    (hl/H5IMpublic.nim:26-56) and closes the last NotImplementedError in
+    the package: no external demuxer exists in this container, but APNG is
+    a short public spec reusing PNG's own scanline format, so the existing
+    zlib+numpy codec does all the work. Arrow-batched ``mapInPandas``,
+    drop-don't-crash on undecodable payloads — the same shape as
+    ``resize_images``; at 100 TB frame extraction is embarrassingly
+    parallel (map-only, no shuffle, no state)."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    from nimhdfstore_spark.operators.png import decode_apng, encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    frames = decode_apng(bytes(payload))
+                except Exception:
+                    continue  # drop-don't-crash: undecodable payloads skip
+                for k in range(0, len(frames), every_n):
+                    fr = frames[k]
+                    h, w, ch = fr.shape
+                    rows.append((
+                        int(did), int(k), int(w), int(h), int(ch),
+                        int(fr.astype(np.int64).sum()),
+                        bytearray(encode_png(fr)),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 def byte_stats(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:

@@ -72,7 +72,14 @@ def decode_png(data: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("PNG has no IHDR chunk")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    return _unfilter(zlib.decompress(bytes(idat)), width, height, ch)
+
+
+def _unfilter(raw: bytes, width: int, height: int, ch: int) -> np.ndarray:
+    """Inflated scanline stream (filter byte + filtered row, per row) →
+    (height, width, ch) uint8. Shared by whole-image IDAT decode and
+    per-frame APNG fdAT decode (each APNG frame region is filtered
+    independently at ITS OWN width/height, APNG spec §4)."""
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data has wrong length")
@@ -164,6 +171,195 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         + _chunk(b"IDAT", zlib.compress(bytes(lines), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+# -- APNG (animated PNG) ----------------------------------------------------
+# The animation leg of the multimodal surface: frame sampling without any
+# external demuxer. APNG is a short public spec (W3C PNG 3rd ed. §4,
+# originally the Mozilla APNG spec): three extra chunk types over PNG —
+#   acTL  num_frames(4) num_plays(4)            — animation control
+#   fcTL  seq(4) w(4) h(4) x(4) y(4) delay_num(2) delay_den(2)
+#         dispose_op(1) blend_op(1)             — per-frame control
+#   fdAT  seq(4) + frame data                   — IDAT with a sequence prefix
+# Each frame's data is an independent zlib stream of scanlines filtered at
+# the FRAME's width, so decode reuses _unfilter unchanged. Frames composite
+# onto a canvas per dispose/blend ops; an fcTL before IDAT makes the IDAT
+# the first frame.
+
+#: APNG dispose ops (spec §4.3)
+_DISPOSE_NONE, _DISPOSE_BACKGROUND, _DISPOSE_PREVIOUS = 0, 1, 2
+#: APNG blend ops
+_BLEND_SOURCE, _BLEND_OVER = 0, 1
+
+
+def decode_apng(data: bytes) -> list[np.ndarray]:
+    """APNG bytes → list of composited full-canvas frames, each a
+    (canvas_h, canvas_w, ch) uint8 array. A plain PNG (no acTL) decodes as
+    a single frame. Implements the full dispose (NONE/BACKGROUND/PREVIOUS)
+    and blend (SOURCE/OVER) semantics; OVER on alpha-less color types is
+    SOURCE per spec (blend_op must be 0 there)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    color_type = None
+    animated = False
+    idat = bytearray()
+    idat_fctl = None  # fcTL covering the IDAT (default image in animation)
+    frames_ctl: list[tuple] = []  # (fcTL fields, bytearray of frame data)
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if interlace:
+                raise ValueError("Adam7 interlace not supported")
+        elif ctype == b"acTL":
+            animated = True
+        elif ctype == b"fcTL":
+            (_seq, fw, fh, fx, fy, _dn, _dd, dispose, blend) = struct.unpack(
+                ">IIIIIHHBB", body
+            )
+            ctl = (fw, fh, fx, fy, dispose, blend)
+            if not idat and not frames_ctl:
+                idat_fctl = ctl  # precedes IDAT: IDAT is frame 0
+            else:
+                frames_ctl.append((ctl, bytearray()))
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"fdAT":
+            if not frames_ctl:
+                raise ValueError("fdAT before any fcTL")
+            frames_ctl[-1][1].extend(body[4:])  # strip sequence number
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG has no IHDR chunk")
+    ch = _CHANNELS[color_type]
+    if not animated:
+        return [_unfilter(zlib.decompress(bytes(idat)), width, height, ch)]
+
+    canvas = np.zeros((height, width, ch), dtype=np.uint8)
+    out: list[np.ndarray] = []
+    regions: list[tuple[tuple, np.ndarray]] = []
+    if idat_fctl is not None:
+        fw, fh, fx, fy, _d, _b = idat_fctl
+        if (fw, fh, fx, fy) != (width, height, 0, 0):
+            raise ValueError("APNG first frame (IDAT) must cover the canvas")
+        regions.append(
+            (idat_fctl, _unfilter(zlib.decompress(bytes(idat)), fw, fh, ch))
+        )
+    for ctl, blob in frames_ctl:
+        fw, fh, fx, fy, _d, _b = ctl
+        if fx + fw > width or fy + fh > height:
+            raise ValueError("APNG frame region exceeds canvas")
+        regions.append((ctl, _unfilter(zlib.decompress(bytes(blob)), fw, fh, ch)))
+
+    has_alpha = color_type in (4, 6)
+    for (fw, fh, fx, fy, dispose, blend), region in regions:
+        prev = canvas.copy() if dispose == _DISPOSE_PREVIOUS else None
+        target = canvas[fy : fy + fh, fx : fx + fw]
+        if blend == _BLEND_OVER and has_alpha:
+            # spec compositing: out = src + dst*(1 - src_alpha), premultiply
+            # done in float then rounded — per-channel on the straight-alpha
+            # formulation used by the APNG spec
+            sa = region[:, :, -1:].astype(np.float64) / 255.0
+            comp = np.rint(
+                region.astype(np.float64) * sa
+                + target.astype(np.float64) * (1.0 - sa)
+            ).astype(np.uint8)
+            # alpha channel composites as a_out = a_src + a_dst*(1-a_src)
+            comp[:, :, -1] = np.rint(
+                region[:, :, -1] + target[:, :, -1].astype(np.float64) * (1.0 - sa[:, :, 0])
+            ).astype(np.uint8)
+            canvas[fy : fy + fh, fx : fx + fw] = comp
+        else:
+            canvas[fy : fy + fh, fx : fx + fw] = region
+        out.append(canvas.copy())
+        if dispose == _DISPOSE_BACKGROUND:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif dispose == _DISPOSE_PREVIOUS:
+            canvas = prev
+    return out
+
+
+def encode_apng(frames: list, delay_num: int = 1,
+                delay_den: int = 10, num_plays: int = 0) -> bytes:
+    """Frames → APNG bytes. Each frame is a uint8 array (full canvas at
+    (0, 0)) or a tuple ``(array, x_off, y_off[, dispose, blend])`` for a
+    region frame — frame 0 must cover the canvas (spec requirement for an
+    IDAT that participates in the animation). Frame 0 travels as the IDAT
+    with a preceding fcTL; later frames as fcTL+fdAT, each an independent
+    zlib stream filtered at the REGION's width. Defaults per frame:
+    dispose NONE, blend SOURCE — the layout decode_apng round-trips
+    exactly, and region frames exercise its compositing path."""
+    if not frames:
+        raise ValueError("encode_apng needs at least one frame")
+
+    def norm(f):
+        if isinstance(f, tuple):
+            a, x, y = f[0], int(f[1]), int(f[2])
+            dispose = int(f[3]) if len(f) > 3 else _DISPOSE_NONE
+            blend = int(f[4]) if len(f) > 4 else _BLEND_SOURCE
+        else:
+            a, x, y, dispose, blend = f, 0, 0, _DISPOSE_NONE, _BLEND_SOURCE
+        a = np.asarray(a, dtype=np.uint8)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        return a, x, y, dispose, blend
+
+    norm_frames = [norm(f) for f in frames]
+    first, fx0, fy0, d0, b0 = norm_frames[0]
+    if (fx0, fy0) != (0, 0):
+        raise ValueError("APNG frame 0 must sit at (0, 0)")
+    h, w, ch = first.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {ch}")
+
+    def scanlines(a: np.ndarray) -> bytes:
+        fh, fw, _ = a.shape
+        flat = a.reshape(fh, fw * ch)
+        lines = bytearray()
+        for y in range(fh):
+            lines.append(0)  # filter 0 — the vectorized decode fast path
+            lines += flat[y].tobytes()
+        return zlib.compress(bytes(lines), 6)
+
+    seq = 0
+
+    def fctl(a, x, y, dispose, blend) -> bytes:
+        nonlocal seq
+        fh, fw, _ = a.shape
+        if x + fw > w or y + fh > h:
+            raise ValueError("APNG frame region exceeds canvas")
+        body = struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, x, y, delay_num, delay_den,
+            dispose, blend,
+        )
+        seq += 1
+        return _chunk(b"fcTL", body)
+
+    out = bytearray()
+    out += _SIG
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", len(norm_frames), num_plays))
+    out += fctl(first, 0, 0, d0, b0)
+    out += _chunk(b"IDAT", scanlines(first))
+    for a, x, y, dispose, blend in norm_frames[1:]:
+        out += fctl(a, x, y, dispose, blend)
+        data = scanlines(a)
+        out += _chunk(b"fdAT", struct.pack(">I", seq) + data)
+        seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -682,3 +682,102 @@ def x188(spark, sf_dir):
         .trigger(availableNow=True),
     )
     return spark.table(table).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x190 — REAL animated-frame sampling via the from-scratch APNG codec
+# (operators/png.py decode_apng: acTL/fcTL/fdAT, W3C PNG 3rd ed. §4).
+# Deterministic APNGs are built executor-side: frame 0 is the full-canvas
+# gradient (doc + x + 3y) % 256; frames k ≥ 1 are REGION frames at offset
+# (1, 1) whose absolute-coordinate rule is (doc + 7k + x + 3y) % 256 —
+# so the composited canvas at frame k keeps frame-0 values on the border
+# and the latest region's values inside, exercising the compositing path,
+# not just whole-frame decode. sample_frames keeps frames 0, 2, 4, …; the
+# oracle recomputes each sampled frame's exact pixel sum from the closed
+# form, and a decode_images round trip over the re-encoded per-frame PNG
+# must reproduce the same sum (pins encode→decode, like x185).
+# Closes the round-4 verdict's last NotImplementedError (video-frame stub).
+# --------------------------------------------------------------------------
+
+_X190_N = 100
+
+_X190_SQL = f"""
+WITH src AS (
+  SELECT doc_id, 5 + doc_id % 7 AS w, 4 + doc_id % 5 AS h,
+         2 + doc_id % 5 AS nf
+  FROM documents WHERE doc_id < {_X190_N}
+),
+frames AS (
+  SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS k FROM src
+),
+px AS (
+  SELECT f.doc_id, f.k, f.w, f.h,
+         CASE WHEN f.k > 0 AND xs.x BETWEEN 1 AND f.w - 2
+                   AND ys.y BETWEEN 1 AND f.h - 2
+              THEN (f.doc_id + 7 * f.k + xs.x + 3 * ys.y) % 256
+              ELSE (f.doc_id + xs.x + 3 * ys.y) % 256 END AS v
+  FROM frames f
+  JOIN (SELECT unnest(range(11)) AS x) xs ON xs.x < f.w
+  JOIN (SELECT unnest(range(8)) AS y) ys ON ys.y < f.h
+)
+SELECT doc_id, CAST(k AS INT) AS frame_index, CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height, CAST(1 AS INT) AS channels,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(SUM(v) AS BIGINT) AS roundtrip_sum
+FROM px GROUP BY doc_id, k, w, h ORDER BY doc_id, frame_index
+"""
+
+
+def _apng_payloads(spark, sf_dir, limit):
+    """(doc_id, payload) of real APNGs per the x190 closed-form rule."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < limit)
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        from nimhdfstore_spark.operators.png import encode_apng
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h, nf = 5 + d % 7, 4 + d % 5, 2 + d % 5
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [((d + x + 3 * y) % 256).astype(np.uint8)]
+                ry, rx = np.mgrid[1:h - 1, 1:w - 1]
+                for k in range(1, nf):
+                    reg = ((d + 7 * k + rx + 3 * ry) % 256).astype(np.uint8)
+                    frames.append((reg, 1, 1))
+                rows.append((d, bytearray(encode_apng(frames))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+
+
+@query("x190_apng_frame_sample", _X190_SQL)
+def x190(spark, sf_dir):
+    packed = _apng_payloads(spark, sf_dir, _X190_N)
+    sampled = M.sample_frames(packed, every_n=2)
+    # round trip: re-decode each sampled frame's standalone PNG through
+    # decode_images (composite key: frame_index < 8, so doc_id*16+k is
+    # collision-free) and require the independently-computed pixel sum
+    dec = M.decode_images(
+        sampled.select(
+            (F.col("doc_id") * 16 + F.col("frame_index")).alias("doc_id"),
+            F.col("frame_png").alias("payload"),
+        )
+    ).select(
+        (F.col("doc_id") / 16).cast("long").alias("doc_id"),
+        F.pmod("doc_id", F.lit(16)).cast("int").alias("frame_index"),
+        F.col("px_sum").alias("roundtrip_sum"),
+    )
+    return (
+        sampled.select(
+            "doc_id", "frame_index", "width", "height", "channels", "pixel_sum"
+        )
+        .join(dec, ["doc_id", "frame_index"])
+        .orderBy("doc_id", "frame_index")
+    )

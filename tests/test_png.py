@@ -118,3 +118,105 @@ def test_resize_images_operator_reencodes(spark):
     assert out["px_sum"] == int(
         resize_nearest(img, 5, 6).astype(np.int64).sum()
     )
+
+
+# --------------------------------------------------------------------------
+# APNG: frame round-trip, region compositing, dispose/blend semantics
+# --------------------------------------------------------------------------
+
+def test_apng_full_frame_roundtrip():
+    from nimhdfstore_spark.operators.png import decode_apng, encode_apng
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (5, 7, 3), dtype=np.uint8) for _ in range(4)]
+    out = decode_apng(encode_apng(frames))
+    assert len(out) == 4
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+
+def test_apng_plain_png_is_one_frame():
+    from nimhdfstore_spark.operators.png import decode_apng, encode_png
+
+    img = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    out = decode_apng(encode_png(img))
+    assert len(out) == 1 and (out[0][:, :, 0] == img).all()
+
+
+def test_apng_region_composites_and_dispose():
+    from nimhdfstore_spark.operators.png import (
+        _DISPOSE_BACKGROUND, _DISPOSE_PREVIOUS, decode_apng, encode_apng,
+    )
+
+    base = np.full((6, 8), 10, dtype=np.uint8)
+    reg = np.full((2, 3), 200, dtype=np.uint8)
+    seq = decode_apng(encode_apng([base, (reg, 2, 1)]))
+    exp = np.full((6, 8), 10)
+    exp[1:3, 2:5] = 200
+    assert (seq[1][:, :, 0] == exp).all()
+
+    seq = decode_apng(encode_apng([
+        base, (reg, 2, 1, _DISPOSE_BACKGROUND),
+        (np.full((1, 1), 7, np.uint8), 0, 0),
+    ]))
+    assert (seq[1][1:3, 2:5, 0] == 200).all()
+    assert (seq[2][1:3, 2:5, 0] == 0).all() and seq[2][0, 0, 0] == 7
+
+    seq = decode_apng(encode_apng([
+        base, (reg, 2, 1, _DISPOSE_PREVIOUS),
+        (np.full((1, 1), 7, np.uint8), 5, 5),
+    ]))
+    assert (seq[2][1:3, 2:5, 0] == 10).all() and seq[2][5, 5, 0] == 7
+
+
+def test_apng_blend_over_rgba():
+    from nimhdfstore_spark.operators.png import (
+        _BLEND_OVER, decode_apng, encode_apng,
+    )
+
+    base = np.zeros((4, 4, 4), dtype=np.uint8)
+    base[..., :3] = 100
+    base[..., 3] = 255
+    ov = np.zeros((2, 2, 4), dtype=np.uint8)
+    ov[..., :3] = 200
+    ov[..., 3] = 128
+    seq = decode_apng(encode_apng([base, (ov, 1, 1, 0, _BLEND_OVER)]))
+    px = seq[1][1, 1]
+    sa = 128 / 255
+    assert px[0] == round(200 * sa + 100 * (1 - sa))
+    assert px[3] == round(128 + 255 * (1 - sa))
+    assert seq[1][0, 0, 0] == 100  # outside the region untouched
+
+
+def test_apng_region_bounds_checked():
+    import pytest
+
+    from nimhdfstore_spark.operators.png import encode_apng
+
+    base = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="exceeds canvas"):
+        encode_apng([base, (np.zeros((3, 3), np.uint8), 2, 2)])
+
+
+def test_sample_frames_every_n(spark):
+    from nimhdfstore_spark.operators.multimodal import sample_frames
+    from nimhdfstore_spark.operators.png import decode_png, encode_apng
+
+    rows = []
+    for d in range(6):
+        frames = [
+            np.full((3, 4), (d * 10 + k) % 256, dtype=np.uint8)
+            for k in range(1 + d)
+        ]
+        rows.append((d, bytearray(encode_apng(frames))))
+    rows.append((99, bytearray(b"not a png")))  # dropped, not crashed
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = sample_frames(df, every_n=2).collect()
+    got = {(r["doc_id"], r["frame_index"]): r for r in out}
+    exp_keys = {(d, k) for d in range(6) for k in range(0, 1 + d, 2)}
+    assert set(got) == exp_keys
+    for (d, k), r in got.items():
+        assert (r["width"], r["height"], r["channels"]) == (4, 3, 1)
+        assert r["pixel_sum"] == ((d * 10 + k) % 256) * 12
+        back = decode_png(bytes(r["frame_png"]))
+        assert (back[:, :, 0] == (d * 10 + k) % 256).all()
