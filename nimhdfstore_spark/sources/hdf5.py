@@ -387,12 +387,11 @@ def _write_hdf5_table_lite(
     existing[dataset] = rec
     if attrs:
         all_attrs[dataset] = _scalar_attrs(attrs)
-    # one B-tree leaf per dataset: widen the chunk if 64 chunks won't cover
-    max_rows = max((len(a) for a in existing.values()), default=0)
-    chunk_rows = max(int(chunk_size), -(-max_rows // 64) if max_rows else 1)
+    # h5lite emits chunk B-trees of any depth, so the caller's chunk size
+    # is preserved verbatim (reference chunkSize semantics, nimtables.nim:60)
     h5lite.write(
         path, existing,
-        chunk_rows=chunk_rows,
+        chunk_rows=max(1, int(chunk_size)),
         compress=6 if compression else None,
         attrs=all_attrs or None,
     )

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql.types import (
     DoubleType, FloatType, IntegerType, LongType, ShortType, StringType,
 )
@@ -235,3 +237,54 @@ def test_migration_carries_attrs(spark, tmp_path):
     t2 = h5src.hdf5_to_store(s2, out, "t", order_by=["k"])
     assert t2.attrs["unit"] == "kelvin" and t2.attrs["n"] == 7
     assert t2.nrows == 100
+
+
+def test_h5lite_multinode_chunk_btree_roundtrip(tmp_path):
+    """>64 chunks force internal B-tree nodes on the WRITE side (round-4
+    verdict ask #7): depth-2 and depth-3 trees, plain and gzip, whole and
+    ranged reads — the chunk size is preserved, never widened."""
+    from nimhdfstore_spark.sources import h5lite
+    from nimhdfstore_spark.sources.h5lite import _btree_node_count
+
+    assert _btree_node_count(1) == 1
+    assert _btree_node_count(64) == 1
+    assert _btree_node_count(65) == 3   # 2 leaves + root
+    assert _btree_node_count(4096) == 65
+    assert _btree_node_count(4097) == 65 + 2 + 1  # 65 leaves, 2 mid, root
+
+    p = str(tmp_path / "deep.h5")
+    for rows, chunk in [(1000, 10), (9000, 2)]:  # 100 and 4500 chunks
+        rec = np.zeros(rows, dtype=[("a", "<i8"), ("b", "<f8")])
+        rec["a"] = np.arange(rows)
+        rec["b"] = np.arange(rows) * 0.5
+        for comp in (None, 6):
+            h5lite.write(p, {"t": rec}, chunk_rows=chunk, compress=comp)
+            cat = h5lite.catalog(p)
+            assert cat["t"]["nrows"] == rows
+            assert cat["t"]["chunk_rows"] == chunk  # NOT widened
+            back = h5lite.read(p, "t")
+            assert (back["a"] == rec["a"]).all()
+            assert (back["b"] == rec["b"]).all()
+            lo = rows // 3
+            sl = h5lite.read_range(p, "t", lo, lo + 111)
+            assert (sl["a"] == rec["a"][lo : lo + 111]).all()
+
+
+@given(
+    rows=st.integers(min_value=1, max_value=2500),
+    chunk=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=20, deadline=None)
+def test_h5lite_btree_depth_property(rows, chunk, tmp_path_factory):
+    """Hypothesis: any (rows, chunk) round-trips exactly across the one-leaf
+    and multi-node write paths, including string and negative columns."""
+    from nimhdfstore_spark.sources import h5lite
+
+    p = str(tmp_path_factory.mktemp("bt") / "f.h5")
+    rec = np.zeros(rows, dtype=[("k", "<i8"), ("s", "S5")])
+    rec["k"] = np.arange(rows) - rows // 2
+    rec["s"] = np.array([f"r{i % 97}".encode() for i in range(rows)], dtype="S5")
+    h5lite.write(p, {"d": rec}, chunk_rows=chunk)
+    back = h5lite.read(p, "d")
+    assert (back["k"] == rec["k"]).all()
+    assert (back["s"] == rec["s"]).all()
