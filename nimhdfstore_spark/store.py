@@ -849,7 +849,15 @@ class Table:
             return self._dv_overlay(
                 self.store.spark.read.parquet(self.snapshot_path)
             )
-        key = (self.name, self._meta["current"])
+        # Content-addressed key: (name, snapshot) alone rots across Store
+        # HANDLES — a drop+recreate through handle A reuses snap-000000000
+        # under the same path, and handle B's own cache (never evicted by
+        # A's drop) would serve A's pre-drop file listing. The file catalog's
+        # names embed write-job UUIDs, so hashing them makes every physical
+        # rewrite a new key in EVERY handle with no cross-handle protocol.
+        files = self._meta.get("files")
+        fid = hash(tuple(e["name"] for e in files)) if files else None
+        key = (self.name, self._meta["current"], fid)
         base = cache.get(key)
         if base is None:
             if len(cache) > 512:

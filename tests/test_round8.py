@@ -19,6 +19,8 @@ import os
 import shutil
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from nimhdfstore_spark.rowid import ROWID, _auto_strategy, with_rowid
@@ -223,3 +225,60 @@ def test_core_suite_frozen_at_49():
     )
     assert order[: len(core)] == core  # core first, then extension lanes
     assert order[len(core)].startswith("x")  # slot 50 = an extension rep
+
+
+# --------------------------------------------------------------------------
+# base-plan cache across TWO Store handles on one root (round-4 verdict
+# ask #8): drop/recreate reuses snap-000000000 under the same path, and a
+# (name, snapshot)-keyed cache in the OTHER handle would serve the
+# pre-drop file listing. The key is content-addressed on the file catalog,
+# so every physical rewrite is a fresh key in every handle.
+# --------------------------------------------------------------------------
+
+@given(st.lists(st.sampled_from(
+    ["append_a", "append_b", "drop_recreate_a", "drop_recreate_b",
+     "overwrite_a", "overwrite_b", "delete_first_a", "read_a", "read_b"],
+), min_size=3, max_size=8))
+@settings(max_examples=12, deadline=None)
+def test_two_handle_cache_never_serves_stale_snapshot(spark, ops):
+    path = os.path.join(SCRATCH, "two_handle")
+    shutil.rmtree(path, ignore_errors=True)
+    a = Store(spark, path)
+    b = Store(spark, path)
+
+    def frame(vals):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], f"{ROWID} long, v long"
+        )
+
+    model = [100, 101]
+    a.put("t", frame(model), overwrite=True)
+    nxt = 200
+
+    def check(handle):
+        got = [r["v"] for r in handle.table("t").df().orderBy(ROWID).collect()]
+        assert got == model, f"stale read: {got} != {model}"
+
+    for op in ops:
+        h = a if op.endswith("_a") else b
+        if op.startswith("append"):
+            h.table("t").append(
+                spark.createDataFrame([(nxt,)], "v long"), n=1
+            )
+            model.append(nxt)
+            nxt += 1
+        elif op.startswith("drop_recreate"):
+            h.drop("t")
+            model = [nxt, nxt + 1]
+            nxt += 2
+            h.put("t", frame(model))
+        elif op.startswith("overwrite"):
+            model = [nxt, nxt + 1, nxt + 2]
+            nxt += 3
+            h.put("t", frame(model), overwrite=True)
+        elif op.startswith("delete_first"):
+            if len(model) > 1:
+                h.table("t").delete(0)
+                model = model[1:]
+        check(a)
+        check(b)
