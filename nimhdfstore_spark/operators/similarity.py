@@ -289,36 +289,48 @@ def semantic_dedup(
 ) -> DataFrame:
     """SemDeDup: k-means-cluster the embeddings, then inside each cluster
     drop every vector that has a smaller-id neighbor with cosine >= tau.
-    Output: (id, cluster_id, kept). The only pair-producing join is keyed
-    on cluster_id (bounded by cluster size); cosines reuse the exact
-    left-fold dot/norm math of the ANN queries."""
-    from nimhdfstore_spark.functions.vector import l2_norm
+    Output: (id, cluster_id, kept).
+
+    The in-cluster verify runs as ONE grouped Arrow pass per cluster with
+    an int64 Gram matmul over the KMEANS_SCALE fixed-point vectors (the
+    x34 kernel, tiled to O(blk²) task memory). The earlier shape joined
+    the cluster against itself row-wise and folded a zip_with/aggregate
+    dot per PAIR — higher-order functions evaluate interpreted, so at a
+    20k-vector sweep the m²/2-per-cluster fold work went super-linear
+    (3.8 → 72 s for 10× data); the matmul shape is ~20× cheaper per pair
+    and ships each vector once. Cosine is computed on the quantized
+    vectors (exact int sums ≤ 2^46 — order-insensitive, bit-reproducible
+    in DuckDB), so the kept/dropped verdicts hash-match the oracle by
+    construction. In-cluster pair work remains O(m²) by SemDeDup's
+    definition — at corpus scale, k must grow with n so cluster sizes
+    stay bounded (the published recipe)."""
+    import numpy as np
+    import pandas as pd
+
+    from nimhdfstore_spark.operators.dedup import _tile_pairs
 
     final = kmeans_fixed_point(corpus, id_col, vec_col, k, iters)
-    emb = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(vec_col).alias("vn"),
+    q_df = corpus.select(
+        F.col(id_col).alias("id"), fixed_point_vec(vec_col).alias("q")
     ).join(final, "id")
-    a = emb.select(
-        F.col("cluster_id"),
-        F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("vn").alias("na"),
-    )
-    b = emb.select(
-        F.col("cluster_id"),
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("vn").alias("nb"),
-    )
-    from nimhdfstore_spark.functions.vector import dot
+    id_field = next(f for f in q_df.schema.fields if f.name == "id")
+    tau_f = float(tau)
 
-    pairs = (
-        a.join(b, "cluster_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            (F.col("na") > 0) & (F.col("nb") > 0)
-            & (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= tau)
-        )
+    def cluster_dropped(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": pdf["id"][:0]})
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        Q = np.stack(pdf["q"].to_numpy())[order].astype(np.int64)
+        _a, b, _c = _tile_pairs(ids, Q, ids, Q, 4096, tau_f, upper=True)
+        return pd.DataFrame({"id": np.unique(b)})
+
+    from pyspark.sql.types import StructType
+
+    dropped = q_df.groupBy("cluster_id").applyInPandas(
+        cluster_dropped, schema=StructType([id_field])
     )
-    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
     return (
         final.join(dropped.withColumn("is_dropped", F.lit(True)), "id", "left")
         .select(

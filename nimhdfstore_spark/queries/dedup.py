@@ -295,10 +295,15 @@ ORDER BY id_a, id_b
 @query("x34_dedup_embedding_cosine", _emb_lsh_sql())
 def x_embedding(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
+    # hot_bucket_split: 4-bit bands on a clustered corpus concentrate rows
+    # in few buckets; above the bound the pair space fans out over id-hash
+    # sub-bucket tasks (sf1 sweep: 234 → 40 s wall, identical pair set).
+    # The detection pass costs one persisted bucketize + a key-count agg.
     return D.embedding_lsh_pairs(
         emb, "vec_id", "embedding",
         threshold=_COS_TAU,
         num_planes=_EMB_PLANES, bands=_EMB_BANDS, dims=_EMB_DIMS,
+        hot_bucket_split=4096,
     ).orderBy("id_a", "id_b")
 
 

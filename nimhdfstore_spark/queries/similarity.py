@@ -167,17 +167,23 @@ def _semantic_dedup_sql() -> str:
 )""")
         prev = f"c{it + 1}"
     parts.append(_km_assign_cte("af", prev))
-    dot_ab = _DOTC.format(a="a.vec", b="b.vec")
-    parts.append(f"""emb AS MATERIALIZED (
-  SELECT e.vec_id AS id, e.embedding AS vec,
-         sqrt({_DOTC.format(a='e.embedding', b='e.embedding')}) AS vn,
+    # Quantized cosine (the x34 recipe): the KMEANS_SCALE fixed-point
+    # vectors are already materialized as sv — int products ≤ 2^46 sum
+    # exactly in double, so list_dot_product is order-insensitive and
+    # bit-identical to the Spark side's int64 Gram matmul.
+    parts.append("""emb AS MATERIALIZED (
+  SELECT s.vec_id AS id,
+         list_transform(s.sv, v -> CAST(v AS DOUBLE)) AS q,
+         sqrt(list_dot_product(list_transform(s.sv, v -> CAST(v AS DOUBLE)),
+                               list_transform(s.sv, v -> CAST(v AS DOUBLE)))) AS vn,
          a.cluster_id
-  FROM embeddings e JOIN af a ON e.vec_id = a.id
+  FROM sv s JOIN af a ON s.vec_id = a.id
 )""")
     parts.append(f"""dropped AS (
   SELECT DISTINCT b.id FROM emb a JOIN emb b
     ON a.cluster_id = b.cluster_id AND a.id < b.id
-  WHERE a.vn > 0 AND b.vn > 0 AND {dot_ab} / (a.vn * b.vn) >= {_KM_TAU}
+  WHERE a.vn > 0 AND b.vn > 0
+    AND list_dot_product(a.q, b.q) / (a.vn * b.vn) >= {_KM_TAU}
 )""")
     return (
         "WITH " + ",\n".join(parts) + """

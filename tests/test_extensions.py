@@ -73,8 +73,9 @@ def test_multimodal_stubs_and_plumbing(spark, sf_dir):
     # resize_images is REAL now (PNG codec); non-PNG payloads are dropped
     # by contract rather than crashing the stage
     assert M.resize_images(packed, 32, 32).count() == 0
-    with pytest.raises(NotImplementedError):
-        M.sample_frames(packed, 10)
+    # sample_frames is REAL now (APNG codec): non-APNG payloads are dropped
+    # by the same contract, not crashed on
+    assert M.sample_frames(packed, 10).count() == 0
 
 
 def test_embedding_lsh_recall_on_planted_neardups(spark, sf_dir):

@@ -177,21 +177,20 @@ def test_semantic_dedup_drops_near_identical_vectors(spark):
 def test_semantic_dedup_pair_join_keyed_on_cluster(spark, sf_dir):
     # the centroid-assignment cross joins ARE BroadcastNestedLoopJoins, but
     # with a fixed-k build side (k centroids) — the same shape IVF uses.
-    # The gate: the pair-producing join (id_a < id_b) must be an equi-join
-    # keyed on cluster_id, and nothing may plan a CartesianProduct.
+    # The gate: the in-cluster verify must run as ONE grouped Arrow pass
+    # keyed on cluster_id (the Gram-matmul kernel — no pair-level join
+    # materializing per-pair vector rows), and nothing may plan a
+    # CartesianProduct.
     emb = load(spark, sf_dir, "embeddings")
     out = S.semantic_dedup(emb, "vec_id", "embedding", k=8, iters=1, tau=0.3)
     plan = _plan(out)
     assert "CartesianProduct" not in plan
-    import re
+    assert "FlatMapGroupsInPandas" in plan, "grouped in-cluster verify missing"
+    # no join line may carry per-pair vector payloads (id_a/id_b rows)
     pair_joins = [
         ln for ln in plan.splitlines() if "id_a" in ln and "id_b" in ln and "Join" in ln
     ]
-    assert pair_joins, "pair join not found in plan"
-    assert all(
-        re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cluster_id", ln.strip())
-        for ln in pair_joins
-    ), f"pair join not keyed on cluster_id: {pair_joins[:1]}"
+    assert not pair_joins, f"unexpected pair-level join: {pair_joins[:1]}"
 
 
 # --------------------------------------------------------------------------
