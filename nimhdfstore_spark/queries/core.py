@@ -397,14 +397,17 @@ def q13(spark, sf_dir):
 # sweep is a ~50-entry count cap, so the core suite is frozen at ≤49 entries —
 # never add a 50th): the scalar per-row view (n_vals, vals_str) AND the
 # exploded element view (j, val) via posexplode_outer, which keeps the
-# empty-array rows (id % 7 == 0) as null (j, val) so all 1000 ids stay
-# covered. DuckDB mirrors with a LEFT JOIN on the element range.
+# empty-array rows (id % 7 == 0) covered as a sentinel (-1, -1.0) element —
+# COALESCE'd rather than null because the checked frame must stay null-free
+# (a canonicalizer that sorts row tuples directly would die on None < int).
+# DuckDB mirrors with a LEFT JOIN on the element range.
 _Q14_SQL = (
     "SELECT t.id, CAST(t.id % 7 AS BIGINT) AS n_vals, "
     "coalesce(array_to_string(list_transform(range(t.id % 7), j -> printf('%.1f', t.id + j/10.0)), ','), '') AS vals_str, "
-    "CAST(s.j AS BIGINT) AS j, t.id + s.j/10.0 AS val "
+    "coalesce(CAST(s.j AS BIGINT), -1) AS j, "
+    "coalesce(t.id + s.j/10.0, -1.0) AS val "
     "FROM range(1000) t(id) LEFT JOIN range(7) s(j) ON s.j < t.id % 7 "
-    "ORDER BY t.id, s.j"
+    "ORDER BY t.id, j"
 )
 
 
@@ -434,7 +437,8 @@ def q14(spark, sf_dir):
             ).alias("vals_str"),
             F.posexplode_outer("vals").alias("j", "val"),
         )
-        .withColumn("j", F.col("j").cast("long"))
+        .withColumn("j", F.coalesce(F.col("j").cast("long"), F.lit(-1)))
+        .withColumn("val", F.coalesce(F.col("val"), F.lit(-1.0)))
         .orderBy("id", "j")
     )
 
