@@ -931,9 +931,16 @@ class Table:
     def _flush_dv(self) -> None:
         """Materialize a pending deletion vector before any physical
         mutation: the mutators reuse raw files by position, which is only
-        sound when raw == logical."""
+        sound when raw == logical.
+
+        Pruning of the pre-flush snapshot is DEFERRED to the mutation's own
+        commit (``prune=False``): the caller's payload may be a lazy plan
+        over the pre-flush snapshot (e.g. ``t.update(i, t.slice(...))``
+        with a DV pending) and it executes during that commit — an eager
+        prune here would delete the files under it mid-call. Every
+        ``_flush_dv`` caller commits next, which prunes both."""
         if self._meta.get("dv"):
-            self.compact()
+            self._commit_pruned([], self.df(), self.nrows, prune=False)
 
     # -- zone-map value index (small-materialized-aggregates file skipping) --
 
@@ -1497,6 +1504,7 @@ class Table:
         rewrite: DataFrame | None,
         rewrite_count: int,
         cluster: list | None = None,
+        prune: bool = True,
     ) -> None:
         """Commit a new snapshot = hardlinked ``keep`` files + the written-out
         ``rewrite`` frame. Only ``rewrite_count`` rows move; everything in
@@ -1537,7 +1545,8 @@ class Table:
         self._meta.pop("dv", None)
         self._meta.pop("bloom", None)
         store._write_meta(self.name, self._meta)
-        store._prune_snapshots(self.name)
+        if prune:
+            store._prune_snapshots(self.name)
 
     def append(self, df: DataFrame, n: int | None = None) -> None:
         """M1 — append at end (nimtables.nim:173-175). Existing files are all

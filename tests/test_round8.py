@@ -282,3 +282,33 @@ def test_two_handle_cache_never_serves_stale_snapshot(spark, ops):
                 model = model[1:]
         check(a)
         check(b)
+
+
+# --------------------------------------------------------------------------
+# DV flush must not prune the snapshot a same-call lazy payload reads from
+# --------------------------------------------------------------------------
+def test_self_referential_payload_survives_dv_flush(spark):
+    """``t.update(i, t.slice(...))`` with a deferred delete pending: the
+    payload is a lazy plan over the pre-flush snapshot; the flush inside
+    ``update`` must defer pruning to the mutation's own commit, or the
+    payload collect hits FileNotFound on the pruned dir (found by the
+    round-8 store-layer scale sweep)."""
+    st_ = _store(spark, "dvflush")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = st_.put("t", df, order_by=["k"])
+
+    t.delete_deferred(10, 19)  # pending DV, no physical rewrite yet
+    payload = t.slice(100, 149).withColumn("v", F.col("v") + 1000)
+    t.update(100, payload.drop(ROWID), 149)  # flushes DV mid-call
+
+    assert t.nrows == 490
+    got = t.slice(100, 149).select("v").orderBy("v").collect()
+    assert all(r["v"] >= 1000 for r in got)
+
+    # append with a pending DV and a self-referential payload, same hazard
+    t.delete_deferred(0, 4)
+    pay2 = t.slice(0, 9).drop(ROWID)
+    t.append(pay2)
+    assert t.nrows == 495

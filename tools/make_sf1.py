@@ -10,7 +10,11 @@ Note the corpus is deliberately DUP-HEAVY (every document/vector appears
 operators (work grows with Σ clique², i.e. 100×), which is exactly what
 the sweep is probing. Usage::
 
-    python tools/make_sf1.py [/tmp/sf1]
+    python tools/make_sf1.py [/tmp/sf1] [reps]
+
+``reps`` (default 10) is the replication factor: 10 → sf1 (~6M lineitem
+rows), 100 → sf10 (~60M). Key shifts are per-copy constants sized above
+each key's sf0.1 max, so copies never collide at any ``reps``.
 """
 
 from __future__ import annotations
@@ -24,11 +28,12 @@ def main() -> None:
     import duckdb
 
     dst = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     src = os.environ.get("SPARK_GRAFT_SF01", "/root/testdata/sf0.1")
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute("PRAGMA threads=16")
-    con.execute("CREATE VIEW k AS SELECT unnest(range(10)) AS k")
+    con.execute(f"CREATE VIEW k AS SELECT unnest(range({reps})) AS k")
     specs = {
         "lineitem": (
             "SELECT l_orderkey + k*200000 AS l_orderkey, l_partkey, l_suppkey,"
@@ -64,7 +69,7 @@ def main() -> None:
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{dst}/lineitem.parquet')"
     ).fetchone()[0]
-    print(f"sf1 at {dst}: lineitem rows = {n}")
+    print(f"sf{reps / 10:g} at {dst}: lineitem rows = {n}")
 
 
 if __name__ == "__main__":
