@@ -1731,8 +1731,20 @@ class Table:
                 keep.append(e)
         old = self._read_files(touched)
         pay_df = self.store.spark.createDataFrame(rows, df.schema)
-        body = old.where(~F.col(ROWID).isin(ids)).unionByName(pay_df)
+        body = self._drop_rowids(old, ids).unionByName(pay_df)
         self._commit_pruned(keep, body, sum(e["rows"] for e in touched))
+
+    def _drop_rowids(self, df: DataFrame, ids: list) -> DataFrame:
+        """Filter out the rows whose ``_rowid`` is in ``ids`` via a broadcast
+        anti-join. An ``isin(ids)`` literal list costs Catalyst seconds of
+        scale-INDEPENDENT analyze/codegen time at payload sizes (measured
+        6.7 s for 10k literals vs 0.5 s for the anti-join) and payloads can
+        reach ``PAYLOAD_MAX_ROWS``; the anti-join plan is O(1) in expression
+        size and broadcast-hash at any table scale."""
+        ids_df = self.store.spark.createDataFrame(
+            [(int(i),) for i in ids], f"{ROWID} long"
+        )
+        return df.join(F.broadcast(ids_df), on=ROWID, how="left_anti")
 
     def merge(self, df: DataFrame, key: str) -> dict:
         """MERGE / upsert by business key (extension surface: the reference's
@@ -1796,7 +1808,7 @@ class Table:
         body = None
         if touched:
             old = self._read_files(touched)
-            body = old.where(~F.col(ROWID).isin(ids)).unionByName(upd)
+            body = self._drop_rowids(old, ids).unionByName(upd)
         if n_ins:
             ins_df = self.store.spark.createDataFrame(ins_rows, pay.schema)
             tail, _ = self._new_rows(ins_df, self.nrows, n_ins)
