@@ -69,10 +69,34 @@ def x_pipeline(spark, sf_dir):
     # persist: the sample feeds the pair leg, the component node list and
     # the final quality join — without it the scan+filter re-runs 4×
     samp = SA.hash_sample(docs, "doc_id", _FRACTION, salt=_SALT).persist()
+    # Exact-dedup FIRST (the 100 TB recipe): identical texts always agree
+    # on every minhash band and estimate Jaccard 1.0 ≥ τ, so an exact-dup
+    # group is always one clique inside one component, and the group's
+    # min doc_id participates in component labeling exactly like any other
+    # node. Signing/bucketing one representative per DISTINCT text is
+    # therefore result-identical while collapsing the Σm² bucket blowup a
+    # dup-heavy corpus creates (measured at 100× replication: one bucket
+    # of 12 793 copies → 2.0e9 candidate pairs → a single 25-min task;
+    # collapsed: pairs over ~5k distinct texts, seconds). Texts too short
+    # to shingle (< 3 chars) never produce signatures or pairs, so they
+    # stay per-doc singletons — matching the uncollapsed semantics.
+    eligible = samp.where(F.length("text") >= 3)
+    grp = eligible.groupBy("text").agg(F.min("doc_id").alias("gid"))
+    reps_docs = grp.select(F.col("gid").alias("doc_id"), "text")
     pairs = D.minhash_lsh_pairs(
-        samp, "doc_id", "text", num_hashes=64, bands=16, threshold=0.65
+        reps_docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.65
     ).select("id_a", "id_b")
-    comp = D.connected_components(pairs, samp, id_col="doc_id")
+    memb = samp.join(grp, "text", "left").select(
+        "doc_id", F.coalesce("gid", F.col("doc_id")).alias("gid")
+    )
+    gid_nodes = memb.select(F.col("gid").alias("doc_id")).distinct()
+    comp_g = D.connected_components(pairs, gid_nodes, id_col="doc_id")
+    # member comp = its group's comp; the component's min doc_id is always
+    # a gid (each group's min member IS its gid), so rep selection below
+    # (doc_id == comp) picks exactly the uncollapsed representative.
+    comp = memb.join(
+        comp_g.withColumnRenamed("id", "gid"), "gid"
+    ).select(F.col("doc_id").alias("id"), "comp")
     reps = comp.where(F.col("id") == F.col("comp")).select(
         F.col("id").alias("doc_id")
     )
