@@ -1270,3 +1270,126 @@ def embedding_multiprobe_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# cross-document duplicated-span statistics (seed-and-merge)
+# --------------------------------------------------------------------------
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    sample_mod: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN statistics — the distributed
+    re-expression of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022, which builds a
+    single-machine suffix array; a suffix array cannot shard).
+
+    Seeds are **content-defined** (winnowing / content-defined-chunking
+    family, Schleimer et al. 2003): every k-gram position is hashed
+    (``poly_hash``) and a position is a seed iff ``hash % sample_mod == 0``
+    — expected density ``1/sample_mod``. Content-defined selection is the
+    load-bearing choice: a fixed-stride grid has an independent phase in
+    each document, so two copies of a span can sample DISJOINT k-gram sets
+    and a shared span of ANY length can be missed. Hash-sampling depends
+    only on the gram's own bytes, so the two copies of a shared span
+    select exactly the same span-relative seeds — a span is detected in
+    both documents or in neither, with miss probability
+    ``(1-1/sample_mod)^(L-k+1)`` for span length L, independent of where
+    the span lands.
+
+    Three stages, all linear in corpus size and whole-stage codegen'd:
+
+    1. **Seed**: explode positions, hash each k-gram, keep the sampled
+       ~1/mod (built-in HOFs; the per-position O(k) substring hash is the
+       oracle-exact form — the 100 TB build replaces it with an O(1)/char
+       Rabin-Karp rolling hash in ``mapInPandas``, same selected set).
+    2. **Mark**: one groupBy(gram) over the SAMPLED seeds marks grams in
+       >= 2 distinct documents, then an equi-join flags occurrences. The
+       shuffle carries only sampled grams (~1/mod of positions); at
+       100 TB the gram string key becomes its int64 hash — same shape.
+    3. **Merge**: duplicated seeds closer than k chars merge into spans
+       (gaps-and-islands: a break where the gap to the previous dup seed
+       exceeds k, running-sum island ids over a doc-partitioned window —
+       per-document state only).
+
+    Returns one row per document (with length >= k):
+    ``(id_col, n_seeds, dup_seeds, n_spans, span_chars)`` with
+    ``span_chars = sum(max_pos - min_pos + k)`` over merged spans — the
+    exact character coverage of each island (islands are > k apart, so
+    spans never overlap and the sum never double-counts).
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(text_col)
+    grams = (
+        docs.where(F.length(t) >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"), t.substr(i, F.lit(k)).alias("gram")
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram"))
+    )
+    seeds = grams.where(poly_hash(F.col("gram")) % sample_mod == 0)
+    dup = (
+        seeds.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram", F.lit(1).alias("_dup"))
+    )
+    marked = seeds.join(dup, "gram", "left")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # two window passes (a window expression cannot nest inside another):
+    # break flag where the gap to the previous dup seed exceeds k, then a
+    # running sum of breaks = island id. Same doc-partitioned shuffle.
+    isl = (
+        marked.where(F.col("_dup").isNotNull())
+        .withColumn(
+            "brk",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | ((F.col("pos") - F.lag("pos").over(w)) > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    spans = (
+        isl.groupBy(id_col, "island")
+        .agg((F.max("pos") - F.min("pos") + k).alias("chars"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("chars").alias("span_chars"),
+        )
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_seeds"),
+        F.count("_dup").alias("dup_seeds"),
+    )
+    return (
+        per_doc.join(spans, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_seeds").cast("long").alias("n_seeds"),
+            F.col("dup_seeds").cast("long").alias("dup_seeds"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("span_chars"), F.lit(0)).cast("long").alias("span_chars"),
+        )
+    )

@@ -485,3 +485,66 @@ def pcm16_features(
             )
 
     return df.mapInPandas(extract, schema=out_schema)
+
+
+#: one row per hashed image
+DHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("dhash", LongType()),
+])
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over a PNG binary column — the
+    image analog of SimHash: decode (operators/png.py), nearest-neighbor
+    resample the first channel to ``(grid+1) x grid``, then bit ``i`` of
+    the hash is 1 iff the right neighbor is strictly brighter
+    (``px[y,x+1] > px[y,x]``). Comparisons make the hash invariant to any
+    constant brightness shift that stays in gamut — the property
+    near-duplicate image dedup relies on.
+
+    Emitted as a SIGNED int64 (bit 63 lands in the sign), so downstream
+    grouping/joining uses Spark's native long. Stateless Arrow-batched
+    ``mapInPandas``, no shuffle here: pair generation downstream is a
+    groupBy/equi-join on the hash (Hamming-0) or on SimHash-style bands of
+    it (Hamming<=t, ``dedup.simhash_bands``) — never all-pairs.
+    Undecodable payloads are dropped (``decode_images`` contract)."""
+    from nimhdfstore_spark.operators.png import decode_png, resize_nearest
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    img = decode_png(bytes(payload))
+                except Exception:
+                    continue
+                h, w, _c = img.shape
+                small = resize_nearest(img, grid + 1, grid)[:, :, 0]
+                small = small.astype(np.int64)
+                bits = (small[:, 1:] > small[:, :-1]).flatten()
+                hv = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        hv |= 1 << i
+                if hv >= 1 << 63:
+                    hv -= 1 << 64
+                rows.append((int(did), w, h, hv))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DHASH_SCHEMA.fields]
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(batches, schema=DHASH_SCHEMA)

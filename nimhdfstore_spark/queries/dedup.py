@@ -671,3 +671,75 @@ def x153(spark, sf_dir):
         .where(F.col("n_records") >= 2)
         .orderBy("entity")
     )
+
+
+# --------------------------------------------------------------------------
+# x191 — cross-document duplicated SPANS (seed-and-merge exact-substring
+# dedup, the distributed form of Lee et al. 2022's suffix-array pass):
+# content-defined seed sampling (poly_hash(gram) % mod == 0 — winnowing/CDC
+# family, phase-invariant by construction) -> one groupBy marks cross-doc
+# repeats -> gaps-and-islands merges dup seeds closer than k into spans.
+# The oracle recomputes the identical hash, sampling, mark and island
+# arithmetic in SQL (the hash twin is _SQL_GRAM_HASHES' list_reduce fold).
+# --------------------------------------------------------------------------
+
+_X191_K, _X191_MOD = 24, 8
+
+_X191_SQL = f"""
+WITH g AS (
+  SELECT doc_id, i AS pos, substr(text, i, {_X191_K}) AS gram
+  FROM documents,
+       LATERAL unnest(range(1, length(text) - {_X191_K} + 2)) t(i)
+  WHERE length(text) >= {_X191_K}
+),
+s AS (
+  SELECT doc_id, pos, gram FROM g
+  WHERE list_reduce(
+          list_transform(list_filter(string_split(gram, ''), c -> c != ''),
+                         c -> CAST(ascii(c) AS BIGINT)),
+          (acc, x) -> (acc * {D.HASH_MUL} + x) % {D.HASH_MOD}
+        ) % {_X191_MOD} = 0
+),
+d AS (SELECT gram FROM s GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+m AS (
+  SELECT s.doc_id, s.pos, (d.gram IS NOT NULL) AS is_dup
+  FROM s LEFT JOIN d USING (gram)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {_X191_K}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM m WHERE is_dup
+  )
+),
+runs AS (
+  SELECT doc_id, island, max(pos) - min(pos) + {_X191_K} AS chars
+  FROM isl GROUP BY doc_id, island
+),
+spd AS (
+  SELECT doc_id, count(*) AS n_spans, sum(chars) AS span_chars
+  FROM runs GROUP BY doc_id
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_seeds,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS dup_seeds
+  FROM m GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(p.n_seeds AS BIGINT) AS n_seeds,
+       CAST(p.dup_seeds AS BIGINT) AS dup_seeds,
+       CAST(coalesce(s2.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(s2.span_chars, 0) AS BIGINT) AS span_chars
+FROM per_doc p LEFT JOIN spd s2 USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+@query("x191_substring_span_dedup", _X191_SQL)
+def x191(spark, sf_dir):
+    return D.duplicate_spans(
+        load(spark, sf_dir, "documents"), k=_X191_K, sample_mod=_X191_MOD
+    ).orderBy("doc_id")

@@ -781,3 +781,70 @@ def x190(spark, sf_dir):
         .join(dec, ["doc_id", "frame_index"])
         .orderBy("doc_id", "frame_index")
     )
+
+
+# --------------------------------------------------------------------------
+# x192 — perceptual near-duplicate IMAGE dedup via dHash: real PNGs are
+# encoded executor-side from a closed-form family (pattern p = doc_id % 8
+# plus a per-image brightness shift), decoded and difference-hashed by
+# operators/multimodal.image_dhash, and grouped on the hash. dHash is
+# invariant to the brightness shift but distinct across the 8 patterns
+# (verified numerically for these constants), so the oracle can state the
+# expected grouping in pure SQL: images group exactly by doc_id % 8. A
+# defect anywhere in encode -> decode -> resample -> hash -> shuffle-group
+# breaks the grouping and the hash check.
+# --------------------------------------------------------------------------
+
+_X192_N = 240
+_X192_W, _X192_H = 18, 16
+_X192_A = (1, 2, 3, 5, 7, 11, 13, 4)
+_X192_B = (3, 5, 1, 7, 2, 9, 4, 11)
+
+_X192_SQL = f"""
+SELECT doc_id,
+       CAST(min(doc_id) OVER (PARTITION BY doc_id % 8) AS BIGINT) AS rep,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS BIGINT) AS group_size
+FROM documents WHERE doc_id < {_X192_N}
+ORDER BY doc_id
+"""
+
+
+def _x192_payloads(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _X192_N)
+    A, B, W, H = _X192_A, _X192_B, _X192_W, _X192_H
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        from nimhdfstore_spark.operators.png import encode_png
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                p, b = d % 8, (d * 37) % 96
+                y, x = np.mgrid[0:H, 0:W]
+                img = (((A[p] * x + B[p] * y) % 17) * 9 + b).astype(np.uint8)
+                rows.append((d, bytearray(encode_png(img[..., None]))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+
+
+@query("x192_image_dhash_neardup", _X192_SQL)
+def x192(spark, sf_dir):
+    from pyspark.sql import Window
+
+    hashed = M.image_dhash(_x192_payloads(spark, sf_dir))
+    w = Window.partitionBy("dhash")
+    return (
+        hashed.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("rep"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,180 @@
+"""Round-9 additions:
+
+- duplicate_spans (x191): distributed exact-substring span dedup (the
+  seed-and-merge form of Lee et al. 2022's suffix-array pass) with
+  content-defined seed sampling. Planted duplicated spans must be found
+  with correct merged-span accounting; a corpus of unique texts must
+  report zero spans; the phase-invariance property (a shared span that
+  contains a sampled gram is detected in BOTH docs no matter where it
+  lands in either) is hypothesis-pinned — the property a fixed-stride
+  grid provably lacks.
+- image_dhash (x192): perceptual difference-hash over real PNGs —
+  brightness-shift invariance, pattern distinctness, undecodable-payload
+  drop contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nimhdfstore_spark.operators.dedup import duplicate_spans
+from nimhdfstore_spark.operators.multimodal import image_dhash
+from nimhdfstore_spark.operators.png import encode_png
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+K, MOD = 8, 4
+
+
+def _poly(s: str) -> int:
+    acc = 0
+    for c in s:
+        acc = (acc * 31 + ord(c)) % 1_000_000_007
+    return acc
+
+
+def _sampled(text: str, k: int = K, mod: int = MOD) -> list[int]:
+    """1-based positions whose k-gram the operator samples (same hash)."""
+    return [
+        i + 1
+        for i in range(len(text) - k + 1)
+        if _poly(text[i : i + k]) % mod == 0
+    ]
+
+
+def test_duplicate_spans_planted(spark):
+    # docs 0 and 1 share one span embedded in otherwise-unique filler;
+    # doc 2 is unique. The span is chosen so it contains >= 1 sampled gram
+    # (verified by the reference hash here, not by luck).
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWX"
+    assert _sampled(shared), "fixture span must contain a sampled gram"
+    texts = [
+        "0000000000" + shared + "1111111111",
+        "2222222222" + shared + "3333333333",
+        "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz",
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(_docs(spark, texts), k=K, sample_mod=MOD).collect()
+    }
+    assert out[0]["dup_seeds"] > 0 and out[1]["dup_seeds"] > 0
+    assert out[0]["n_spans"] >= 1 and out[1]["n_spans"] >= 1
+    assert out[2]["dup_seeds"] == 0 and out[2]["n_spans"] == 0
+    assert out[2]["span_chars"] == 0
+
+
+def test_duplicate_spans_unique_corpus_is_clean(spark):
+    import string
+
+    # pairwise-distinct alphabets: no 8-gram can repeat across docs
+    texts = [string.ascii_lowercase, string.ascii_uppercase, string.digits * 3]
+    rows = duplicate_spans(
+        _docs(spark, texts), k=K, sample_mod=MOD
+    ).collect()
+    assert all(r["dup_seeds"] == 0 and r["span_chars"] == 0 for r in rows)
+    # seed counts equal the reference sampler's
+    for r in rows:
+        assert r["n_seeds"] == len(_sampled(texts[r["doc_id"]]))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    span_len=st.integers(K + 8, 40),
+    off_a=st.integers(0, 9),
+    off_b=st.integers(0, 9),
+)
+def test_duplicate_spans_phase_invariance(spark, span_len, off_a, off_b):
+    """Content-defined sampling detects a shared span in BOTH documents
+    whenever the span's interior contains any sampled gram — regardless of
+    the (independent) offsets it lands at. A fixed-stride grid fails this:
+    its seed phases differ per document."""
+    shared = "".join(chr(ord("A") + (i * 7) % 26) for i in range(span_len))
+    a = "abcdefghij"[:off_a] + shared + "qrstuvwxyz"
+    b = "0123456789"[:off_b] + shared + "!@#$%^&*()"
+    expect = len(_sampled(shared)) > 0
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(_docs(spark, [a, b]), k=K, sample_mod=MOD).collect()
+    }
+    if expect:
+        assert out[0]["dup_seeds"] >= 1
+        assert out[1]["dup_seeds"] >= 1
+    # filler regions are unique -> no dup seeds beyond the span's interior
+    # plus boundary grams; boundary grams differ between docs, so equality
+    # of detection across docs holds either way:
+    assert (out[0]["dup_seeds"] >= 1) == (out[1]["dup_seeds"] >= 1)
+
+
+def test_duplicate_spans_span_merge_accounting(spark):
+    # identical docs: every sampled seed is duplicated; islands are gapped
+    # at > k, and span_chars sums exact island coverage max-min+k.
+    t = "The quick brown fox jumps over the lazy dog 0123 padding tail"
+    pos = _sampled(t)
+    assert pos, "fixture must sample at least one gram"
+    islands = []
+    for p in pos:
+        if islands and p - islands[-1][-1] <= K:
+            islands[-1].append(p)
+        else:
+            islands.append([p])
+    out = duplicate_spans(_docs(spark, [t, t]), k=K, sample_mod=MOD).collect()
+    for r in out:
+        assert r["dup_seeds"] == r["n_seeds"] == len(pos)
+        assert r["n_spans"] == len(islands)
+        assert r["span_chars"] == sum(i[-1] - i[0] + K for i in islands)
+
+
+def _png_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def _gradient(p, b, w=18, h=16):
+    A = (1, 2, 3, 5, 7, 11, 13, 4)
+    B = (3, 5, 1, 7, 2, 9, 4, 11)
+    y, x = np.mgrid[0:h, 0:w]
+    return (((A[p] * x + B[p] * y) % 17) * 9 + b).astype(np.uint8)[..., None]
+
+
+def test_image_dhash_brightness_invariant_and_distinct(spark):
+    rows = []
+    did = 0
+    for p in range(8):
+        for b in (0, 31, 95):
+            rows.append((did * 8 + p, bytearray(encode_png(_gradient(p, b)))))
+            did += 1
+    out = image_dhash(_png_df(spark, rows)).collect()
+    by_pattern: dict[int, set] = {}
+    for r in out:
+        by_pattern.setdefault(r["doc_id"] % 8, set()).add(r["dhash"])
+    assert all(len(v) == 1 for v in by_pattern.values())  # brightness-free
+    assert len({v.pop() for v in by_pattern.values()}) == 8  # patterns split
+    assert all(r["width"] == 18 and r["height"] == 16 for r in out)
+
+
+def test_image_dhash_drops_undecodable(spark):
+    rows = [
+        (0, bytearray(encode_png(_gradient(0, 0)))),
+        (1, bytearray(b"not a png at all")),
+        (2, None),
+    ]
+    out = image_dhash(_png_df(spark, rows)).collect()
+    assert [r["doc_id"] for r in out] == [0]
+
+
+def test_image_dhash_signed_int64_range(spark):
+    # constant image: no strict increases -> hash 0; and the x192 corpus
+    # hits bit 63 (hash lands negative) without overflow.
+    flat = np.full((16, 18, 1), 77, dtype=np.uint8)
+    rows = [(0, bytearray(encode_png(flat))),
+            (1, bytearray(encode_png(_gradient(0, 0))))]
+    out = {r["doc_id"]: r["dhash"] for r in image_dhash(_png_df(spark, rows)).collect()}
+    assert out[0] == 0
+    assert out[1] == 17257791502193254399 - (1 << 64)  # pinned, sign bit set
