@@ -1325,8 +1325,16 @@ def duplicate_spans(
     from pyspark.sql.window import Window
 
     t = F.col(text_col)
+    # spread documents BEFORE the per-position explode+hash: a single-file
+    # corpus otherwise runs the whole O(total_chars * k) hashing pass on
+    # one task (the HOF-on-one-split hazard from BASELINE.md). The count
+    # must be EXPLICIT: the pre-explode input is small, so an unpinned
+    # repartition gets AQE-coalesced back to one partition — the blowup
+    # (x~len per doc) happens after the exchange where AQE can't see it.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     grams = (
         docs.where(F.length(t) >= k)
+        .repartition(par, F.col(id_col))
         .select(
             id_col,
             F.explode(
