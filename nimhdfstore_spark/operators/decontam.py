@@ -84,3 +84,118 @@ def ngram_decontaminate(
     return joined.withColumn("hit_frac", frac).withColumn(
         "contaminated", F.col("hit_frac") >= threshold
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+) -> DataFrame:
+    """Span-level decontamination with TEXT TRIMMING — the GPT-3-report
+    variant of ``ngram_decontaminate``: instead of flagging/dropping whole
+    documents, cut the contaminated windows OUT and keep the rest (public
+    LLM training reports remove the overlapping n-gram windows and retain
+    the split document; parameterized here to char k-grams so short
+    documents participate).
+
+    Pipeline (all per-document after one broadcast):
+
+    1. the benchmark's distinct k-grams are collected and **broadcast**
+       (an eval suite is tiny vs a 100 TB corpus — the standard asymmetry
+       this operator exploits; no shuffle of the corpus on the gram key);
+    2. every corpus position whose k-gram appears in the benchmark set is
+       a hit (stride-1 scan, left-semi against the broadcast — exact, no
+       sampling: trimming must not miss windows);
+    3. hits closer than ``k`` merge into spans (gaps-and-islands window,
+       per-document state), guaranteeing merged spans are disjoint with
+       at least one kept char between them;
+    4. the cleaned text is rebuilt JVM-side with an ``aggregate`` fold
+       over the sorted span array — no Python in the hot path.
+
+    Returns every corpus document (contaminated or not):
+    ``(id_col, n_hits, n_spans, removed_chars, clean_text, clean_len)``;
+    untouched documents pass through with zeros and their original text.
+    """
+    t = F.col(text_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+
+    def grams(df: DataFrame) -> DataFrame:
+        # explicit partition count: the pre-explode frame is small, an
+        # unpinned repartition would be AQE-coalesced to one task and the
+        # O(chars*k) gram pass would serialize (see dedup.duplicate_spans)
+        base = df.where(F.length(t) >= k).repartition(par, F.col(id_col))
+        arr = F.transform(
+            F.sequence(F.lit(1), F.length(t) - k + 1),
+            lambda i: F.struct(i.alias("pos"), t.substr(i, F.lit(k)).alias("gram")),
+        )
+        return base.select(id_col, F.explode(arr).alias("s")).select(
+            id_col, F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram")
+        )
+
+    bset = grams(benchmark).select("gram").distinct()
+    hits = grams(corpus).join(F.broadcast(bset), "gram", "left_semi")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        hits.withColumn(
+            "brk",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | ((F.col("pos") - F.lag("pos").over(w)) > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    spans = isl.groupBy(id_col, "island").agg(
+        F.min("pos").cast("int").alias("start"),
+        (F.max("pos") + k - 1).cast("int").alias("end"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("end") - F.col("start") + 1).alias("removed_chars"),
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("_spans"),
+    )
+    n_hits = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+
+    base = corpus.select(id_col, t.alias(text_col))
+    joined = base.join(per_doc, id_col, "left").join(n_hits, id_col, "left")
+    # fold the disjoint sorted spans into the kept text: accumulator =
+    # (cursor, acc); each span appends text[cursor, span.start) and moves
+    # the cursor past the span; finish appends the tail.
+    clean = F.when(F.col("_spans").isNull(), t).otherwise(
+        F.aggregate(
+            F.col("_spans"),
+            F.struct(
+                F.lit(1).cast("int").alias("cur"), F.lit("").alias("acc")
+            ),
+            lambda st, sp: F.struct(
+                (sp.getField("end") + 1).cast("int").alias("cur"),
+                F.concat(
+                    st.getField("acc"),
+                    t.substr(
+                        st.getField("cur"),
+                        sp.getField("start") - st.getField("cur"),
+                    ),
+                ).alias("acc"),
+            ),
+            lambda st: F.concat(
+                st.getField("acc"), t.substr(st.getField("cur"), F.length(t))
+            ),
+        )
+    )
+    return joined.select(
+        id_col,
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("removed_chars"), F.lit(0)).cast("long").alias("removed_chars"),
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )

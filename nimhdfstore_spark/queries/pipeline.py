@@ -200,3 +200,78 @@ def x_pack_blocks(spark, sf_dir):
     return PK.pack_blocks(
         docs, "doc_id", T.bpe_token_count("text")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x193 — SPAN-level decontamination with text trimming (the GPT-3-report
+# move: remove the contaminated windows, keep the document): benchmark =
+# doc_id % 23 == 0 (same split as x91), char-24-gram hits against the
+# broadcast benchmark gram set, gaps-and-islands span merge, and the
+# cleaned text rebuilt by both engines — the hash check pins the actual
+# string surgery, not just the counts.
+# --------------------------------------------------------------------------
+
+_X193_K = 24
+
+_X193_SQL = f"""
+WITH bg AS (
+  SELECT DISTINCT substr(text, i, {_X193_K}) AS gram
+  FROM documents, LATERAL unnest(range(1, length(text) - {_X193_K} + 2)) t(i)
+  WHERE doc_id % 23 = 0 AND length(text) >= {_X193_K}
+),
+cg AS (
+  SELECT doc_id, i AS pos, substr(text, i, {_X193_K}) AS gram
+  FROM documents, LATERAL unnest(range(1, length(text) - {_X193_K} + 2)) t(i)
+  WHERE doc_id % 23 != 0 AND length(text) >= {_X193_K}
+),
+h AS (SELECT doc_id, pos FROM cg JOIN bg USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {_X193_K}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM h
+  )
+),
+sp AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {_X193_K} - 1 AS e
+  FROM isl GROUP BY doc_id, island
+),
+pieces AS (
+  SELECT doc_id, s, e,
+         lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+  FROM sp
+),
+agg AS (
+  SELECT p.doc_id,
+         string_agg(substr(d.text, coalesce(p.pe, 0) + 1,
+                           p.s - coalesce(p.pe, 0) - 1), '' ORDER BY p.s)
+           AS head,
+         max(p.e) AS last_e,
+         count(*) AS n_spans,
+         sum(p.e - p.s + 1) AS removed
+  FROM pieces p JOIN documents d USING (doc_id) GROUP BY p.doc_id
+),
+nh AS (SELECT doc_id, count(*) AS n_hits FROM h GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.removed, 0) AS BIGINT) AS removed_chars,
+       coalesce(a.head || substr(d.text, a.last_e + 1), d.text) AS clean_text,
+       CAST(length(coalesce(a.head || substr(d.text, a.last_e + 1), d.text))
+         AS BIGINT) AS clean_len
+FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN nh USING (doc_id)
+WHERE d.doc_id % 23 != 0
+ORDER BY d.doc_id
+"""
+
+
+@query("x193_span_decontaminate", _X193_SQL)
+def x_span_decontaminate(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    corpus = docs.where(F.col("doc_id") % 23 != 0)
+    return DC.decontaminate_spans(corpus, bench, k=_X193_K).orderBy("doc_id")

@@ -11,6 +11,9 @@
 - image_dhash (x192): perceptual difference-hash over real PNGs —
   brightness-shift invariance, pattern distinctness, undecodable-payload
   drop contract.
+- decontaminate_spans (x193): span-level decontamination with text
+  trimming — exact-window removal, overlapping-hit merge, disjoint-span
+  surgery, full-doc removal, pass-through of clean/short docs.
 """
 
 from __future__ import annotations
@@ -178,3 +181,74 @@ def test_image_dhash_signed_int64_range(spark):
     out = {r["doc_id"]: r["dhash"] for r in image_dhash(_png_df(spark, rows)).collect()}
     assert out[0] == 0
     assert out[1] == 17257791502193254399 - (1 << 64)  # pinned, sign bit set
+
+
+# --------------------------------------------------------------------------
+# decontaminate_spans (x193)
+# --------------------------------------------------------------------------
+
+from nimhdfstore_spark.operators.decontam import decontaminate_spans
+
+
+def test_decontaminate_spans_trims_exact_windows(spark):
+    # the benchmark doc IS the contaminating span; corpus doc 0 embeds it,
+    # doc 1 is clean, doc 2 is shorter than k (pass-through untouched).
+    bench_text = "SECRETBENCHMARKQUESTION!"  # 24 chars == k
+    corpus = _docs(
+        spark,
+        [
+            "prefix--" + bench_text + "--suffix",
+            "totally unrelated content with no overlap at all.....",
+            "tiny",
+        ],
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(corpus, bench, k=24).collect()
+    }
+    assert out[0]["n_hits"] == 1 and out[0]["n_spans"] == 1
+    assert out[0]["removed_chars"] == 24
+    assert out[0]["clean_text"] == "prefix----suffix"
+    assert out[0]["clean_len"] == 16
+    for d in (1, 2):
+        assert out[d]["n_hits"] == 0 and out[d]["removed_chars"] == 0
+        assert out[d]["clean_text"] is not None
+    assert out[2]["clean_text"] == "tiny"
+
+
+def test_decontaminate_spans_merges_overlapping_hits(spark):
+    # a 30-char contaminated region yields 7 overlapping 24-gram hits that
+    # must merge into ONE span covering exactly the region.
+    region = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"  # 30 chars
+    corpus = _docs(spark, ["<<<<" + region + ">>>>"])
+    bench = spark.createDataFrame([(9, region)], "doc_id long, text string")
+    out = decontaminate_spans(corpus, bench, k=24).collect()[0]
+    assert out["n_hits"] == 7  # 30 - 24 + 1
+    assert out["n_spans"] == 1
+    assert out["removed_chars"] == 30
+    assert out["clean_text"] == "<<<<" + ">>>>"
+
+
+def test_decontaminate_spans_multiple_disjoint_spans(spark):
+    s1 = "FIRSTCONTAMINATEDWINDOW1"   # 24 chars
+    s2 = "SECONDCONTAMINATEDWINDOW"   # 24 chars
+    filler = "x" * 30                 # gap > k keeps the spans separate
+    corpus = _docs(spark, [s1 + filler + s2])
+    bench = spark.createDataFrame(
+        [(1, s1), (2, s2)], "doc_id long, text string"
+    )
+    out = decontaminate_spans(corpus, bench, k=24).collect()[0]
+    assert out["n_spans"] == 2
+    assert out["removed_chars"] == 48
+    assert out["clean_text"] == filler
+
+
+def test_decontaminate_spans_full_doc_removed(spark):
+    t = "ENTIRELYCONTAMINATEDDOC!"  # 24 chars, exactly one window
+    corpus = _docs(spark, [t])
+    bench = spark.createDataFrame([(5, "pad" + t + "pad")], "doc_id long, text string")
+    out = decontaminate_spans(corpus, bench, k=24).collect()[0]
+    assert out["removed_chars"] == 24
+    assert out["clean_text"] == ""
+    assert out["clean_len"] == 0
