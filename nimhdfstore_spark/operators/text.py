@@ -562,3 +562,84 @@ def gopher_quality(
         & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
     )
     return out.withColumn("gopher_pass", rules)
+
+
+def repetition_trim(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens_n: int = 10,
+) -> DataFrame:
+    """WITHIN-document repetition removal with text rebuild — the
+    repetition scrub of Gopher/RefinedWeb-style pipelines applied as
+    surgery rather than a doc-level filter (x25 only scores; x36 marks
+    cross-doc boilerplate; this trims): split each document into
+    consecutive ``chunk_tokens_n``-token chunks, keep only the FIRST
+    occurrence of each repeated chunk string, and re-join the survivors
+    in original order.
+
+    Scale shape (same as ``dedup.chunk_boilerplate``): chunk strings are
+    assembled with window ``lead`` over the exploded token stream —
+    whole-stage codegen, and the doc-partitioned window shuffle spreads
+    per-doc work even from a single scan split. First-occurrence marking
+    is one more window (per doc+chunk: ``min(idx)``) — no join, no
+    cross-document work at all, O(total tokens) end to end. The rebuild
+    sorts each doc's surviving chunk list driver-free
+    (``sort_array(collect_list(struct))`` + ``array_join``); per-doc
+    state is bounded by document length.
+
+    Returns every document:
+    ``(id_col, n_chunks, n_repeated, clean_text, clean_len)``.
+    """
+    from pyspark.sql.window import Window
+
+    e = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    chunk = F.concat_ws(
+        " ",
+        F.col("token"),
+        *[F.lead("token", i).over(w) for i in range(1, chunk_tokens_n)],
+    )
+    ch = (
+        e.withColumn("chunk", chunk)
+        .where(F.col("pos") % chunk_tokens_n == 0)
+        .select(
+            id_col,
+            (F.col("pos") / chunk_tokens_n).cast("long").alias("idx"),
+            "chunk",
+        )
+    )
+    wfirst = Window.partitionBy(id_col, "chunk")
+    marked = ch.withColumn("first_idx", F.min("idx").over(wfirst))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("idx") != F.col("first_idx"), 1).otherwise(0)
+            ).cast("long").alias("n_repeated"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("idx") == F.col("first_idx"),
+                                F.struct("idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_repeated",
+            "clean_text",
+            F.length("clean_text").cast("long").alias("clean_len"),
+        )
+    )

@@ -728,3 +728,73 @@ def x187(spark, sf_dir):
         "doc_id", "n_pretokens", "n_tokens",
         F.array_join(F.slice("tokens", 1, 8), "|").alias("head_tokens"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x194 — WITHIN-document repetition trim (Gopher/RefinedWeb repetition
+# scrub as surgery, not a filter): each document is augmented with a
+# planted repeat of its first 10-token chunk (so every doc carries real,
+# chunk-aligned repetition both engines construct identically), then
+# operators/text.repetition_trim keeps only first occurrences and
+# rebuilds the text. The oracle recomputes chunking, first-occurrence
+# marking and the ordered rebuild in SQL — the hash pins the surgery.
+# --------------------------------------------------------------------------
+
+_X194_N = 10  # chunk size in tokens
+
+_X194_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+aug AS (
+  SELECT doc_id,
+         list_slice(toks, 1, {_X194_N})
+           || list_slice(toks, 1, {_X194_N})
+           || list_slice(toks, {_X194_N} + 1, len(toks)) AS toks
+  FROM t
+),
+c AS (
+  SELECT doc_id, j AS idx,
+         array_to_string(
+           list_slice(toks, j * {_X194_N} + 1, (j + 1) * {_X194_N}), ' '
+         ) AS chunk
+  FROM aug,
+       LATERAL unnest(range(0, greatest((len(toks) + {_X194_N} - 1)
+                                        // {_X194_N}, 1))) s(j)
+),
+k AS (
+  SELECT doc_id, idx, chunk,
+         min(idx) OVER (PARTITION BY doc_id, chunk) AS first_idx
+  FROM c
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN idx != first_idx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeated,
+       coalesce(string_agg(CASE WHEN idx = first_idx THEN chunk END,
+                           ' ' ORDER BY idx), '') AS clean_text,
+       CAST(length(coalesce(string_agg(CASE WHEN idx = first_idx THEN chunk
+                                       END, ' ' ORDER BY idx), ''))
+         AS BIGINT) AS clean_len
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("x194_repetition_trim", _X194_SQL)
+def x194(spark, sf_dir):
+    from nimhdfstore_spark.operators.text import repetition_trim
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    aug = docs.select(
+        "doc_id",
+        F.array_join(
+            F.concat(
+                F.slice(toks, 1, _X194_N),
+                F.slice(toks, 1, _X194_N),
+                F.slice(toks, _X194_N + 1, F.greatest(F.size(toks) - _X194_N, F.lit(0))),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return repetition_trim(aug, chunk_tokens_n=_X194_N).orderBy("doc_id")

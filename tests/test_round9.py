@@ -252,3 +252,38 @@ def test_decontaminate_spans_full_doc_removed(spark):
     assert out["removed_chars"] == 24
     assert out["clean_text"] == ""
     assert out["clean_len"] == 0
+
+
+# --------------------------------------------------------------------------
+# repetition_trim (x194)
+# --------------------------------------------------------------------------
+
+from nimhdfstore_spark.operators.text import repetition_trim
+
+
+def test_repetition_trim_removes_later_occurrences(spark):
+    # chunk grid of 3 tokens: [a b c] [a b c] [d e f] [a b c] -> keep idx 0, 2
+    t = "a b c a b c d e f a b c"
+    out = repetition_trim(_docs(spark, [t]), chunk_tokens_n=3).collect()[0]
+    assert out["n_chunks"] == 4
+    assert out["n_repeated"] == 2
+    assert out["clean_text"] == "a b c d e f"
+    assert out["clean_len"] == len("a b c d e f")
+
+
+def test_repetition_trim_clean_doc_passthrough(spark):
+    t = "one two three four five six seven"
+    out = repetition_trim(_docs(spark, [t]), chunk_tokens_n=3).collect()[0]
+    assert out["n_repeated"] == 0
+    assert out["clean_text"] == t
+
+
+def test_repetition_trim_partial_last_chunk(spark):
+    # 7 tokens, chunks of 3: last chunk has 1 token; repetition of the
+    # SHORT chunk must also dedupe only on exact string equality.
+    t = "x y z x y z x"
+    out = repetition_trim(_docs(spark, [t]), chunk_tokens_n=3).collect()[0]
+    # chunks: [x y z] [x y z] [x] -> "x" != "x y z", kept
+    assert out["n_chunks"] == 3
+    assert out["n_repeated"] == 1
+    assert out["clean_text"] == "x y z x"
