@@ -1276,12 +1276,93 @@ def embedding_multiprobe_pairs(
 # cross-document duplicated-span statistics (seed-and-merge)
 # --------------------------------------------------------------------------
 
+def _rolling_seed_scan(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    sample_mod: int,
+    par: int,
+) -> DataFrame:
+    """The O(1)-per-char seed stage of ``duplicate_spans`` — a vectorized
+    Rabin-Karp scan in Arrow-batched ``mapInPandas`` that selects the
+    IDENTICAL seed set as the HOF path (property-pinned):
+
+    with T_n = sum_{t<n} code_t * 31^{-t} (mod M), the window hash is
+    H_i = (T_{i+k} - T_i) * 31^{i+k-1} mod M == poly_hash(s[i:i+k]) —
+    one cumsum plus two vectorized modpow arrays per document instead of
+    an O(k) fold per position. Every intermediate stays < 2^63: terms are
+    < M*0x110000, the raw cumsum is exact for documents shorter than
+    ~8e9 chars, and each modmul multiplies two residues < M ~ 2^30.
+    """
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        docs.schema[id_col],
+        StructField("pos", LongType()),
+        StructField("gram", StringType()),
+    ])
+    M, MUL = HASH_MOD, HASH_MUL
+
+    def scan(it):
+        import numpy as np
+        import pandas as pd
+
+        def powmod(base: int, exps: "np.ndarray") -> "np.ndarray":
+            # elementwise base^exps mod M by binary exponentiation:
+            # log2(max_exp) vectorized passes, residues stay < M
+            res = np.ones(len(exps), dtype=np.int64)
+            if not len(exps):
+                return res
+            e = exps.astype(np.int64)
+            maxe, shift = int(e.max()), 0
+            while (1 << shift) <= maxe:
+                mask = ((e >> shift) & 1) == 1
+                if mask.any():
+                    res[mask] = res[mask] * pow(base, 1 << shift, M) % M
+                shift += 1
+            return res
+
+        inv = pow(MUL, M - 2, M)
+        for pdf in it:
+            ids, poss, grams = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) < k:
+                    continue
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(codes)
+                terms = codes % M * powmod(inv, np.arange(n)) % M
+                cs = np.concatenate(([0], np.cumsum(terms)))
+                i = np.arange(n - k + 1)
+                h = (cs[i + k] - cs[i]) % M * powmod(MUL, i + k - 1) % M
+                sel = np.flatnonzero(h % sample_mod == 0)
+                for p in sel:
+                    ids.append(did)
+                    poss.append(int(p) + 1)
+                    grams.append(text[p : p + k])
+            yield pd.DataFrame(
+                {id_col: ids, "pos": poss, "gram": grams}
+            ).astype({"pos": "int64"}, errors="ignore")
+
+    return (
+        docs.where(F.length(F.col(text_col)) >= k)
+        .repartition(par, F.col(id_col))
+        .select(id_col, text_col)
+        .mapInPandas(scan, schema=schema)
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 24,
     sample_mod: int = 8,
+    rolling: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated-SPAN statistics — the distributed
     re-expression of exact-substring dedup (Lee et al., "Deduplicating
@@ -1304,9 +1385,13 @@ def duplicate_spans(
     Three stages, all linear in corpus size and whole-stage codegen'd:
 
     1. **Seed**: explode positions, hash each k-gram, keep the sampled
-       ~1/mod (built-in HOFs; the per-position O(k) substring hash is the
-       oracle-exact form — the 100 TB build replaces it with an O(1)/char
-       Rabin-Karp rolling hash in ``mapInPandas``, same selected set).
+       ~1/mod. Two interchangeable implementations selected by
+       ``rolling``: the default JVM HOF form (O(k) substring hash per
+       position, whole-stage codegen, zero Python) and the Rabin-Karp
+       ``mapInPandas`` kernel (``_rolling_seed_scan``, O(1)/char — the
+       100 TB form when k is large). Both select the IDENTICAL seed set
+       (property-pinned), so every downstream stage and the SQL oracle
+       are shared.
     2. **Mark**: one groupBy(gram) over the SAMPLED seeds marks grams in
        >= 2 distinct documents, then an equi-join flags occurrences. The
        shuffle carries only sampled grams (~1/mod of positions); at
@@ -1332,23 +1417,28 @@ def duplicate_spans(
     # repartition gets AQE-coalesced back to one partition — the blowup
     # (x~len per doc) happens after the exchange where AQE can't see it.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    grams = (
-        docs.where(F.length(t) >= k)
-        .repartition(par, F.col(id_col))
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(t) - k + 1),
-                    lambda i: F.struct(
-                        i.alias("pos"), t.substr(i, F.lit(k)).alias("gram")
-                    ),
-                )
-            ).alias("s"),
+    if rolling:
+        seeds = _rolling_seed_scan(docs, id_col, text_col, k, sample_mod, par)
+    else:
+        grams = (
+            docs.where(F.length(t) >= k)
+            .repartition(par, F.col(id_col))
+            .select(
+                id_col,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(t) - k + 1),
+                        lambda i: F.struct(
+                            i.alias("pos"), t.substr(i, F.lit(k)).alias("gram")
+                        ),
+                    )
+                ).alias("s"),
+            )
+            .select(
+                id_col, F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram")
+            )
         )
-        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.gram").alias("gram"))
-    )
-    seeds = grams.where(poly_hash(F.col("gram")) % sample_mod == 0)
+        seeds = grams.where(poly_hash(F.col("gram")) % sample_mod == 0)
     dup = (
         seeds.groupBy("gram")
         .agg(F.countDistinct(id_col).alias("nd"))

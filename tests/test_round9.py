@@ -287,3 +287,27 @@ def test_repetition_trim_partial_last_chunk(spark):
     assert out["n_chunks"] == 3
     assert out["n_repeated"] == 1
     assert out["clean_text"] == "x y z x"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefg 0123", min_size=0, max_size=120),
+                min_size=1, max_size=6))
+def test_duplicate_spans_rolling_equals_hof(spark, texts):
+    """The Rabin-Karp mapInPandas seed kernel must produce byte-identical
+    results to the JVM HOF path — same seeds, same spans, same counts."""
+    docs = _docs(spark, texts)
+    a = duplicate_spans(docs, k=K, sample_mod=MOD, rolling=False)
+    b = duplicate_spans(docs, k=K, sample_mod=MOD, rolling=True)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+
+
+def test_duplicate_spans_rolling_matches_reference_sampler(spark):
+    t = "The quick brown fox jumps over the lazy dog 0123 padding tail"
+    out = duplicate_spans(
+        _docs(spark, [t, t]), k=K, sample_mod=MOD, rolling=True
+    ).collect()
+    for r in out:
+        assert r["n_seeds"] == len(_sampled(t))
+        assert r["dup_seeds"] == r["n_seeds"]
