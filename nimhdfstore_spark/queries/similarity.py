@@ -989,3 +989,57 @@ def x189(spark, sf_dir):
                 f"assignments layout is not cluster-selective: {spans[:4]}"
             )
     return out.orderBy("probe_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# x195 — ANN quality self-evaluation: recall@k of the fixed-k IVF path
+# against the brute-force exact top-k, per probe. The eval harness every
+# production ANN deployment carries (and the declared form of the recall
+# pin in tests/test_extensions.py): both legs are the already-oracle-exact
+# x40/x41 computations, composed, so the oracle is their SQL composed as
+# CTEs — the hash pins the recall numbers themselves.
+# --------------------------------------------------------------------------
+
+_X195_SQL = f"""
+WITH bf AS ({_X_ANN_SQL}),
+iv AS ({_ivf_sql()}),
+hits AS (
+  SELECT iv.probe_id, count(*) AS n_hits
+  FROM iv JOIN bf USING (probe_id, neighbor_id)
+  GROUP BY iv.probe_id
+)
+SELECT p.probe_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(coalesce(h.n_hits, 0) / {_K}.0, 6) AS recall_at_k
+FROM (SELECT DISTINCT probe_id FROM bf) p
+LEFT JOIN hits h USING (probe_id)
+ORDER BY p.probe_id
+"""
+
+
+@query("x195_ann_recall_eval", _X195_SQL)
+def x195(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(list(_PROBES)))
+    bf = S.brute_force_topk(emb, probes, k=_K).select("probe_id", "neighbor_id")
+    iv = S.ivf_topk(
+        emb, probes, k=_K, num_centroids=_IVF_K, nprobe=_IVF_NPROBE
+    ).select("probe_id", "neighbor_id")
+    hits = (
+        iv.join(bf, ["probe_id", "neighbor_id"], "left_semi")
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        bf.select("probe_id")
+        .distinct()
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / float(_K), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("probe_id")
+    )
