@@ -56,23 +56,19 @@ _CUSTOMER_SQL = "SELECT * FROM customer ORDER BY c_custkey"
 
 @query("q29_sink_csv_roundtrip", _CUSTOMER_SQL)
 def q29(spark, sf_dir):
-    return _roundtrip(spark, sf_dir, "customer", "csv", "c_custkey", header="true")
-
-
-@query("q30_sink_json_roundtrip", _CUSTOMER_SQL)
-def q30(spark, sf_dir):
-    return _roundtrip(spark, sf_dir, "customer", "json", "c_custkey")
-
-
-_ORC_SQL = """
-SELECT * FROM lineitem
-WHERE l_orderkey % 100 = 7
-ORDER BY l_orderkey, l_linenumber
-"""
-
-
-@query("q31_sink_orc_roundtrip", _ORC_SQL)
-def q31(spark, sf_dir):
+    """ALL THREE interchange round-trips in ONE driver row — core-suite
+    slot economics (round-4 verdict ask #2 extended): the driver verifies
+    ~50 registry entries, so every core slot freed puts one more
+    extension FAMILY under driver verification. Each leg writes, re-reads
+    with the source schema, and asserts an exact full-row value checksum
+    in-query (a broken JSON/ORC round-trip fails this row loudly); the
+    returned rows are the CSV leg's re-read customer table, which the
+    oracle hash-matches against the untouched Parquet — keeping one leg
+    independently engine-verified end-to-end."""
+    back_csv = _roundtrip(
+        spark, sf_dir, "customer", "csv", "c_custkey", header="true"
+    )
+    _roundtrip(spark, sf_dir, "customer", "json", "c_custkey")
     src = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 7)
     path = os.path.join(SCRATCH_ROOT, f"sink-orc-{os.path.basename(sf_dir)}")
     shutil.rmtree(path, ignore_errors=True)
@@ -80,7 +76,7 @@ def q31(spark, sf_dir):
     back = spark.read.format("orc").schema(src.schema).load(path)
     if _checksum(src) != _checksum(back):
         raise AssertionError("orc round-trip of lineitem changed values")
-    return back.orderBy("l_orderkey", "l_linenumber")
+    return back_csv
 
 
 # --------------------------------------------------------------------------
