@@ -314,3 +314,61 @@ def test_minhash_buckets_map_only(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     plan = _plan(minhash_buckets(docs, "doc_id", "text"))
     assert "Exchange" not in plan, f"minhash signatures shuffle:\n{plan[:2000]}"
+
+
+# --------------------------------------------------------------------------
+# round-9 ops: span dedup / decontamination / repetition trim plan shapes
+# --------------------------------------------------------------------------
+
+def test_span_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set must broadcast (eval suites are tiny vs the
+    corpus): the hit scan is a BroadcastHashJoin LeftSemi on the gram, and
+    nothing in the plan is a cartesian product."""
+    from nimhdfstore_spark.operators.decontam import decontaminate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    df = decontaminate_spans(
+        docs.where(F.col("doc_id") % 23 != 0),
+        docs.where(F.col("doc_id") % 23 == 0),
+        k=24,
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    semi = [ln for ln in plan.splitlines()
+            if "BroadcastHashJoin" in ln and "LeftSemi" in ln]
+    assert semi, f"benchmark gram set did not broadcast:\n{plan[:2000]}"
+
+
+def test_duplicate_spans_no_cartesian_either_path(spark, sf_dir):
+    from nimhdfstore_spark.operators.dedup import duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    for rolling in (False, True):
+        plan = _plan(duplicate_spans(docs, k=24, sample_mod=8, rolling=rolling))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_explode_is_spread(spark, sf_dir):
+    """The pre-explode repartition must survive into the physical plan with
+    an explicit partition count (REPARTITION_BY_NUM) — an AQE-coalescible
+    exchange here re-serializes the whole gram scan onto one task."""
+    from nimhdfstore_spark.operators.dedup import duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _plan(duplicate_spans(docs, k=24, sample_mod=8))
+    assert "REPARTITION_BY_NUM" in plan, (
+        f"gram explode not spread by an explicit repartition:\n{plan[:2000]}"
+    )
+
+
+def test_repetition_trim_no_join_at_all(spark, sf_dir):
+    """Within-doc dedupe needs no join: chunking, first-occurrence marking
+    and the rebuild are windows + one aggregation."""
+    from nimhdfstore_spark.operators.text import repetition_trim
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _plan(repetition_trim(docs))
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "ShuffledHashJoin"):
+        assert bad not in plan, f"unexpected {bad} in repetition_trim plan"
