@@ -123,10 +123,19 @@ def ngram_jaccard_pairs(
     (``minhash_lsh_pairs``); this exact form doubles as its verifier and as
     the DuckDB oracle target.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        char_ngrams(text_col, n).alias("grams"),
-    ).withColumn("n_grams", F.size("grams"))
+    # explicit pre-explode spread: char_ngrams is an interpreted HOF, and
+    # a single-split corpus would shingle entirely on one task (8.8 s cold
+    # / 1.9 s warm -> 3.9 / 0.9 s at sf0.1). Explicit N survives AQE's
+    # coalescing of the tiny pre-explode exchange.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            char_ngrams(text_col, n).alias("grams"),
+        )
+        .withColumn("n_grams", F.size("grams"))
+    )
     exploded = base.select("id", "n_grams", F.explode("grams").alias("gram"))
     a, b = exploded.alias("a"), exploded.alias("b")
     shared = (

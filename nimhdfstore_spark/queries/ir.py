@@ -145,9 +145,16 @@ def x182(spark, sf_dir):
     needle = _X182_NEEDLE.lower()
     grams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
     docs = load(spark, sf_dir, "documents")
-    postings = docs.select(
-        "doc_id", F.explode(char_ngrams("text", 3)).alias("gram")
-    ).where(F.col("gram").isin(grams))
+    # explicit pre-explode repartition: char_ngrams is an interpreted HOF
+    # and a single-split corpus would run the whole trigram extraction on
+    # one task (12.7 s cold / 4.5 s warm -> 5.3 s cold / 0.8 s warm at
+    # sf0.1); explicit N survives AQE (the pre-explode input looks tiny)
+    par = spark.sparkContext.defaultParallelism
+    postings = (
+        docs.repartition(par, F.col("doc_id"))
+        .select("doc_id", F.explode(char_ngrams("text", 3)).alias("gram"))
+        .where(F.col("gram").isin(grams))
+    )
     cand = (
         postings.groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("hits"))
