@@ -341,6 +341,7 @@ def minhash_lsh_incremental(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    batch_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against an EXISTING corpus signature index —
     the shape a 100 TB crawl-ingest pipeline actually runs: the corpus is
@@ -353,8 +354,17 @@ def minhash_lsh_incremental(
     best_match_id, best_est)`` — best match = highest estimated Jaccard,
     ties broken by lowest corpus id; docs with no candidate above
     ``threshold`` (including empty docs, which have no signature) come
-    back ``is_dup = 0`` with ``best_match_id = -1``."""
-    bb = minhash_buckets(batch, id_col, text_col, n, num_hashes, bands)
+    back ``is_dup = 0`` with ``best_match_id = -1``.
+
+    ``batch_buckets`` lets a caller that already signed the batch (e.g. a
+    streaming ingest loop that also appends the accepted signatures to the
+    index) pass the ``minhash_buckets`` frame in, so the batch is signed
+    exactly once per micro-batch."""
+    bb = (
+        batch_buckets
+        if batch_buckets is not None
+        else minhash_buckets(batch, id_col, text_col, n, num_hashes, bands)
+    )
     a, b = bb.alias("a"), corpus_index.alias("b")
     cand = (
         a.join(

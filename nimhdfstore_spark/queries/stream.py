@@ -618,3 +618,125 @@ def x166(spark, sf_dir):
         .withColumn("n_dv_ranges", F.lit(len(t.deletion_vector)).cast("long"))
         .orderBy(ROWID)
     )
+
+
+# --------------------------------------------------------------------------
+# x196 — STREAMING incremental dedup with a GROWING persisted index: the
+# crawl-ingest loop end to end. Three staged micro-batches arrive in
+# deterministic order; each probes the persisted MinHash signature index
+# (corpus + all earlier batches' ACCEPTED docs) and appends its accepted
+# signatures back. The oracle unrolls the three batches as chained CTEs —
+# batch k's candidate set includes batch j<k docs NOT flagged dup at
+# stage j — over the same engine-independent signature arithmetic as x140.
+# --------------------------------------------------------------------------
+
+#: x196 signs with a narrower family than x140 (32 hashes / 8 bands, same
+#: rows-per-band): the streaming loop pays the signature+agree cost once
+#: per micro-batch per index generation, and 32 hashes at tau=0.65 keeps
+#: the same verdict structure at half the codegen/index volume.
+_X196_NUM, _X196_BANDS = 32, 8
+
+
+def _x196_sql() -> str:
+    from nimhdfstore_spark.operators import dedup as D
+    from nimhdfstore_spark.queries.dedup import (
+        _DOC_LIMIT, _JACCARD_TAU, _SQL_GRAM_HASHES, _poly_fold_sql,
+    )
+
+    r = _X196_NUM // _X196_BANDS
+    sig_exprs = ",\n    ".join(
+        f"list_min(list_transform(pgs, p -> (p * {a} + {b}) % {D.HASH_MOD}))"
+        for a, b in D.minhash_coeffs(_X196_NUM)
+    )
+    bucket = lambda side: _poly_fold_sql(  # noqa: E731
+        [f"{side}.sig[{r}*k + {j + 1}]" for j in range(r)], D.HASH_MOD
+    )
+    est = (
+        f"ROUND(len(list_filter(range({_X196_NUM}), i -> a.sig[i+1] = b.sig[i+1]))"
+        f" / {_X196_NUM}.0, 6)"
+    )
+    collide = (
+        f"len(list_filter(range({_X196_BANDS}),"
+        f" k -> ({bucket('a')}) = ({bucket('b')}))) > 0"
+    )
+
+    def member(k: int) -> str:
+        # index contents when batch k probes: corpus + accepted of batches < k
+        terms = ["b.doc_id % 10 != 0"]
+        for j in range(k):
+            terms.append(
+                f"(b.doc_id % 30 = {10 * j} AND b.doc_id NOT IN "
+                f"(SELECT id FROM dup{j}))"
+            )
+        return "(" + " OR ".join(terms) + ")"
+
+    scored, dups = [], []
+    for k in range(3):
+        scored.append(f"""scored{k} AS MATERIALIZED (
+  SELECT a.doc_id AS id, b.doc_id AS match_id, {est} AS est_jaccard
+  FROM s a JOIN s b
+    ON a.doc_id % 30 = {10 * k} AND {member(k)}
+  WHERE {collide}
+    AND ROUND(len(list_filter(range({_X196_NUM}), i -> a.sig[i+1] = b.sig[i+1]))
+              / {_X196_NUM}.0, 6) >= {_JACCARD_TAU}
+)""")
+        dups.append(f"dup{k} AS (SELECT DISTINCT id FROM scored{k})")
+    chain = ",\n".join(v for pair in zip(scored, dups) for v in pair)
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN length(text) >= 3 THEN
+      list_distinct(list_transform(range(length(lower(text)) - 2),
+                                   i -> substr(lower(text), i + 1, 3)))
+    ELSE [] END AS grams
+  FROM documents WHERE doc_id < {_DOC_LIMIT}
+),
+h AS (
+  SELECT doc_id, {_SQL_GRAM_HASHES} AS pgs FROM g WHERE len(grams) > 0
+),
+s AS MATERIALIZED (SELECT doc_id, list_value(
+    {sig_exprs}) AS sig FROM h),
+{chain},
+all_scored AS (
+  SELECT * FROM scored0 UNION ALL
+  SELECT * FROM scored1 UNION ALL
+  SELECT * FROM scored2
+),
+per_doc AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dup_candidates,
+         (list(match_id ORDER BY est_jaccard DESC, match_id ASC))[1]
+             AS best_match_id,
+         MAX(est_jaccard) AS best_est
+  FROM all_scored GROUP BY id
+)
+SELECT d.doc_id AS id,
+       CAST((d.doc_id % 30) // 10 AS BIGINT) AS batch_no,
+       CAST(CASE WHEN p.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+       COALESCE(p.n_dup_candidates, 0) AS n_dup_candidates,
+       CAST(COALESCE(p.best_match_id, -1) AS BIGINT) AS best_match_id,
+       COALESCE(p.best_est, 0.0) AS best_est
+FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
+WHERE d.doc_id < {_DOC_LIMIT} AND d.doc_id % 10 = 0
+ORDER BY id
+"""
+
+
+@query("x196_stream_incremental_dedup", _x196_sql())
+def x196(spark, sf_dir):
+    import os as _os
+
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.queries.dedup import _DOC_LIMIT, _JACCARD_TAU
+    from nimhdfstore_spark.streaming.windows import stream_incremental_dedup
+
+    store = scratch_store(spark, f"x196-{_os.path.basename(sf_dir)}")
+    rows = stream_incremental_dedup(
+        spark, sf_dir, store,
+        doc_limit=_DOC_LIMIT, num_hashes=_X196_NUM, bands=_X196_BANDS,
+        threshold=_JACCARD_TAU,
+    )
+    return spark.createDataFrame(
+        rows,
+        "id long, batch_no long, is_dup long, n_dup_candidates long, "
+        "best_match_id long, best_est double",
+    ).orderBy("id")

@@ -311,3 +311,53 @@ def test_duplicate_spans_rolling_matches_reference_sampler(spark):
     for r in out:
         assert r["n_seeds"] == len(_sampled(t))
         assert r["dup_seeds"] == r["n_seeds"]
+
+
+# --------------------------------------------------------------------------
+# stream_incremental_dedup (x196)
+# --------------------------------------------------------------------------
+
+def test_stream_incremental_dedup_index_growth(spark, sf_dir):
+    """The persisted index must grow by exactly the ACCEPTED docs of each
+    batch: after the drain it holds corpus + accepted ids, no dup ids, and
+    the verdict log covers every staged doc exactly once."""
+    import os
+
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.queries.dedup import _DOC_LIMIT, _JACCARD_TAU
+    from nimhdfstore_spark.queries.stream import _X196_BANDS, _X196_NUM
+    from nimhdfstore_spark.streaming.windows import stream_incremental_dedup
+
+    store = scratch_store(spark, f"t196-{os.path.basename(sf_dir)}")
+    rows = stream_incremental_dedup(
+        spark, sf_dir, store,
+        doc_limit=_DOC_LIMIT, num_hashes=_X196_NUM, bands=_X196_BANDS,
+        threshold=_JACCARD_TAU,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).where(
+        f"doc_id < {_DOC_LIMIT}"
+    )
+    staged_ids = {r["doc_id"] for r in docs.where("doc_id % 10 = 0").collect()}
+    assert {r["id"] for r in rows} == staged_ids  # every doc, exactly once
+    assert len(rows) == len(staged_ids)
+
+    idx_ids = {
+        r["id"] for r in store.table("sig_index").df().select("id").distinct().collect()
+    }
+    corpus_ids = {
+        r["doc_id"]
+        for r in docs.where("doc_id % 10 != 0 AND length(text) >= 3").collect()
+    }
+    accepted = {r["id"] for r in rows if r["is_dup"] == 0}
+    dups = {r["id"] for r in rows if r["is_dup"] == 1}
+    assert idx_ids & dups == set()          # rejected docs never indexed
+    assert accepted - idx_ids == set()      # every accepted doc indexed
+    assert idx_ids - corpus_ids - accepted == set()  # nothing else
+    # a doc whose batch_no is later can match an accepted earlier-batch doc:
+    # match ids must always reference the index as of that batch
+    for r in rows:
+        if r["is_dup"]:
+            m = r["best_match_id"]
+            assert m in corpus_ids or (
+                m in accepted and (m % 30) // 10 < r["batch_no"]
+            )
