@@ -361,3 +361,90 @@ def test_stream_incremental_dedup_index_growth(spark, sf_dir):
             assert m in corpus_ids or (
                 m in accepted and (m % 30) // 10 < r["batch_no"]
             )
+
+
+# --------------------------------------------------------------------------
+# Store mutation sequences vs the reference's list model: nimtables.nim's
+# table IS an in-memory seq with positional splice semantics
+# (append 173-175, update 177-200, delete 202-227, insert 229-233), so a
+# plain Python list is the executable spec. Random op sequences must keep
+# the Store's read view identical to the list at every step — including
+# deferred deletion vectors interleaved with physical mutations.
+# --------------------------------------------------------------------------
+
+import os as _os
+import shutil as _shutil
+
+from nimhdfstore_spark.store import Store
+
+_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["append", "insert", "update", "delete", "delete_deferred",
+             "compact"]
+        ),
+        st.integers(0, 999),  # position seed
+        st.integers(1, 3),    # op width
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=_OPS)
+def test_store_mutation_sequences_match_list_model(spark, ops):
+    path = "/tmp/nimhdfstore_scratch/round9_model"
+    _shutil.rmtree(path, ignore_errors=True)
+    store = Store(spark, path)
+    nxt = 1000  # fresh-value counter (distinct from seeds)
+    model = [i * 10 for i in range(8)]
+    store.put(
+        "t",
+        spark.createDataFrame([(v,) for v in model], "v long"),
+        order_by=["v"],
+    )
+    t = store.table("t")
+
+    def payload(vals):
+        return spark.createDataFrame([(v,) for v in vals], "v long")
+
+    for kind, pos_seed, width in ops:
+        n = len(model)
+        if kind == "append":
+            vals = [nxt + j for j in range(width)]
+            nxt += width
+            t.append(payload(vals))
+            model.extend(vals)
+        elif kind == "insert":
+            i = pos_seed % (n + 1)
+            vals = [nxt + j for j in range(width)]
+            nxt += width
+            t.insert(i, payload(vals))
+            model[i:i] = vals
+        elif kind == "update":
+            if n == 0:
+                continue
+            a = pos_seed % n
+            b = min(a + width - 1, n - 1)
+            vals = [nxt + j for j in range(b - a + 1)]
+            nxt += b - a + 1
+            t.update(a, payload(vals), b)
+            model[a : b + 1] = vals
+        elif kind in ("delete", "delete_deferred"):
+            if n == 0:
+                continue
+            a = pos_seed % n
+            b = min(a + width - 1, n - 1)
+            getattr(t, kind)(a, b)
+            del model[a : b + 1]
+        elif kind == "compact":
+            t.compact()
+        got = [
+            r["v"]
+            for r in t.df().orderBy("_rowid").select("v", "_rowid").collect()
+        ]
+        assert got == model, f"after {kind}: {got} != {model}"
+    # final rowids are the dense 0..n-1 rank (positions, not history)
+    rid = [r["_rowid"] for r in t.df().orderBy("_rowid").collect()]
+    assert rid == list(range(len(model)))
