@@ -448,3 +448,67 @@ def test_store_mutation_sequences_match_list_model(spark, ops):
     # final rowids are the dense 0..n-1 rank (positions, not history)
     rid = [r["_rowid"] for r in t.df().orderBy("_rowid").collect()]
     assert rid == list(range(len(model)))
+
+
+# --------------------------------------------------------------------------
+# Dataset mutation sequences vs the numpy model: the reference's n-dim
+# dataset IS an ndarray with hyperslab/coordinate write semantics
+# (datasets.nim 1450-1528 hyperslab write, 1117-1275 coordinate write,
+# resize/append), so numpy is the executable spec. Random op sequences
+# over a 2-D dataset must keep the read view identical to the array.
+# --------------------------------------------------------------------------
+
+_DS_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["coords", "slab", "add_rows", "resize_grow"]),
+        st.integers(0, 999),
+        st.integers(0, 999),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=_DS_OPS)
+def test_dataset_mutation_sequences_match_numpy(spark, ops):
+    from nimhdfstore_spark.datasets import create_dataset
+    from nimhdfstore_spark.store import Store
+
+    path = "/tmp/nimhdfstore_scratch/round9_ds_model"
+    _shutil.rmtree(path, ignore_errors=True)
+    store = Store(spark, path)
+    model = np.arange(12, dtype="float64").reshape(3, 4)
+    ds = create_dataset(store, "m", data=model.copy())
+    nxt = 100.0
+    for kind, s1, s2 in ops:
+        h, w = model.shape
+        if kind == "coords":
+            pts = [(s1 % h, s2 % w), ((s1 + 1) % h, (s2 + 3) % w)]
+            pts = list(dict.fromkeys(pts))  # scatter targets must be unique
+            vals = [nxt + j for j in range(len(pts))]
+            nxt += len(pts)
+            ds.write_coords(pts, vals)
+            for (y, x), v in zip(pts, vals):
+                model[y, x] = v
+        elif kind == "slab":
+            oy, ox = s1 % h, s2 % w
+            cy, cx = min(2, h - oy), min(2, w - ox)
+            block = np.full((cy, cx), nxt)
+            nxt += 1
+            ds.write_hyperslab([oy, ox], [cy, cx], block)
+            model[oy : oy + cy, ox : ox + cx] = block
+        elif kind == "add_rows":
+            rows = np.full((1 + s1 % 2, w), nxt)
+            nxt += 1
+            ds.add(rows, axis=0)
+            model = np.concatenate([model, rows], axis=0)
+        elif kind == "resize_grow":
+            new_shape = [h + 1, w]
+            ds.resize(new_shape)
+            grown = np.zeros(new_shape)
+            grown[:h, :] = model
+            model = grown
+        got = ds.read()
+        assert got.shape == model.shape, f"after {kind}"
+        assert (got == model).all(), f"after {kind}:\n{got}\n!=\n{model}"
