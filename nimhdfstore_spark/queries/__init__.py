@@ -31,6 +31,34 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
+def sweep_rotation() -> int:
+    """Cumulative driver-round counter used to rotate the extension lanes.
+
+    The external sweep verifies only ~50 entries per round; without rotation
+    the same three extension representatives would occupy slots 48–50
+    forever (round-5 verdict ask #1).  The counter is the number of
+    ``CORRECTNESS_r*.json`` records the driver has already archived at the
+    repo root: persisted state that advances exactly once per round and is
+    stable *within* a round (the driver writes the new record only after
+    the sweep completes, so ``queries()`` / ``oracle_sql()`` / bench all see
+    one value).  ``SPARK_GRAFT_SWEEP_ROTATION`` overrides for tests.
+    """
+    import glob
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_SWEEP_ROTATION")
+    if env is not None:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    except OSError:
+        return 0
+
+
 def sweep_order() -> list[str]:
     """Registry names ordered for a time-budgeted external sweep.
 
@@ -42,6 +70,15 @@ def sweep_order() -> list[str]:
     checked the most queries — then a round-robin across the extension
     families, each family lane also cheapest-first, so a truncated sweep
     samples every operator family at its cheapest representative.
+
+    The extension ordering rotates per driver round (``sweep_rotation()``):
+    the interleaved lane sequence is one fixed cycle over all extension
+    entries, rotated left by ``3·r`` — so the ~3 extension slots under the
+    driver's ~50-entry cap verify three *new* entries every round
+    (consecutive rounds are disjoint until the cycle wraps), every family
+    lands in a driver slot within ``ceil(L/3)+1`` rounds, and every
+    extension entry is driver-verified within ``ceil(len(ext)/3)`` rounds.
+    The core suite is unaffected by rotation.
     """
     try:
         from nimhdfstore_spark.queries._costs import COSTS
@@ -62,10 +99,15 @@ def sweep_order() -> list[str]:
         rest.setdefault(FAMILY.get(n, "misc"), []).append(n)
     out = list(core)
     lanes = [sorted(rest[f], key=cost) for f in sorted(rest)]
+    flat: list[str] = []
     for i in range(max((len(l) for l in lanes), default=0)):
         for lane in lanes:
             if i < len(lane):
-                out.append(lane[i])
+                flat.append(lane[i])
+    if flat:
+        s = (3 * sweep_rotation()) % len(flat)
+        flat = flat[s:] + flat[:s]
+    out.extend(flat)
     return out
 
 
