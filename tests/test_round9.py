@@ -290,7 +290,12 @@ def test_repetition_trim_partial_last_chunk(spark):
 
 
 @settings(max_examples=10, deadline=None)
-@given(st.lists(st.text(alphabet="abcdefg 0123", min_size=0, max_size=120),
+# non-ASCII coverage (round-5 ADVICE): é exercises BMP>127, 😀 (U+1F600)
+# exercises astral/surrogate handling — Spark's split('')/substr/length and
+# F.ascii all operate on CODE POINTS (verified empirically: poly_hash of
+# 'ab😀cd' equals the code-point fold on both engines), matching the
+# utf-32-le rolling kernel, so equivalence holds beyond ASCII too.
+@given(st.lists(st.text(alphabet="abcdefg 0123é😀", min_size=0, max_size=120),
                 min_size=1, max_size=6))
 def test_duplicate_spans_rolling_equals_hof(spark, texts):
     """The Rabin-Karp mapInPandas seed kernel must produce byte-identical
