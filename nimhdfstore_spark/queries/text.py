@@ -704,29 +704,94 @@ def x171(spark, sf_dir):
 # --------------------------------------------------------------------------
 # x187 — REAL BPE: learn merges from the corpus word histogram (Sennrich
 # et al. 2016 — x154 is one round's frequency table), encode every
-# document with the broadcast merge table. Iterative in-word rewriting
-# has no SQL analog, so this is a rows-only registry entry; correctness
-# is pinned by an independent reimplementation + hypothesis equivalence
-# in tests/test_round7.py (merge-order vs min-rank-first encoding), and
-# the in-query invariant n_pretokens <= n_tokens <= char count is
-# asserted on every row.
+# document with the broadcast merge table. The full iterative encode has
+# no SQL analog — it stays pinned by an independent reimplementation +
+# hypothesis equivalence (tests/test_round7.py) and by loud IN-QUERY
+# assertions here (Python-regex pretokenization must equal the JVM
+# count per doc; n_pretokens <= n_tokens <= n_init_syms) — but the row
+# the driver hashes is now engine-independently checkable (round-5
+# verdict ask #6): per-doc pretoken/initial-symbol counts plus the FIRST
+# learned merge pair, which DuckDB recomputes from scratch — the capped
+# word histogram (identical binary-lex tie-breaks), per-word symbol
+# pairs weighted by count, argmax by (count desc, pair lex). A wrong
+# histogram, tie-break, EOW convention, or pair weighting flips the hash.
 # --------------------------------------------------------------------------
 
+_X187_MERGES, _X187_TOPW = 24, 2000
 
-@query("x187_bpe_encode", None)
+_X187_SQL = f"""
+WITH pret AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(text, '{T.BPE_PATTERN}'),
+                     x -> regexp_matches(x, '[^\\s]')) AS toks
+  FROM documents
+),
+hist AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(toks) AS w FROM pret)
+  GROUP BY w ORDER BY cnt DESC, w LIMIT {_X187_TOPW}
+),
+syms AS (
+  SELECT cnt, list_append(
+           list_filter(string_split(w, ''), c -> c != ''), chr(10)) AS s
+  FROM hist
+),
+pairs AS (
+  SELECT s[i] AS a, s[i + 1] AS b, SUM(cnt) AS pc
+  FROM syms, LATERAL unnest(range(1, len(s))) t(i)
+  GROUP BY a, b
+),
+m1 AS (SELECT a, b FROM pairs ORDER BY pc DESC, a, b LIMIT 1)
+SELECT p.doc_id,
+       CAST(len(p.toks) AS BIGINT) AS n_pretokens,
+       CAST(COALESCE(list_sum(list_transform(p.toks, x -> length(x) + 1)), 0)
+            AS BIGINT) AS n_init_syms,
+       m1.a AS m1_a, m1.b AS m1_b
+FROM pret p CROSS JOIN m1
+ORDER BY p.doc_id
+"""
+
+
+@query("x187_bpe_encode", _X187_SQL)
 def x187(spark, sf_dir):
     from nimhdfstore_spark.operators.text import bpe_apply, bpe_learn
 
     docs = load(spark, sf_dir, "documents")
-    merges = bpe_learn(docs, "text", num_merges=24, top_words=2000)
+    merges = bpe_learn(docs, "text", num_merges=_X187_MERGES,
+                       top_words=_X187_TOPW)
     enc = bpe_apply(docs, "doc_id", "text", merges)
-    # the count invariant (n_pretokens <= n_tokens) is structural in the
-    # encoder — every word emits >= 1 symbol — and is pinned by the
-    # round-7 property tests; re-checking it here would execute the
-    # mapInPandas encode a second time for a driver-side count
-    return enc.select(
-        "doc_id", "n_pretokens", "n_tokens",
-        F.array_join(F.slice("tokens", 1, 8), "|").alias("head_tokens"),
+    toks = T.bpe_tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_pretokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x) + 1,
+        ).alias("n_init_syms"),
+    )
+    # force the full encode and pin it loudly: the Python-regex pretoken
+    # count must equal the JVM-regex count doc-by-doc, and every token
+    # count must sit in [n_pretokens, n_init_syms] (merging only shrinks)
+    bad = (
+        base.join(
+            enc.select(
+                "doc_id", F.col("n_pretokens").alias("np_py"), "n_tokens"
+            ),
+            "doc_id",
+        )
+        .where(
+            (F.col("np_py") != F.col("n_pretokens"))
+            | (F.col("n_tokens") < F.col("n_pretokens"))
+            | (F.col("n_tokens") > F.col("n_init_syms"))
+        )
+        .count()
+    )
+    if bad:
+        raise AssertionError(f"BPE encode invariant violated on {bad} docs")
+    return base.select(
+        "doc_id", "n_pretokens", "n_init_syms",
+        F.lit(merges[0][0]).alias("m1_a"),
+        F.lit(merges[0][1]).alias("m1_b"),
     ).orderBy("doc_id")
 
 
