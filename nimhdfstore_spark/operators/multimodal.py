@@ -105,19 +105,33 @@ DECODED_PIXELS = StructType([
 ])
 
 
+def decode_image_auto(data: bytes):
+    """Magic-byte image decode dispatch: PNG (operators/png.py) or
+    baseline JPEG (operators/jpeg.py — ITU T.81), both pure numpy.
+    Raises ValueError on anything else — callers in batch kernels drop,
+    never crash."""
+    if data[:2] == b"\xff\xd8":
+        from nimhdfstore_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    from nimhdfstore_spark.operators.png import decode_png
+
+    return decode_png(data)
+
+
 def decode_images(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """REAL image decode over a binary column — PNG via the pure
-    zlib+numpy codec (operators/png.py; reference image surface
-    hl/H5IMpublic.nim:26-56). Arrow-batched ``mapInPandas``: each task
-    inflates and unfilters its payloads and emits exact integer pixel
-    stats (sum/min/max over all samples) — stateless per-row work, no
+    zlib+numpy codec (operators/png.py) and baseline JPEG via the pure
+    numpy T.81 codec (operators/jpeg.py); reference image surface
+    hl/H5IMpublic.nim:26-56. Arrow-batched ``mapInPandas``: each task
+    decodes its payloads and emits exact integer pixel stats
+    (sum/min/max over all samples) — stateless per-row work, no
     shuffle, parallelism = input partitions. Payloads that are not
-    decodable PNGs are dropped (route with ``sniff_mime`` upstream;
+    decodable images are dropped (route with ``sniff_mime`` upstream;
     real corpora carry mislabeled bytes and a decoder that throws on
     them takes down the stage)."""
-    from nimhdfstore_spark.operators.png import decode_png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -128,9 +142,9 @@ def decode_images(
                 if payload is None:
                     continue
                 try:
-                    img = decode_png(bytes(payload))
+                    img = decode_image_auto(bytes(payload))
                 except Exception:
-                    continue  # not a (supported) PNG: dropped by contract
+                    continue  # not a decodable image: dropped by contract
                 h, w, c = img.shape
                 flat = img.astype(np.int64)
                 rows.append((
@@ -502,13 +516,15 @@ def image_dhash(
     payload_col: str = "payload",
     grid: int = 8,
 ) -> DataFrame:
-    """Perceptual difference-hash (dHash) over a PNG binary column — the
-    image analog of SimHash: decode (operators/png.py), nearest-neighbor
-    resample the first channel to ``(grid+1) x grid``, then bit ``i`` of
-    the hash is 1 iff the right neighbor is strictly brighter
-    (``px[y,x+1] > px[y,x]``). Comparisons make the hash invariant to any
-    constant brightness shift that stays in gamut — the property
-    near-duplicate image dedup relies on.
+    """Perceptual difference-hash (dHash) over an image binary column —
+    the image analog of SimHash: decode (PNG or baseline JPEG, magic-byte
+    dispatched), nearest-neighbor resample the first channel to
+    ``(grid+1) x grid``, then bit ``i`` of the hash is 1 iff the right
+    neighbor is strictly brighter (``px[y,x+1] > px[y,x]``). Comparisons
+    make the hash invariant to any constant brightness shift that stays
+    in gamut — the property near-duplicate image dedup relies on; the
+    same image encoded as PNG and as high-quality JPEG lands on the same
+    or near-identical hash (dHash tolerates small lossy error).
 
     Emitted as a SIGNED int64 (bit 63 lands in the sign), so downstream
     grouping/joining uses Spark's native long. Stateless Arrow-batched
@@ -516,7 +532,7 @@ def image_dhash(
     groupBy/equi-join on the hash (Hamming-0) or on SimHash-style bands of
     it (Hamming<=t, ``dedup.simhash_bands``) — never all-pairs.
     Undecodable payloads are dropped (``decode_images`` contract)."""
-    from nimhdfstore_spark.operators.png import decode_png, resize_nearest
+    from nimhdfstore_spark.operators.png import resize_nearest
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -527,7 +543,7 @@ def image_dhash(
                 if payload is None:
                     continue
                 try:
-                    img = decode_png(bytes(payload))
+                    img = decode_image_auto(bytes(payload))
                 except Exception:
                     continue
                 h, w, _c = img.shape

@@ -848,3 +848,74 @@ def x192(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x197 — REAL baseline JPEG decode (operators/jpeg.py: pure-numpy ITU
+# T.81 — segment parse, canonical Huffman, dequantize, 8x8 IDCT): banded
+# grayscale images are encoded as genuine baseline JPEGs executor-side
+# and decoded back by the magic-byte-dispatched decode_images pass. The
+# fixture rides the codec's exactness contract: every 8x8 block is
+# uniform (8-row bands, block-aligned dims) so all AC terms are zero and
+# DC = 8·(v-128); band values are even, so DC is a multiple of the
+# quality-50 luma DC step (16) and the lossy round-trip is BIT-EXACT —
+# letting the oracle state the decoded pixel stats in closed form from
+# doc_id. A wrong Huffman table, zigzag, DC prediction, quant scale or
+# IDCT breaks the hash. JPEG is the dominant web-crawl image format;
+# this closes the real-decode story the PNG family (x184/x185) started.
+# --------------------------------------------------------------------------
+
+_X197_N = 240
+
+_X197_SQL = f"""
+WITH src AS (
+  SELECT doc_id, 8 * (3 + doc_id % 4) AS w, 3 + doc_id % 3 AS nb
+  FROM documents WHERE doc_id < {_X197_N}
+),
+bands AS (SELECT unnest(range(5)) AS b),
+bv AS (
+  SELECT doc_id, w, nb, 64 + 2 * ((doc_id * 7 + b * 5) % 80) AS v
+  FROM src CROSS JOIN bands WHERE b < nb
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(8 * nb AS INT) AS height,
+       CAST(1 AS INT) AS channels, CAST(8 AS INT) AS bit_depth,
+       CAST(w * 8 * nb AS BIGINT) AS n_pixels,
+       CAST(SUM(v * 8 * w) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+FROM bv GROUP BY doc_id, w, nb ORDER BY doc_id
+"""
+
+
+def _jpeg_band_payloads(spark, sf_dir, limit):
+    """(doc_id, payload) of real baseline JPEGs: grayscale, block-aligned
+    w = 8*(3+id%4), h = 8*(3+id%3) bands, band b value
+    64 + 2*((id*7 + b*5) % 80) — even values on the q50 DC-quant lattice,
+    so decode is bit-exact (see x197 header)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < limit)
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        from nimhdfstore_spark.operators.jpeg import encode_jpeg
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, nb = 8 * (3 + d % 4), 3 + d % 3
+                img = np.zeros((8 * nb, w, 1), dtype=np.uint8)
+                for b in range(nb):
+                    img[b * 8 : (b + 1) * 8] = 64 + 2 * ((d * 7 + b * 5) % 80)
+                rows.append((d, bytearray(encode_jpeg(img, quality=50))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+
+
+@query("x197_jpeg_decode_pixels", _X197_SQL)
+def x197(spark, sf_dir):
+    packed = _jpeg_band_payloads(spark, sf_dir, _X197_N)
+    return M.decode_images(packed).orderBy("doc_id")
