@@ -374,10 +374,16 @@ def sniff_mime(
     This is the dispatch step in front of per-format decode UDFs — route by
     sniffed (not declared) type so a mislabeled payload can't crash the
     wrong decoder."""
-    head = F.hex(F.expr(f"substring({payload_col}, 1, 8)"))
+    head = F.hex(F.expr(f"substring({payload_col}, 1, 12)"))
     expr = F.lit("application/octet-stream")
     for prefix, mime in reversed(MAGIC_PREFIXES):
         expr = F.when(head.startswith(prefix), mime).otherwise(expr)
+    # RIFF is a container grammar, not a format: bytes 9-12 name the form
+    # ('WAVE' audio vs 'AVI ' video) — disambiguate before the prefix CASE
+    expr = F.when(
+        head.startswith("52494646") & (F.substring(head, 17, 8) == "41564920"),
+        "video/avi",
+    ).otherwise(expr)
     return df.select(
         F.col(id_col),
         F.octet_length(payload_col).cast("long").alias("n_bytes"),

@@ -919,3 +919,78 @@ def _jpeg_band_payloads(spark, sf_dir, limit):
 def x197(spark, sf_dir):
     packed = _jpeg_band_payloads(spark, sf_dir, _X197_N)
     return M.decode_images(packed).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x198 — VIDEO container demux + frame sampling (operators/video.py: AVI
+# RIFF walk per the public Microsoft AVI reference, MJPEG frames decoded
+# by the T.81 codec): deterministic banded-frame MJPEG AVIs are muxed
+# executor-side, then demuxed and every-2nd-frame sampled and decoded by
+# sample_avi_frames. Frames ride the JPEG exactness contract (block-
+# aligned even-valued bands at quality 50 → bit-exact decode), so the
+# oracle states every sampled frame's pixel stats in closed form from
+# (doc_id, frame_no). Skipped frames are never JPEG-decoded — the chunk
+# walk steps over them — which is the property that makes every-kth
+# sampling affordable on a crawl-scale corpus. This extends the
+# multimodal surface past still images (x184/x197) and animation
+# (x190 APNG) to a real container-format video pipeline.
+# --------------------------------------------------------------------------
+
+_X198_N = 160
+
+_X198_SQL = f"""
+WITH src AS (
+  SELECT doc_id, 8 * (3 + doc_id % 3) AS w, 4 + doc_id % 5 AS nf,
+         10 + doc_id % 3 AS fps
+  FROM documents WHERE doc_id < {_X198_N}
+),
+fs AS (SELECT unnest(range(9)) AS f),
+bands AS (SELECT unnest(range(3)) AS b),
+bv AS (
+  SELECT doc_id, w, nf, fps, f,
+         64 + 2 * ((doc_id * 3 + f * 7 + b * 5) % 80) AS v
+  FROM src CROSS JOIN fs CROSS JOIN bands
+  WHERE f < nf AND f % 2 = 0
+)
+SELECT doc_id, CAST(f AS INT) AS frame_no, CAST(nf AS INT) AS n_frames,
+       CAST(fps AS INT) AS fps, CAST(w AS INT) AS width,
+       CAST(24 AS INT) AS height,
+       CAST(SUM(v * 8 * w) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+FROM bv GROUP BY doc_id, w, nf, fps, f ORDER BY doc_id, frame_no
+"""
+
+
+@query("x198_avi_mjpeg_frame_sample", _X198_SQL)
+def x198(spark, sf_dir):
+    from nimhdfstore_spark.operators.video import sample_avi_frames
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _X198_N)
+
+    def mux(it):
+        import numpy as np
+        import pandas as pd
+
+        from nimhdfstore_spark.operators.jpeg import encode_jpeg
+        from nimhdfstore_spark.operators.video import mux_avi_mjpeg
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, nf, fps = 8 * (3 + d % 3), 4 + d % 5, 10 + d % 3
+                frames = []
+                for f in range(nf):
+                    img = np.zeros((24, w, 1), dtype=np.uint8)
+                    for b in range(3):
+                        img[b * 8 : (b + 1) * 8] = (
+                            64 + 2 * ((d * 3 + f * 7 + b * 5) % 80)
+                        )
+                    frames.append(encode_jpeg(img, quality=50))
+                rows.append((d, bytearray(mux_avi_mjpeg(frames, w, 24, fps))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    videos = docs.select("doc_id").mapInPandas(
+        mux, "doc_id long, payload binary"
+    )
+    return sample_avi_frames(videos, every_k=2).orderBy("doc_id", "frame_no")

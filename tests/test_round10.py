@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -257,3 +258,85 @@ def test_duplicate_spans_zero_seed_doc_has_row(spark):
         assert set(rows) == {0, 1}, "len>=k docs exactly; short doc absent"
         assert tuple(rows[0])[1:] == (0, 0, 0, 0), "zero-filled counts"
         assert rows[1]["n_seeds"] > 0
+
+
+# --------------------------------------------------------------------------
+# AVI/MJPEG video container (operators/video.py): mux/demux round-trip,
+# RIFF disambiguation in sniff_mime, frame sampling + drop contract.
+# --------------------------------------------------------------------------
+
+def _mjpeg_avi(doc, n_frames, w=32, h=24, fps=10):
+    from nimhdfstore_spark.operators.jpeg import encode_jpeg
+    from nimhdfstore_spark.operators.video import mux_avi_mjpeg
+
+    frames = []
+    for f in range(n_frames):
+        img = np.zeros((h, w, 1), dtype=np.uint8)
+        for b in range(h // 8):
+            img[b * 8 : (b + 1) * 8] = 64 + 2 * ((doc * 3 + f * 7 + b * 5) % 80)
+        frames.append(encode_jpeg(img, quality=50))
+    return frames, mux_avi_mjpeg(frames, w, h, fps)
+
+
+@given(st.integers(min_value=0, max_value=50),
+       st.integers(min_value=1, max_value=7))
+@settings(max_examples=15, deadline=None)
+def test_avi_mux_demux_roundtrip(doc, n_frames):
+    from nimhdfstore_spark.operators.video import demux_avi
+
+    frames, avi = _mjpeg_avi(doc, n_frames)
+    m = demux_avi(avi)
+    assert (m["width"], m["height"], m["fps"]) == (32, 24, 10)
+    assert m["n_frames"] == n_frames
+    assert m["frames"] == frames  # byte-identical payloads back out
+
+
+def test_avi_rejects_non_avi_and_foreign_codec():
+    import struct
+
+    from nimhdfstore_spark.operators.video import demux_avi, mux_avi_mjpeg
+
+    with pytest.raises(ValueError):
+        demux_avi(b"RIFF\x10\x00\x00\x00WAVEdata")
+    with pytest.raises(ValueError):
+        demux_avi(b"\x89PNG\r\n\x1a\n")
+    _, avi = _mjpeg_avi(1, 2)
+    h264 = avi.replace(b"vidsMJPG", b"vidsH264")
+    with pytest.raises(ValueError, match="codec"):
+        demux_avi(h264)
+
+
+def test_sniff_mime_disambiguates_riff_forms(spark):
+    from nimhdfstore_spark.operators.multimodal import sniff_mime
+
+    _, avi = _mjpeg_avi(0, 1)
+    wav = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little") + bytes(16)
+           + b"data" + (0).to_bytes(4, "little"))
+    df = spark.createDataFrame(
+        [(0, bytearray(avi)), (1, bytearray(wav)), (2, bytearray(b"RIFFxxxx????"))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["sniffed_mime"] for r in sniff_mime(df).collect()}
+    assert got == {0: "video/avi", 1: "audio/wav", 2: "audio/wav"}
+
+
+def test_sample_avi_frames_every_k_and_drop(spark):
+    from nimhdfstore_spark.operators.video import sample_avi_frames
+
+    _, avi5 = _mjpeg_avi(3, 5)
+    _, avi2 = _mjpeg_avi(4, 2)
+    df = spark.createDataFrame(
+        [(3, bytearray(avi5)), (4, bytearray(avi2)),
+         (9, bytearray(b"not a video at all"))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_avi_frames(df, every_k=2).collect()
+    got = {(r["doc_id"], r["frame_no"]) for r in rows}
+    assert got == {(3, 0), (3, 2), (3, 4), (4, 0)}
+    for r in rows:
+        nb = 3  # bands
+        d, f, w = r["doc_id"], r["frame_no"], r["width"]
+        vals = [64 + 2 * ((d * 3 + f * 7 + b * 5) % 80) for b in range(nb)]
+        assert r["px_sum"] == sum(v * 8 * w for v in vals)
+        assert (r["px_min"], r["px_max"]) == (min(vals), max(vals))
