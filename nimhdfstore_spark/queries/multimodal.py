@@ -994,3 +994,85 @@ def x198(spark, sf_dir):
         mux, "doc_id long, payload binary"
     )
     return sample_avi_frames(videos, every_k=2).orderBy("doc_id", "frame_no")
+
+
+# --------------------------------------------------------------------------
+# x199 — MIXED-FORMAT perceptual near-dup: the same 8-pattern family
+# rendered alternately as lossless PNGs and lossy quality-97 JPEGs with
+# per-image brightness shifts must land in the SAME dHash groups — the
+# realistic crawl case x192 idealized (a near-dup corpus never arrives in
+# one format). Patterns are 8x9 bounded ±40-step walks (margin 40 vs a
+# measured worst-case JPEG error of 4, so a lossy decode cannot flip a
+# comparison bit); pattern distinctness and PNG/JPEG dHash parity across
+# every (pattern, shift, format) variant are test-pinned numerically.
+# The oracle states the grouping in pure SQL: group representative =
+# doc_id % 8, group size = N/8.
+# --------------------------------------------------------------------------
+
+_X199_N = 160
+
+_X199_SQL = f"""
+SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS rep,
+       CAST({_X199_N} // 8 AS BIGINT) AS group_size
+FROM documents WHERE doc_id < {_X199_N} ORDER BY doc_id
+"""
+
+
+def _x199_pattern(p):
+    import numpy as np
+
+    img = np.zeros((8, 9), dtype=np.int64)
+    for y in range(8):
+        w = 2
+        img[y, 0] = 64 + 40 * w
+        for x in range(8):
+            d = 1 if (((p + 1) * 1000003 + y * 101 + x * 13) % 17) < 8 else -1
+            if not (0 <= w + d <= 3):
+                d = -d
+            w += d
+            img[y, x + 1] = 64 + 40 * w
+    return img.astype(np.uint8)
+
+
+def _x199_payloads(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _X199_N)
+
+    def encode(it):
+        import pandas as pd
+
+        from nimhdfstore_spark.operators.jpeg import encode_jpeg
+        from nimhdfstore_spark.operators.png import encode_png
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                img = (_x199_pattern(d % 8) + 4 * ((d // 8) % 3)).astype(
+                    "uint8"
+                )
+                if (d // 8) % 2:
+                    payload = encode_jpeg(img[..., None], quality=97)
+                else:
+                    payload = encode_png(img)
+                rows.append((d, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+
+
+@query("x199_mixed_format_image_neardup", _X199_SQL)
+def x199(spark, sf_dir):
+    from pyspark.sql import Window
+
+    hashed = M.image_dhash(_x199_payloads(spark, sf_dir))
+    w = Window.partitionBy("dhash")
+    return (
+        hashed.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("rep"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+        .orderBy("doc_id")
+    )

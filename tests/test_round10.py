@@ -340,3 +340,32 @@ def test_sample_avi_frames_every_k_and_drop(spark):
         vals = [64 + 2 * ((d * 3 + f * 7 + b * 5) % 80) for b in range(nb)]
         assert r["px_sum"] == sum(v * 8 * w for v in vals)
         assert (r["px_min"], r["px_max"]) == (min(vals), max(vals))
+
+
+# --------------------------------------------------------------------------
+# x199 fixture guarantees: 8 distinct pattern dHashes; every
+# (pattern, shift, format) variant — lossless PNG and quality-97 JPEG —
+# lands on the pattern's reference dHash (margin 40 vs measured worst
+# JPEG error 4, so a lossy decode cannot flip a comparison bit).
+# --------------------------------------------------------------------------
+
+def test_x199_pattern_family_dhash_stable_across_formats():
+    from nimhdfstore_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from nimhdfstore_spark.operators.png import decode_png, encode_png
+    from nimhdfstore_spark.queries.multimodal import _x199_pattern
+
+    def dhash(img):
+        bits = (img[:, 1:].astype(int) > img[:, :-1].astype(int)).flatten()
+        return sum(1 << i for i, b in enumerate(bits) if b)
+
+    refs = [dhash(_x199_pattern(p)) for p in range(8)]
+    assert len(set(refs)) == 8, "patterns must have distinct dHashes"
+    worst = 0
+    for p in range(8):
+        for s in (0, 4, 8):
+            img = (_x199_pattern(p) + s).astype(np.uint8)
+            assert dhash(decode_png(encode_png(img))[:, :, 0]) == refs[p]
+            jpg = decode_jpeg(encode_jpeg(img[..., None], quality=97))[:, :, 0]
+            worst = max(worst, np.abs(jpg.astype(int) - img.astype(int)).max())
+            assert dhash(jpg) == refs[p], (p, s)
+    assert worst * 2 < 40, f"JPEG error {worst} eats the comparison margin"
