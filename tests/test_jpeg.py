@@ -189,3 +189,46 @@ def test_decode_image_auto_dispatch_and_dhash_parity(spark):
     rows = {r["doc_id"]: r for r in image_dhash(df).collect()}
     assert set(rows) == {0, 1}, "garbage dropped, both images decoded"
     assert rows[0]["dhash"] == rows[1]["dhash"]
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=80, deadline=None)
+def test_decoder_never_hangs_on_garbage(data):
+    # robust-ingest stance: arbitrary bytes either raise or decode —
+    # never hang, never return a malformed array
+    try:
+        out = decode_jpeg(b"\xff\xd8" + data)
+    except Exception:
+        return
+    assert out.dtype == np.uint8 and out.ndim == 3
+
+
+def test_skipped_frames_are_never_decoded(spark):
+    """The every-k laziness claim, made falsifiable: corrupt the JPEG
+    payload of every ODD frame in a muxed AVI. Sampling every 2nd frame
+    must still return all even frames bit-exact — if the sampler decoded
+    (or even validated) skipped frames, the corruption could not be
+    invisible. A corrupted frame that IS sampled drops (decode_images
+    contract) without taking out its siblings."""
+    from nimhdfstore_spark.operators.video import (
+        demux_avi, mux_avi_mjpeg, sample_avi_frames,
+    )
+
+    frames = []
+    for f in range(6):
+        img = np.full((8, 8, 1), 64 + 2 * ((f * 9) % 80), dtype=np.uint8)
+        frames.append(encode_jpeg(img, quality=50))
+    corrupted = [f if i % 2 == 0 else b"\x00garbage\xff" * 3
+                 for i, f in enumerate(frames)]
+    avi = mux_avi_mjpeg(corrupted, 8, 8, fps=10)
+    assert demux_avi(avi)["n_frames"] == 6
+    df = spark.createDataFrame([(0, bytearray(avi))],
+                               "doc_id long, payload binary")
+    rows = {r["frame_no"]: r for r in sample_avi_frames(df, every_k=2).collect()}
+    assert set(rows) == {0, 2, 4}
+    for f in (0, 2, 4):
+        v = 64 + 2 * ((f * 9) % 80)
+        assert rows[f]["px_sum"] == v * 64
+    # and when a corrupted frame IS sampled, it drops alone
+    rows1 = {r["frame_no"] for r in sample_avi_frames(df, every_k=1).collect()}
+    assert rows1 == {0, 2, 4}
