@@ -718,38 +718,85 @@ def x171(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _X187_MERGES, _X187_TOPW = 24, 2000
+_X187_ROUNDS = 4  # merge rounds the oracle recomputes from scratch
 
-_X187_SQL = f"""
+
+def _x187_sql() -> str:
+    """Unroll ``_X187_ROUNDS`` BPE merge rounds in DuckDB SQL.
+
+    The trick that makes the ITERATIVE merge loop SQL-expressible: after
+    round r, every symbol is again ONE character in a sentinel alphabet —
+    round r's merged pair is rewritten to ``chr(r)`` with ``replace()``
+    (left-to-right non-overlapping, exactly ``_merge_word``'s splice
+    semantics when every symbol is one char, which the sentinel encoding
+    guarantees inductively). Pair counting per round is then adjacent-
+    char pairs weighted by word count, and the argmax tie-break compares
+    pairs by their EXPANDED original strings (CASE over the sentinels) —
+    matching the Python trainer's (count desc, pair lex) rule exactly.
+    Sentinels chr(1..3) cannot collide: the corpus carries no control
+    chars (checked across all sf fixtures) and EOW is chr(10).
+    ``AS MATERIALIZED`` pins each round's vocab (the x146 lesson: DuckDB
+    CTE inlining would re-expand the chain exponentially)."""
+    exp = {}  # sentinel char SQL -> expansion SQL (fully original-space)
+    sql = [f"""
 WITH pret AS (
   SELECT doc_id,
          list_filter(regexp_extract_all(text, '{T.BPE_PATTERN}'),
                      x -> regexp_matches(x, '[^\\s]')) AS toks
   FROM documents
 ),
-hist AS (
+hist AS MATERIALIZED (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(toks) AS w FROM pret)
   GROUP BY w ORDER BY cnt DESC, w LIMIT {_X187_TOPW}
 ),
-syms AS (
-  SELECT cnt, list_append(
-           list_filter(string_split(w, ''), c -> c != ''), chr(10)) AS s
-  FROM hist
-),
-pairs AS (
-  SELECT s[i] AS a, s[i + 1] AS b, SUM(cnt) AS pc
-  FROM syms, LATERAL unnest(range(1, len(s))) t(i)
+w1 AS MATERIALIZED (SELECT w || chr(10) AS s, cnt FROM hist)"""]
+
+    def case(col: str) -> str:
+        if not exp:
+            return col
+        whens = " ".join(
+            f"WHEN {sent} THEN {e}" for sent, e in exp.items()
+        )
+        return f"CASE {col} {whens} ELSE {col} END"
+
+    for r in range(1, _X187_ROUNDS + 1):
+        sql.append(f""",
+l{r} AS (SELECT list_filter(string_split(s, ''), c -> c != '') AS l, cnt
+         FROM w{r}),
+p{r} AS (
+  SELECT l[i] AS a, l[i + 1] AS b, SUM(cnt) AS pc
+  FROM l{r}, LATERAL unnest(range(1, len(l))) t(i)
   GROUP BY a, b
 ),
-m1 AS (SELECT a, b FROM pairs ORDER BY pc DESC, a, b LIMIT 1)
+m{r} AS MATERIALIZED (
+  SELECT a, b, {case('a')} AS ea, {case('b')} AS eb
+  FROM p{r} ORDER BY pc DESC, ea, eb LIMIT 1
+)""")
+        exp[f"chr({r})"] = f"(SELECT ea || eb FROM m{r})"
+        if r < _X187_ROUNDS:
+            sql.append(f""",
+w{r + 1} AS MATERIALIZED (
+  SELECT replace(s, (SELECT a || b FROM m{r}), chr({r})) AS s, cnt
+  FROM w{r}
+)""")
+    merge_cols = ",\n       ".join(
+        f"(SELECT ea FROM m{r}) AS m{r}_a, (SELECT eb FROM m{r}) AS m{r}_b"
+        for r in range(1, _X187_ROUNDS + 1)
+    )
+    sql.append(f"""
 SELECT p.doc_id,
        CAST(len(p.toks) AS BIGINT) AS n_pretokens,
        CAST(COALESCE(list_sum(list_transform(p.toks, x -> length(x) + 1)), 0)
             AS BIGINT) AS n_init_syms,
-       m1.a AS m1_a, m1.b AS m1_b
-FROM pret p CROSS JOIN m1
+       {merge_cols}
+FROM pret p
 ORDER BY p.doc_id
-"""
+""")
+    return "".join(sql)
+
+
+_X187_SQL = _x187_sql()
 
 
 @query("x187_bpe_encode", _X187_SQL)
@@ -788,10 +835,17 @@ def x187(spark, sf_dir):
     )
     if bad:
         raise AssertionError(f"BPE encode invariant violated on {bad} docs")
+    if len(merges) < _X187_ROUNDS:
+        raise AssertionError(
+            f"corpus learned only {len(merges)} merges; oracle unrolls "
+            f"{_X187_ROUNDS}"
+        )
+    merge_cols = []
+    for r in range(_X187_ROUNDS):
+        merge_cols.append(F.lit(merges[r][0]).alias(f"m{r + 1}_a"))
+        merge_cols.append(F.lit(merges[r][1]).alias(f"m{r + 1}_b"))
     return base.select(
-        "doc_id", "n_pretokens", "n_init_syms",
-        F.lit(merges[0][0]).alias("m1_a"),
-        F.lit(merges[0][1]).alias("m1_b"),
+        "doc_id", "n_pretokens", "n_init_syms", *merge_cols
     ).orderBy("doc_id")
 
 
