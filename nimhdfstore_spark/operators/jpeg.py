@@ -239,6 +239,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if 0xD0 <= marker <= 0xD7:  # stray RST outside a scan
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
+        if seglen < 2:
+            # a length below its own 2 bytes would stall the walk forever
+            raise ValueError(f"corrupt segment length {seglen} at {pos}")
         body = data[pos + 2 : pos + seglen]
         pos += seglen
         if marker == 0xDB:  # DQT

@@ -232,3 +232,11 @@ def test_skipped_frames_are_never_decoded(spark):
     # and when a corrupted frame IS sampled, it drops alone
     rows1 = {r["frame_no"] for r in sample_avi_frames(df, every_k=1).collect()}
     assert rows1 == {0, 2, 4}
+
+
+def test_zero_length_segment_raises_instead_of_looping():
+    # DQT marker with seglen 0 — without the guard the segment walk
+    # would never advance
+    evil = b"\xff\xd8\xff\xdb\x00\x00\xff\xd9"
+    with pytest.raises(ValueError, match="segment length"):
+        decode_jpeg(evil)
