@@ -647,3 +647,55 @@ def repetition_trim(
             F.length("clean_text").cast("long").alias("clean_len"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization — the encoding-hygiene pass a crawled corpus runs
+# before any hashing/dedup step: the same visible text arrives in NFC and
+# NFD (and mixed) byte forms, and every downstream content hash, shingle,
+# and exact-dedup key silently treats them as different documents unless
+# the corpus is normalized first. Arrow-batched mapInPandas over Python's
+# unicodedata (the reference Unicode implementation); DuckDB's
+# nfc_normalize implements the same public UAX #15 algorithm, so the
+# oracle compares the actual normalized strings.
+# --------------------------------------------------------------------------
+
+def unicode_normalize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Normalize a text column to the given Unicode normal form.
+    Output: ``(id_col, norm_text, changed, len_before, len_after)`` with
+    lengths in code points (matching Spark's ``length`` and DuckDB's
+    ``length``). Stateless per-row work — no shuffle; corpus parallelism
+    = input partitions."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def batches(it):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, norms, changed, lb, la = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = text or ""
+                n = unicodedata.normalize(form, t)
+                ids.append(did)
+                norms.append(n)
+                changed.append(int(n != t))
+                lb.append(len(t))
+                la.append(len(n))
+            yield pd.DataFrame({
+                id_col: ids, "norm_text": norms, "changed": changed,
+                "len_before": lb, "len_after": la,
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches,
+        f"{id_col} long, norm_text string, changed long, "
+        "len_before long, len_after long",
+    )

@@ -917,3 +917,50 @@ def x194(spark, sf_dir):
         ).alias("text"),
     )
     return repetition_trim(aug, chunk_tokens_n=_X194_N).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x200 — Unicode normalization (UAX #15 NFC): the encoding-hygiene pass
+# before any content hashing — NFC and NFD byte forms of the same visible
+# text hash differently and defeat exact dedup. Both engines append the
+# same per-doc suffix (a decomposed e+COMBINING ACUTE, an NFC-stable
+# ligature, or a decomposed A+COMBINING RING keyed by doc_id % 3 — so the
+# compose, no-op, and compose-other paths all execute), then normalize:
+# Spark via Python's unicodedata (the reference implementation) in an
+# Arrow batch, the oracle via DuckDB's nfc_normalize — two independent
+# implementations of the same public algorithm, compared on the actual
+# normalized strings.
+# --------------------------------------------------------------------------
+
+_X200_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN ' e' || chr(769)
+                   WHEN 1 THEN ' ﬁx'
+                   ELSE ' A' || chr(778)
+                 END AS t2
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(t2) AS norm_text,
+       CAST(nfc_normalize(t2) != t2 AS BIGINT) AS changed,
+       CAST(length(t2) AS BIGINT) AS len_before,
+       CAST(length(nfc_normalize(t2)) AS BIGINT) AS len_after
+FROM t ORDER BY doc_id
+"""
+
+
+@query("x200_unicode_nfc_normalize", _X200_SQL)
+def x200(spark, sf_dir):
+    from nimhdfstore_spark.operators.text import unicode_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" é"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" ﬁx"))
+        .otherwise(F.lit(" Å"))
+    )
+    staged = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return unicode_normalize(staged).orderBy("doc_id")
