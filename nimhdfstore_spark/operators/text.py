@@ -699,3 +699,35 @@ def unicode_normalize(
         f"{id_col} long, norm_text string, changed long, "
         "len_before long, len_after long",
     )
+
+
+# --------------------------------------------------------------------------
+# HTML → text extraction — the first transform a crawled corpus applies.
+# Entirely JVM-side (regexp_replace chains in whole-stage codegen, no
+# Python): drop script/style/comment blocks, strip tags, unescape the
+# core entities, collapse whitespace. The regex constructs used ((?is)
+# inline flags, lazy quantifiers, character classes) have identical
+# Java-regex / RE2 semantics, so a DuckDB oracle can recompute the same
+# pipeline — the precedent x24/x154 established for BPE_PATTERN.
+# --------------------------------------------------------------------------
+
+def strip_html(text: Column | str) -> Column:
+    """Visible text of an HTML fragment: script/style/comment blocks
+    removed first (so their contents never surface), then tags → space,
+    then core entity unescape (after tag-stripping, so a literal
+    ``&lt;script&gt;`` in text can never become an active tag), then
+    whitespace collapse + trim."""
+    c = _c(text)
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_tag_count(text: Column | str) -> Column:
+    """Number of tags in the raw markup (before any stripping)."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(r"<[^>]+>"), 0))

@@ -964,3 +964,75 @@ def x200(spark, sf_dir):
         "doc_id", F.concat(F.col("text"), suffix).alias("text")
     )
     return unicode_normalize(staged).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x201 — HTML → text extraction, the first transform a crawled corpus
+# applies: both engines wrap each document in the same deterministic
+# markup (head with style+script blocks, a comment, a heading carrying
+# entities, the body text, a trailing div with escaped angle brackets),
+# then strip it — script/style/comment content must never surface, tags
+# go to whitespace, core entities unescape AFTER tag-stripping (so
+# &lt;script&gt; can't become an active tag; &amp; unescapes LAST so
+# double-escapes stay literal), whitespace collapses. Entirely JVM-side
+# regexp_replace chains in Spark; the oracle recomputes the identical
+# chain in DuckDB's RE2 (the x24 regex-parity precedent). The hash
+# compares the actual extracted strings.
+# --------------------------------------------------------------------------
+
+_X201_HTML_SQL = (
+    "'<html><head><style>p { color: red }</style>"
+    "<script>var id=' || doc_id || ';</script></head>"
+    "<body><!-- crawl ' || doc_id || ' --><h1>Doc &amp; ' || doc_id || "
+    "'</h1><p class=\"b\">' || text || '</p><br/><div>tail &lt;x&gt;</div>"
+    "</body></html>'"
+)
+
+_X201_SQL = f"""
+WITH h AS (SELECT doc_id, {_X201_HTML_SQL} AS html FROM documents),
+s AS (
+  SELECT doc_id, html,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g') AS noblocks
+  FROM h
+),
+t AS (
+  SELECT doc_id, html,
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(noblocks, '<[^>]+>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&nbsp;', ' '), '&amp;', '&') AS unescaped
+  FROM s
+)
+SELECT doc_id,
+       trim(regexp_replace(unescaped, '\\s+', ' ', 'g')) AS clean_text,
+       CAST(len(regexp_extract_all(html, '<[^>]+>')) AS INT) AS n_tags
+FROM t ORDER BY doc_id
+"""
+
+
+@query("x201_html_to_text", _X201_SQL)
+def x201(spark, sf_dir):
+    from nimhdfstore_spark.operators.text import html_tag_count, strip_html
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style>p { color: red }</style><script>var id='),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></head><body><!-- crawl "),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><h1>Doc &amp; "),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="b">'),
+        F.col("text"),
+        F.lit("</p><br/><div>tail &lt;x&gt;</div></body></html>"),
+    )
+    staged = docs.select("doc_id", html.alias("html"))
+    return staged.select(
+        "doc_id",
+        strip_html("html").alias("clean_text"),
+        html_tag_count("html").alias("n_tags"),
+    ).orderBy("doc_id")

@@ -369,3 +369,33 @@ def test_x199_pattern_family_dhash_stable_across_formats():
             worst = max(worst, np.abs(jpg.astype(int) - img.astype(int)).max())
             assert dhash(jpg) == refs[p], (p, s)
     assert worst * 2 < 40, f"JPEG error {worst} eats the comparison margin"
+
+
+# --------------------------------------------------------------------------
+# strip_html edge semantics (x201): escaped markup never activates,
+# block contents never surface, double-escapes stay literal.
+# --------------------------------------------------------------------------
+
+def test_strip_html_edges(spark):
+    from nimhdfstore_spark.operators.text import html_tag_count, strip_html
+
+    cases = [
+        # escaped <script> is TEXT, not an active tag
+        ("a &lt;script&gt;x&lt;/script&gt; b", "a <script>x</script> b"),
+        # real script/style/comment contents never surface
+        ("<script>secret()</script>visible<style>.x{}</style>", "visible"),
+        ("be<!-- <p>hidden</p> -->fore", "be fore"),
+        # &amp; unescapes LAST: double-escape stays literal
+        ("x &amp;lt; y", "x &lt; y"),
+        ("<p>a</p>\n\n  <p>b</p>", "a b"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {r["i"]: r["t"] for r in df.select(
+        "i", strip_html("html").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+    n = df.select(html_tag_count("html").alias("n")).collect()
+    assert [r["n"] for r in n] == [0, 4, 2, 0, 4, 0]
