@@ -372,3 +372,40 @@ def test_repetition_trim_no_join_at_all(spark, sf_dir):
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                 "ShuffledHashJoin"):
         assert bad not in plan, f"unexpected {bad} in repetition_trim plan"
+
+
+# --------------------------------------------------------------------------
+# round-10 ops: decode dispatch / video sampling / HTML extraction shapes
+# --------------------------------------------------------------------------
+
+def test_media_decode_pipelines_are_map_only(spark, sf_dir):
+    # x197/x198/x199: encode -> decode are two chained mapInPandas passes
+    # over one scan — stateless per-row work, NO Exchange anywhere (corpus
+    # parallelism = input partitions; a shuffle would mean the fixture
+    # generation or decode grew a grouping it doesn't need)
+    from nimhdfstore_spark.queries.multimodal import (
+        _jpeg_band_payloads, _x199_payloads,
+    )
+    from nimhdfstore_spark.operators.multimodal import image_dhash
+    from nimhdfstore_spark.operators.video import sample_avi_frames
+
+    plan = _plan(
+        __import__("nimhdfstore_spark.operators.multimodal",
+                   fromlist=["decode_images"]).decode_images(
+            _jpeg_band_payloads(spark, sf_dir, 16))
+    )
+    assert "Exchange" not in plan, f"JPEG decode shuffles:\n{plan[:2000]}"
+    plan = _plan(image_dhash(_x199_payloads(spark, sf_dir)))
+    assert "Exchange" not in plan, f"mixed dHash shuffles:\n{plan[:2000]}"
+
+
+def test_html_to_text_stays_jvm_side(spark, sf_dir):
+    # x201's whole pipeline is regexp_replace chains — ZERO Python in the
+    # plan (no ArrowEvalPython/BatchEvalPython/mapInPandas nodes)
+    import nimhdfstore_spark.queries as Q
+
+    Q.load_all()
+    plan = _plan(Q.QUERIES["x201_html_to_text"](spark, sf_dir))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"x201 left the JVM ({marker}):\n{plan[:2000]}"
