@@ -399,3 +399,27 @@ def test_strip_html_edges(spark):
         assert got[i] == want, (i, got[i], want)
     n = df.select(html_tag_count("html").alias("n")).collect()
     assert [r["n"] for r in n] == [0, 4, 2, 0, 4, 0]
+
+
+# --------------------------------------------------------------------------
+# q29 leg rotation (ADVICE r5): the oracle-returned interchange leg is
+# derived from the same persisted counter as the sweep slots, covering
+# CSV/JSON/ORC within three rounds.
+# --------------------------------------------------------------------------
+
+def test_q29_leg_rotates_with_counter(monkeypatch):
+    import importlib
+
+    import nimhdfstore_spark.queries.sinks as S
+
+    try:
+        for r in range(6):
+            monkeypatch.setenv("SPARK_GRAFT_SWEEP_ROTATION", str(r))
+            mod = importlib.reload(S)
+            assert mod._Q29_LEG == r % 3
+            # the registered oracle must match the returned leg
+            want = mod._ORC_SQL if mod._Q29_LEG == 2 else mod._CUSTOMER_SQL
+            assert Q.ORACLE["q29_sink_csv_roundtrip"] == want
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_SWEEP_ROTATION", raising=False)
+        importlib.reload(S)  # restore the real rotation's registration
