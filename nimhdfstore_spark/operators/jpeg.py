@@ -169,50 +169,41 @@ def _canonical_codes(bits: list[int], huffval: list[int]):
     return out
 
 
-def _decode_lut(bits: list[int], huffval: list[int]):
-    """16-bit peek LUT: value of the next 16 bits → (symbol, code length).
-    O(1) per decoded symbol; 128 KiB per table."""
-    sym = np.zeros(1 << 16, dtype=np.int16) - 1
-    ln = np.zeros(1 << 16, dtype=np.int8)
-    for s, code, length in _canonical_codes(bits, huffval):
+def _decode_lut_key(bits: tuple, huffval: tuple):
+    """16-bit peek LUT as plain Python lists: value of the next 16 bits →
+    (symbol, code length). O(1) per decoded symbol; list indexing beats
+    numpy scalar access ~5× in the per-symbol loop. lru-cached — a corpus
+    batch reuses the same (typically Annex K) tables across every image,
+    so the 65k-entry build amortizes to once per table."""
+    sym = np.zeros(1 << 16, dtype=np.int32) - 1
+    ln = np.zeros(1 << 16, dtype=np.int32)
+    for s, code, length in _canonical_codes(list(bits), list(huffval)):
         lo = code << (16 - length)
         hi = lo + (1 << (16 - length))
         sym[lo:hi] = s
         ln[lo:hi] = length
-    return sym, ln
+    return sym.tolist(), ln.tolist()
 
 
-class _BitReader:
-    """MSB-first bit reader over de-stuffed entropy-coded bytes; peeks
-    past the end as 1-bits (the spec's implicit padding)."""
+from functools import lru_cache as _lru_cache  # noqa: E402
 
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0          # bit position
-        self.nbits = len(data) * 8
-
-    def peek16(self) -> int:
-        byte, off = divmod(self.pos, 8)
-        chunk = self.data[byte : byte + 4]
-        v = int.from_bytes(chunk + b"\xff" * (4 - len(chunk)), "big")
-        return (v >> (16 - off)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        self.pos += n
-
-    def receive(self, n: int) -> int:
-        if n == 0:
-            return 0
-        v = self.peek16() >> (16 - n)
-        self.pos += n
-        return v
+_decode_lut_cached = _lru_cache(maxsize=64)(_decode_lut_key)
 
 
-def _extend(v: int, t: int) -> int:
-    """T.81 F.12: map the t-bit magnitude to its signed value."""
-    if t == 0:
-        return 0
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+def _decode_lut(bits: list[int], huffval: list[int]):
+    return _decode_lut_cached(tuple(bits), tuple(huffval))
+
+
+def _win32(data: bytes) -> list[int]:
+    """Rolling 32-bit big-endian window at every byte offset (padded with
+    1-bits past the end — the spec's implicit padding). Built once per
+    scan with vectorized numpy; consumed as a Python list so the
+    per-symbol bit peek is two int ops and one list index."""
+    pad = np.frombuffer(data + b"\xff\xff\xff\xff", dtype=np.uint8).astype(
+        np.int64
+    )
+    w = (pad[:-3] << 24) | (pad[1:-2] << 16) | (pad[2:-1] << 8) | pad[3:]
+    return w.tolist()
 
 
 # --------------------------------------------------------------------------
@@ -330,28 +321,32 @@ def _decode_scan(frame, scan, qts, huff, ec: bytes, rst_starts,
         for c in comps
     }
     pred = {c["id"]: 0 for c in comps}
-    reader = _BitReader(ec)
+    w32 = _win32(ec)
+    pos = 0  # bit cursor into the de-stuffed stream
     seg = 1  # next restart segment index into rst_starts
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
             # byte-aligned restart: jump to the next RST-delimited segment
             if seg < len(rst_starts):
-                reader = _BitReader(ec[rst_starts[seg]:])
+                pos = rst_starts[seg] * 8
                 seg += 1
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(m, mcux)
         for c in order:
             dc_lut, ac_lut = tabs[c["id"]]
             qt = qts[c["tq"]]
+            cid = c["id"]
             for blk in range(c["h"] * c["v"]):
                 byy, bxx = divmod(blk, c["h"])
-                coef = _decode_block(reader, dc_lut, ac_lut, pred, c["id"])
+                pos, diff, coef = _decode_block(w32, pos, dc_lut, ac_lut)
+                pred[cid] += diff
+                coef[0] = pred[cid]
                 deq = np.zeros(64, dtype=np.float64)
                 deq[ZIGZAG] = coef * qt
                 spatial = _M.T @ deq.reshape(8, 8) @ _M
                 y0 = (my * c["v"] + byy) * 8
                 x0 = (mx * c["h"] + bxx) * 8
-                planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
     # upsample each component to full MCU-grid resolution, then crop
     out = []
     for c in comps:
@@ -371,25 +366,35 @@ def _decode_scan(frame, scan, qts, huff, ec: bytes, rst_starts,
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _decode_block(reader: _BitReader, dc_lut, ac_lut, pred, cid) -> np.ndarray:
+def _decode_block(w32, pos, dc_lut, ac_lut):
+    """One block's entropy decode — the per-symbol hot loop. Bit peeks
+    are inlined (two int ops + one list index against the precomputed
+    rolling window); magnitude extension (T.81 F.12) is inlined too.
+    Returns (new bit position, dc diff, 64 zigzag coefficients)."""
     coef = np.zeros(64, dtype=np.int64)
     sym, ln = dc_lut
-    t = int(sym[reader.peek16()])
-    length = int(ln[reader.peek16()])
+    byte, off = divmod(pos, 8)
+    peek = (w32[byte] >> (16 - off)) & 0xFFFF
+    t = sym[peek]
     if t < 0:
         raise ValueError("invalid DC Huffman code")
-    reader.skip(length)
-    diff = _extend(reader.receive(t), t)
-    pred[cid] += diff
-    coef[0] = pred[cid]
+    pos += ln[peek]
+    if t:
+        byte, off = divmod(pos, 8)
+        v = ((w32[byte] >> (16 - off)) & 0xFFFF) >> (16 - t)
+        pos += t
+        diff = v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+    else:
+        diff = 0
     sym, ln = ac_lut
     k = 1
     while k <= 63:
-        peek = reader.peek16()
-        rs = int(sym[peek])
+        byte, off = divmod(pos, 8)
+        peek = (w32[byte] >> (16 - off)) & 0xFFFF
+        rs = sym[peek]
         if rs < 0:
             raise ValueError("invalid AC Huffman code")
-        reader.skip(int(ln[peek]))
+        pos += ln[peek]
         r, s = rs >> 4, rs & 15
         if s == 0:
             if r == 15:
@@ -399,9 +404,12 @@ def _decode_block(reader: _BitReader, dc_lut, ac_lut, pred, cid) -> np.ndarray:
         k += r
         if k > 63:
             raise ValueError("AC run past block end")
-        coef[k] = _extend(reader.receive(s), s)
+        byte, off = divmod(pos, 8)
+        v = ((w32[byte] >> (16 - off)) & 0xFFFF) >> (16 - s)
+        pos += s
+        coef[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
         k += 1
-    return coef
+    return pos, diff, coef
 
 
 # --------------------------------------------------------------------------
