@@ -278,25 +278,35 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append({"cs": cs, "dc": tdta >> 4, "ac": tdta & 15})
-            # collect entropy bytes, de-stuffing 0xFF00 and dropping RSTn
+            # collect entropy bytes, de-stuffing 0xFF00 and dropping RSTn —
+            # slicing between 0xFF positions (found vectorized) instead of
+            # a per-byte loop: stuffing/restart markers are sparse, so the
+            # Python loop runs per-marker, not per-byte
             ec = bytearray()
             rst_starts = [0]
-            p = pos
-            while p < len(data):
-                bch = data[p]
-                if bch == 0xFF and p + 1 < len(data):
-                    nxt = data[p + 1]
-                    if nxt == 0x00:
-                        ec.append(0xFF)
-                        p += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
-                        rst_starts.append(len(ec))
-                        p += 2
-                        continue
-                    break  # a real marker ends the scan
-                ec.append(bch)
-                p += 1
+            tail = data[pos:]
+            ffs = np.flatnonzero(
+                np.frombuffer(tail, dtype=np.uint8) == 0xFF
+            ).tolist()
+            prev = 0
+            stopped = False
+            for i in ffs:
+                if i < prev:
+                    continue  # consumed as part of an earlier FF-pair
+                nxt = tail[i + 1] if i + 1 < len(tail) else None
+                if nxt == 0x00:
+                    ec += tail[prev : i + 1]  # keep the FF, drop the 00
+                    prev = i + 2
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    ec += tail[prev:i]
+                    rst_starts.append(len(ec))
+                    prev = i + 2
+                else:  # a real marker (or trailing FF) ends the scan
+                    ec += tail[prev:i]
+                    stopped = True
+                    break
+            if not stopped:
+                ec += tail[prev:]
             return _decode_scan(
                 frame, scan, qts, huff, bytes(ec), rst_starts,
                 restart_interval,
@@ -324,6 +334,10 @@ def _decode_scan(frame, scan, qts, huff, ec: bytes, rst_starts,
     w32 = _win32(ec)
     pos = 0  # bit cursor into the de-stuffed stream
     seg = 1  # next restart segment index into rst_starts
+    # entropy loop only collects; dequantize + IDCT run batched after it
+    # (one (n,8,8) einsum instead of two 8x8 matmuls per block)
+    coefs: list = []
+    targets: list = []  # (cid, y0, x0) per block, parallel to coefs
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
             # byte-aligned restart: jump to the next RST-delimited segment
@@ -341,12 +355,18 @@ def _decode_scan(frame, scan, qts, huff, ec: bytes, rst_starts,
                 pos, diff, coef = _decode_block(w32, pos, dc_lut, ac_lut)
                 pred[cid] += diff
                 coef[0] = pred[cid]
-                deq = np.zeros(64, dtype=np.float64)
-                deq[ZIGZAG] = coef * qt
-                spatial = _M.T @ deq.reshape(8, 8) @ _M
-                y0 = (my * c["v"] + byy) * 8
-                x0 = (mx * c["h"] + bxx) * 8
-                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+                coefs.append(coef * qt)
+                targets.append(
+                    (cid, (my * c["v"] + byy) * 8, (mx * c["h"] + bxx) * 8)
+                )
+    if coefs:
+        deq = np.zeros((len(coefs), 64), dtype=np.float64)
+        deq[:, ZIGZAG] = np.asarray(coefs, dtype=np.float64)
+        spatial = np.einsum(
+            "vy,nvu,ux->nyx", _M, deq.reshape(-1, 8, 8), _M, optimize=True
+        )
+        for (cid, y0, x0), blk_px in zip(targets, spatial):
+            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk_px
     # upsample each component to full MCU-grid resolution, then crop
     out = []
     for c in comps:
