@@ -423,3 +423,21 @@ def test_q29_leg_rotates_with_counter(monkeypatch):
     finally:
         monkeypatch.delenv("SPARK_GRAFT_SWEEP_ROTATION", raising=False)
         importlib.reload(S)  # restore the real rotation's registration
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_avi_demux_never_hangs_on_garbage(data):
+    # robust-ingest: arbitrary bytes after a RIFF/AVI prelude either raise
+    # or demux to a well-formed dict — never hang
+    from nimhdfstore_spark.operators.video import demux_avi
+
+    import struct as _struct
+
+    blob = b"RIFF" + _struct.pack("<I", len(data) + 4) + b"AVI " + data
+    try:
+        m = demux_avi(blob)
+    except Exception:
+        return
+    assert isinstance(m["n_frames"], int)
+    assert all(isinstance(f, bytes) for f in m["frames"])
