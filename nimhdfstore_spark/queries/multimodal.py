@@ -1076,3 +1076,92 @@ def x199(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x202 — CLEAN IMAGE CORPUS pipeline end-to-end (the multimodal analog of
+# x90's clean-text pipeline): a realistic mixed ingest — PNGs, quality-97
+# JPEGs, undecodable garbage, and below-resolution thumbnails — flows
+# through sniff/dispatch decode (image_dhash drops garbage), a minimum-
+# resolution quality gate, and perceptual dHash dedup keeping each
+# group's lowest doc_id. Every stage is an existing driver-green
+# operator; the composition is the thing a 100 TB image-curation job
+# actually runs. The fixture is closed-form in doc_id (garbage at
+# %10==9, 4x3 thumbnails at %10==8, else the x199 8-pattern family in
+# alternating formats), so the oracle states the surviving set, group
+# representatives and group sizes in pure SQL.
+# --------------------------------------------------------------------------
+
+_X202_N = 200
+
+_X202_SQL = f"""
+WITH kept AS (
+  SELECT doc_id, doc_id % 8 AS pat
+  FROM documents
+  WHERE doc_id < {_X202_N} AND doc_id % 10 NOT IN (8, 9)
+),
+grp AS (
+  SELECT pat, MIN(doc_id) AS rep, COUNT(*) AS group_size
+  FROM kept GROUP BY pat
+)
+SELECT k.doc_id, CAST(g.rep AS BIGINT) AS rep,
+       CAST(g.group_size AS BIGINT) AS group_size,
+       CAST(k.doc_id = g.rep AS BIGINT) AS is_kept_representative
+FROM kept k JOIN grp g USING (pat)
+ORDER BY k.doc_id
+"""
+
+
+@query("x202_clean_image_corpus_pipeline", _X202_SQL)
+def x202(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from nimhdfstore_spark.queries.multimodal import _x199_pattern
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _X202_N)
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        from nimhdfstore_spark.operators.jpeg import encode_jpeg
+        from nimhdfstore_spark.operators.png import encode_png
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                if d % 10 == 9:  # mislabeled bytes: must drop, not crash
+                    payload = b"\x89PNGgarbage-not-really" + bytes([d % 251])
+                elif d % 10 == 8:  # real but below the resolution gate
+                    tiny = np.full((3, 4), 64 + (d % 64), dtype=np.uint8)
+                    payload = encode_png(tiny)
+                else:
+                    img = (_x199_pattern(d % 8) + 4 * ((d // 8) % 3)).astype(
+                        "uint8"
+                    )
+                    if (d // 8) % 2:
+                        payload = encode_jpeg(img[..., None], quality=97)
+                    else:
+                        payload = encode_png(img)
+                rows.append((d, bytearray(payload)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+    hashed = M.image_dhash(payloads)  # garbage drops here by contract
+    gated = hashed.where((F.col("width") * F.col("height")) >= 32)
+    w = Window.partitionBy("dhash")
+    return (
+        gated.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("rep"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
+        .withColumn(
+            "is_kept_representative",
+            (F.col("doc_id") == F.col("rep")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )
