@@ -1165,3 +1165,97 @@ def x202(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x203 — STREAMING video ingestion: the x198 MJPEG AVIs land as an
+# append-only parquet directory and a Structured Streaming job demuxes +
+# samples every-2nd-frame in-flight (sample_avi_frames on the streaming
+# frame — stateless map-only, no state store; at crawl scale the ingest
+# scales with source partitions). availableNow drains the backfill into
+# a memory sink; the oracle is x198's closed form. Together with x188
+# (streaming still-image decode) this closes the arrival path for every
+# media type the engine decodes.
+# --------------------------------------------------------------------------
+
+_X203_N = 120
+
+_X203_SQL = f"""
+WITH src AS (
+  SELECT doc_id, 8 * (3 + doc_id % 3) AS w, 4 + doc_id % 5 AS nf,
+         10 + doc_id % 3 AS fps
+  FROM documents WHERE doc_id < {_X203_N}
+),
+fs AS (SELECT unnest(range(9)) AS f),
+bands AS (SELECT unnest(range(3)) AS b),
+bv AS (
+  SELECT doc_id, w, nf, fps, f,
+         64 + 2 * ((doc_id * 3 + f * 7 + b * 5) % 80) AS v
+  FROM src CROSS JOIN fs CROSS JOIN bands
+  WHERE f < nf AND f % 2 = 0
+)
+SELECT doc_id, CAST(f AS INT) AS frame_no, CAST(nf AS INT) AS n_frames,
+       CAST(fps AS INT) AS fps, CAST(w AS INT) AS width,
+       CAST(24 AS INT) AS height,
+       CAST(SUM(v * 8 * w) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+FROM bv GROUP BY doc_id, w, nf, fps, f ORDER BY doc_id, frame_no
+"""
+
+
+@query("x203_stream_video_ingest", _X203_SQL)
+def x203(spark, sf_dir):
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from nimhdfstore_spark.operators.video import sample_avi_frames
+    from nimhdfstore_spark.queries.core import SCRATCH_ROOT
+    from nimhdfstore_spark.streaming.windows import drain
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _X203_N)
+
+    def mux(it):
+        import numpy as np
+        import pandas as pd
+
+        from nimhdfstore_spark.operators.jpeg import encode_jpeg
+        from nimhdfstore_spark.operators.video import mux_avi_mjpeg
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, nf, fps = 8 * (3 + d % 3), 4 + d % 5, 10 + d % 3
+                frames = []
+                for f in range(nf):
+                    img = np.zeros((24, w, 1), dtype=np.uint8)
+                    for b in range(3):
+                        img[b * 8 : (b + 1) * 8] = (
+                            64 + 2 * ((d * 3 + f * 7 + b * 5) % 80)
+                        )
+                    frames.append(encode_jpeg(img, quality=50))
+                rows.append((d, bytearray(mux_avi_mjpeg(frames, w, 24, fps))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    stage = _os.path.join(SCRATCH_ROOT, f"x203-{_os.path.basename(sf_dir)}")
+    _shutil.rmtree(stage, ignore_errors=True)
+    src_dir = _os.path.join(stage, "arrivals")
+    docs.select("doc_id").mapInPandas(
+        mux, "doc_id long, payload binary"
+    ).write.parquet(src_dir)
+
+    sdf = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .parquet(src_dir)
+    )
+    sampled = sample_avi_frames(sdf, every_k=2)
+    table = f"x203_sink_{_uuid.uuid4().hex[:8]}"
+    drain(
+        spark,
+        sampled.writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", _os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True),
+    )
+    return spark.table(table).orderBy("doc_id", "frame_no")
