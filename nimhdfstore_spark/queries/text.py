@@ -1036,3 +1036,128 @@ def x201(spark, sf_dir):
         strip_html("html").alias("clean_text"),
         html_tag_count("html").alias("n_tags"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x204 — readability scoring (Flesch reading-ease / Flesch-Kincaid grade):
+# the classic document-quality feature a curation pipeline thresholds on.
+# Words = the x20 tokenizer; sentences = non-empty [.!?]+ splits (floored
+# at 1); syllables = vowel-group count per the standard estimator
+# ([aeiouy]+ runs over the lowercased text — identical Java-regex / RE2
+# semantics). Scores are exact integer-ratio arithmetic rounded at 4
+# places, so the hash pins the full formula on both engines.
+# --------------------------------------------------------------------------
+
+_X204_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len({_SQL_TOKENS}) AS n_words,
+         greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  x -> trim(x) != '')), 1) AS n_sents,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sents,
+       CAST(n_syll AS BIGINT) AS n_syllables,
+       ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                    - 84.6 * (n_syll * 1.0 / greatest(n_words, 1)), 4)
+         AS flesch_ease,
+       ROUND(0.39 * (n_words * 1.0 / n_sents)
+           + 11.8 * (n_syll * 1.0 / greatest(n_words, 1)) - 15.59, 4)
+         AS fk_grade
+FROM t ORDER BY doc_id
+"""
+
+
+@query("x204_readability_scores", _X204_SQL)
+def x204(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n_words = T.token_count("text").cast("long")
+    n_sents = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda x: F.trim(x) != "",
+            )
+        ),
+        F.lit(1),
+    ).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    wps = n_words.cast("double") / n_sents
+    spw = n_syll.cast("double") / F.greatest(n_words, F.lit(1))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syllables"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4)
+        .alias("flesch_ease"),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4)
+        .alias("fk_grade"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x205 — URL extraction + per-domain corpus statistics: the crawl-mix
+# report a curation pipeline uses to cap/balance domains. Both engines
+# append the same deterministic URLs to each document (one per doc
+# across 7 sites, plus a mirror link on every third doc), then extract
+# with the same regex, parse the host, and aggregate urls/docs per
+# domain. Everything is JVM-side regex + one groupBy; the oracle
+# recomputes the identical pipeline.
+# --------------------------------------------------------------------------
+
+_X205_SQL = """
+WITH staged AS (
+  SELECT doc_id,
+         text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' and http://mirror.example.org/x'
+                      ELSE '' END AS t2
+  FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(t2, 'https?://[^\\s]+')) AS url
+  FROM staged
+)
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u GROUP BY domain ORDER BY domain
+"""
+
+
+@query("x205_url_domain_stats", _X205_SQL)
+def x205(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" and http://mirror.example.org/x")).otherwise(F.lit("")),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(t2, F.lit(r"https?://[^\s]+"), 0)
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id",
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )
