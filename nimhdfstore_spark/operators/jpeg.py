@@ -258,6 +258,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit baseline supported")
+            if ncomp not in (1, 3):
+                # 4-component SOF0 is valid baseline (Adobe CMYK/YCCK, common
+                # in crawls) but out of this decoder's colour-transform scope;
+                # running it through the 3-component YCbCr path would return
+                # garbage pixels instead of dropping the payload upstream.
+                raise ValueError(
+                    f"{ncomp}-component JPEG unsupported (grayscale/YCbCr only)"
+                )
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
@@ -274,6 +282,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # Baseline also permits multiple non-interleaved scans (one
+                # component each); decoding only the first would return
+                # frame-level MCU geometry with zeroed remaining planes.
+                raise ValueError(
+                    "non-interleaved multi-scan baseline unsupported "
+                    f"(scan has {ns} of {len(frame['comps'])} components)"
+                )
             scan = []
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
@@ -392,8 +408,11 @@ def _decode_block(w32, pos, dc_lut, ac_lut):
     rolling window); magnitude extension (T.81 F.12) is inlined too.
     Returns (new bit position, dc diff, 64 zigzag coefficients)."""
     coef = np.zeros(64, dtype=np.int64)
+    n32 = len(w32)
     sym, ln = dc_lut
     byte, off = divmod(pos, 8)
+    if byte >= n32:
+        raise ValueError("truncated entropy data")
     peek = (w32[byte] >> (16 - off)) & 0xFFFF
     t = sym[peek]
     if t < 0:
@@ -401,6 +420,8 @@ def _decode_block(w32, pos, dc_lut, ac_lut):
     pos += ln[peek]
     if t:
         byte, off = divmod(pos, 8)
+        if byte >= n32:
+            raise ValueError("truncated entropy data")
         v = ((w32[byte] >> (16 - off)) & 0xFFFF) >> (16 - t)
         pos += t
         diff = v if v >= (1 << (t - 1)) else v - (1 << t) + 1
@@ -410,6 +431,8 @@ def _decode_block(w32, pos, dc_lut, ac_lut):
     k = 1
     while k <= 63:
         byte, off = divmod(pos, 8)
+        if byte >= n32:
+            raise ValueError("truncated entropy data")
         peek = (w32[byte] >> (16 - off)) & 0xFFFF
         rs = sym[peek]
         if rs < 0:
@@ -425,6 +448,8 @@ def _decode_block(w32, pos, dc_lut, ac_lut):
         if k > 63:
             raise ValueError("AC run past block end")
         byte, off = divmod(pos, 8)
+        if byte >= n32:
+            raise ValueError("truncated entropy data")
         v = ((w32[byte] >> (16 - off)) & 0xFFFF) >> (16 - s)
         pos += s
         coef[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1

@@ -105,15 +105,24 @@ def demux_avi(data: bytes) -> dict:
     meta: dict = {"width": None, "height": None, "fps": None}
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
+    # Explicit-stack pre-order walk (identical visit order to recursion):
+    # adversarially nested LIST chunks must raise/parse like any other
+    # malformed input, never hit Python's recursion limit. Each LIST frame
+    # consumes >= 12 bytes of input, so the stack is bounded by len(data)/12.
+    stack = [(12, 12 + struct.unpack_from("<I", data, 4)[0] - 4)]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             (size,) = struct.unpack_from("<I", data, pos + 4)
             body_start = pos + 8
             body_end = min(body_start + size, end)
+            nxt = body_start + size + (size % 2)  # chunks are word-aligned
             if cid == b"LIST":
-                walk(body_start + 4, body_end)  # skip list type fourcc
-            elif cid == b"avih":
+                stack.append((nxt, end))  # resume after this list
+                pos, end = body_start + 4, body_end  # skip list type fourcc
+                continue
+            if cid == b"avih":
                 vals = struct.unpack_from("<14I", data, body_start)
                 meta["fps"] = (1_000_000 // vals[0]) if vals[0] else 0
                 meta["width"], meta["height"] = vals[8], vals[9]
@@ -126,9 +135,7 @@ def demux_avi(data: bytes) -> dict:
                     )
             elif cid[2:4] == b"dc" and cid[:2].isdigit():
                 frames.append(bytes(data[body_start:body_end]))
-            pos = body_start + size + (size % 2)  # chunks are word-aligned
-
-    walk(12, 12 + struct.unpack_from("<I", data, 4)[0] - 4)
+            pos = nxt
     if meta["width"] is None:
         raise ValueError("no avih header found")
     meta["n_frames"] = len(frames)

@@ -16,6 +16,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 FAMILY: dict[str, str] = {}  # query name -> registering module basename
 
+_ROTATION_SNAPSHOT: int | None = None  # per-process file-count cache
+
 
 def query(name: str, sql: str | None = None):
     """Register a declared query; ``sql=None`` marks it rows-only checked
@@ -42,6 +44,12 @@ def sweep_rotation() -> int:
     stable *within* a round (the driver writes the new record only after
     the sweep completes, so ``queries()`` / ``oracle_sql()`` / bench all see
     one value).  ``SPARK_GRAFT_SWEEP_ROTATION`` overrides for tests.
+
+    The file count is SNAPSHOT once per process (ADVICE r6: q29's leg was
+    captured at module import while ``sweep_order()`` re-globbed per call —
+    a record archived mid-process could make the verified leg disagree with
+    the rotated slots in the same sweep). The env override stays dynamic so
+    rotation property tests can vary it without reloading modules.
     """
     import glob
     import os
@@ -52,11 +60,18 @@ def sweep_rotation() -> int:
             return int(env)
         except ValueError:
             pass
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    try:
-        return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    except OSError:
-        return 0
+    global _ROTATION_SNAPSHOT
+    if _ROTATION_SNAPSHOT is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        try:
+            _ROTATION_SNAPSHOT = len(
+                glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+            )
+        except OSError:
+            _ROTATION_SNAPSHOT = 0
+    return _ROTATION_SNAPSHOT
 
 
 def sweep_order() -> list[str]:

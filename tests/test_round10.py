@@ -419,7 +419,7 @@ def test_q29_leg_rotates_with_counter(monkeypatch):
             assert mod._Q29_LEG == r % 3
             # the registered oracle must match the returned leg
             want = mod._ORC_SQL if mod._Q29_LEG == 2 else mod._CUSTOMER_SQL
-            assert Q.ORACLE["q29_sink_csv_roundtrip"] == want
+            assert Q.ORACLE["q29_sink_interchange_roundtrip"] == want
     finally:
         monkeypatch.delenv("SPARK_GRAFT_SWEEP_ROTATION", raising=False)
         importlib.reload(S)  # restore the real rotation's registration
