@@ -13,7 +13,7 @@ import os
 from pyspark.sql import functions as F
 
 from nimhdfstore_spark.datasets import Dataset, create_dataset
-from nimhdfstore_spark.queries import query
+from nimhdfstore_spark.queries import query, sweep_rotation
 from nimhdfstore_spark.queries.core import scratch_store
 from nimhdfstore_spark.rowid import ROWID
 
@@ -42,12 +42,6 @@ def _linear_dataset(spark, sf_dir, name, n, shape):
     return Dataset(t)
 
 
-@query("q17_dataset_hyperslab", _Q17_SQL)
-def q17(spark, sf_dir):
-    ds = _linear_dataset(spark, sf_dir, "q17", 800, [20, 8, 5])
-    return ds.hyperslab(offset=[2, 1, 0], count=[5, 3, 2], stride=[3, 2, 2])
-
-
 # coordinate write into a 10×10 dataset, then element + slice readback
 _Q18_SQL = f"""
 WITH cells AS (
@@ -61,15 +55,6 @@ SELECT i0, i1, value, {ROWID} FROM cells
 WHERE {ROWID} IN (23, 55, 99) OR i0 = 5
 ORDER BY {ROWID}
 """
-
-
-@query("q18_dataset_coord_write", _Q18_SQL)
-def q18(spark, sf_dir):
-    ds = _linear_dataset(spark, sf_dir, "q18", 100, [10, 10])
-    ds.write_coords([(2, 3), (5, 5), (9, 9)], [111.0, 222.0, 333.0])
-    points = ds.elements([(2, 3), (5, 5), (9, 9)])
-    row5 = ds[5]  # whole row i0=5 (index broadcast, P6)
-    return points.unionByName(row5).dropDuplicates([ROWID]).orderBy(ROWID)
 
 
 # resize: grow 6×4 → 8×4 zero-filled, then shrink to 3×4; append rows (M11)
@@ -86,13 +71,97 @@ ORDER BY {ROWID}
 """
 
 
-@query("q19_dataset_resize_append", _Q19_SQL)
-def q19(spark, sf_dir):
-    ds = _linear_dataset(spark, sf_dir, "q19", 24, [6, 4])
-    ds.add([[900.0 + j + 4 * i for j in range(4)] for i in range(2)])  # 8×4
-    assert ds.shape == [8, 4]
-    sel = ds.hyperslab([0, 0], [5, 4]).unionByName(ds.hyperslab([6, 0], [2, 4]))
-    return sel.orderBy(ROWID)
+# --------------------------------------------------------------------------
+# q17 — the three dataset-CRUD legs merged into ONE driver row (round-6
+# verdict ask #2: core-slot economics — the driver verifies ~50 registry
+# entries, so every core slot freed puts one more extension entry under
+# rotation). ALL legs execute every run; each leg's output is checksummed
+# in-query against an EXPECTED frame built from plain spark.range linear
+# arithmetic — a path that shares nothing with Dataset's coordinate
+# algebra or the Store round-trip, so a broken leg fails this row loudly
+# regardless of which leg the oracle returns. The RETURNED leg rotates
+# per round on the persisted sweep counter, so every leg is
+# engine-independently (DuckDB) verified within three rounds.
+# --------------------------------------------------------------------------
+
+_Q17_LEG = sweep_rotation() % 3  # 0=hyperslab, 1=coord-write, 2=resize
+
+
+def _leg_checksum(df):
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(" + ", ".join(cols) + "))").alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+@query("q17_dataset_crud",
+       (_Q17_SQL, _Q18_SQL, _Q19_SQL)[_Q17_LEG])
+def q17(spark, sf_dir):
+    # leg 0 — hyperslab read (P4): offset/count/stride selection algebra
+    ds = _linear_dataset(spark, sf_dir, "q17", 800, [20, 8, 5])
+    hs = ds.hyperslab(offset=[2, 1, 0], count=[5, 3, 2], stride=[3, 2, 2])
+    cells = spark.range(800).selectExpr(
+        f"id AS {ROWID}", "CAST(id AS DOUBLE) AS value",
+        "(id div 40) % 20 AS i0", "(id div 5) % 8 AS i1", "id % 5 AS i2",
+    )
+    want_hs = cells.where(
+        "i0 >= 2 AND i0 < 15 AND (i0 - 2) % 3 = 0 "
+        "AND i1 >= 1 AND i1 < 6 AND (i1 - 1) % 2 = 0 "
+        "AND i2 >= 0 AND i2 < 3 AND i2 % 2 = 0"
+    ).selectExpr("i0", "i1", "i2", "value", ROWID)
+    if _leg_checksum(hs) != _leg_checksum(want_hs):
+        raise AssertionError("hyperslab leg diverged from linear arithmetic")
+
+    # leg 1 — coordinate write + element/index-broadcast readback (P1/P6/M13)
+    ds2 = _linear_dataset(spark, sf_dir, "q18", 100, [10, 10])
+    ds2.write_coords([(2, 3), (5, 5), (9, 9)], [111.0, 222.0, 333.0])
+    points = ds2.elements([(2, 3), (5, 5), (9, 9)])
+    row5 = ds2[5]  # whole row i0=5 (index broadcast, P6)
+    cw = points.unionByName(row5).dropDuplicates([ROWID]).orderBy(ROWID)
+    want_cw = (
+        spark.range(100)
+        .selectExpr(
+            f"id AS {ROWID}",
+            "CASE id WHEN 23 THEN 111.0 WHEN 55 THEN 222.0 "
+            "WHEN 99 THEN 333.0 ELSE CAST(id AS DOUBLE) END AS value",
+            "(id div 10) % 10 AS i0", "id % 10 AS i1",
+        )
+        .where(f"{ROWID} IN (23, 55, 99) OR i0 = 5")
+        .selectExpr("i0", "i1", "value", ROWID)
+    )
+    if _leg_checksum(cw) != _leg_checksum(want_cw):
+        raise AssertionError("coord-write leg diverged from linear arithmetic")
+
+    # leg 2 — axis append + hyperslab over the grown shape (M10/M11)
+    ds3 = _linear_dataset(spark, sf_dir, "q19", 24, [6, 4])
+    ds3.add([[900.0 + j + 4 * i for j in range(4)] for i in range(2)])  # 8×4
+    assert ds3.shape == [8, 4]
+    rz = ds3.hyperslab([0, 0], [5, 4]).unionByName(
+        ds3.hyperslab([6, 0], [2, 4])
+    ).orderBy(ROWID)
+    want_rz = (
+        spark.range(24)
+        .selectExpr(
+            f"id AS {ROWID}", "CAST(id AS DOUBLE) AS value",
+            "(id div 4) % 8 AS i0", "id % 4 AS i1",
+        )
+        .unionByName(
+            spark.range(8).selectExpr(
+                f"24 + id AS {ROWID}", "900.0 + id AS value",
+                "6 + (id div 4) AS i0", "id % 4 AS i1",
+            )
+        )
+        .where("i0 < 5 OR i0 >= 6")
+        .selectExpr("i0", "i1", "value", ROWID)
+    )
+    if _leg_checksum(rz) != _leg_checksum(want_rz):
+        raise AssertionError("resize leg diverged from linear arithmetic")
+
+    return (hs, cw.orderBy(ROWID), rz)[_Q17_LEG]
 
 
 # --------------------------------------------------------------------------
