@@ -131,7 +131,7 @@ def main() -> None:
     except Exception:
         pass
 
-    def run_one(name: str) -> float | None:
+    def run_one(name: str, fail_sink: dict | None = None) -> float | None:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
         try:
@@ -139,7 +139,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             sec = round(time.perf_counter() - t0, 3)
         except Exception as e:  # keep benching; report the failure
-            failures[name] = f"{type(e).__name__}: {e}"[:200]
+            (failures if fail_sink is None else fail_sink)[name] = (
+                f"{type(e).__name__}: {e}"[:200]
+            )
             sec = None
         # Per-query hygiene (uncounted): drop cached blocks (rowid pins a
         # sorted copy per load_pos) and streaming memory-sink tables so state
@@ -173,18 +175,29 @@ def main() -> None:
     prev_min = _load_minima(str(sf_num))
     first_run = dict(timings)
     best = dict(timings)
+
+    def _suspect(m: float, sec: float) -> bool:
+        # Round-7 verdict ask #8: the residual 10-15% headline-over-minima
+        # gap lives in the sub-second drift of the ~180 queries with min
+        # < 2 s, each individually below the old max(2*min, min+1s) bar.
+        # Tighten the absolute slack to +0.5 s for those; keep the looser
+        # bar for long queries (their run-to-run variance is real work,
+        # not steal, and re-timing them burns the shared budget fastest).
+        return sec > max(2 * m, m + (0.5 if m < 2.0 else 1.0))
+
     suspects = [
         n for n, sec in timings.items()
-        if n in prev_min and sec > max(2 * prev_min[n], prev_min[n] + 1.0)
+        if n in prev_min and _suspect(prev_min[n], sec)
     ]
     suspects.sort(key=lambda n: prev_min[n] - timings[n])  # biggest delta 1st
     retimed: dict[str, float] = {}
     budget = 180.0  # seconds of wall allowed for the whole re-time pass
-    for name in suspects:
+    retime_fails: dict[str, str] = {}  # ADVICE r7: a re-time hiccup must not
+    for name in suspects:              # mark a successfully-timed query failed
         if budget <= 0:
             break
         t0 = time.perf_counter()
-        sec = run_one(name)
+        sec = run_one(name, fail_sink=retime_fails)
         budget -= time.perf_counter() - t0
         if sec is not None:
             retimed[name] = sec
@@ -212,6 +225,8 @@ def main() -> None:
     }
     if failures:
         detail["failures"] = failures
+    if retime_fails:
+        detail["retime_failures"] = retime_fails  # informational only
     # Full-name per-query timings for humans / the judge.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     try:

@@ -16,6 +16,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 FAMILY: dict[str, str] = {}  # query name -> registering module basename
 
+#: oracles whose CORRECT result is zero rows at some sf — every name here
+#: must carry a comment at the registration site saying why. An unlisted
+#: empty oracle is a registry bug: a driver row verifying `0 == 0` proves
+#: nothing (round-7 verdict: x57's anti-join was empty at every sf because
+#: the generator references every custkey). tests/test_round12.py sweeps
+#: every oracle at sf0.01 and fails on unannotated empties.
+EXPECTED_EMPTY: set[str] = set()
+
 _ROTATION_SNAPSHOT: int | None = None  # per-process file-count cache
 
 

@@ -312,17 +312,27 @@ SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
        ROUND(SUM(c.c_acctbal), 2) AS totacctbal
 FROM customer c
 WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
 GROUP BY c.c_nationkey ORDER BY c.c_nationkey
 """
 
 
 @query("x110_tpch_q22_no_orders", _X110_SQL)
 def x110(spark, sf_dir):
+    # The anti-joined orders side is restricted to finished orders: the data
+    # generator references every custkey, so Q22's literal "has no orders"
+    # predicate is empty at every sf and the row would verify `0 == 0`
+    # (round-7 verdict: vacuous-oracle audit). Non-empty at all sfs (2/21/25).
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
-    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("__avg")
     )
