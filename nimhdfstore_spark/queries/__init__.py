@@ -25,6 +25,7 @@ FAMILY: dict[str, str] = {}  # query name -> registering module basename
 EXPECTED_EMPTY: set[str] = set()
 
 _ROTATION_SNAPSHOT: int | None = None  # per-process file-count cache
+_VERIFIED_SNAPSHOT: set[str] | None = None  # per-process verified-name cache
 
 
 def query(name: str, sql: str | None = None):
@@ -82,6 +83,56 @@ def sweep_rotation() -> int:
     return _ROTATION_SNAPSHOT
 
 
+def driver_verified() -> set[str]:
+    """Query names already verified green by an archived driver sweep.
+
+    Reads the ``CORRECTNESS_r*.json`` records at the repo root (the same
+    persisted state ``sweep_rotation`` counts) and returns every name whose
+    row passed all three checks (rows/schema/hash, no error) in ANY round.
+    Snapshot once per process, like the rotation counter, so a record
+    archived mid-process cannot split one sweep's ordering.
+
+    Round-7 verdict "what's wrong" #2: the position-only rotation had no
+    memory of what was already green — round 7 spent 2 of its 5 extension
+    slots re-verifying r02 entries while ~131 entries had never seen a
+    driver row. ``sweep_order`` uses this set to put never-verified
+    entries first. ``SPARK_GRAFT_SWEEP_VERIFIED`` (comma-separated names;
+    empty string = empty set) overrides for tests.
+    """
+    import glob
+    import json
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_SWEEP_VERIFIED")
+    if env is not None:
+        return {n for n in env.split(",") if n}
+    global _VERIFIED_SNAPSHOT
+    if _VERIFIED_SNAPSHOT is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        out: set[str] = set()
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if not isinstance(rec, dict):
+                continue
+            for name, row in rec.items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("err") is None
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                ):
+                    out.add(name)
+        _VERIFIED_SNAPSHOT = out
+    return _VERIFIED_SNAPSHOT
+
+
 def sweep_order() -> list[str]:
     """Registry names ordered for a time-budgeted external sweep.
 
@@ -128,8 +179,21 @@ def sweep_order() -> list[str]:
             if i < len(lane):
                 flat.append(lane[i])
     if flat:
-        s = (3 * sweep_rotation()) % len(flat)
-        flat = flat[s:] + flat[:s]
+        # Never-driver-verified entries first (round-7 verdict ask #2): the
+        # driver's ~5 extension slots land on the FRONT of this list, so
+        # re-offering already-green entries wastes verification breadth.
+        # The 3·r cyclic shift still applies WITHIN the fresh partition as
+        # a safety net — if a slot fails to verify (driver timeout, flaky
+        # window) it stays fresh, and without the shift it would pin the
+        # front forever; with it, the next round samples past it. Both
+        # partitions keep the family-interleaved cheapest-first order.
+        seen = driver_verified()
+        fresh = [n for n in flat if n not in seen]
+        done = [n for n in flat if n in seen]
+        if fresh:
+            s = (3 * sweep_rotation()) % len(fresh)
+            fresh = fresh[s:] + fresh[:s]
+        flat = fresh + done
     out.extend(flat)
     return out
 

@@ -141,77 +141,108 @@ def q32(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q33 — zone-map value index: per-file (min,max) footer stats over a VALUE
-# column prune the file list driver-side before Spark ever plans the scan.
-# Stronger than row-group pruning: a skipped file costs zero tasks and zero
-# executor-side footer reads. Effective exactly when the layout correlates
-# with the column — here the store's canonical order IS l_orderkey.
+# q33 — the three file-skipping-index legs merged into ONE driver row
+# (round-6/7 verdict ask: core-slot economics — the q17 pattern). ALL legs
+# execute every run; each leg's output is checksummed in-query against the
+# PLAIN parquet read with the same value filter — a path that never touches
+# the Store, its layout, or its indexes — in a single fused Spark action.
+# The RETURNED leg (and its DuckDB oracle) rotates on the persisted sweep
+# counter, so each leg is engine-independently verified within 3 rounds.
+#
+#   leg 0 — zone map: per-file (min,max) footer stats over a VALUE column
+#     prune the file list driver-side before Spark plans the scan; a
+#     skipped file costs zero tasks. Works because the canonical layout
+#     correlates with l_orderkey.
+#   leg 1 — OPTIMIZE-style Z-order recluster of the SAME table:
+#     cluster_by(morton(l_partkey, l_suppkey)) makes every file a small
+#     square of the key space, so zone maps prune on EITHER key — while
+#     every positional read stays correct (_rowid never changes).
+#   leg 2 — bloom file index: a hash-clustered layout decorrelates files
+#     from the lookup key (zone maps useless by construction); a per-file
+#     Bloom filter still skips every file that provably lacks the value.
 # --------------------------------------------------------------------------
 
 _Q33_LO, _Q33_HI = 5000, 5999
+_Q44_KEY = 97
 
 _Q33_SQL = f"""
 SELECT * FROM ({{rowid_over}}) WHERE l_orderkey BETWEEN {_Q33_LO} AND {_Q33_HI}
 ORDER BY _rowid
 """
 
-
-@query(
-    "q33_zonemap_file_prune",
-    _Q33_SQL.format(rowid_over=rowid_over("lineitem")),
-)
-def q33(spark, sf_dir):
-    from nimhdfstore_spark.queries.core import scratch_store
-    from nimhdfstore_spark.tables import load_pos
-
-    from nimhdfstore_spark.tables import table_nrows
-
-    store = scratch_store(spark, f"q33-{os.path.basename(sf_dir)}")
-    # ~12 files at any sf: enough for pruning to skip most of them without
-    # drowning the bench in tiny-file write overhead at larger scales
-    store.rows_per_file = max(4096, table_nrows(sf_dir, "lineitem") // 12)
-    t = store.put("li_zone", load_pos(spark, sf_dir, "lineitem"), overwrite=True)
-    out, scanned, total = t.scan_between("l_orderkey", _Q33_LO, _Q33_HI)
-    if total > 2 and scanned >= total:
-        raise AssertionError(
-            f"zone map pruned nothing: {scanned}/{total} files scanned"
-        )
-    return out.orderBy("_rowid")
-
-
-# --------------------------------------------------------------------------
-# q35 — OPTIMIZE-style Z-order re-clustering + zone-map synergy: after
-# cluster_by(morton(l_partkey, l_suppkey)) the file layout covers small
-# squares of the (partkey, suppkey) space, so a value filter on EITHER key
-# prunes files through the zone map — while every positional read stays
-# correct because _rowid values never change.
-# --------------------------------------------------------------------------
-
 _Q35_SQL = f"""
 SELECT * FROM ({{rowid_over}})
 WHERE l_partkey BETWEEN 0 AND 31 ORDER BY _rowid
 """
 
+_Q44_SQL = f"""
+SELECT * FROM ({{rowid_over}}) WHERE p_partkey = {_Q44_KEY}
+ORDER BY _rowid
+"""
+
+_Q33_LEG = sweep_rotation() % 3  # 0=zone map, 1=z-order, 2=bloom
+
 
 @query(
-    "q35_zorder_recluster",
-    _Q35_SQL.format(rowid_over=rowid_over("lineitem")),
+    "q33_layout_index",
+    (
+        _Q33_SQL.format(rowid_over=rowid_over("lineitem")),
+        _Q35_SQL.format(rowid_over=rowid_over("lineitem")),
+        _Q44_SQL.format(rowid_over=rowid_over("part")),
+    )[_Q33_LEG],
 )
-def q35(spark, sf_dir):
+def q33(spark, sf_dir):
     from nimhdfstore_spark.operators.zorder import morton_code
-    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.queries.core import assert_legs_match, scratch_store
     from nimhdfstore_spark.tables import load_pos, table_nrows
 
-    store = scratch_store(spark, f"q35-{os.path.basename(sf_dir)}")
+    store = scratch_store(spark, f"q33-{os.path.basename(sf_dir)}")
+    # leg 0's lazy frame is planned against the pre-recluster snapshot and
+    # only EXECUTES inside the fused checksum action, after leg 1's
+    # cluster_by commits a new one — retain enough snapshots that its files
+    # survive (the documented keep_snapshots>=2 mechanism, store.py)
+    store.keep_snapshots = 4
+    # ~12 files at any sf: enough for pruning to skip most of them without
+    # drowning the bench in tiny-file write overhead at larger scales
     store.rows_per_file = max(4096, table_nrows(sf_dir, "lineitem") // 12)
-    t = store.put("li_z", load_pos(spark, sf_dir, "lineitem"), overwrite=True)
+    li = load_pos(spark, sf_dir, "lineitem")
+    t = store.put("li_layout", li, overwrite=True)
+
+    # leg 0 — zone-map prune over the canonical (l_orderkey-sorted) layout
+    zm, scanned, total = t.scan_between("l_orderkey", _Q33_LO, _Q33_HI)
+    if total > 2 and scanned >= total:
+        raise AssertionError(
+            f"zone map pruned nothing: {scanned}/{total} files scanned"
+        )
+    want_zm = li.where(F.col("l_orderkey").between(_Q33_LO, _Q33_HI))
+
+    # leg 1 — Z-order recluster of the SAME table, then prune on l_partkey
     t.cluster_by(morton_code("l_partkey", "l_suppkey"))
-    out, scanned, total = t.scan_between("l_partkey", 0, 31)
+    zo, scanned, total = t.scan_between("l_partkey", 0, 31)
     if total > 2 and scanned >= total:
         raise AssertionError(
             f"z-order + zone map pruned nothing: {scanned}/{total}"
         )
-    return out.orderBy("_rowid")
+    want_zo = li.where(F.col("l_partkey").between(0, 31))
+
+    # leg 2 — hash-clustered part + bloom index point lookup
+    part = load_pos(spark, sf_dir, "part")
+    store.rows_per_file = max(256, table_nrows(sf_dir, "part") // 12)
+    tp = store.put("part_bloom", part, overwrite=True)
+    tp.cluster_by(F.xxhash64("p_partkey"))
+    tp.build_bloom("p_partkey", bits=16384, k=3)
+    bl, scanned, total = tp.lookup_eq("p_partkey", _Q44_KEY)
+    if total > 2 and scanned >= total:
+        raise AssertionError(
+            f"bloom index pruned nothing: {scanned}/{total} files scanned"
+        )
+    want_bl = part.where(F.col("p_partkey") == _Q44_KEY)
+
+    assert_legs_match(
+        [("zone-map", zm, want_zm), ("z-order", zo, want_zo),
+         ("bloom", bl, want_bl)]
+    )
+    return (zm, zo, bl)[_Q33_LEG].orderBy("_rowid")
 
 
 # --------------------------------------------------------------------------
@@ -459,46 +490,6 @@ def q42(spark, sf_dir):
         "tbl string, snaps_before long, snaps_after long, "
         "n_removed_dry long, n_rows_after long",
     )
-
-
-# --------------------------------------------------------------------------
-# q44 — bloom file index: when the layout does NOT correlate with a column
-# (here: lineitem re-clustered by a hash, so every file's l_orderkey
-# [min,max] spans the whole domain and zone maps prune NOTHING), a per-file
-# Bloom filter still skips every file that provably lacks the value. The
-# point lookup reads ~1 file of ~12; the pruning ratio is pinned in tests,
-# the row values against the oracle.
-# --------------------------------------------------------------------------
-
-_Q44_KEY = 97
-
-_Q44_SQL = f"""
-SELECT * FROM ({{rowid_over}}) WHERE p_partkey = {_Q44_KEY}
-ORDER BY _rowid
-"""
-
-
-@query(
-    "q44_bloom_file_index",
-    _Q44_SQL.format(rowid_over=rowid_over("part")),
-)
-def q44(spark, sf_dir):
-    from nimhdfstore_spark.queries.core import scratch_store
-    from nimhdfstore_spark.tables import load_pos, table_nrows
-
-    store = scratch_store(spark, f"q44-{os.path.basename(sf_dir)}")
-    store.rows_per_file = max(256, table_nrows(sf_dir, "part") // 12)
-    t = store.put("part_bloom", load_pos(spark, sf_dir, "part"), overwrite=True)
-    # decorrelate the physical layout from the lookup key: after this,
-    # every file spans ~the full l_orderkey domain (zone maps are useless)
-    t.cluster_by(F.xxhash64("p_partkey"))
-    t.build_bloom("p_partkey", bits=16384, k=3)
-    out, scanned, total = t.lookup_eq("p_partkey", _Q44_KEY)
-    if total > 2 and scanned >= total:
-        raise AssertionError(
-            f"bloom index pruned nothing: {scanned}/{total} files scanned"
-        )
-    return out.orderBy("_rowid")
 
 
 # --------------------------------------------------------------------------

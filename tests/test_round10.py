@@ -31,8 +31,12 @@ Q.load_all()
 N_SLOTS = 3  # extension slots under the driver's ~50-entry cap
 
 
-def _order(monkeypatch, r: int) -> list[str]:
+def _order(monkeypatch, r: int, verified: str = "") -> list[str]:
+    # verified="" pins an EMPTY driver-verified set so the cyclic-shift
+    # invariants below stay exact; the verified-aware reordering (round-7
+    # verdict ask #2) has its own pins in test_round12_rotation below.
     monkeypatch.setenv("SPARK_GRAFT_SWEEP_ROTATION", str(r))
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_VERIFIED", verified)
     return Q.sweep_order()
 
 
@@ -108,6 +112,7 @@ def test_rotation_invariants_on_synthetic_registries(fam_sizes, n_core, r, monke
     monkeypatch.setattr(Q, "QUERIES", queries)
     monkeypatch.setattr(Q, "FAMILY", family)
     monkeypatch.setenv("SPARK_GRAFT_SWEEP_ROTATION", str(r))
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_VERIFIED", "")
     order = Q.sweep_order()
     assert sorted(order) == sorted(queries)
     core = [n for n in order if n.startswith("q")]
