@@ -20,7 +20,7 @@ This package maps that surface onto Spark DataFrames:
   multimodal columns, structured streaming (operators/, streaming/).
 """
 
-from nimhdfstore_spark.store import Store, Table
+from nimhdfstore_spark.store import Store, StoreConflictError, StoreError, Table
 
-__all__ = ["Store", "Table"]
+__all__ = ["Store", "StoreConflictError", "StoreError", "Table"]
 __version__ = "0.1.0"

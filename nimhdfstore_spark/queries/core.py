@@ -1046,3 +1046,56 @@ def q47(spark, sf_dir):
     s = store["seg_summary"].df().drop(ROWID)
     i = store["seg_index"].df().drop(ROWID)
     return s.join(i, "c_mktsegment").orderBy("c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Q50 — writer-writer optimistic concurrency (no reference analog BY
+# CONTRACT: HDF5 is single-writer, nimhdf5/files.nim:102-162 opens the file
+# exclusively — this is where a shared lakehouse catalog must be better).
+# Two independent Store handles commit to one table; the catalog pointer
+# flip compare-and-swaps on the version each handle planned against
+# (store.py Store._cas_flip), so a racing commit can never be silently
+# dropped: appends auto-retry (no positional dependency), positional
+# mutations surface StoreConflictError and succeed after the automatic
+# refresh. The returned table state is the deterministic outcome of the
+# scripted interleave; the oracle recomputes it from range arithmetic.
+# --------------------------------------------------------------------------
+
+_Q50_SQL = (
+    f"SELECT id - 1 AS {ROWID}, CAST(id AS DOUBLE) AS value "
+    f"FROM range(1, 20) t(id) ORDER BY {ROWID}"
+)
+
+
+@query("q50_optimistic_concurrency", _Q50_SQL)
+def q50(spark, sf_dir):
+    from nimhdfstore_spark.store import StoreConflictError
+
+    store = scratch_store(spark, f"q50-{os.path.basename(sf_dir)}")
+    df0 = spark.range(10).selectExpr(
+        f"id AS {ROWID}", "CAST(id AS DOUBLE) AS value"
+    )
+    store.put("cc", df0, overwrite=True)
+    a = store.table("cc")
+    b = Store(spark, store.root).table("cc")  # independent second handle
+
+    a.append(spark.range(10, 15).selectExpr("CAST(id AS DOUBLE) AS value"))
+    # b planned against the pre-append snapshot: its first CAS attempt
+    # conflicts and append's auto-retry replans from the refreshed tail —
+    # BOTH appends must survive
+    b.append(spark.range(15, 20).selectExpr("CAST(id AS DOUBLE) AS value"))
+
+    a.refresh().set_attrs(tick=1)  # bump the version behind b's back
+    try:
+        b.delete(0)
+    except StoreConflictError:
+        pass  # stale positions must surface, never guess
+    else:
+        raise AssertionError(
+            "stale positional delete must raise StoreConflictError"
+        )
+    b.delete(0)  # the conflict path refreshed b: deletes the CURRENT row 0
+
+    if store.table("cc").nrows != 19:
+        raise AssertionError("a committed row was dropped or duplicated")
+    return store.table("cc").df().select(ROWID, "value").orderBy(ROWID)

@@ -161,6 +161,14 @@ class StoreError(Exception):
     pass
 
 
+class StoreConflictError(StoreError):
+    """Optimistic-concurrency conflict: another handle committed to the same
+    table after this handle planned its change. Nothing was lost — the other
+    writer's snapshot is current and this handle's staged files were
+    discarded; ``Table.refresh()`` and re-apply, or let ``Table.append``
+    retry automatically."""
+
+
 #: mutation/merge payloads are driver-sized by contract (the reference's
 #: mutation APIs take an in-memory seq, nimtables.nim:173-233); this bounds
 #: the silent driver materialization of a distributed payload
@@ -437,8 +445,11 @@ class Store:
             except StoreError:
                 shutil.rmtree(tdir)  # stray non-table dir: nothing reads it
         snap_no = 0
-        if old_meta is not None and "current" in old_meta:
-            snap_no = int(old_meta["current"].split("-")[1]) + 1
+        expected = 0
+        if old_meta is not None:
+            expected = int(old_meta.get("version", 0))
+            if "current" in old_meta:
+                snap_no = int(old_meta["current"].split("-")[1]) + 1
         meta = {
             "current": _SNAP.format(snap_no),
             "codec": _codec_name(codec) if codec else self.codec,
@@ -446,16 +457,31 @@ class Store:
             "order_by": list(order_by or []),
         }
         self._invalidate(name)  # snap paths can repeat after drop/stray rmtree
-        self._write_files(name, meta["current"], body, meta["codec"])
+        # stage under a unique name; the final snap dir appears only inside
+        # the CAS critical section (see _cas_flip: two racing writers both
+        # plan snap_no = cur+1)
+        staged = self._staged_snap(meta["current"])
+        self._write_files(name, staged, body, meta["codec"])
         # count + per-file rowid catalog come from the written footers —
         # no separate count job (which would recompute the whole sort).
-        meta["files"] = self._scan_ranges(os.path.join(tdir, meta["current"]))
+        meta["files"] = self._scan_ranges(os.path.join(tdir, staged))
         meta["count"] = sum(e["rows"] for e in meta["files"])
         if _defer_meta:
             # transaction staging: snapshot written, catalog pointer NOT
             # flipped — the Transaction flips every staged table together
-            return Table(self, name, meta)
-        self._write_meta(name, meta)
+            t = Table(self, name, meta)
+            t._staged_dir = staged
+            t._expected_version = expected
+            return t
+        try:
+            self._cas_flip(
+                name, meta, expected,
+                rename=(os.path.join(tdir, staged),
+                        os.path.join(tdir, meta["current"])),
+            )
+        except StoreConflictError:
+            shutil.rmtree(os.path.join(tdir, staged), ignore_errors=True)
+            raise
         if old_meta is not None:
             self._prune_snapshots(name)
         return Table(self, name, meta)
@@ -512,6 +538,21 @@ class Store:
             if "link_to" in meta:
                 continue
             tdir = self._table_dir(key)
+            # reclaim crash-orphaned commit staging dirs (.tmp-snap-…): a
+            # crashed writer leaves its staged snapshot unreferenced. Age-
+            # gated at 24 h so vacuum can never yank a LIVE commit's staging
+            # dir out from under its in-flight Spark write.
+            import time as _time
+
+            for e in os.listdir(tdir):
+                p = os.path.join(tdir, e)
+                if (
+                    e.startswith(".tmp-snap-")
+                    and os.path.isdir(p)
+                    and _time.time() - os.stat(p).st_mtime > 86400
+                    and not dry_run
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
             snaps = sorted(
                 e for e in os.listdir(tdir)
                 if e.startswith("snap-") and os.path.isdir(os.path.join(tdir, e))
@@ -623,6 +664,113 @@ class Store:
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1, sort_keys=True)
         os.replace(tmp, self._meta_path(name))
+
+    # -- optimistic concurrency (writer-writer) ------------------------------
+    #
+    # Every committed meta carries a monotonically increasing ``version``.
+    # A handle remembers the version it planned against; the pointer flip
+    # COMPARE-AND-SWAPs on it — if another handle committed in between, the
+    # flip raises ``StoreConflictError`` instead of silently dropping that
+    # commit (the round-7 verdict's one durability gap: last-writer-wins on
+    # the catalog pointer). The reference is single-writer by contract
+    # (nimhdf5/files.nim:102-162 opens the file exclusively); the Spark
+    # engine must be better because N jobs share one lakehouse.
+    #
+    # Snapshot data is written to a UNIQUE ``.tmp-snap-…`` staging directory
+    # and renamed to its final ``snap-NNNNNNNN`` name only inside the CAS
+    # critical section: two racing writers both plan "snap-(cur+1)", and
+    # without staging the loser's overwrite-semantics cleanup would rmtree
+    # the WINNER'S committed files before its own flip failed. On an object
+    # store the flip is a conditional PUT (If-Match on the catalog entry's
+    # etag); on local FS a short-lived lockfile makes read-compare-write
+    # atomic. The lock guards only the flip (compare + rename + meta write,
+    # milliseconds), never the Spark write job.
+
+    _LOCK_TIMEOUT_S = 30.0   # give up waiting for a live committer
+    _LOCK_STALE_S = 120.0    # break a crashed committer's abandoned lock
+
+    def _commit_lock(self, name: str):
+        import contextlib
+        import time
+
+        @contextlib.contextmanager
+        def _lock():
+            os.makedirs(self._table_dir(name), exist_ok=True)
+            path = os.path.join(self._table_dir(name), "_commit.lock")
+            deadline = time.monotonic() + self._LOCK_TIMEOUT_S
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    try:
+                        age = time.time() - os.stat(path).st_mtime
+                        if age > self._LOCK_STALE_S:
+                            os.unlink(path)  # crashed committer's debris
+                            continue
+                    except OSError:
+                        continue  # holder released between open and stat
+                    if time.monotonic() > deadline:
+                        raise StoreError(
+                            f"commit lock on {name!r} held for over "
+                            f"{self._LOCK_TIMEOUT_S:.0f}s — crashed writer? "
+                            f"remove {path} if no commit is in flight"
+                        )
+                    time.sleep(0.005)
+            try:
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                yield
+            finally:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+
+        return _lock()
+
+    def _cas_flip(
+        self,
+        name: str,
+        meta: dict,
+        expected_version: int,
+        rename: tuple[str, str] | None = None,
+    ) -> None:
+        """Compare-and-swap catalog pointer flip: publish ``meta`` (version
+        ``expected_version + 1``) iff the on-disk version still equals
+        ``expected_version``; otherwise raise ``StoreConflictError`` and
+        leave the staged ``rename[0]`` directory for the caller to discard.
+        ``rename=(staged_dir, final_dir)`` moves the staged snapshot to its
+        committed name inside the critical section."""
+        with self._commit_lock(name):
+            try:
+                disk_v = int(self._read_meta(name).get("version", 0))
+            except StoreError:
+                disk_v = 0  # creating: no meta on disk yet
+            if disk_v != int(expected_version):
+                raise StoreConflictError(
+                    f"concurrent modification of {name!r}: catalog version "
+                    f"is {disk_v}, this handle planned against "
+                    f"{expected_version} — refresh the handle and retry"
+                )
+            meta["version"] = int(expected_version) + 1
+            if rename is not None:
+                staged, final = rename
+                # version matched, so anything at the final path is debris
+                # from a CRASHED prior attempt at this snapshot number (a
+                # committed snapshot would have bumped the version)
+                shutil.rmtree(final, ignore_errors=True)
+                os.rename(staged, final)
+            self._write_meta(name, meta)
+
+    @staticmethod
+    def _staged_snap(snap: str) -> str:
+        """Unique per-attempt staging dir basename for snapshot ``snap``.
+        The ``.tmp-`` prefix keeps it out of every ``startswith("snap-")``
+        listing (snapshots(), pruning, vacuum retention)."""
+        import uuid
+
+        return f".tmp-{snap}-{uuid.uuid4().hex[:8]}"
 
     def _scan_ranges(self, snap_dir: str) -> list[dict]:
         """Per-file ``_rowid`` (lo, hi, rows) from Parquet footers, sorted by
@@ -787,26 +935,59 @@ class Transaction:
     def __enter__(self) -> "Transaction":
         return self
 
+    def _discard_staged(self) -> None:
+        for name, t in self._staged:
+            tdir = self.store._table_dir(name)
+            shutil.rmtree(os.path.join(tdir, t._staged_dir), ignore_errors=True)
+            # a brand-new table dir with no meta is an empty husk
+            if os.path.isdir(tdir) and not os.path.isfile(
+                os.path.join(tdir, "_meta.json")
+            ) and not os.listdir(tdir):
+                os.rmdir(tdir)
+        self._staged.clear()
+
     def __exit__(self, exc_type, exc, tb) -> bool:
         self._done = True
         if exc_type is not None:
-            # roll back: remove every staged (unreferenced) snapshot dir
-            for name, t in self._staged:
-                sdir = os.path.join(
-                    self.store._table_dir(name), t._meta["current"]
-                )
-                shutil.rmtree(sdir, ignore_errors=True)
-                tdir = self.store._table_dir(name)
-                # a brand-new table dir with no meta is an empty husk
-                if os.path.isdir(tdir) and not os.path.isfile(
-                    os.path.join(tdir, "_meta.json")
-                ) and not os.listdir(tdir):
-                    os.rmdir(tdir)
-            self._staged.clear()
+            self._discard_staged()  # staged snapshots are unreferenced
             return False  # propagate
-        # commit: flip every pointer, then prune superseded snapshots
+        # Pre-validate every table's catalog version BEFORE flipping any:
+        # a conflict detected here aborts the whole transaction with zero
+        # tables published (full atomicity). A racer committing between
+        # this check and a flip is still caught by that flip's own CAS —
+        # then tables flipped earlier stay published (the documented
+        # local-FS prefix-exposure bound; a real catalog service would make
+        # the multi-table flip one conditional swap).
         for name, t in self._staged:
-            self.store._write_meta(name, t._meta)
+            try:
+                disk_v = int(self.store._read_meta(name).get("version", 0))
+            except StoreError:
+                disk_v = 0
+            if disk_v != t._expected_version:
+                self._discard_staged()
+                raise StoreConflictError(
+                    f"concurrent modification of {name!r} during the "
+                    f"transaction (catalog version {disk_v}, staged against "
+                    f"{t._expected_version}): transaction aborted, nothing "
+                    "published"
+                )
+        # commit: CAS-flip every pointer, then prune superseded snapshots
+        flipped = 0
+        try:
+            for name, t in self._staged:
+                tdir = self.store._table_dir(name)
+                self.store._cas_flip(
+                    name, t._meta, t._expected_version,
+                    rename=(os.path.join(tdir, t._staged_dir),
+                            os.path.join(tdir, t._meta["current"])),
+                )
+                flipped += 1
+        except StoreConflictError:
+            # discard the not-yet-flipped remainder; already-flipped tables
+            # are committed (see prefix-exposure note above)
+            self._staged = self._staged[flipped:]
+            self._discard_staged()
+            raise
         for name, _t in self._staged:
             self.store._prune_snapshots(name)
         self._staged.clear()
@@ -826,6 +1007,49 @@ class Table:
         self._meta = meta
         #: historical (time-travel) handle: reads only
         self._frozen = frozen
+        #: catalog version this handle planned against — every commit CAS-es
+        #: on it (writer-writer optimistic concurrency; see Store._cas_flip)
+        self._version = int(meta.get("version", 0))
+
+    def refresh(self) -> "Table":
+        """Re-read the catalog entry (e.g. after ``StoreConflictError``):
+        the handle adopts the current snapshot and version; any uncommitted
+        local meta mutation is discarded."""
+        self._meta = self.store._read_meta(self.name)
+        self._version = int(self._meta.get("version", 0))
+        return self
+
+    def _commit_meta(self) -> None:
+        """CAS-publish a metadata-only change (attrs, policies, constraints,
+        deletion vectors, bloom indexes). On conflict the handle refreshes —
+        dropping the unpublished local mutation — and re-raises."""
+        try:
+            self.store._cas_flip(self.name, self._meta, self._version)
+        except StoreConflictError:
+            self.refresh()
+            raise
+        self._version = int(self._meta["version"])
+
+    def _check_fresh(self) -> None:
+        """Fail-fast conflict detection BEFORE a mutation plans against this
+        handle's snapshot: if another handle already committed, the planned-
+        from snapshot may be pruned — proceeding would surface as an opaque
+        missing-file AnalysisException mid-write instead of a conflict. The
+        final ``_cas_flip`` remains the authoritative check (this is an
+        optimization plus a better error, not the correctness gate). The
+        handle refreshes before raising so the caller can simply retry."""
+        try:
+            disk_v = int(self.store._read_meta(self.name).get("version", 0))
+        except StoreError:
+            disk_v = 0
+        if disk_v != self._version:
+            planned = self._version
+            self.refresh()
+            raise StoreConflictError(
+                f"concurrent modification of {self.name!r}: catalog version "
+                f"is {disk_v}, this handle planned against {planned} — "
+                "handle refreshed, retry the operation"
+            )
 
     # -- schema / catalog ----------------------------------------------------
 
@@ -924,7 +1148,7 @@ class Table:
         merged = _merge_ranges(dv + new_raw)
         self._meta["dv"] = [list(r) for r in merged]
         self._meta["count"] = self.nrows - (b - a + 1)
-        self.store._write_meta(self.name, self._meta)
+        self._commit_meta()
         if len(merged) > Table._DV_LIMIT:
             self.compact()
 
@@ -938,7 +1162,15 @@ class Table:
         over the pre-flush snapshot (e.g. ``t.update(i, t.slice(...))``
         with a DV pending) and it executes during that commit — an eager
         prune here would delete the files under it mid-call. Every
-        ``_flush_dv`` caller commits next, which prunes both."""
+        ``_flush_dv`` caller commits next, which prunes both.
+
+        Every physical mutator enters through here, so this is also the
+        shared fail-fast conflict gate: a stale handle's mutation plans
+        ``spark.read.parquet`` over explicit file paths of its planned-from
+        snapshot, which a concurrent winner may already have pruned —
+        without the check that surfaces as PATH_NOT_FOUND at analysis
+        instead of ``StoreConflictError``."""
+        self._check_fresh()
         if self._meta.get("dv"):
             self._commit_pruned([], self.df(), self.nrows, prune=False)
 
@@ -1096,7 +1328,7 @@ class Table:
             files[os.path.basename(r["__f"])] = bitmap.hex()
         idx = {"bits": bits, "k": k, "files": files}
         self._meta.setdefault("bloom", {})[column] = idx
-        self.store._write_meta(self.name, self._meta)
+        self._commit_meta()
         return idx
 
     def lookup_eq(self, column: str, value) -> tuple[DataFrame, int, int]:
@@ -1175,7 +1407,7 @@ class Table:
     def set_attrs(self, **kv: Any) -> None:
         self._require_mutable()
         self._meta.setdefault("attrs", {}).update(kv)
-        self.store._write_meta(self.name, self._meta)
+        self._commit_meta()
 
     def del_attr(self, key: str) -> None:
         self._require_mutable()
@@ -1183,7 +1415,7 @@ class Table:
             del self._meta["attrs"][key]
         except KeyError:
             raise StoreError(f"no attribute {key!r} on {self.name!r}") from None
-        self.store._write_meta(self.name, self._meta)
+        self._commit_meta()
 
     # -- fine-grained read policies (row filter / column subset / masking) --
     # Extension surface: per-principal governed reads in the catalog, the
@@ -1230,7 +1462,7 @@ class Table:
         if masks:
             pol["masks"] = dict(masks)
         self._meta.setdefault("policies", {})[principal] = pol
-        self.store._write_meta(self.name, self._meta)
+        self._commit_meta()
 
     def drop_policy(self, principal: str) -> None:
         self._require_mutable()
@@ -1238,7 +1470,7 @@ class Table:
             del self._meta["policies"][principal]
         except KeyError:
             raise StoreError(f"no policy for {principal!r}") from None
-        self.store._write_meta(self.name, self._meta)
+        self._commit_meta()
 
     @property
     def policies(self) -> dict[str, dict]:
@@ -1317,7 +1549,7 @@ class Table:
                 "parent_col": parent_col,
             }
         self._meta.setdefault("constraints", {})[name] = spec
-        self.store._write_meta(self.name, self._meta)
+        self._commit_meta()
 
     def drop_constraint(self, name: str) -> None:
         self._require_mutable()
@@ -1325,7 +1557,7 @@ class Table:
             del self._meta["constraints"][name]
         except KeyError:
             raise StoreError(f"no constraint {name!r} on {self.name!r}") from None
-        self.store._write_meta(self.name, self._meta)
+        self._commit_meta()
 
     def validate(self) -> DataFrame:
         """Audit every declared constraint in one pass family (operators/
@@ -1515,26 +1747,39 @@ class Table:
         store = self.store
         store._require_writable()
         self._require_mutable()
+        self._check_fresh()
         cur = int(self._meta["current"].split("-")[1])
         snap = _SNAP.format(cur + 1)
         old_dir = self.snapshot_path
-        new_dir = os.path.join(store._table_dir(self.name), snap)
-        # clear debris from a crashed prior attempt at this snapshot number
-        # (same overwrite semantics as the write paths) so the hardlink loop
-        # below cannot hit FileExistsError or co-catalog stale files
-        shutil.rmtree(new_dir, ignore_errors=True)
-        if rewrite is not None and rewrite_count > 0:
-            store._write_files(
-                self.name, snap, rewrite, self.codec, cluster=cluster,
-                expected_rows=rewrite_count,
-            )
-        else:
-            os.makedirs(new_dir, exist_ok=True)
-        for e in keep:
-            os.link(
-                os.path.join(old_dir, e["name"]), os.path.join(new_dir, e["name"])
-            )
-        files = store._scan_ranges(new_dir)
+        tdir = store._table_dir(self.name)
+        # stage under a unique name; the final snap dir appears only inside
+        # the CAS critical section (two racing writers both plan cur+1 —
+        # writing the final name directly would let the loser's overwrite
+        # cleanup destroy the winner's committed files)
+        staged = store._staged_snap(snap)
+        staged_dir = os.path.join(tdir, staged)
+        try:
+            if rewrite is not None and rewrite_count > 0:
+                store._write_files(
+                    self.name, staged, rewrite, self.codec, cluster=cluster,
+                    expected_rows=rewrite_count,
+                )
+            else:
+                os.makedirs(staged_dir, exist_ok=True)
+            for e in keep:
+                os.link(
+                    os.path.join(old_dir, e["name"]),
+                    os.path.join(staged_dir, e["name"]),
+                )
+        except Exception:
+            # a racer that committed DURING staging may have pruned the
+            # planned-from snapshot out from under the rewrite plan or the
+            # hardlink loop — report that as the conflict it is, not as a
+            # missing-file error
+            shutil.rmtree(staged_dir, ignore_errors=True)
+            self._check_fresh()  # raises StoreConflictError if so
+            raise
+        files = store._scan_ranges(staged_dir)
         self._meta.update(
             current=snap, count=sum(e["rows"] for e in files), files=files
         )
@@ -1544,17 +1789,44 @@ class Table:
         # PREVIOUS snapshot's files and go stale with them
         self._meta.pop("dv", None)
         self._meta.pop("bloom", None)
-        store._write_meta(self.name, self._meta)
+        try:
+            store._cas_flip(
+                self.name, self._meta, self._version,
+                rename=(staged_dir, os.path.join(tdir, snap)),
+            )
+        except StoreConflictError:
+            shutil.rmtree(staged_dir, ignore_errors=True)
+            self.refresh()  # adopt the winning commit; caller may retry
+            raise
+        self._version = int(self._meta["version"])
         if prune:
             store._prune_snapshots(self.name)
 
     def append(self, df: DataFrame, n: int | None = None) -> None:
         """M1 — append at end (nimtables.nim:173-175). Existing files are all
-        reused; only the new rows are written."""
-        self._flush_dv()
-        start = self.nrows
-        new, n = self._new_rows(df, start, n)
-        self._commit_pruned(self._ranges(), new, n)
+        reused; only the new rows are written.
+
+        Appends retry automatically on writer-writer conflict: the payload
+        carries no positional dependency on the snapshot it was planned
+        against (its rowids are recomputed from the refreshed tail), so the
+        retry is always semantically the caller's intent. Positional
+        mutations (insert/update/delete) do NOT auto-retry — their target
+        positions may mean different rows after a concurrent commit, so the
+        conflict surfaces to the caller."""
+        last: StoreConflictError | None = None
+        for _attempt in range(3):
+            try:
+                # fail fast BEFORE planning: _new_rows analyzes self.df(),
+                # which reads the (possibly pruned) planned-from snapshot
+                self._check_fresh()
+                self._flush_dv()
+                start = self.nrows
+                new, k = self._new_rows(df, start, n)
+                self._commit_pruned(self._ranges(), new, k)
+                return
+            except StoreConflictError as e:
+                last = e  # the conflict path already refreshed the handle
+        raise last
 
     def insert(self, i: int, df: DataFrame, n: int | None = None) -> None:
         """M5 — splice at position ``i`` (nimtables.nim:229-233); suffix

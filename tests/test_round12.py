@@ -1,12 +1,15 @@
 """Round-8 additions: vacuous-oracle audit (round-7 verdict "what's wrong"
-#1) and the de-vacuated rows themselves."""
+#1), verified-aware sweep rotation (#2), and writer-writer optimistic
+concurrency in the Store commit path (carryover ask #4/#1)."""
 
 from __future__ import annotations
 
 import pytest
 
 from nimhdfstore_spark import queries as registry
+from nimhdfstore_spark.store import Store, StoreConflictError
 from tests._compare import run_oracle
+from tests.test_store import SCHEMA, particles, rows_of
 
 registry.load_all()
 
@@ -120,3 +123,125 @@ def test_devacuated_rows_nonempty_every_sf(spark, name):
     for sf in ("0.001", "0.01", "0.1"):
         n = len(run_oracle(registry.ORACLE[name], f"/root/testdata/sf{sf}"))
         assert n > 0, f"{name} oracle empty at sf{sf}"
+
+
+# --------------------------------------------------------------------------
+# Writer-writer optimistic concurrency (round-7 verdict ask #1, carried
+# from round 6): two Store handles committing to one table must never
+# silently drop a committed snapshot. The catalog pointer flip CAS-es on
+# the version the handle planned against; losers raise StoreConflictError
+# (appends auto-retry — no positional dependency). Conflict handling is
+# exercised by interleaving two handles IN one process: the race is
+# handle-level staleness, which interleaving reproduces deterministically.
+# --------------------------------------------------------------------------
+
+
+def _two_handles(spark, tmp_path, name="t"):
+    root = str(tmp_path / "ccstore")
+    s1 = Store(spark, root)
+    s1.put(name, particles(spark, n=4, start=1), order_by=["lati"])
+    s2 = Store(spark, root)
+    return s1.table(name), s2.table(name)
+
+
+def test_concurrent_appends_both_survive(spark, tmp_path):
+    t1, t2 = _two_handles(spark, tmp_path)
+    t1.append(particles(spark, n=2, start=100))
+    # t2 planned against the pre-append snapshot: the CAS rejects its first
+    # attempt and append's auto-retry replans from the refreshed tail
+    t2.append(particles(spark, n=2, start=200))
+    final = Store(spark, t1.store.root).table("t")
+    keys = [r[0] for r in rows_of(final.df())]
+    assert keys == [1, 2, 3, 4, 100, 101, 200, 201], (
+        "a committed append was dropped or misplaced"
+    )
+
+
+def test_stale_positional_mutation_raises_and_refresh_recovers(spark, tmp_path):
+    t1, t2 = _two_handles(spark, tmp_path)
+    t1.delete(0)  # committed by the other handle
+    with pytest.raises(StoreConflictError):
+        t2.delete(0)  # stale positions: must surface, not guess
+    # the conflict path refreshed t2; the retry deletes the CURRENT row 0
+    t2.delete(0)
+    keys = [r[0] for r in rows_of(Store(spark, t1.store.root).table("t").df())]
+    assert keys == [3, 4], "exactly rows 1 and 2 should have been deleted"
+
+
+def test_stale_meta_only_write_raises_nothing_lost(spark, tmp_path):
+    t1, t2 = _two_handles(spark, tmp_path)
+    t1.set_attrs(owner="a")
+    with pytest.raises(StoreConflictError):
+        t2.set_attrs(color="blue")
+    # winner's attr intact; loser refreshed and can re-apply
+    t2.set_attrs(color="blue")
+    attrs = Store(spark, t1.store.root).table("t").attrs
+    assert attrs.get("owner") == "a" and attrs.get("color") == "blue"
+
+
+def test_stale_overwrite_put_raises(spark, tmp_path):
+    root = str(tmp_path / "ccstore2")
+    s1, s2 = Store(spark, root), None
+    s1.put("t", particles(spark, n=3, start=1), order_by=["lati"])
+    s2 = Store(spark, root)
+    t2 = s2.table("t")
+    s1.put("t", particles(spark, n=5, start=10), order_by=["lati"],
+           overwrite=True)
+    # a mutation through the handle opened before the overwrite must conflict
+    with pytest.raises(StoreConflictError):
+        t2.set_attrs(stale="yes")
+    final = Store(spark, root).table("t")
+    assert final.nrows == 5 and "stale" not in final.attrs
+
+
+def test_transaction_aborts_on_conflict_nothing_published(spark, tmp_path):
+    root = str(tmp_path / "ccstore3")
+    s1 = Store(spark, root)
+    s1.put("a", particles(spark, n=3, start=1), order_by=["lati"])
+    s2 = Store(spark, root)
+    with pytest.raises(StoreConflictError):
+        with s2.transaction() as tx:
+            tx.put("a", particles(spark, n=9, start=50), order_by=["lati"],
+                   overwrite=True)
+            tx.put("b", particles(spark, n=2, start=70), order_by=["lati"])
+            # a racing commit lands AFTER staging, BEFORE the flip
+            s1.table("a").set_attrs(racer=True)
+    assert Store(spark, root).table("a").nrows == 3, "tx must publish nothing"
+    assert "b" not in Store(spark, root), "tx must publish nothing"
+    # and no staged debris is left behind
+    import os
+
+    leftovers = [e for e in os.listdir(os.path.join(root, "a"))
+                 if e.startswith(".tmp-")]
+    assert not leftovers
+
+
+def test_interleaved_mutation_property(spark, tmp_path):
+    """Seeded interleaving of two handles against a list oracle: every
+    committed row survives or the commit raised — never a silent drop."""
+    import random
+
+    rng = random.Random(8)
+    t1, t2 = _two_handles(spark, tmp_path)
+    oracle = [1, 2, 3, 4]  # lati keys in position order
+    next_key = 1000
+    for step in range(10):
+        h = (t1, t2)[rng.randrange(2)]
+        op = rng.choice(["append", "delete", "attr"])
+        try:
+            if op == "append":
+                h.append(particles(spark, n=1, start=next_key))
+                oracle.append(next_key)
+                next_key += 1
+            elif op == "delete" and oracle:
+                h.delete(0)
+                oracle.pop(0)
+            else:
+                h.set_attrs(step=step)
+        except StoreConflictError:
+            # the loser's change was NOT applied; handle already refreshed
+            if op == "append":
+                raise AssertionError("append must auto-retry, not surface")
+            continue
+    final = Store(spark, t1.store.root).table("t")
+    assert [r[0] for r in rows_of(final.df())] == oracle
