@@ -106,14 +106,18 @@ DECODED_PIXELS = StructType([
 
 
 def decode_image_auto(data: bytes):
-    """Magic-byte image decode dispatch: PNG (operators/png.py) or
-    baseline JPEG (operators/jpeg.py — ITU T.81), both pure numpy.
-    Raises ValueError on anything else — callers in batch kernels drop,
-    never crash."""
+    """Magic-byte image decode dispatch: PNG (operators/png.py), baseline
+    JPEG (operators/jpeg.py — ITU T.81), or GIF87a/89a (operators/gif.py —
+    palette + LZW), all pure numpy. Raises ValueError on anything else —
+    callers in batch kernels drop, never crash."""
     if data[:2] == b"\xff\xd8":
         from nimhdfstore_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from nimhdfstore_spark.operators.gif import decode_gif
+
+        return decode_gif(data)
     from nimhdfstore_spark.operators.png import decode_png
 
     return decode_png(data)
@@ -327,6 +331,7 @@ MAGIC_PREFIXES = [
     ("52494646", "audio/wav"),      # 'RIFF'
     ("494433", "audio/mpeg"),       # 'ID3'
     ("1A45DFA3", "video/webm"),     # EBML
+    ("474946", "image/gif"),        # 'GIF' (87a/89a)
 ]
 
 

@@ -355,6 +355,7 @@ def test_sample_avi_frames_every_k_and_drop(spark):
 # --------------------------------------------------------------------------
 
 def test_x199_pattern_family_dhash_stable_across_formats():
+    from nimhdfstore_spark.operators.gif import decode_gif, encode_gif
     from nimhdfstore_spark.operators.jpeg import decode_jpeg, encode_jpeg
     from nimhdfstore_spark.operators.png import decode_png, encode_png
     from nimhdfstore_spark.queries.multimodal import _x199_pattern
@@ -373,6 +374,9 @@ def test_x199_pattern_family_dhash_stable_across_formats():
             jpg = decode_jpeg(encode_jpeg(img[..., None], quality=97))[:, :, 0]
             worst = max(worst, np.abs(jpg.astype(int) - img.astype(int)).max())
             assert dhash(jpg) == refs[p], (p, s)
+            gif = decode_gif(encode_gif(np.stack([img] * 3, axis=-1)))
+            assert np.array_equal(gif[:, :, 0], img), "GIF must be lossless"
+            assert dhash(gif[:, :, 0]) == refs[p], (p, s)
     assert worst * 2 < 40, f"JPEG error {worst} eats the comparison margin"
 
 

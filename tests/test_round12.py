@@ -245,3 +245,91 @@ def test_interleaved_mutation_property(spark, tmp_path):
             continue
     final = Store(spark, t1.store.root).table("t")
     assert [r[0] for r in rows_of(final.df())] == oracle
+
+
+# --------------------------------------------------------------------------
+# GIF codec (operators/gif.py, round-7 verdict ask #5): LZW + palette from
+# the public GIF89a spec. Round-trip exactness is the oracle x206 rides;
+# the fuzz pins mirror the AVI demuxer's never-hangs contract.
+# --------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_gif_decode_never_hangs_on_garbage(data):
+    from nimhdfstore_spark.operators.gif import decode_gif
+
+    try:
+        img = decode_gif(data)
+        assert img.ndim == 3 and img.shape[2] == 3
+    except ValueError:
+        pass  # every malformed input must land here — no hang, no crash
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_gif_decode_survives_corruption_of_valid_file(data):
+    """Byte-level corruption of a VALID GIF must either decode (corruption
+    hit don't-care bytes) or raise ValueError — never hang or allocate
+    past the declared dimensions."""
+    from nimhdfstore_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 16, (9, 11), dtype=np.uint8) * 16
+    blob = bytearray(encode_gif(np.stack([img] * 3, axis=-1)))
+    pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+    val = data.draw(st.integers(min_value=0, max_value=255))
+    blob[pos] = val
+    try:
+        out = decode_gif(bytes(blob))
+        assert out.shape[0] * out.shape[1] <= 1 << 26
+    except ValueError:
+        pass
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_exact(data):
+    """GIF is lossless within a palette: encode→decode is the identity for
+    any <=256-color image, interlaced or not, still or animated."""
+    from nimhdfstore_spark.operators.gif import (
+        decode_gif_frames, encode_gif,
+    )
+
+    h = data.draw(st.integers(min_value=1, max_value=24))
+    w = data.draw(st.integers(min_value=1, max_value=24))
+    ncol = data.draw(st.integers(min_value=1, max_value=256))
+    seed = data.draw(st.integers(min_value=0, max_value=2**31))
+    interlace = data.draw(st.booleans())
+    nframes = data.draw(st.integers(min_value=1, max_value=3))
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, ncol, (h, w))] for _ in range(nframes)]
+    blob = encode_gif(frames, delay_cs=3, interlace=interlace)
+    back = decode_gif_frames(blob)
+    assert len(back) == nframes
+    assert all(np.array_equal(b, f) for (b, _d), f in zip(back, frames))
+    assert all(d == 3 for _b, d in back)
+
+
+def test_gif_encoder_rejects_wide_palettes():
+    from nimhdfstore_spark.operators.gif import encode_gif
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)  # ~1024 colors
+    with pytest.raises(ValueError):
+        encode_gif(img)
+
+
+def test_gif_magic_dispatch_and_sniff():
+    from nimhdfstore_spark.operators.gif import encode_gif
+    from nimhdfstore_spark.operators.multimodal import decode_image_auto
+
+    g = np.full((5, 4, 3), 200, np.uint8)
+    blob = encode_gif(g)
+    assert blob[:6] == b"GIF89a"
+    assert np.array_equal(decode_image_auto(blob), g)
