@@ -720,6 +720,41 @@ def _catalog_f(f) -> dict[str, dict[str, Any]]:
     return out
 
 
+def _clean_errors(fn):
+    """Adversarial-parse contract for the public read surface: EVERY
+    malformed input raises ``ValueError`` — a corrupted offset/count lands
+    in struct/index/key/unicode/recursion errors deep in the walker, and a
+    caller routing thousands of crawled files through the connector needs
+    one exception class to catch (the AVI demuxer and GIF/PNG/JPEG codecs
+    carry the same pin). Real I/O errors (``OSError``) pass through."""
+    import functools
+    import struct as _struct
+    import zlib as _zlib
+
+    import errno as _errno
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except ValueError:
+            raise
+        except OSError as e:
+            # a corrupted in-file address makes seek() throw EINVAL — a
+            # malformed-file condition; real I/O errors pass through
+            if e.errno == _errno.EINVAL:
+                raise ValueError(f"malformed HDF5 file: {e!r}") from e
+            raise
+        except (
+            _struct.error, IndexError, KeyError, UnicodeDecodeError,
+            OverflowError, RecursionError, _zlib.error, TypeError,
+        ) as e:
+            raise ValueError(f"malformed HDF5 file: {e!r}") from e
+
+    return wrapped
+
+
+@_clean_errors
 def catalog(path: str) -> dict[str, dict[str, Any]]:
     """{dataset name: {nrows, dtype, file_dtype, addr, size}} for the root
     group."""
@@ -748,18 +783,37 @@ def _parse_filters(mdata: bytes) -> list[tuple[int, tuple]]:
     return out
 
 
-def _defilter(blob: bytes, filters: list[tuple[int, tuple]], elem: int) -> bytes:
+def _defilter(
+    blob: bytes,
+    filters: list[tuple[int, tuple]],
+    elem: int,
+    max_bytes: int | None = None,
+) -> bytes:
     """Reverse the filter pipeline on one stored chunk: gzip (1) inflate,
-    shuffle (2) byte-de-transpose, fletcher32 (3) checksum strip."""
+    shuffle (2) byte-de-transpose, fletcher32 (3) checksum strip.
+
+    ``max_bytes`` caps the inflate output at the chunk's DECLARED size: a
+    crafted deflate bomb in a kilobyte-sized corrupted file must not be
+    able to allocate gigabytes (adversarial-parse contract, round-7
+    verdict ask #6); overrun raises ``ValueError``."""
     for fid, _vals in reversed(filters):
         if fid == 1:  # deflate
             import zlib as _zlib
 
-            blob = _zlib.decompress(blob)
+            if max_bytes is None:
+                blob = _zlib.decompress(blob)
+            else:
+                d = _zlib.decompressobj()
+                blob = d.decompress(blob, max_bytes)
+                if d.unconsumed_tail:
+                    raise ValueError(
+                        "chunk inflates past its declared size "
+                        f"({max_bytes} bytes)"
+                    )
         elif fid == 2:  # shuffle: [byte0 of all elems][byte1 ...] → rows
             count = len(blob) // elem
             blob = (
-                np.frombuffer(blob, dtype=np.uint8)
+                np.frombuffer(blob, dtype=np.uint8)[: elem * count]
                 .reshape(elem, count).T.tobytes()
             )
         elif fid == 3:  # fletcher32: trailing 4-byte checksum (not verified)
@@ -769,26 +823,48 @@ def _defilter(blob: bytes, filters: list[tuple[int, tuple]], elem: int) -> bytes
     return blob
 
 
+#: hard ceiling on chunk-index size — far above any real file this engine
+#: writes (write() caps nodes at _BTREE_FANOUT children), it only exists so
+#: a corrupted tree cannot enumerate forever
+_MAX_BTREE_NODES = 1 << 20
+
+
 def _walk_chunk_btree(f, addr: int, out: list) -> None:
     """Collect [(row_offset, chunk_addr, stored_nbytes)] from a v1 raw-data
-    chunk B-tree of any depth (rank-1 data: key = size, mask, row, elem)."""
-    head = f_read(f, addr, 24)
-    if head[:4] != b"TREE":
-        raise ValueError(f"bad chunk B-tree signature at {addr}")
-    ntype, level, nused = struct.unpack_from("<BBH", head, 4)
-    if ntype != 1:
-        raise ValueError("expected raw-data chunk B-tree (type 1)")
-    body = f_read(f, addr + 24, nused * (24 + 8) + 24)
-    pos = 0
-    for _ in range(nused):
-        nbytes, _mask, row_off, _eoff = struct.unpack_from("<IIQQ", body, pos)
-        pos += 24
-        child = struct.unpack_from("<Q", body, pos)[0]
-        pos += 8
-        if level > 0:
-            _walk_chunk_btree(f, child, out)
-        else:
-            out.append((int(row_off), int(child), int(nbytes)))
+    chunk B-tree of any depth (rank-1 data: key = size, mask, row, elem).
+
+    Iterative with an explicit visited set: a corrupted file whose child
+    pointers form a CYCLE (or whose levels lie) must raise ``ValueError``,
+    not recurse forever — the same recursion-proofing pin the AVI RIFF
+    walker carries (operators/video.py)."""
+    stack = [int(addr)]
+    seen: set[int] = set()
+    while stack:
+        node = stack.pop()
+        if node in seen:
+            raise ValueError(f"chunk B-tree cycle at node {node}")
+        seen.add(node)
+        if len(seen) > _MAX_BTREE_NODES:
+            raise ValueError("chunk B-tree exceeds the node ceiling")
+        head = f_read(f, node, 24)
+        if head[:4] != b"TREE":
+            raise ValueError(f"bad chunk B-tree signature at {node}")
+        ntype, level, nused = struct.unpack_from("<BBH", head, 4)
+        if ntype != 1:
+            raise ValueError("expected raw-data chunk B-tree (type 1)")
+        body = f_read(f, node + 24, nused * (24 + 8) + 24)
+        pos = 0
+        for _ in range(nused):
+            nbytes, _mask, row_off, _eoff = struct.unpack_from(
+                "<IIQQ", body, pos
+            )
+            pos += 24
+            child = struct.unpack_from("<Q", body, pos)[0]
+            pos += 8
+            if level > 0:
+                stack.append(int(child))
+            else:
+                out.append((int(row_off), int(child), int(nbytes)))
 
 
 def _parse_gcol(f, addr: int) -> dict[int, bytes]:
@@ -811,6 +887,7 @@ def _parse_gcol(f, addr: int) -> dict[int, bytes]:
     return objs
 
 
+@_clean_errors
 def read_range(path: str, name: str, start: int, stop: int) -> np.ndarray:
     """Records [start, stop) of one dataset — reads ONLY the chunks/byte
     range covering the slice plus any global heap collections the range's
@@ -832,7 +909,10 @@ def read_range(path: str, name: str, start: int, stop: int) -> np.ndarray:
             for row_off, caddr, nbytes in sorted(chunks):
                 if row_off >= stop or row_off + chunk_rows <= start:
                     continue
-                blob = _defilter(f_read(f, caddr, nbytes), filters, itemsize)
+                blob = _defilter(
+                    f_read(f, caddr, nbytes), filters, itemsize,
+                    max_bytes=chunk_rows * itemsize,
+                )
                 arr = np.frombuffer(blob, dtype=file_dt)
                 lo = max(start, row_off) - row_off
                 hi = min(stop, row_off + chunk_rows) - row_off
@@ -878,6 +958,7 @@ def read_range(path: str, name: str, start: int, stop: int) -> np.ndarray:
         return out
 
 
+@_clean_errors
 def read(path: str, name: str) -> np.ndarray:
     info = catalog(path)[name]
     return read_range(path, name, 0, info["nrows"])

@@ -333,3 +333,141 @@ def test_gif_magic_dispatch_and_sniff():
     blob = encode_gif(g)
     assert blob[:6] == b"GIF89a"
     assert np.array_equal(decode_image_auto(blob), g)
+
+
+# --------------------------------------------------------------------------
+# h5lite adversarial-parse fuzz (round-7 verdict ask #6): corrupted
+# offsets/counts/B-tree pointers in VALID files + raw-byte fuzz — every
+# path must raise ValueError cleanly (no hang, no unbounded allocation,
+# no stray exception class), the pin the AVI demuxer already carries.
+# --------------------------------------------------------------------------
+
+
+def _h5_fixture_bytes() -> dict[str, bytes]:
+    """Two real h5lite files rendered to bytes once: a chunked+deflate
+    numeric table (exercises the filter pipeline and the chunk B-tree)
+    and a vlen-string table (exercises the global heap)."""
+    import tempfile
+
+    from nimhdfstore_spark.sources import h5lite
+
+    out = {}
+    with tempfile.TemporaryDirectory() as d:
+        arr = np.zeros(500, dtype=np.dtype([("k", "<i8"), ("v", "<f8")]))
+        arr["k"] = np.arange(500)
+        arr["v"] = np.arange(500) * 0.5
+        p = f"{d}/chunked.h5"
+        h5lite.write(p, {"t": arr}, chunk_rows=64, compress=6)
+        out["chunked"] = open(p, "rb").read()
+        vdt = np.dtype([
+            ("doc_id", "<i8"),
+            ("text", np.dtype("O", metadata={"vlen": bytes})),
+        ])
+        va = np.empty(40, dtype=vdt)
+        va["doc_id"] = np.arange(40)
+        va["text"] = [b"x" * (i % 17) for i in range(40)]
+        p2 = f"{d}/vlen.h5"
+        h5lite.write(p2, {"t": va})
+        out["vlen"] = open(p2, "rb").read()
+    return out
+
+
+_H5_BLOBS = None
+
+
+def _h5_blobs():
+    global _H5_BLOBS
+    if _H5_BLOBS is None:
+        _H5_BLOBS = _h5_fixture_bytes()
+    return _H5_BLOBS
+
+
+def _try_read(blob: bytes) -> None:
+    import tempfile
+
+    from nimhdfstore_spark.sources import h5lite
+
+    with tempfile.NamedTemporaryFile(suffix=".h5") as f:
+        f.write(blob)
+        f.flush()
+        try:
+            cat = h5lite.catalog(f.name)
+            for name in cat:
+                h5lite.read(f.name, name)
+        except ValueError:
+            pass  # the ONLY acceptable failure class
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_h5lite_survives_single_byte_corruption(data):
+    kind = data.draw(st.sampled_from(["chunked", "vlen"]))
+    blob = bytearray(_h5_blobs()[kind])
+    pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+    val = data.draw(st.integers(min_value=0, max_value=255))
+    blob[pos] = val
+    _try_read(bytes(blob))
+
+
+@given(st.data())
+@settings(max_examples=80, deadline=None)
+def test_h5lite_survives_field_corruption(data):
+    """Targeted corruption of 8-byte aligned u64 fields (addresses, counts,
+    heap offsets, B-tree child pointers) — the highest-leverage spots for
+    cycles, out-of-file seeks, and allocation blowups."""
+    kind = data.draw(st.sampled_from(["chunked", "vlen"]))
+    blob = bytearray(_h5_blobs()[kind])
+    off = data.draw(
+        st.integers(min_value=0, max_value=(len(blob) - 8) // 8)
+    ) * 8
+    word = data.draw(st.sampled_from(
+        [0, 1, 0xFFFFFFFFFFFFFFFF, 2**32, len(blob) - 8, 24]
+    ))
+    blob[off:off + 8] = int(word).to_bytes(8, "little")
+    _try_read(bytes(blob))
+
+
+@given(st.binary(min_size=0, max_size=600))
+@settings(max_examples=120, deadline=None)
+def test_h5lite_raw_garbage_never_hangs(data):
+    _try_read(data)
+    # and with a valid signature stapled on, so parsing goes deeper
+    _try_read(b"\x89HDF\r\n\x1a\n" + data)
+
+
+def test_h5lite_truncations_raise_cleanly():
+    from nimhdfstore_spark.sources import h5lite  # noqa: F401
+
+    for kind in ("chunked", "vlen"):
+        blob = _h5_blobs()[kind]
+        for cut in range(0, len(blob), 257):
+            _try_read(blob[:cut])
+
+
+def test_h5lite_deflate_bomb_is_bounded():
+    """A chunk that inflates far past its declared size must raise, not
+    allocate: splice a 100 MB-of-zeros deflate stream into the first
+    chunk of a valid chunked file."""
+    import tempfile
+    import zlib
+
+    from nimhdfstore_spark.sources import h5lite
+
+    blob = bytearray(_h5_blobs()["chunked"])
+    bomb = zlib.compress(b"\x00" * (100 << 20), 9)  # ~100 KB compressed
+    with tempfile.NamedTemporaryFile(suffix=".h5") as f:
+        f.write(bytes(blob) + bomb)
+        f.flush()
+        cat = h5lite.catalog(f.name)
+        # rewrite the chunk index so the first chunk points at the bomb
+        import struct as _struct
+
+        info = cat["t"]
+        with open(f.name, "r+b") as g:
+            g.seek(info["btree"] + 24)
+            # key(nbytes,mask,row,elem)=24 bytes, then child addr
+            g.write(_struct.pack("<II", len(bomb), 0))
+            g.seek(info["btree"] + 24 + 24)
+            g.write(_struct.pack("<Q", len(blob)))
+        with pytest.raises(ValueError):
+            h5lite.read(f.name, "t")
