@@ -186,19 +186,42 @@ def with_rowid(
 
 
 def _file_keys_sorted(f: str, keys: Sequence[str]) -> bool:
-    """In-file order check: the key columns, read columnar, must equal their
-    sorted self. The one data-touching step of sorted-verification."""
+    """In-file order check, STREAMED in record batches: batch-local
+    sortedness plus a one-row carry across batch boundaries is the same
+    predicate as whole-column order with O(batch) memory. The earlier
+    whole-column ``read_table(...).to_pandas()`` materialized every key
+    value of the file in one Python worker — on the sf10 sweep's 1 GB
+    60M-row file that crashed the worker, and the JVM task then waited on
+    the dead worker forever. Early-exits on the first violation, so
+    unsorted files cost one batch."""
+    import pandas as pd
     import pyarrow.parquet as pq
 
-    cols = pq.read_table(f, columns=list(keys)).to_pandas()
-    return bool(cols.equals(cols.sort_values(list(keys), ignore_index=True)))
+    keylist = list(keys)
+    pf = pq.ParquetFile(f)
+    prev_tail = None
+    for batch in pf.iter_batches(batch_size=1 << 16, columns=keylist):
+        cols = batch.to_pandas()
+        if len(cols) == 0:
+            continue
+        if not cols.equals(cols.sort_values(keylist, ignore_index=True)):
+            return False
+        if prev_tail is not None:
+            edge = pd.concat(
+                [prev_tail, cols.iloc[:1]], ignore_index=True
+            )
+            if not edge.equals(edge.sort_values(keylist, ignore_index=True)):
+                return False
+        prev_tail = cols.iloc[-1:].reset_index(drop=True)
+    return True
 
 
 def _keys_sorted_distributed(spark, files: list[str], keys: Sequence[str]) -> bool:
     """Run the per-file key-order check as a cluster job: one task per file,
-    executors read only the key columns of their file (columnar, no full-row
-    materialization), the driver collects one boolean per file. At 100 TB
-    this is the only acceptable shape — the driver never reads data pages."""
+    executors stream only the key columns of their file in record batches
+    (``_file_keys_sorted`` — bounded memory at any file size), the driver
+    collects one boolean per file. At 100 TB this is the only acceptable
+    shape — the driver never reads data pages."""
     spec = spark.createDataFrame([(f,) for f in files], "path string").repartition(
         len(files)
     )
@@ -206,15 +229,12 @@ def _keys_sorted_distributed(spark, files: list[str], keys: Sequence[str]) -> bo
 
     def check(batches):
         import pandas as pd
-        import pyarrow.parquet as pq
+
+        from nimhdfstore_spark.rowid import _file_keys_sorted as _check_one
 
         for pdf in batches:
             for f in pdf["path"]:
-                cols = pq.read_table(f, columns=keylist).to_pandas()
-                ok = bool(
-                    cols.equals(cols.sort_values(keylist, ignore_index=True))
-                )
-                yield pd.DataFrame({"ok": [ok]})
+                yield pd.DataFrame({"ok": [_check_one(f, keylist)]})
 
     return all(r["ok"] for r in spec.mapInPandas(check, "ok boolean").collect())
 
