@@ -177,13 +177,14 @@ def main() -> None:
     best = dict(timings)
 
     def _suspect(m: float, sec: float) -> bool:
-        # Round-7 verdict ask #8: the residual 10-15% headline-over-minima
-        # gap lives in the sub-second drift of the ~180 queries with min
-        # < 2 s, each individually below the old max(2*min, min+1s) bar.
-        # Tighten the absolute slack to +0.5 s for those; keep the looser
-        # bar for long queries (their run-to-run variance is real work,
-        # not steal, and re-timing them burns the shared budget fastest).
-        return sec > max(2 * m, m + (0.5 if m < 2.0 else 1.0))
+        # Round-7 verdict ask #8. The old max(2*min, min+1s) bar exempted
+        # every query with min > 1 s until it DOUBLED — in the r08 drift
+        # audit the four biggest inflations (q01 +2.4 s on a 3.1 s min,
+        # x148/x94/q05 +1.4 s) all sat under 2*min. Absolute slack only:
+        # +0.4 s for sub-2 s minima (run-to-run jitter band), +1 s above
+        # (long queries re-run their real work; the shared budget and the
+        # biggest-delta-first ordering keep the pass bounded).
+        return sec > m + (0.4 if m < 2.0 else 1.0)
 
     suspects = [
         n for n, sec in timings.items()

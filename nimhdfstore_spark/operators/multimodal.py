@@ -229,27 +229,42 @@ FRAME_SCHEMA = StructType([
 ])
 
 
+def decode_frames_auto(data: bytes) -> list:
+    """Magic-byte animated-decode dispatch: APNG (operators/png.py) or
+    GIF87a/89a (operators/gif.py), each returning the list of composited
+    full-canvas frames. Raises ValueError on anything else."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from nimhdfstore_spark.operators.gif import decode_gif_frames
+
+        return [frame for frame, _delay in decode_gif_frames(data)]
+    from nimhdfstore_spark.operators.png import decode_apng
+
+    return decode_apng(data)
+
+
 def sample_frames(
     df: DataFrame, every_n: int, id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """REAL animated-frame sampling via the from-scratch APNG codec
+    """REAL animated-frame sampling via the from-scratch codecs — APNG
     (operators/png.py decode_apng — W3C PNG 3rd ed. §4: acTL/fcTL/fdAT,
-    full dispose/blend compositing): decode every payload's frame sequence
-    executor-side, keep frames 0, N, 2N, …, and emit one row per kept
-    frame with its composited pixels re-encoded as a standalone PNG.
+    full dispose/blend compositing) or GIF (operators/gif.py — LZW +
+    disposal compositing), magic-byte dispatched: decode every payload's
+    frame sequence executor-side, keep frames 0, N, 2N, …, and emit one
+    row per kept frame with its composited pixels re-encoded as a
+    standalone PNG.
 
     This is the animation analog of the reference's image surface
     (hl/H5IMpublic.nim:26-56) and closes the last NotImplementedError in
-    the package: no external demuxer exists in this container, but APNG is
-    a short public spec reusing PNG's own scanline format, so the existing
-    zlib+numpy codec does all the work. Arrow-batched ``mapInPandas``,
-    drop-don't-crash on undecodable payloads — the same shape as
-    ``resize_images``; at 100 TB frame extraction is embarrassingly
-    parallel (map-only, no shuffle, no state)."""
+    the package: no external demuxer exists in this container, but APNG
+    and GIF are short public specs, so the existing zlib+numpy codecs do
+    all the work. Arrow-batched ``mapInPandas``, drop-don't-crash on
+    undecodable payloads — the same shape as ``resize_images``; at 100 TB
+    frame extraction is embarrassingly parallel (map-only, no shuffle,
+    no state)."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
-    from nimhdfstore_spark.operators.png import decode_apng, encode_png
+    from nimhdfstore_spark.operators.png import encode_png
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -260,7 +275,7 @@ def sample_frames(
                 if payload is None:
                     continue
                 try:
-                    frames = decode_apng(bytes(payload))
+                    frames = decode_frames_auto(bytes(payload))
                 except Exception:
                     continue  # drop-don't-crash: undecodable payloads skip
                 for k in range(0, len(frames), every_n):

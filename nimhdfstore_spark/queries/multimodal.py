@@ -1340,3 +1340,91 @@ def _gif_gradient_payloads(spark, sf_dir, limit):
 def x206(spark, sf_dir):
     packed = _gif_gradient_payloads(spark, sf_dir, _X206_N)
     return M.decode_images(packed).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x207 — animated-GIF frame sampling through the SAME dispatched operator
+# as x190's APNG path (sample_frames → decode_frames_auto): deterministic
+# multi-frame GIF89a animations are encoded executor-side — frame k's
+# full-canvas rule is (doc + 7k + x + 3y) % 256 through a gray palette —
+# sampled every 2nd frame, each kept frame re-encoded as a standalone PNG
+# and decoded AGAIN (decode_images) so the round trip pins the
+# GIF-decode → PNG-encode → PNG-decode cycle. GIF composites to RGB, so
+# the sampled stats are 3× the gray closed form.
+# --------------------------------------------------------------------------
+
+_X207_N = 100
+
+_X207_SQL = f"""
+WITH src AS (
+  SELECT doc_id, 5 + doc_id % 7 AS w, 4 + doc_id % 5 AS h,
+         2 + doc_id % 5 AS nf
+  FROM documents WHERE doc_id < {_X207_N}
+),
+frames AS (
+  SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS k FROM src
+),
+px AS (
+  SELECT f.doc_id, f.k, f.w, f.h,
+         (f.doc_id + 7 * f.k + xs.x + 3 * ys.y) % 256 AS v
+  FROM frames f
+  JOIN (SELECT unnest(range(11)) AS x) xs ON xs.x < f.w
+  JOIN (SELECT unnest(range(8)) AS y) ys ON ys.y < f.h
+)
+SELECT doc_id, CAST(k AS INT) AS frame_index, CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height, CAST(3 AS INT) AS channels,
+       CAST(3 * SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(3 * SUM(v) AS BIGINT) AS roundtrip_sum
+FROM px GROUP BY doc_id, k, w, h ORDER BY doc_id, frame_index
+"""
+
+
+def _gif_anim_payloads(spark, sf_dir, limit):
+    """(doc_id, payload) of real animated GIF89a files per the x207 rule."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < limit)
+
+    def encode(it):
+        import numpy as np
+        import pandas as pd
+
+        from nimhdfstore_spark.operators.gif import encode_gif
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h, nf = 5 + d % 7, 4 + d % 5, 2 + d % 5
+                y, x = np.mgrid[0:h, 0:w]
+                frames = []
+                for k in range(nf):
+                    g = ((d + 7 * k + x + 3 * y) % 256).astype(np.uint8)
+                    frames.append(np.stack([g, g, g], axis=-1))
+                rows.append((d, bytearray(encode_gif(frames, delay_cs=4))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        encode, "doc_id long, payload binary"
+    )
+
+
+@query("x207_gif_frame_sample", _X207_SQL)
+def x207(spark, sf_dir):
+    packed = _gif_anim_payloads(spark, sf_dir, _X207_N)
+    sampled = M.sample_frames(packed, every_n=2)
+    dec = M.decode_images(
+        sampled.select(
+            (F.col("doc_id") * 16 + F.col("frame_index")).alias("doc_id"),
+            F.col("frame_png").alias("payload"),
+        )
+    ).select(
+        (F.col("doc_id") / 16).cast("long").alias("doc_id"),
+        F.pmod("doc_id", F.lit(16)).cast("int").alias("frame_index"),
+        F.col("px_sum").alias("roundtrip_sum"),
+    )
+    return (
+        sampled.select(
+            "doc_id", "frame_index", "width", "height", "channels", "pixel_sum"
+        )
+        .join(dec, ["doc_id", "frame_index"])
+        .orderBy("doc_id", "frame_index")
+    )
