@@ -41,6 +41,25 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _inflate(idat: bytes, width: int, height: int, ch: int) -> bytes:
+    """Bounded IDAT inflate: the scanline stream of a (width, height, ch)
+    image is EXACTLY height*(1 + width*ch) bytes (one filter byte per
+    row), so cap the decompressor there — a crafted deflate bomb behind a
+    small corrupted file raises instead of allocating without limit (the
+    same pin the h5lite chunk reader and GIF LZW carry). Implausible
+    declared dimensions are rejected before any allocation."""
+    if width == 0 or height == 0 or width * height > 64_000_000:
+        raise ValueError(f"implausible PNG dimensions {width}x{height}")
+    expected = height * (1 + width * ch)
+    d = zlib.decompressobj()
+    out = d.decompress(idat, expected)
+    if d.unconsumed_tail:
+        raise ValueError(
+            f"PNG pixel stream inflates past its declared size ({expected})"
+        )
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array of shape (height, width, channels)
     (channels axis kept even for grayscale, so downstream code is
@@ -72,7 +91,7 @@ def decode_png(data: bytes) -> np.ndarray:
     if width is None:
         raise ValueError("PNG has no IHDR chunk")
     ch = _CHANNELS[color_type]
-    return _unfilter(zlib.decompress(bytes(idat)), width, height, ch)
+    return _unfilter(_inflate(bytes(idat), width, height, ch), width, height, ch)
 
 
 def _unfilter(raw: bytes, width: int, height: int, ch: int) -> np.ndarray:
@@ -244,7 +263,7 @@ def decode_apng(data: bytes) -> list[np.ndarray]:
         raise ValueError("PNG has no IHDR chunk")
     ch = _CHANNELS[color_type]
     if not animated:
-        return [_unfilter(zlib.decompress(bytes(idat)), width, height, ch)]
+        return [_unfilter(_inflate(bytes(idat), width, height, ch), width, height, ch)]
 
     canvas = np.zeros((height, width, ch), dtype=np.uint8)
     out: list[np.ndarray] = []
@@ -254,13 +273,13 @@ def decode_apng(data: bytes) -> list[np.ndarray]:
         if (fw, fh, fx, fy) != (width, height, 0, 0):
             raise ValueError("APNG first frame (IDAT) must cover the canvas")
         regions.append(
-            (idat_fctl, _unfilter(zlib.decompress(bytes(idat)), fw, fh, ch))
+            (idat_fctl, _unfilter(_inflate(bytes(idat), fw, fh, ch), fw, fh, ch))
         )
     for ctl, blob in frames_ctl:
         fw, fh, fx, fy, _d, _b = ctl
         if fx + fw > width or fy + fh > height:
             raise ValueError("APNG frame region exceeds canvas")
-        regions.append((ctl, _unfilter(zlib.decompress(bytes(blob)), fw, fh, ch)))
+        regions.append((ctl, _unfilter(_inflate(bytes(blob), fw, fh, ch), fw, fh, ch)))
 
     has_alpha = color_type in (4, 6)
     for (fw, fh, fx, fy, dispose, blend), region in regions:

@@ -471,3 +471,82 @@ def test_h5lite_deflate_bomb_is_bounded():
             g.write(_struct.pack("<Q", len(blob)))
         with pytest.raises(ValueError):
             h5lite.read(f.name, "t")
+
+
+# --------------------------------------------------------------------------
+# PNG adversarial pins (round 8): the codec gains the same bomb/garbage
+# contract as GIF/h5lite/AVI — bounded inflate (exact scanline size),
+# implausible-dimension rejection, never-hangs.
+# --------------------------------------------------------------------------
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_png_decode_never_hangs_on_garbage(data):
+    from nimhdfstore_spark.operators.png import decode_apng, decode_png
+
+    for blob in (data, b"\x89PNG\r\n\x1a\n" + data):
+        for fn in (decode_png, decode_apng):
+            try:
+                fn(blob)
+            except Exception:
+                pass  # any clean raise is fine; the pin is no-hang/no-alloc
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_png_decode_survives_corruption_of_valid_file(data):
+    from nimhdfstore_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (7, 9), dtype=np.uint8)
+    blob = bytearray(encode_png(img))
+    pos = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+    blob[pos] = data.draw(st.integers(min_value=0, max_value=255))
+    try:
+        out = decode_png(bytes(blob))
+        assert out.shape[0] * out.shape[1] <= 64_000_000
+    except Exception:
+        pass
+
+
+def test_png_deflate_bomb_is_bounded():
+    """An IDAT that inflates far past the declared scanline size must raise
+    before allocating: splice a 100 MB-of-zeros deflate stream into a valid
+    PNG's IDAT chunk (dimensions say 7x9)."""
+    import struct
+    import zlib
+
+    from nimhdfstore_spark.operators.png import decode_png, encode_png
+
+    img = np.zeros((7, 9), np.uint8)
+    blob = encode_png(img)
+    bomb = zlib.compress(b"\x00" * (100 << 20), 9)
+    # rebuild: signature + IHDR + bomb-IDAT + IEND
+    sig, rest = blob[:8], blob[8:]
+    ihdr = rest[: 8 + 13 + 4]
+    idat = (
+        struct.pack(">I", len(bomb)) + b"IDAT" + bomb
+        + struct.pack(">I", zlib.crc32(b"IDAT" + bomb) & 0xFFFFFFFF)
+    )
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+        ">I", zlib.crc32(b"IEND") & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError):
+        decode_png(sig + ihdr + idat + iend)
+
+
+def test_png_implausible_dimensions_rejected():
+    import struct
+    import zlib as _z
+
+    from nimhdfstore_spark.operators.png import decode_png
+
+    # hand-built IHDR declaring 100000 x 100000 (1e10 pixels)
+    body = struct.pack(">IIBBBBB", 100000, 100000, 8, 0, 0, 0, 0)
+    ihdr = (
+        struct.pack(">I", 13) + b"IHDR" + body
+        + struct.pack(">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + ihdr)
