@@ -450,8 +450,13 @@ class Store:
             expected = int(old_meta.get("version", 0))
             if "current" in old_meta:
                 snap_no = int(old_meta["current"].split("-")[1]) + 1
+        import uuid as _uuid
+
         meta = {
             "current": _SNAP.format(snap_no),
+            # per-creation identity: Table mutations CAS on it so a handle
+            # from a dropped incarnation can never clobber a recreated table
+            "uid": _uuid.uuid4().hex,
             "codec": _codec_name(codec) if codec else self.codec,
             "attrs": dict(attrs or {}),
             "order_by": list(order_by or []),
@@ -735,16 +740,26 @@ class Store:
         meta: dict,
         expected_version: int,
         rename: tuple[str, str] | None = None,
+        require_same_uid: bool = False,
     ) -> None:
         """Compare-and-swap catalog pointer flip: publish ``meta`` (version
         ``expected_version + 1``) iff the on-disk version still equals
         ``expected_version``; otherwise raise ``StoreConflictError`` and
         leave the staged ``rename[0]`` directory for the caller to discard.
         ``rename=(staged_dir, final_dir)`` moves the staged snapshot to its
-        committed name inside the critical section."""
+        committed name inside the critical section.
+
+        ``require_same_uid`` closes the ABA hole the version alone leaves:
+        drop + recreate resets the version to 1, so a handle from the OLD
+        incarnation could pass the version compare and clobber the new
+        table's catalog entry with metadata describing deleted files. Table
+        mutations claim continuity (same per-creation ``uid``); ``put``
+        does not (replacement is its contract)."""
         with self._commit_lock(name):
+            disk = None
             try:
-                disk_v = int(self._read_meta(name).get("version", 0))
+                disk = self._read_meta(name)
+                disk_v = int(disk.get("version", 0))
             except StoreError:
                 disk_v = 0  # creating: no meta on disk yet
             if disk_v != int(expected_version):
@@ -752,6 +767,17 @@ class Store:
                     f"concurrent modification of {name!r}: catalog version "
                     f"is {disk_v}, this handle planned against "
                     f"{expected_version} — refresh the handle and retry"
+                )
+            if (
+                require_same_uid
+                and disk is not None
+                and disk.get("uid")
+                and meta.get("uid")
+                and disk["uid"] != meta["uid"]
+            ):
+                raise StoreConflictError(
+                    f"table {name!r} was dropped and recreated since this "
+                    "handle opened it — open a fresh handle"
                 )
             meta["version"] = int(expected_version) + 1
             if rename is not None:
@@ -1024,7 +1050,9 @@ class Table:
         deletion vectors, bloom indexes). On conflict the handle refreshes —
         dropping the unpublished local mutation — and re-raises."""
         try:
-            self.store._cas_flip(self.name, self._meta, self._version)
+            self.store._cas_flip(
+                self.name, self._meta, self._version, require_same_uid=True
+            )
         except StoreConflictError:
             self.refresh()
             raise
@@ -1038,17 +1066,21 @@ class Table:
         final ``_cas_flip`` remains the authoritative check (this is an
         optimization plus a better error, not the correctness gate). The
         handle refreshes before raising so the caller can simply retry."""
+        uid = (self._meta or {}).get("uid")
         try:
-            disk_v = int(self.store._read_meta(self.name).get("version", 0))
+            disk = self.store._read_meta(self.name)
+            disk_v = int(disk.get("version", 0))
         except StoreError:
-            disk_v = 0
-        if disk_v != self._version:
+            disk, disk_v = {}, 0
+        if disk_v != self._version or (
+            uid and disk.get("uid") and disk["uid"] != uid
+        ):
             planned = self._version
             self.refresh()
             raise StoreConflictError(
                 f"concurrent modification of {self.name!r}: catalog version "
-                f"is {disk_v}, this handle planned against {planned} — "
-                "handle refreshed, retry the operation"
+                f"is {disk_v} (planned against {planned}) or the table was "
+                "recreated — handle refreshed, retry the operation"
             )
 
     # -- schema / catalog ----------------------------------------------------
@@ -1793,6 +1825,7 @@ class Table:
             store._cas_flip(
                 self.name, self._meta, self._version,
                 rename=(staged_dir, os.path.join(tdir, snap)),
+                require_same_uid=True,
             )
         except StoreConflictError:
             shutil.rmtree(staged_dir, ignore_errors=True)

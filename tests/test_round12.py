@@ -550,3 +550,20 @@ def test_png_implausible_dimensions_rejected():
     )
     with pytest.raises(ValueError, match="implausible"):
         decode_png(b"\x89PNG\r\n\x1a\n" + ihdr)
+
+
+def test_stale_handle_across_drop_recreate_cannot_clobber(spark, tmp_path):
+    """ABA hole: drop + recreate resets the catalog version, so a handle
+    from the OLD incarnation could pass the version CAS and point the new
+    table's catalog at deleted files. The per-creation uid closes it."""
+    root = str(tmp_path / "ccstore4")
+    s = Store(spark, root)
+    s.put("t", particles(spark, n=3, start=1), order_by=["lati"])
+    stale = Store(spark, root).table("t")
+    s.drop("t")
+    s.put("t", particles(spark, n=5, start=50), order_by=["lati"])
+    with pytest.raises(StoreConflictError):
+        stale.set_attrs(ghost=True)  # meta-only write through the old uid
+    fresh = Store(spark, root).table("t")
+    assert fresh.nrows == 5 and "ghost" not in fresh.attrs
+    assert [r[0] for r in rows_of(fresh.df())] == [50, 51, 52, 53, 54]
