@@ -1846,8 +1846,11 @@ class Table:
         mutations (insert/update/delete) do NOT auto-retry — their target
         positions may mean different rows after a concurrent commit, so the
         conflict surfaces to the caller."""
+        import random
+        import time
+
         last: StoreConflictError | None = None
-        for _attempt in range(3):
+        for attempt in range(8):
             try:
                 # fail fast BEFORE planning: _new_rows analyzes self.df(),
                 # which reads the (possibly pruned) planned-from snapshot
@@ -1859,6 +1862,10 @@ class Table:
                 return
             except StoreConflictError as e:
                 last = e  # the conflict path already refreshed the handle
+                # jittered exponential backoff: two writers in lock-step
+                # (commit storm) would otherwise re-collide on every
+                # attempt — the standard optimistic-retry recipe
+                time.sleep(random.uniform(0, 0.02 * (2 ** min(attempt, 4))))
         raise last
 
     def insert(self, i: int, df: DataFrame, n: int | None = None) -> None:

@@ -567,3 +567,74 @@ def test_stale_handle_across_drop_recreate_cannot_clobber(spark, tmp_path):
     fresh = Store(spark, root).table("t")
     assert fresh.nrows == 5 and "ghost" not in fresh.attrs
     assert [r[0] for r in rows_of(fresh.df())] == [50, 51, 52, 53, 54]
+
+
+def test_two_process_append_contention(tmp_path):
+    """REAL writer-writer contention: two independent PROCESSES (separate
+    Spark sessions, separate JVMs) append to one table concurrently. The
+    single-process interleaving tests above exercise handle staleness;
+    only this exercises the commit lockfile and CAS under actual races.
+    Every appended row must survive — auto-retry absorbs every conflict."""
+    import subprocess
+    import sys
+    import textwrap
+
+    root = str(tmp_path / "mpstore")
+    worker_src = textwrap.dedent("""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        root, base = sys.argv[1], int(sys.argv[2])
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.ui.showConsoleProgress", "false")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        from nimhdfstore_spark.store import Store
+        t = Store(spark, root).table("t")
+        for i in range(5):
+            # driver-rows payload: the pyarrow local-write fast path, so
+            # each commit is milliseconds and the two processes genuinely
+            # collide on the catalog flip
+            df = spark.createDataFrame(
+                [(base + i, 1, 100.0, 20.0)],
+                "lati long, longi long, pressure double, temperature double",
+            )
+            t.append(df)  # auto-retries on StoreConflictError
+        spark.stop()
+        print("WORKER-OK", base)
+    """)
+    script = tmp_path / "worker.py"
+    script.write_text(worker_src)
+
+    # seed the table from a third session-less process to keep this test
+    # independent of the shared fixture session
+    seed_src = worker_src.replace("t = Store(spark, root).table(\"t\")",
+                                  "s = Store(spark, root)\n"
+                                  "        t = None")
+    from pyspark.sql import SparkSession
+
+    seeder = (SparkSession.builder.master("local[2]")
+              .config("spark.ui.enabled", "false").getOrCreate())
+    Store(seeder, root).put(
+        "t", particles(seeder, n=2, start=1), order_by=["lati"]
+    )
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), root, str(base)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for base in (1000, 2000)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        assert "WORKER-OK" in out
+    final = Store(seeder, root).table("t")
+    keys = sorted(r[0] for r in rows_of(final.df()))
+    assert keys == [1, 2] + list(range(1000, 1005)) + list(range(2000, 2005)), (
+        f"a concurrently committed append was lost: {keys}"
+    )
+    assert final.nrows == 12
