@@ -181,28 +181,50 @@ def main() -> None:
         # every query with min > 1 s until it DOUBLED — in the r08 drift
         # audit the four biggest inflations (q01 +2.4 s on a 3.1 s min,
         # x148/x94/q05 +1.4 s) all sat under 2*min. Absolute slack only:
-        # +0.4 s for sub-2 s minima (run-to-run jitter band), +1 s above
-        # (long queries re-run their real work; the shared budget and the
+        # +0.5 s for sub-2 s minima (run-to-run jitter band; the constant
+        # SURVEY.md documents — ADVICE r8 alignment), +1 s above (long
+        # queries re-run their real work; the shared budget and the
         # biggest-delta-first ordering keep the pass bounded).
-        return sec > m + (0.4 if m < 2.0 else 1.0)
+        return sec > m + (0.5 if m < 2.0 else 1.0)
 
-    suspects = [
-        n for n, sec in timings.items()
-        if n in prev_min and _suspect(prev_min[n], sec)
-    ]
-    suspects.sort(key=lambda n: prev_min[n] - timings[n])  # biggest delta 1st
+    def _suspects() -> list[str]:
+        out = [
+            n for n, sec in best.items()
+            if n in prev_min and _suspect(prev_min[n], sec)
+            and attempts.get(n, 0) < 3
+        ]
+        out.sort(key=lambda n: prev_min[n] - best[n])  # biggest delta first
+        return out
+
+    # Fixpoint re-time loop (round-8 verdict ask #4): the single-pass 180 s
+    # budget saturated inside r08's 28-steal-CPU-s window and left the
+    # headline 18% over min_total. The budget now SCALES with the initial
+    # suspect volume (2x the suspects' known-real cost + slack) and the pass
+    # LOOPS until no suspect remains, the budget drains, or a query has
+    # burned 3 attempts (a 3x-stubborn suspect is a real regression the
+    # record should show, not steal). Every published number stays a real
+    # measured wall time.
     retimed: dict[str, float] = {}
-    budget = 180.0  # seconds of wall allowed for the whole re-time pass
+    attempts: dict[str, int] = {}
     retime_fails: dict[str, str] = {}  # ADVICE r7: a re-time hiccup must not
-    for name in suspects:              # mark a successfully-timed query failed
-        if budget <= 0:
+    initial = _suspects()              # mark a successfully-timed query failed
+    budget = max(
+        180.0, 2.0 * sum(prev_min[n] for n in initial) + 10.0 * len(initial)
+    )
+    while budget > 0:
+        pending = _suspects()
+        if not pending:
             break
-        t0 = time.perf_counter()
-        sec = run_one(name, fail_sink=retime_fails)
-        budget -= time.perf_counter() - t0
-        if sec is not None:
-            retimed[name] = sec
-            best[name] = min(best[name], sec)
+        for name in pending:
+            if budget <= 0:
+                break
+            t0 = time.perf_counter()
+            sec = run_one(name, fail_sink=retime_fails)
+            budget -= time.perf_counter() - t0
+            attempts[name] = attempts.get(name, 0) + 1
+            if sec is not None:
+                retimed[name] = min(retimed.get(name, sec), sec)
+                best[name] = min(best[name], sec)
     steal1 = _steal_ticks()
     steal_s = None
     if steal0 is not None and steal1 is not None:
@@ -214,8 +236,9 @@ def main() -> None:
         "metric": "declared_queries_total_wall",
         "value": round(sum(best.values()), 3),
         "unit": "sec",
-        "method": "per-query best-of-run; first pass + one re-time of "
-                  "steal-suspect queries (first > max(2*min, min+1s))",
+        "method": "per-query best-of-run; first pass + fixpoint re-time of "
+                  "steal-suspect queries (best > min + (0.5s if min<2s else "
+                  "1s); <=3 attempts/query; budget scales with suspects)",
         "queries": best,
         "first_run": first_run,
         "retimed": retimed,

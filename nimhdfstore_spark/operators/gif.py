@@ -188,7 +188,16 @@ def decode_gif_frames(data: bytes) -> list[tuple[np.ndarray, int]]:
         ).reshape(h, w)
         if ipacked & 0x40:
             idx = _deinterlace(idx)
-        if int(idx.max()) >= len(palette):
+        # validate only OPAQUE pixels against the palette: GIFs in the wild
+        # use a transparent index >= table size (the index is never looked
+        # up, only compared), and rejecting them would drop renderable
+        # frames from the crawl decode path (ADVICE r8)
+        opaque_max = (
+            int(idx[idx != transparent].max(initial=0))
+            if transparent >= 0
+            else int(idx.max())
+        )
+        if opaque_max >= len(palette):
             raise ValueError("pixel index outside color table")
         before = canvas.copy() if disposal == 3 else None
         region = canvas[top:top + h, left:left + w]

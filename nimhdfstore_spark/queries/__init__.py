@@ -193,6 +193,13 @@ def sweep_order() -> list[str]:
         if fresh:
             s = (3 * sweep_rotation()) % len(fresh)
             fresh = fresh[s:] + fresh[:s]
+        if done:
+            # Rotate the verified partition too (ADVICE r8): once the
+            # backlog drains, fresh is empty and without this shift the
+            # driver would re-verify the identical front entries forever —
+            # the shift spreads RE-verification across the whole registry.
+            s = (3 * sweep_rotation()) % len(done)
+            done = done[s:] + done[:s]
         flat = fresh + done
     out.extend(flat)
     return out

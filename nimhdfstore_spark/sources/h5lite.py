@@ -167,11 +167,15 @@ def _parse_dt(buf: bytes, pos: int) -> tuple[np.dtype, np.dtype, int]:
     pos += 8
     if cls == 0:  # fixed-point
         pos += 4  # bit offset + precision
+        if size not in (1, 2, 4, 8):  # corrupted size would TypeError below
+            raise ValueError(f"invalid fixed-point datatype size {size}")
         kind = "i" if (b0 & 0x08) else "u"
         dt = np.dtype(f"<{kind}{size}")
         return dt, dt, pos
     if cls == 1:  # float
         pos += 12
+        if size not in (2, 4, 8):
+            raise ValueError(f"invalid float datatype size {size}")
         dt = np.dtype(f"<f{size}")
         return dt, dt, pos
     if cls == 3:  # string
@@ -747,8 +751,12 @@ def _clean_errors(fn):
             raise
         except (
             _struct.error, IndexError, KeyError, UnicodeDecodeError,
-            OverflowError, RecursionError, _zlib.error, TypeError,
+            OverflowError, RecursionError, _zlib.error,
         ) as e:
+            # TypeError deliberately NOT normalized (ADVICE r8): a TypeError
+            # out of the parser is a programming bug, not file corruption —
+            # masking it as "malformed HDF5 file" hides real defects. The
+            # fuzz pins prove no malformed-input path raises it.
             raise ValueError(f"malformed HDF5 file: {e!r}") from e
 
     return wrapped
@@ -887,13 +895,32 @@ def _parse_gcol(f, addr: int) -> dict[int, bytes]:
     return objs
 
 
-@_clean_errors
+def _dataset_info(path: str, name: str) -> dict[str, Any]:
+    """Resolve ``name`` in the file's catalog OUTSIDE the adversarial-parse
+    normalization (ADVICE r8): a wrong dataset name is a caller error and
+    must surface as a clear lookup failure, not "malformed HDF5 file".
+    ``catalog`` itself stays wrapped, so genuine corruption still raises
+    ValueError."""
+    cat = catalog(path)
+    try:
+        return cat[name]
+    except KeyError:
+        raise KeyError(
+            f"no such dataset {name!r} in {path!r} "
+            f"(available: {sorted(cat)})"
+        ) from None
+
+
 def read_range(path: str, name: str, start: int, stop: int) -> np.ndarray:
     """Records [start, stop) of one dataset — reads ONLY the chunks/byte
     range covering the slice plus any global heap collections the range's
     vlen cells reference (the executor-side partition read: each task
     seeks to its slice)."""
-    info = catalog(path)[name]
+    return _read_range_info(path, _dataset_info(path, name), start, stop)
+
+
+@_clean_errors
+def _read_range_info(path: str, info: dict, start: int, stop: int) -> np.ndarray:
     mem_dt, file_dt = info["dtype"], info["file_dtype"]
     stop = min(stop, info["nrows"])
     if stop <= start:
@@ -958,7 +985,6 @@ def read_range(path: str, name: str, start: int, stop: int) -> np.ndarray:
         return out
 
 
-@_clean_errors
 def read(path: str, name: str) -> np.ndarray:
-    info = catalog(path)[name]
-    return read_range(path, name, 0, info["nrows"])
+    info = _dataset_info(path, name)
+    return _read_range_info(path, info, 0, info["nrows"])
