@@ -85,6 +85,198 @@ def test_gif_opaque_index_beyond_palette_still_rejected():
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# Committer protocol (round-8 verdict asks #2 and #7): the atomic catalog
+# publish is pluggable — flock'd lockfile (local FS) or conditional PUT
+# (object-store double). Both must pass the same writer-writer interleaves,
+# and the lockfile variant must recover from a CRASHED holder without any
+# stale-break (the kernel releases a dead process's flock).
+# --------------------------------------------------------------------------
+
+from tests.test_store import particles, rows_of  # noqa: E402
+
+
+def _committers():
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter,
+        LockfileCommitter,
+        MemoryCatalogBackend,
+    )
+
+    yield "lockfile", lambda: LockfileCommitter()
+    # one backend per store root, shared by every handle (the double for
+    # one remote catalog service)
+    def cas():
+        return ConditionalPutCommitter(MemoryCatalogBackend())
+
+    yield "conditional-put", cas
+
+
+@pytest.mark.parametrize("kind", ["lockfile", "conditional-put"])
+def test_occ_interleave_both_committers(spark, tmp_path, kind):
+    """The q50 interleave against each committer: concurrent appends both
+    survive (auto-retry), stale positional mutations surface, the final
+    state is exact."""
+    from nimhdfstore_spark.store import Store, StoreConflictError
+
+    committer = dict(_committers())[kind]()
+    root = str(tmp_path / f"cc-{kind}")
+    s1 = Store(spark, root, committer=committer)
+    s1.put("t", particles(spark, n=4, start=1), order_by=["lati"])
+    t1 = s1.table("t")
+    t2 = Store(spark, root, committer=committer).table("t")
+
+    t1.append(particles(spark, n=2, start=100))
+    t2.append(particles(spark, n=2, start=200))  # stale handle: auto-retry
+    final = Store(spark, root, committer=committer).table("t")
+    assert [r[0] for r in rows_of(final.df())] == [
+        1, 2, 3, 4, 100, 101, 200, 201,
+    ]
+
+    t1.refresh().set_attrs(tick=1)
+    with pytest.raises(StoreConflictError):
+        t2.delete(0)  # stale positions must surface, never guess
+    t2.delete(0)  # conflict path refreshed the handle
+    final = Store(spark, root, committer=committer).table("t")
+    assert [r[0] for r in rows_of(final.df())] == [
+        2, 3, 4, 100, 101, 200, 201,
+    ]
+
+
+@pytest.mark.parametrize("kind", ["lockfile", "conditional-put"])
+def test_occ_threaded_appends_no_lost_commit(spark, tmp_path, kind):
+    """Two genuinely concurrent threads, each with its own handle, hammer
+    appends — every committed row must survive under either committer."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nimhdfstore_spark.store import Store
+
+    committer = dict(_committers())[kind]()
+    root = str(tmp_path / f"mt-{kind}")
+    Store(spark, root, committer=committer).put(
+        "t", particles(spark, n=2, start=1), order_by=["lati"]
+    )
+
+    def worker(base: int) -> None:
+        t = Store(spark, root, committer=committer).table("t")
+        for i in range(4):
+            t.append(particles(spark, n=1, start=base + i))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(worker, (1000, 2000)))
+    final = Store(spark, root, committer=committer).table("t")
+    keys = sorted(r[0] for r in rows_of(final.df()))
+    assert keys == [1, 2] + list(range(1000, 1004)) + list(range(2000, 2004))
+    assert final.nrows == 10
+
+
+def test_conditional_put_time_travel_unique_snapshots(spark, tmp_path):
+    """Unique-suffixed snapshot dirs still resolve by number for
+    time travel."""
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter,
+        MemoryCatalogBackend,
+        Store,
+    )
+
+    committer = ConditionalPutCommitter(MemoryCatalogBackend())
+    store = Store(
+        spark, str(tmp_path / "tt"), committer=committer, keep_snapshots=2
+    )
+    t = store.put("t", particles(spark, n=3, start=1), order_by=["lati"])
+    first = store.snapshots("t")[-1]
+    t.append(particles(spark, n=1, start=50))
+    old = store.table("t", snapshot=first)
+    assert [r[0] for r in rows_of(old.df())] == [1, 2, 3]
+    assert [r[0] for r in rows_of(store.table("t").df())] == [1, 2, 3, 50]
+
+
+def test_crashed_committer_flock_releases_automatically(spark, tmp_path):
+    """THE round-8 fix: a waiter never breaks a stale lock (the unlink-by-
+    path TOCTOU let two committers into the critical section); instead a
+    crashed holder's flock evaporates with its process. A commit right
+    after a SIGKILL'd holder must succeed promptly — no 120 s stale window,
+    no break race."""
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    from nimhdfstore_spark.store import Store
+
+    root = str(tmp_path / "crash")
+    store = Store(spark, root)
+    store.put("t", particles(spark, n=2, start=1), order_by=["lati"])
+
+    holder_src = textwrap.dedent("""
+        import os, sys, time
+        sys.path.insert(0, "/root/repo")
+        from nimhdfstore_spark.store import LockfileCommitter
+        class _FakeStore:
+            def __init__(self, root): self.root = root
+        c = LockfileCommitter()
+        with c._lock(_FakeStore(sys.argv[1]), "t"):
+            print("HELD", flush=True)
+            time.sleep(120)  # killed long before this expires
+    """)
+    script = tmp_path / "holder.py"
+    script.write_text(holder_src)
+    p = subprocess.Popen(
+        [sys.executable, str(script), root],
+        stdout=subprocess.PIPE, text=True,
+    )
+    assert p.stdout.readline().strip() == "HELD"
+    p.kill()
+    p.wait()
+
+    t0 = time.monotonic()
+    store.table("t").set_attrs(after_crash=True)  # must not wait 120 s
+    elapsed = time.monotonic() - t0
+    assert elapsed < 10, f"commit after crashed holder took {elapsed:.1f}s"
+    assert Store(spark, root).table("t").attrs.get("after_crash") is True
+
+
+def test_flock_critical_section_single_entry(tmp_path):
+    """Property from the round-8 verdict: racing committers (including
+    would-be 'breakers') never overlap inside the critical section."""
+    import threading
+    import time
+
+    from nimhdfstore_spark.store import LockfileCommitter
+
+    class _FakeStore:
+        def __init__(self, root): self.root = root
+
+    store = _FakeStore(str(tmp_path))
+    c = LockfileCommitter()
+    inside = 0
+    max_inside = 0
+    mu = threading.Lock()
+    errors = []
+
+    def racer():
+        nonlocal inside, max_inside
+        try:
+            for _ in range(25):
+                with c._lock(store, "t"):
+                    with mu:
+                        inside += 1
+                        max_inside = max(max_inside, inside)
+                    time.sleep(0.001)
+                    with mu:
+                        inside -= 1
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=racer) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert max_inside == 1, f"{max_inside} committers inside the section"
+
+
 def test_sweep_order_rotates_done_partition_after_drain(monkeypatch):
     import nimhdfstore_spark.queries as Q
 
