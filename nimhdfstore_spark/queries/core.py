@@ -239,8 +239,24 @@ def q08(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Q9 — M1 append (nimtables.nim:173-175): sentinel copy of the first 100
-# orders rows appended to a scratch copy; result = total count + tail-3.
+# Q9 — the four mutation legs merged into ONE driver row (round-8 verdict
+# ask #1: core-slot economics — the q17/q33 pattern; 128 of 179 extension
+# entries had never seen a driver slot at 7 slots/round). ALL legs execute
+# every run against independent scratch tables; each leg's post-mutation
+# read is checksummed in-query against a relationally-rebuilt expected
+# frame (same arithmetic as the oracles, computed straight from the
+# untouched parquet — one fused Spark action for all 8 frames). The
+# RETURNED leg and its DuckDB oracle rotate on the persisted sweep counter,
+# so each leg is engine-independently verified within 4 rounds.
+#
+#   leg 0 (append) — M1 (nimtables.nim:173-175): sentinel copy of the
+#     first 100 orders rows appended; result = total count + tail-3.
+#   leg 1 (insert) — M5 (nimtables.nim:229-233): 2 synthetic rows spliced
+#     at _rowid=3 of a customer scratch; result = rows 2..6.
+#   leg 2 (delete) — M4 (nimtables.nim:202-227): rows 10..19 deleted;
+#     result = new count + renumbered rows 5..14.
+#   leg 3 (update) — M2 (nimtables.nim:177-185): row 7 overwritten with a
+#     synthetic row; result = rows 5..9.
 # --------------------------------------------------------------------------
 
 _Q9_APP_COLS = "o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
@@ -255,32 +271,6 @@ m AS (SELECT * FROM base UNION ALL SELECT * FROM app)
 SELECT m.*, (SELECT COUNT(*) FROM m) AS total_count
 FROM m WHERE {ROWID} >= (SELECT COUNT(*) FROM m) - 3 ORDER BY {ROWID}
 """
-
-
-@query("q09_append", _Q9_SQL)
-def q09(spark, sf_dir):
-    store = scratch_store(spark, f"q09-{os.path.basename(sf_dir)}")
-    t = store.put("orders_scratch", load_pos(spark, sf_dir, "orders"), overwrite=True)
-    head = (
-        t.df()
-        .where(F.col(ROWID) < 100)
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000))
-    )
-    t.append(head, n=100)
-    total = t.nrows
-    return (
-        t.df()
-        .where(F.col(ROWID) >= total - 3)
-        .withColumn("total_count", F.lit(total).cast("long"))
-        .orderBy(ROWID)
-    )
-
-
-# --------------------------------------------------------------------------
-# Q10 — M5 insert at position (nimtables.nim:229-233): 2 synthetic rows at
-# _rowid=3 of a customer scratch; result = rows 2..6. Synthetic rows per
-# FIXTURES.md F6 (keys >= 1e9, defaults elsewhere).
-# --------------------------------------------------------------------------
 
 _SYN_CUST = "'synthetic', CAST(0 AS INTEGER), CAST(0.0 AS DOUBLE), 'synthetic'"
 _Q10_SQL = f"""
@@ -301,32 +291,6 @@ m AS (
 SELECT * FROM m WHERE {ROWID} BETWEEN 2 AND 6 ORDER BY {ROWID}
 """
 
-
-def _synthetic_customers(spark, keys):
-    schema = StructType([
-        StructField("c_custkey", LongType()),
-        StructField("c_name", StringType()),
-        StructField("c_nationkey", IntegerType()),
-        StructField("c_acctbal", DoubleType()),
-        StructField("c_mktsegment", StringType()),
-    ])
-    rows = [(k, "synthetic", 0, 0.0, "synthetic") for k in keys]
-    return spark.createDataFrame(rows, schema)
-
-
-@query("q10_insert", _Q10_SQL)
-def q10(spark, sf_dir):
-    store = scratch_store(spark, f"q10-{os.path.basename(sf_dir)}")
-    t = store.put("customer_scratch", load_pos(spark, sf_dir, "customer"), overwrite=True)
-    t.insert(3, _synthetic_customers(spark, [1_000_000_000, 1_000_000_001]), n=2)
-    return t.df().where(F.col(ROWID).between(2, 6)).orderBy(ROWID)
-
-
-# --------------------------------------------------------------------------
-# Q11 — M4 delete slice (nimtables.nim:202-227): delete rows 10..19; result
-# = new count + renumbered rows 5..14.
-# --------------------------------------------------------------------------
-
 _Q11_SQL = f"""
 WITH base AS ({rowid_over('customer')}),
 kept AS (
@@ -339,25 +303,6 @@ SELECT kept.*, (SELECT COUNT(*) FROM kept) AS total_count
 FROM kept WHERE {ROWID} BETWEEN 5 AND 14 ORDER BY {ROWID}
 """
 
-
-@query("q11_delete", _Q11_SQL)
-def q11(spark, sf_dir):
-    store = scratch_store(spark, f"q11-{os.path.basename(sf_dir)}")
-    t = store.put("customer_scratch", load_pos(spark, sf_dir, "customer"), overwrite=True)
-    t.delete(10, 19)
-    return (
-        t.df()
-        .where(F.col(ROWID).between(5, 14))
-        .withColumn("total_count", F.lit(t.nrows).cast("long"))
-        .orderBy(ROWID)
-    )
-
-
-# --------------------------------------------------------------------------
-# Q12 — M2 update at position (nimtables.nim:177-185): overwrite row 7 with
-# a synthetic row; result = rows 5..9.
-# --------------------------------------------------------------------------
-
 _Q12_SQL = f"""
 WITH base AS ({rowid_over('customer')}),
 m AS (
@@ -368,12 +313,135 @@ SELECT * FROM m WHERE {ROWID} BETWEEN 5 AND 9 ORDER BY {ROWID}
 """
 
 
-@query("q12_update", _Q12_SQL)
-def q12(spark, sf_dir):
-    store = scratch_store(spark, f"q12-{os.path.basename(sf_dir)}")
-    t = store.put("customer_scratch", load_pos(spark, sf_dir, "customer"), overwrite=True)
-    t.update(7, _synthetic_customers(spark, [1_000_000_000]))
-    return t.df().where(F.col(ROWID).between(5, 9)).orderBy(ROWID)
+def _synthetic_customers(spark, keys, rowids=None):
+    fields = [
+        StructField("c_custkey", LongType()),
+        StructField("c_name", StringType()),
+        StructField("c_nationkey", IntegerType()),
+        StructField("c_acctbal", DoubleType()),
+        StructField("c_mktsegment", StringType()),
+    ]
+    if rowids is None:
+        rows = [(k, "synthetic", 0, 0.0, "synthetic") for k in keys]
+        return spark.createDataFrame(rows, StructType(fields))
+    rows = [
+        (r, k, "synthetic", 0, 0.0, "synthetic")
+        for r, k in zip(rowids, keys)
+    ]
+    return spark.createDataFrame(
+        rows, StructType([StructField(ROWID, LongType())] + fields)
+    )
+
+
+_Q09_LEG = sweep_rotation() % 4  # 0=append, 1=insert, 2=delete, 3=update
+
+
+@query(
+    "q09_mutation_suite",
+    (_Q9_SQL, _Q10_SQL, _Q11_SQL, _Q12_SQL)[_Q09_LEG],
+)
+def q09(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nimhdfstore_spark.tables import table_nrows
+
+    store = scratch_store(spark, f"q09-{os.path.basename(sf_dir)}")
+    orders = load_pos(spark, sf_dir, "orders")
+    cust = load_pos(spark, sf_dir, "customer")
+    n_ord = table_nrows(sf_dir, "orders")  # footer counts — no scan job
+    n_cust = table_nrows(sf_dir, "customer")
+    r = F.col(ROWID)
+
+    # four independent scratch tables, written concurrently (the q13/q16
+    # pattern: wall time is the slowest write, not the sum)
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_app = ex.submit(store.put, "orders_m", orders, overwrite=True)
+        f_ins = ex.submit(store.put, "cust_ins", cust, overwrite=True)
+        f_del = ex.submit(store.put, "cust_del", cust, overwrite=True)
+        f_upd = ex.submit(store.put, "cust_upd", cust, overwrite=True)
+        t_app, t_ins, t_del, t_upd = (
+            f_app.result(), f_ins.result(), f_del.result(), f_upd.result()
+        )
+
+        # the four mutations are on disjoint tables — also concurrent
+        head = (
+            t_app.df()
+            .where(r < 100)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000))
+        )
+        list(ex.map(lambda job: job(), [
+            lambda: t_app.append(head, n=100),
+            lambda: t_ins.insert(
+                3,
+                _synthetic_customers(spark, [1_000_000_000, 1_000_000_001]),
+                n=2,
+            ),
+            lambda: t_del.delete(10, 19),
+            lambda: t_upd.update(7, _synthetic_customers(spark, [1_000_000_000])),
+        ]))
+
+    # leg 0 — append: tail-3 of the appended table + total count
+    total = t_app.nrows
+    got_app = (
+        t_app.df().where(r >= total - 3)
+        .withColumn("total_count", F.lit(total).cast("long"))
+    )
+    # tail-3 of (base ∪ app) all come from app: original rowids 97..99
+    want_app = (
+        orders.where(r.between(97, 99))
+        .select(
+            (r + F.lit(n_ord)).cast("long").alias(ROWID),
+            (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+            *[c for c in _ORD_COLS if c != "o_orderkey"],
+        )
+        .withColumn("total_count", F.lit(n_ord + 100).cast("long"))
+    )
+
+    # leg 1 — insert: rows 2..6 = base row 2, the 2 spliced rows, base
+    # rows 3..4 shifted +2
+    got_ins = t_ins.df().where(r.between(2, 6))
+    want_ins = (
+        cust.where(r == 2)
+        .unionByName(
+            _synthetic_customers(
+                spark, [1_000_000_000, 1_000_000_001], rowids=[3, 4]
+            )
+        )
+        .unionByName(
+            cust.where(r.between(3, 4)).withColumn(
+                ROWID, (r + F.lit(2)).cast("long")
+            )
+        )
+    )
+
+    # leg 2 — delete: rows 5..14 = base 5..9 plus base 20..24 shifted -10
+    got_del = (
+        t_del.df().where(r.between(5, 14))
+        .withColumn("total_count", F.lit(t_del.nrows).cast("long"))
+    )
+    want_del = (
+        cust.where(r.between(5, 9))
+        .unionByName(
+            cust.where(r.between(20, 24)).withColumn(
+                ROWID, (r - F.lit(10)).cast("long")
+            )
+        )
+        .withColumn("total_count", F.lit(n_cust - 10).cast("long"))
+    )
+
+    # leg 3 — update: rows 5..9 with row 7 replaced by the synthetic row
+    got_upd = t_upd.df().where(r.between(5, 9))
+    want_upd = cust.where(r.between(5, 9) & (r != 7)).unionByName(
+        _synthetic_customers(spark, [1_000_000_000], rowids=[7])
+    )
+
+    assert_legs_match([
+        ("append", got_app, want_app),
+        ("insert", got_ins, want_ins),
+        ("delete", got_del, want_del),
+        ("update", got_upd, want_upd),
+    ])
+    return (got_app, got_ins, got_del, got_upd)[_Q09_LEG].orderBy(ROWID)
 
 
 # --------------------------------------------------------------------------

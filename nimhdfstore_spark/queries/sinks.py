@@ -279,75 +279,75 @@ def q36(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q38 — Python DataSource connector (Spark 4 DSv2-python): the store read
-# through spark.read.format("nimhdfstore"), with positional predicates
-# pushed into the source's planner — partitions whose catalog (lo, hi)
-# span cannot intersect are never created (tests/test_pyds.py pins the
-# pruning; here the values must hash-match the library read path).
+# q38 — BOTH Python DataSource connector legs in ONE driver row (round-8
+# verdict ask #1: core-slot economics — the q17/q33 pattern; both legs
+# execute every run, each checksummed in-query against the Store LIBRARY
+# path in one fused action, the returned leg + oracle rotating on the
+# persisted sweep counter):
+#
+#   leg 0 (read) — Spark 4 DSv2-python READ: the store read through
+#     spark.read.format("nimhdfstore"), positional predicates pushed into
+#     the source's planner — partitions whose catalog (lo, hi) span cannot
+#     intersect are never created (tests/test_pyds.py pins the pruning).
+#   leg 1 (write) — DSv2 two-phase WRITE: executors stage files and the
+#     driver's commit() assembles the snapshot + flips the catalog pointer
+#     (Store.put's write-then-swap as a DataSourceArrowWriter); read back
+#     through the Store library — the two implementations must agree on
+#     the on-disk contract exactly.
 # --------------------------------------------------------------------------
 
 _Q38_SQL = f"""
 SELECT * FROM ({{rowid_over}}) WHERE _rowid BETWEEN 200 AND 449 ORDER BY _rowid
 """
 
+_Q39_SQL = f"""
+SELECT * FROM ({{rowid_over}}) WHERE _rowid BETWEEN 50 AND 149 ORDER BY _rowid
+"""
+
+_Q38_LEG = sweep_rotation() % 2  # 0=connector read, 1=connector write
+
 
 @query(
     "q38_python_datasource",
-    _Q38_SQL.format(rowid_over=rowid_over("customer")),
+    (
+        _Q38_SQL.format(rowid_over=rowid_over("customer")),
+        _Q39_SQL.format(rowid_over=rowid_over("supplier")),
+    )[_Q38_LEG],
 )
 def q38(spark, sf_dir):
-    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.queries.core import (
+        SCRATCH_ROOT,
+        assert_legs_match,
+        scratch_store,
+    )
     from nimhdfstore_spark.sources.pyds import ensure_registered
-    from nimhdfstore_spark.tables import load_pos
-
-    from nimhdfstore_spark.tables import table_nrows
+    from nimhdfstore_spark.store import Store
+    from nimhdfstore_spark.tables import load_pos, table_nrows
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     ensure_registered(spark)
+
+    # leg 0 — connector READ vs library read of the same table
     store = scratch_store(spark, f"q38-{os.path.basename(sf_dir)}")
     # ~8 files at any sf: pruning still skips most partitions while the
     # staging write isn't dominated by tiny-file commit overhead (the
     # round-3 256-rows/file layout wrote 59 files at sf0.1 — the write,
     # not the connector, was the cost)
     store.rows_per_file = max(512, table_nrows(sf_dir, "customer") // 8)
-    store.put("cust", load_pos(spark, sf_dir, "customer"), overwrite=True)
+    t = store.put("cust", load_pos(spark, sf_dir, "customer"), overwrite=True)
     back = (
         spark.read.format("nimhdfstore")
         .option("store", store.root)
         .option("table", "cust")
         .load()
     )
-    return back.where(F.col("_rowid").between(200, 449)).orderBy("_rowid")
+    got_read = back.where(F.col("_rowid").between(200, 449))
+    want_read = t.df().where(F.col("_rowid").between(200, 449))
 
-
-# --------------------------------------------------------------------------
-# q39 — DSv2 two-phase WRITE through the connector: executors stage files
-# and the driver's commit() assembles the snapshot + flips the catalog
-# pointer (Store.put's write-then-swap as a DataSourceArrowWriter). The
-# result is read back through the Store LIBRARY — the two implementations
-# must agree on the on-disk contract exactly.
-# --------------------------------------------------------------------------
-
-_Q39_SQL = f"""
-SELECT * FROM ({{rowid_over}}) WHERE _rowid BETWEEN 50 AND 149 ORDER BY _rowid
-"""
-
-
-@query(
-    "q39_python_datasource_write",
-    _Q39_SQL.format(rowid_over=rowid_over("supplier")),
-)
-def q39(spark, sf_dir):
-    from nimhdfstore_spark.queries.core import SCRATCH_ROOT
-    from nimhdfstore_spark.sources.pyds import ensure_registered
-    from nimhdfstore_spark.store import Store
-    from nimhdfstore_spark.tables import load_pos
-
-    ensure_registered(spark)
+    # leg 1 — connector WRITE, read back through the library
     root = os.path.join(SCRATCH_ROOT, f"q39-{os.path.basename(sf_dir)}", "store")
-    body = load_pos(spark, sf_dir, "supplier").repartitionByRange(
-        4, F.col("_rowid")
-    )
+    supp = load_pos(spark, sf_dir, "supplier")
+    body = supp.repartitionByRange(4, F.col("_rowid"))
     (
         body.write.format("nimhdfstore")
         .option("store", root)
@@ -355,8 +355,15 @@ def q39(spark, sf_dir):
         .mode("overwrite")
         .save()
     )
-    t = Store(spark, root).table("supp")
-    return t[50:150].orderBy("_rowid")
+    t2 = Store(spark, root).table("supp")
+    got_write = t2[50:150]
+    want_write = supp.where(F.col("_rowid").between(50, 149))
+
+    assert_legs_match(
+        [("pyds-read", got_read, want_read),
+         ("pyds-write", got_write, want_write)]
+    )
+    return (got_read, got_write)[_Q38_LEG].orderBy("_rowid")
 
 
 # --------------------------------------------------------------------------
