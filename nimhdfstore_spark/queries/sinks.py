@@ -282,6 +282,91 @@ def q33(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# x208 — incremental index maintenance on append (round-8 verdict ask #8):
+# at 100 TB, rebuilding a bloom over ALL files per append is a full-scan
+# tax on every ingest tick. Appends touch only new files, so the index
+# EXTENDS with per-new-file entries — plan-gated in-query: the commit's
+# maintenance scan must have touched exactly the new files, the old
+# entries must be bit-identical, and probes for both pre-existing and
+# appended keys must still prune. The oracle rebuilds both probe results
+# relationally (original rows + the synthetic appended row).
+# --------------------------------------------------------------------------
+
+_X208_KEY = 97
+_X208_NEW = 1_000_000_001
+
+_X208_SQL = f"""
+WITH base AS ({rowid_over('part')}),
+cnt AS (SELECT COUNT(*) AS c FROM part),
+appended AS (
+  SELECT CAST(c + 1 AS BIGINT) AS _rowid, CAST({_X208_NEW} AS BIGINT)
+           AS p_partkey,
+         'synthetic' AS p_name, 'synthetic' AS p_brand,
+         'synthetic' AS p_type, CAST(0 AS INTEGER) AS p_size,
+         CAST(0.0 AS DOUBLE) AS p_retailprice
+  FROM cnt
+)
+SELECT * FROM base WHERE p_partkey = {_X208_KEY}
+UNION ALL SELECT * FROM appended
+ORDER BY _rowid
+"""
+
+
+@query("x208_incremental_index_append", _X208_SQL)
+def x208(spark, sf_dir):
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.tables import load_pos, table_nrows
+
+    store = scratch_store(spark, f"x208-{os.path.basename(sf_dir)}")
+    store.rows_per_file = max(256, table_nrows(sf_dir, "part") // 12)
+    part = load_pos(spark, sf_dir, "part")
+    t = store.put("part_inc", part, overwrite=True)
+    t.cluster_by(F.xxhash64("p_partkey"))
+    t.build_bloom("p_partkey", bits=16384, k=3)
+    entries_before = dict(t._meta["bloom"]["p_partkey"]["files"])
+
+    syn = spark.createDataFrame(
+        [(_X208_NEW - 1, "synthetic", "synthetic", "synthetic", 0, 0.0),
+         (_X208_NEW, "synthetic", "synthetic", "synthetic", 0, 0.0),
+         (_X208_NEW + 1, "synthetic", "synthetic", "synthetic", 0, 0.0)],
+        StructType([
+            StructField("p_partkey", LongType()),
+            StructField("p_name", StringType()),
+            StructField("p_brand", StringType()),
+            StructField("p_type", StringType()),
+            StructField("p_size", IntegerType()),
+            StructField("p_retailprice", DoubleType()),
+        ]),
+    )
+    t.append(syn, n=3)
+
+    # plan gate: the maintenance scan touched EXACTLY the new files; every
+    # pre-existing entry survived bit-identical (no rebuild scan happened)
+    idx = t._meta["bloom"]["p_partkey"]
+    new_files = sorted(set(idx["files"]) - set(entries_before))
+    if t.last_index_scan != new_files or not new_files:
+        raise AssertionError(
+            f"index maintenance scanned {t.last_index_scan}, "
+            f"expected exactly the new files {new_files}"
+        )
+    if any(idx["files"][n] != h for n, h in entries_before.items()):
+        raise AssertionError("a kept file's bloom entry was rebuilt")
+
+    old_probe, s1, total1 = t.lookup_eq("p_partkey", _X208_KEY)
+    new_probe, s2, total2 = t.lookup_eq("p_partkey", _X208_NEW)
+    if total1 > 2 and (s1 >= total1 or s2 >= total2):
+        raise AssertionError(
+            f"post-append probes pruned nothing: {s1}/{total1}, {s2}/{total2}"
+        )
+    return old_probe.unionByName(new_probe).orderBy("_rowid")
+
+
+# --------------------------------------------------------------------------
 # q36 — ANALYZE TABLE catalog statistics: one stack+groupBy pass computes
 # per-column (count, nulls, exact NDV, min, max), persists them as attrs
 # (readable without a scan), and the attrs round-trip is asserted through a

@@ -79,6 +79,55 @@ def test_gif_opaque_index_beyond_palette_still_rejected():
 
 
 # --------------------------------------------------------------------------
+# Incremental zone-map maintenance on append (round-8 verdict ask #8,
+# companion to the bloom carry pinned in test_round5): an append-only
+# commit reuses kept files' cached footer stats and reads footers ONLY for
+# the new files.
+# --------------------------------------------------------------------------
+
+
+def test_zone_map_cache_carries_across_append(spark, tmp_path, monkeypatch):
+    from pyspark.sql import functions as F
+
+    import nimhdfstore_spark.store as S
+
+    st = S.Store(spark, str(tmp_path / "zm"), rows_per_file=100)
+    df = spark.range(1000).select(
+        F.col("id").cast("long").alias("_rowid"), F.col("id").alias("k")
+    )
+    t = st.put("t", df)
+    zones0 = t.zone_map("k")
+    assert len(zones0) == 10
+
+    calls: list[str] = []
+    real = S._file_zone_stats
+
+    def counting(path, column, name):
+        calls.append(name)
+        return real(path, column, name)
+
+    monkeypatch.setattr(S, "_file_zone_stats", counting)
+    t.append(
+        spark.range(5).select(
+            (F.col("id") + 1000).cast("long").alias("_rowid"),
+            (F.col("id") + 1000).alias("k"),
+        )
+    )
+    appended_footer_reads = list(calls)
+    zones1 = t.zone_map("k")  # must be a cache hit — zero new footer reads
+    assert calls == appended_footer_reads, "zone_map re-read footers"
+    assert len(appended_footer_reads) == len(zones1) - 10, (
+        "append read footers beyond the new files"
+    )
+    # and the carried map still prunes correctly, covering the new rows
+    out, scanned, total = t.scan_between("k", 1001, 1002)
+    assert sorted(r["k"] for r in out.collect()) == [1001, 1002]
+    assert scanned == 1 and total == len(zones1)
+    out2, scanned2, _ = t.scan_between("k", 150, 250)
+    assert out2.count() == 101 and scanned2 <= 3
+
+
+# --------------------------------------------------------------------------
 # sweep_order: once the verified backlog drains (fresh empty), the 3*r
 # rotation must keep shifting the DONE partition so re-verification spreads
 # across the registry instead of pinning the same front entries (ADVICE r8).

@@ -194,22 +194,40 @@ def test_bloom_prunes_uncorrelated_layout(spark, tmp_path):
     assert out2.count() == 0 and s2 <= 2
 
 
-def test_bloom_index_goes_stale_on_commit(spark, tmp_path):
+def test_bloom_index_extends_on_append_stale_on_rewrite(spark, tmp_path):
+    """Round-9: an append-only commit EXTENDS the bloom index by scanning
+    only the new files (rebuilding over all files per append would be a
+    full-scan tax at 100 TB); a rewriting commit still invalidates it."""
     st = Store(spark, str(tmp_path / "bl2"), rows_per_file=100)
     df = spark.range(300).select(
         F.col("id").cast("long").alias(ROWID), F.col("id").alias("k")
     )
     t = st.put("t", df)
     t.build_bloom("k")
+    old_entries = dict(t._meta["bloom"]["k"]["files"])
     t.append(
         spark.range(5).select(
             (F.col("id") + 300).cast("long").alias(ROWID),
             (F.col("id") + 300).alias("k"),
         )
     )
+    # the index survived, old entries bit-identical, only new files scanned
+    idx = t._meta["bloom"]["k"]
+    assert set(old_entries) < set(idx["files"])
+    assert all(idx["files"][n] == h for n, h in old_entries.items())
+    assert t.last_index_scan == sorted(
+        set(idx["files"]) - set(old_entries)
+    ) and len(t.last_index_scan) >= 1
+    # probes work for BOTH pre-existing and appended values, still pruning
+    out, scanned, total = t.lookup_eq("k", 3)
+    assert [r["k"] for r in out.collect()] == [3] and scanned < total
+    out2, s2, _ = t.lookup_eq("k", 302)
+    assert [r["k"] for r in out2.collect()] == [302] and s2 < total
+    # a rewriting commit (file contents change) still drops the index
+    t.delete(0)
     try:
         t.lookup_eq("k", 3)
-        raise AssertionError("stale bloom index survived a commit")
+        raise AssertionError("stale bloom index survived a rewrite")
     except StoreError:
         pass
 
