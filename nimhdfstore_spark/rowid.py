@@ -272,26 +272,29 @@ def sorted_parquet_bases(
             if md.num_rows == 0:
                 continue
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            prev = None  # (max_k0, max_k1) of previous row group
+            prev0 = None  # max_k0 of previous row group
             for rg in range(md.num_row_groups):
                 st0 = md.row_group(rg).column(idx[keys[0]]).statistics
                 if st0 is None or not st0.has_min_max:
                     return None
-                if prev is not None:
-                    if st0.min < prev[0]:
-                        return None
-                    if st0.min == prev[0]:
-                        if len(keys) < 2:
-                            pass  # duplicate k0 across boundary, 1-key: order is fine
-                        else:
-                            st1 = md.row_group(rg).column(idx[keys[1]]).statistics
-                            if st1 is None or st1.min < prev[1]:
-                                return None
-                prev = (
-                    st0.max,
-                    md.row_group(rg).column(idx[keys[1]]).statistics.max
-                    if len(keys) > 1 else None,
-                )
+                # Necessary-condition filter ONLY: first-key order across
+                # row-group boundaries. A first-key TIE is NOT checked
+                # against second-key stats here — rg-level k1 min/max bound
+                # ALL the group's rows, not the boundary rows, so that
+                # comparison falsely rejected every file where a k0 run
+                # straddles a boundary (the key-sorted sf10 replica: 379 of
+                # 489 boundaries). Within-file order is PROVEN by phase
+                # (b)'s streaming key scan regardless; cross-file overlap
+                # keeps its own conservative check below.
+                if prev0 is not None and st0.min < prev0:
+                    return None
+                prev0 = st0.max
+            last_rg = md.num_row_groups - 1
+            st1l = (
+                md.row_group(last_rg).column(idx[keys[1]]).statistics
+                if len(keys) > 1 else None
+            )
+            prev = (prev0, st1l.max if st1l is not None else None)
             first0 = md.row_group(0).column(idx[keys[0]]).statistics.min
             st1f = (
                 md.row_group(0).column(idx[keys[1]]).statistics

@@ -987,4 +987,10 @@ def _read_range_info(path: str, info: dict, start: int, stop: int) -> np.ndarray
 
 def read(path: str, name: str) -> np.ndarray:
     info = _dataset_info(path, name)
-    return _read_range_info(path, info, 0, info["nrows"])
+    try:  # a corrupted header can yield an entry with no row count
+        stop = int(info["nrows"])
+    except (KeyError, TypeError, ValueError) as e:
+        raise ValueError(
+            f"malformed HDF5 file: dataset entry lacks a row count: {e!r}"
+        ) from e
+    return _read_range_info(path, info, 0, stop)

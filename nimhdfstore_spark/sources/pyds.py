@@ -81,8 +81,16 @@ def _catalog(options) -> tuple[str, list[dict]]:
     if "link_to" in meta:
         return _catalog({**options, "table": meta["link_to"]})
     snap_dir = os.path.join(root, table, meta["current"])
+    entries = meta.get("files")
+    if entries is None:
+        # sharded catalog (store.py _pack_files): concatenate the shards
+        entries = []
+        for shard in meta.get("manifests", []):
+            with open(os.path.join(root, table, "_manifests", shard)) as f:
+                entries.extend(json.load(f))
+        entries.sort(key=lambda e: e["lo"])
     files = [
-        {**e, "path": os.path.join(snap_dir, e["name"])} for e in meta["files"]
+        {**e, "path": os.path.join(snap_dir, e["name"])} for e in entries
     ]
     return snap_dir, files
 

@@ -79,6 +79,80 @@ def test_gif_opaque_index_beyond_palette_still_rejected():
 
 
 # --------------------------------------------------------------------------
+# Sharded manifests (round-8 verdict ask #3): past _MANIFEST_INLINE_MAX
+# entries the per-file catalog factors into immutable shards; _meta.json
+# (the under-lock write) holds only shard names. Appends carry parent
+# shards + one delta shard; rewrites fold.
+# --------------------------------------------------------------------------
+
+
+def _mk(spark, n, base=0):
+    from pyspark.sql import functions as F
+
+    return spark.range(base, base + n).select(
+        F.col("id").cast("long").alias("_rowid"), F.col("id").alias("k")
+    )
+
+
+def test_sharded_manifest_lifecycle(spark, tmp_path, monkeypatch):
+    import json
+
+    from nimhdfstore_spark.store import Store
+
+    monkeypatch.setattr(Store, "_MANIFEST_INLINE_MAX", 4)
+    st = Store(spark, str(tmp_path / "sm"), rows_per_file=10)
+    t = st.put("t", _mk(spark, 100))
+    assert "files" not in t._meta and len(t._meta["manifests"]) == 1
+    assert len(t._ranges()) == 10 and t.nrows == 100
+    # the under-lock meta is shard names, not the file list
+    with open(st._meta_path("t")) as f:
+        disk = json.load(f)
+    assert "files" not in disk and disk["manifests"] == t._meta["manifests"]
+
+    # a fresh handle materializes from shards and reads correctly
+    t2 = Store(spark, st.root).table("t")
+    assert [r["k"] for r in t2[55:58].collect()] == [55, 56, 57]
+
+    # append: parent shard carried verbatim + exactly one delta shard
+    before = list(t._meta["manifests"])
+    t.append(_mk(spark, 3, base=1000).drop("_rowid"))
+    after = t._meta["manifests"]
+    assert after[: len(before)] == before and len(after) == len(before) + 1
+    assert t.nrows == 103
+    assert [r["k"] for r in t[100:103].collect()] == [1000, 1001, 1002]
+
+    # suffix rewrite (delete) keeps fully-surviving shards only
+    t.delete(99)  # rewrites from position 99 on
+    assert t.nrows == 102
+    assert [r["k"] for r in t[97:102].collect()] == [97, 98, 1000, 1001, 1002]
+
+    # compact folds everything back into a single shard
+    t.compact()
+    assert len(t._meta["manifests"]) == 1
+    assert [r["k"] for r in t[0:3].collect()] == [0, 1, 2]
+    assert Store(spark, st.root).table("t").nrows == 102
+
+
+def test_sharded_manifest_python_datasource(spark, tmp_path, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from nimhdfstore_spark.sources.pyds import ensure_registered
+    from nimhdfstore_spark.store import Store
+
+    monkeypatch.setattr(Store, "_MANIFEST_INLINE_MAX", 4)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ensure_registered(spark)
+    st = Store(spark, str(tmp_path / "smp"), rows_per_file=10)
+    st.put("t", _mk(spark, 80))
+    back = (
+        spark.read.format("nimhdfstore")
+        .option("store", st.root).option("table", "t").load()
+    )
+    got = back.where(F.col("_rowid").between(25, 34)).orderBy("_rowid")
+    assert [r["k"] for r in got.collect()] == list(range(25, 35))
+
+
+# --------------------------------------------------------------------------
 # Incremental zone-map maintenance on append (round-8 verdict ask #8,
 # companion to the bloom carry pinned in test_round5): an append-only
 # commit reuses kept files' cached footer stats and reads footers ONLY for
