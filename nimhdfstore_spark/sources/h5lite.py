@@ -52,6 +52,7 @@ final before any data region address is assigned.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Any
 
@@ -882,6 +883,16 @@ def _parse_gcol(f, addr: int) -> dict[int, bytes]:
     if head[:4] != b"GCOL":
         raise ValueError(f"bad global heap signature at {addr}")
     total = struct.unpack_from("<Q", head, 8)[0]
+    # bound by the file: a corrupted collection size must not pre-allocate
+    # an arbitrary buffer (read(n) allocates n bytes up front — a flipped
+    # high byte meant a multi-EB allocation attempt; adversarial-parse
+    # contract, fuzz-pinned)
+    size = os.fstat(f.fileno()).st_size
+    if total < 16 or addr + total > size:
+        raise ValueError(
+            f"global heap collection at {addr} claims {total} bytes "
+            f"in a {size}-byte file"
+        )
     body = f.read(total - 16)
     objs: dict[int, bytes] = {}
     pos = 0
