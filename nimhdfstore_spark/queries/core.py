@@ -1135,17 +1135,22 @@ _Q50_SQL = (
 )
 
 
-@query("q50_optimistic_concurrency", _Q50_SQL)
-def q50(spark, sf_dir):
+def _q50_interleave(spark, root: str, committer) -> "DataFrame":
+    """The scripted two-handle interleave, parameterized by committer —
+    the SAME race plays out against the flock'd lockfile (local FS) and
+    the conditional-PUT object-store double (round-8 verdict ask #7: both
+    implementations of the atomic catalog publish must satisfy the same
+    writer-writer contract)."""
     from nimhdfstore_spark.store import StoreConflictError
 
-    store = scratch_store(spark, f"q50-{os.path.basename(sf_dir)}")
+    store = Store(spark, root, committer=committer)
     df0 = spark.range(10).selectExpr(
         f"id AS {ROWID}", "CAST(id AS DOUBLE) AS value"
     )
     store.put("cc", df0, overwrite=True)
     a = store.table("cc")
-    b = Store(spark, store.root).table("cc")  # independent second handle
+    # independent second handle SHARING the committer (one catalog service)
+    b = Store(spark, root, committer=committer).table("cc")
 
     a.append(spark.range(10, 15).selectExpr("CAST(id AS DOUBLE) AS value"))
     # b planned against the pre-append snapshot: its first CAS attempt
@@ -1166,4 +1171,26 @@ def q50(spark, sf_dir):
 
     if store.table("cc").nrows != 19:
         raise AssertionError("a committed row was dropped or duplicated")
-    return store.table("cc").df().select(ROWID, "value").orderBy(ROWID)
+    return store.table("cc").df().select(ROWID, "value")
+
+
+@query("q50_optimistic_concurrency", _Q50_SQL)
+def q50(spark, sf_dir):
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter,
+        LockfileCommitter,
+        MemoryCatalogBackend,
+    )
+
+    base = os.path.join(SCRATCH_ROOT, f"q50-{os.path.basename(sf_dir)}")
+    lock_df = _q50_interleave(
+        spark, os.path.join(base, "lockfile"), LockfileCommitter()
+    )
+    cas_df = _q50_interleave(
+        spark,
+        os.path.join(base, "condput"),
+        ConditionalPutCommitter(MemoryCatalogBackend()),
+    )
+    # both committers must land the interleave on the IDENTICAL final state
+    assert_legs_match([("committers", cas_df, lock_df)])
+    return lock_df.orderBy(ROWID)
