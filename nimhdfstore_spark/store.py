@@ -753,15 +753,27 @@ class Store:
         return Transaction(self)
 
     def _prune_snapshots(self, name: str) -> None:
-        """Drop snapshot dirs beyond the ``keep_snapshots`` newest. Runs
-        after the meta pointer has flipped, so the current snapshot is
-        always among the kept set."""
+        """Drop snapshot dirs beyond the ``keep_snapshots`` newest. The
+        CURRENT snapshot (re-read from the catalog — a racer may have
+        committed since this handle flipped) is explicitly exempt: with
+        unique-suffixed snapshot names a conflict LOSER'S directory can
+        transiently exist for the same snapshot number and sort AFTER the
+        winner's, which once made name-order pruning delete the live
+        current snapshot out from under every reader (caught by the
+        threaded conditional-PUT contention test)."""
         tdir = self._table_dir(name)
+        protected = set()
+        try:
+            protected.add(self._read_meta(name).get("current"))
+        except StoreError:
+            pass
         snaps = sorted(
             e for e in os.listdir(tdir)
             if e.startswith("snap-") and os.path.isdir(os.path.join(tdir, e))
         )
         for e in snaps[: -self.keep_snapshots]:
+            if e in protected:
+                continue
             shutil.rmtree(os.path.join(tdir, e), ignore_errors=True)
 
     def vacuum(self, retain: int | None = None, dry_run: bool = False) -> dict:
@@ -810,6 +822,8 @@ class Store:
             mdir = self._manifest_dir(key)
             if os.path.isdir(mdir) and not dry_run:
                 live = set(meta.get("manifests") or [])
+                for idx in (meta.get("bloom") or {}).values():
+                    live.update(idx.get("shards") or [])
                 for e in os.listdir(mdir):
                     p = os.path.join(mdir, e)
                     if (
@@ -1008,7 +1022,9 @@ class Store:
     def _manifest_dir(self, name: str) -> str:
         return os.path.join(self._table_dir(name), "_manifests")
 
-    def _write_manifest(self, name: str, entries: list[dict]) -> str:
+    def _write_manifest(self, name: str, entries) -> str:
+        """Write one immutable manifest shard (a list of file entries, or a
+        dict of per-file bloom bitmaps) and prime the shard cache."""
         import uuid as _uuid
 
         d = self._manifest_dir(name)
@@ -1018,7 +1034,9 @@ class Store:
         with open(tmp, "w") as f:
             json.dump(entries, f)
         os.replace(tmp, os.path.join(d, shard))
-        Store._SHARD_CACHE[(self._realroot, name, shard)] = list(entries)
+        Store._SHARD_CACHE[(self._realroot, name, shard)] = (
+            dict(entries) if isinstance(entries, dict) else list(entries)
+        )
         return shard
 
     def _load_manifest(self, name: str, shard: str) -> list[dict]:
@@ -1631,13 +1649,54 @@ class Table:
             raise StoreError(f"cannot bloom-index column {column!r}")
         if bits % 8 or bits <= 0:
             raise StoreError("bits must be a positive multiple of 8")
-        files = self._bloom_file_entries(
+        fmap = self._bloom_file_entries(
             column, [self.snapshot_path], bits, k
         )
-        idx = {"bits": bits, "k": k, "files": files}
+        idx = {"bits": bits, "k": k}
+        self._pack_bloom(idx, fmap)
         self._meta.setdefault("bloom", {})[column] = idx
         self._commit_meta()
         return idx
+
+    def _bloom_files(self, idx: dict) -> dict[str, str]:
+        """Materialize a bloom index's per-file bitmap map (inline
+        ``files`` or the union of its manifest-side shards)."""
+        files = idx.get("files")
+        if files is not None:
+            return files
+        out: dict[str, str] = {}
+        for s in idx.get("shards", []):
+            out.update(self.store._load_manifest(self.name, s))
+        return out
+
+    def _pack_bloom(
+        self,
+        idx: dict,
+        full_map: dict[str, str],
+        carried_shards: list[str] | None = None,
+        new_map: dict[str, str] | None = None,
+    ) -> None:
+        """Install per-file bitmaps into ``idx``: inline below the manifest
+        threshold, else sharded under ``_manifests/`` like the file catalog
+        — at 100k files the bitmaps are MBs that would otherwise ride in
+        ``_meta.json`` under the commit lock on every meta-only commit."""
+        store = self.store
+        if len(full_map) <= store._MANIFEST_INLINE_MAX:
+            idx["files"] = full_map
+            idx.pop("shards", None)
+            return
+        if (
+            carried_shards
+            and new_map is not None
+            and len(carried_shards) < store._MANIFEST_FOLD_AT
+        ):
+            shards = list(carried_shards)
+            if new_map:
+                shards.append(store._write_manifest(self.name, new_map))
+        else:
+            shards = [store._write_manifest(self.name, full_map)]
+        idx["shards"] = shards
+        idx.pop("files", None)
 
     def _bloom_file_entries(
         self, column: str, paths: list[str], bits: int, k: int
@@ -1686,6 +1745,7 @@ class Table:
             raise StoreError(f"no bloom index on column {column!r}")
         if value is None:
             raise StoreError("bloom lookup requires a non-null value")
+        fmap = self._bloom_files(idx)
         spark = self.store.spark
         bits, kk = int(idx["bits"]), int(idx["k"])
         dtype = dict(self.df().dtypes)[column]
@@ -1702,9 +1762,9 @@ class Table:
             )
             .collect()[0]
         )
-        total = len(idx["files"])
+        total = len(fmap)
         keep = []
-        for name, hexmap in idx["files"].items():
+        for name, hexmap in fmap.items():
             bm = bytes.fromhex(hexmap)
             if all(bm[p // 8] & (1 << (p % 8)) for p in positions):
                 keep.append(name)
@@ -2188,19 +2248,23 @@ class Table:
         if append_only and old_bloom:
             carried_bloom = {}
             for col, idx in old_bloom.items():
-                if set(idx.get("files", {})) != kept_names:
+                fmap = self._bloom_files(idx)
+                if set(fmap) != kept_names:
                     carried_bloom = None  # index didn't cover the snapshot
                     break
-                entry = {**idx, "files": dict(idx["files"])}
-                if new_names:
-                    entry["files"].update(
-                        self._bloom_file_entries(
-                            col,
-                            [os.path.join(staged_dir, n) for n in new_names],
-                            int(idx["bits"]),
-                            int(idx["k"]),
-                        )
+                new_map = (
+                    self._bloom_file_entries(
+                        col,
+                        [os.path.join(staged_dir, n) for n in new_names],
+                        int(idx["bits"]),
+                        int(idx["k"]),
                     )
+                    if new_names else {}
+                )
+                entry = {"bits": int(idx["bits"]), "k": int(idx["k"])}
+                self._pack_bloom(
+                    entry, {**fmap, **new_map}, idx.get("shards"), new_map
+                )
                 carried_bloom[col] = entry
             if carried_bloom is not None:
                 self.last_index_scan = list(new_names)

@@ -113,6 +113,21 @@ def measure(spark, n_files: int) -> dict:
     link_s = time.perf_counter() - t0
     shutil.rmtree(dst)
 
+    # incremental bloom maintenance at file-count scale: full build once
+    # (one distributed scan), then an append must extend it by scanning
+    # ONLY the new file — never rebuild over n_files
+    t0 = time.perf_counter()
+    t.build_bloom("k", bits=256, k=3)
+    bloom_build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    t.append(payload, n=3)
+    bloom_append_s = time.perf_counter() - t0
+    assert t.last_index_scan is not None and len(t.last_index_scan) == 1, (
+        f"append maintenance scanned {t.last_index_scan}"
+    )
+    out_probe, scanned, total = t.lookup_eq("k", 9_000_000_001)
+    assert out_probe.count() >= 1 and scanned < total
+
     out = {
         "n_files": n_files,
         "sharded": sharded,
@@ -123,6 +138,8 @@ def measure(spark, n_files: int) -> dict:
         "meta_serialize_s": round(ser_s, 4),
         "append_commit_s": round(append_s, 3),
         "append_steady_s": round(append2_s, 3),
+        "bloom_build_s": round(bloom_build_s, 3),
+        "bloom_append_s": round(bloom_append_s, 3),
         "hardlink_loop_s": round(link_s, 3),
     }
     shutil.rmtree(root, ignore_errors=True)
