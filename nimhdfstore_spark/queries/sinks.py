@@ -328,7 +328,9 @@ def x208(spark, sf_dir):
     t = store.put("part_inc", part, overwrite=True)
     t.cluster_by(F.xxhash64("p_partkey"))
     t.build_bloom("p_partkey", bits=16384, k=3)
-    entries_before = dict(t._meta["bloom"]["p_partkey"]["files"])
+    # _bloom_files materializes inline OR shard-packed bitmaps (the index
+    # shards with the manifests past the inline threshold)
+    entries_before = dict(t._bloom_files(t._meta["bloom"]["p_partkey"]))
 
     syn = spark.createDataFrame(
         [(_X208_NEW - 1, "synthetic", "synthetic", "synthetic", 0, 0.0),
@@ -347,14 +349,14 @@ def x208(spark, sf_dir):
 
     # plan gate: the maintenance scan touched EXACTLY the new files; every
     # pre-existing entry survived bit-identical (no rebuild scan happened)
-    idx = t._meta["bloom"]["p_partkey"]
-    new_files = sorted(set(idx["files"]) - set(entries_before))
+    fmap = t._bloom_files(t._meta["bloom"]["p_partkey"])
+    new_files = sorted(set(fmap) - set(entries_before))
     if t.last_index_scan != new_files or not new_files:
         raise AssertionError(
             f"index maintenance scanned {t.last_index_scan}, "
             f"expected exactly the new files {new_files}"
         )
-    if any(idx["files"][n] != h for n, h in entries_before.items()):
+    if any(fmap[n] != h for n, h in entries_before.items()):
         raise AssertionError("a kept file's bloom entry was rebuilt")
 
     old_probe, s1, total1 = t.lookup_eq("p_partkey", _X208_KEY)

@@ -82,13 +82,19 @@ def _catalog(options) -> tuple[str, list[dict]]:
         return _catalog({**options, "table": meta["link_to"]})
     snap_dir = os.path.join(root, table, meta["current"])
     entries = meta.get("files")
-    if entries is None:
+    if entries is None and "manifests" in meta:
         # sharded catalog (store.py _pack_files): concatenate the shards
         entries = []
-        for shard in meta.get("manifests", []):
+        for shard in meta["manifests"]:
             with open(os.path.join(root, table, "_manifests", shard)) as f:
                 entries.extend(json.load(f))
         entries.sort(key=lambda e: e["lo"])
+    elif entries is None:
+        # meta predates file catalogs: scan footers like Table._ranges
+        # does (an empty list here would silently return zero rows)
+        from nimhdfstore_spark.store import scan_rowid_ranges
+
+        entries = scan_rowid_ranges(snap_dir)
     files = [
         {**e, "path": os.path.join(snap_dir, e["name"])} for e in entries
     ]

@@ -157,6 +157,40 @@ def _logical_to_raw(
     return out
 
 
+def scan_rowid_ranges(
+    snap_dir: str, skip: frozenset | set = frozenset()
+) -> list[dict]:
+    """Per-file ``_rowid`` (lo, hi, rows) from the Parquet footers under
+    ``snap_dir``, sorted by ``lo`` — the file-catalog scan shared by the
+    Store commit path and the Python DataSource's legacy-meta fallback."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(snap_dir, "*.parquet"))):
+        if os.path.basename(f) in skip:
+            continue
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == ROWID
+        )
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append(
+            {"name": os.path.basename(f), "lo": int(lo), "hi": int(hi),
+             "rows": md.num_rows}
+        )
+    out.sort(key=lambda e: e["lo"])
+    return out
+
+
 class StoreError(Exception):
     pass
 
@@ -267,7 +301,13 @@ class LockfileCommitter:
     critical section) is eliminated rather than narrowed. Lockfiles live
     under ``<root>/_locks/`` — outside the table directory — and are never
     unlinked, so ``drop`` + recreate can never swap the inode a waiting
-    committer is blocked on (the classic flock-on-unlinked-file race)."""
+    committer is blocked on (the classic flock-on-unlinked-file race).
+
+    Scope: local/cluster-local filesystems, where flock(2) semantics are
+    kernel-guaranteed. On network filesystems flock is implementation-
+    dependent, and on object stores there is no flock at all — those
+    deployments use :class:`ConditionalPutCommitter` (the If-Match PUT
+    contract) instead."""
 
     #: give up waiting for a live-but-stuck committer; flock means an
     #: ABANDONED (crashed) committer never makes a waiter wait at all
@@ -356,6 +396,12 @@ class MemoryCatalogBackend:
         self._mu = threading.Lock()
         self._entries: dict[tuple[str, str], dict] = {}
 
+    def delete(self, key: tuple[str, str]) -> None:
+        """Unconditional catalog-entry delete (the DELETE request a drop
+        issues against a real object-store catalog)."""
+        with self._mu:
+            self._entries.pop(key, None)
+
     def put_if(
         self,
         key: tuple[str, str],
@@ -397,6 +443,11 @@ class ConditionalPutCommitter:
 
     def __init__(self, backend: MemoryCatalogBackend) -> None:
         self.backend = backend
+
+    def on_drop(self, store: "Store", name: str) -> None:
+        """Drop deletes the catalog entry, else the recreate's version-0
+        CAS would forever conflict with the ghost entry."""
+        self.backend.delete((store.root, name))
 
     def flip(
         self,
@@ -545,13 +596,28 @@ class Store:
             sdir = os.path.join(self._table_dir(name), snap)
             if not os.path.isdir(sdir):
                 # ConditionalPutCommitter snapshots carry a unique per-
-                # attempt suffix (snap-NNNNNNNN-<hex>); resolve by number
-                import glob as _glob
+                # attempt suffix (snap-NNNNNNNN-<hex>); resolve by number.
+                # The catalog's own current name wins outright — a racing
+                # conflict loser's same-numbered dir can transiently
+                # coexist and must never make the COMMITTED snapshot look
+                # ambiguous.
+                if meta["current"].startswith(snap + "-"):
+                    snap = meta["current"]
+                    sdir = os.path.join(self._table_dir(name), snap)
+                else:
+                    import glob as _glob
 
-                hits = _glob.glob(sdir + "-*")
-                if len(hits) == 1:
-                    snap = os.path.basename(hits[0])
-                    sdir = hits[0]
+                    hits = _glob.glob(sdir + "-*")
+                    if len(hits) == 1:
+                        snap = os.path.basename(hits[0])
+                        sdir = hits[0]
+                    elif len(hits) > 1:
+                        raise StoreError(
+                            f"snapshot {snapshot} of {name!r} is ambiguous "
+                            f"({sorted(os.path.basename(h) for h in hits)}):"
+                            " conflict debris shares its number — vacuum,"
+                            " then retry"
+                        )
             if snap == meta["current"]:
                 pass  # current: plain handle below
             elif not os.path.isdir(sdir):
@@ -600,6 +666,13 @@ class Store:
             raise StoreError(f"no such table: {name!r}")
         shutil.rmtree(self._table_dir(name))
         self._invalidate(name)
+        # a committer holding catalog state outside the table dir (the
+        # conditional-PUT backend) must delete its entry too, or a dropped
+        # table can never be recreated (every put would CAS against the
+        # ghost version)
+        on_drop = getattr(self.committer, "on_drop", None)
+        if on_drop is not None:
+            on_drop(self, name)
 
     def _invalidate(self, name: str) -> None:
         """Evict cached base frames for ``name``: a drop + re-create reuses
@@ -762,17 +835,34 @@ class Store:
         current snapshot out from under every reader (caught by the
         threaded conditional-PUT contention test)."""
         tdir = self._table_dir(name)
-        protected = set()
         try:
-            protected.add(self._read_meta(name).get("current"))
+            current = self._read_meta(name).get("current")
         except StoreError:
-            pass
-        snaps = sorted(
+            current = None
+        snaps = [
             e for e in os.listdir(tdir)
             if e.startswith("snap-") and os.path.isdir(os.path.join(tdir, e))
-        )
-        for e in snaps[: -self.keep_snapshots]:
-            if e in protected:
+        ]
+
+        def num(e: str) -> int:
+            try:
+                return int(e.split("-")[1])
+            except (IndexError, ValueError):
+                return -1
+
+        # Retention is by snapshot NUMBER, newest keep_snapshots numbers —
+        # name-order retention miscounted when a conflict loser's same-
+        # numbered unique-suffixed dir transiently coexisted (it occupied a
+        # kept slot and pushed a REAL retained history snapshot out of the
+        # window). A non-current dir sharing the current's number is that
+        # loser's debris and is removed regardless.
+        cur_num = num(current) if current else None
+        keep_nums = set(sorted({num(e) for e in snaps})[-self.keep_snapshots:])
+        for e in snaps:
+            if e == current:
+                continue
+            n = num(e)
+            if n in keep_nums and n != cur_num:
                 continue
             shutil.rmtree(os.path.join(tdir, e), ignore_errors=True)
 
@@ -1034,6 +1124,8 @@ class Store:
         with open(tmp, "w") as f:
             json.dump(entries, f)
         os.replace(tmp, os.path.join(d, shard))
+        if len(Store._SHARD_CACHE) > 256:  # long ingest loops: one shard
+            Store._SHARD_CACHE.clear()     # per append primes this cache
         Store._SHARD_CACHE[(self._realroot, name, shard)] = (
             dict(entries) if isinstance(entries, dict) else list(entries)
         )
@@ -1106,31 +1198,7 @@ class Store:
         ``skip`` names files whose entries the caller already has (reused
         hardlinked files at commit time): an append to a 100k-file table
         must read only the NEW files' footers, not 100k of them."""
-        import glob
-
-        import pyarrow.parquet as pq
-
-        out = []
-        for f in sorted(glob.glob(os.path.join(snap_dir, "*.parquet"))):
-            if os.path.basename(f) in skip:
-                continue
-            md = pq.ParquetFile(f).metadata
-            if md.num_rows == 0:
-                continue
-            idx = next(
-                i for i in range(md.num_columns) if md.schema.column(i).name == ROWID
-            )
-            lo = hi = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            out.append(
-                {"name": os.path.basename(f), "lo": int(lo), "hi": int(hi),
-                 "rows": md.num_rows}
-            )
-        out.sort(key=lambda e: e["lo"])
-        return out
+        return scan_rowid_ranges(snap_dir, skip)
 
     # Spark dtypes whose pyarrow-written Parquet encoding is byte-compatible
     # with Spark's own writer within one mixed snapshot. Timestamps are
@@ -2337,7 +2405,11 @@ class Table:
         self._version = int(self._meta["version"])
         for col, zones in carried_zones.items():
             # register under the COMMITTED snapshot path (the committer may
-            # have uniquified the final name)
+            # have uniquified the final name); drop the superseded entry so
+            # an ingest loop doesn't retain one zone list per append
+            Table._ZONE_CACHE.pop((old_dir, col), None)
+            if len(Table._ZONE_CACHE) > 256:
+                Table._ZONE_CACHE.clear()
             Table._ZONE_CACHE[(self.snapshot_path, col)] = zones
         if prune:
             store._prune_snapshots(self.name)

@@ -1,6 +1,8 @@
 """Round-9 regression pins: ADVICE r8 fixes (h5lite name lookup, GIF
-transparent-index palettes, post-backlog sweep rotation) and the
-stale-lock-break race fix in Store._commit_lock."""
+transparent-index palettes, post-backlog sweep rotation), the committer
+protocol (LockfileCommitter's flock replaces the old stale-lock-break
+path; ConditionalPutCommitter is the object-store double), and the
+sharded manifest lifecycle."""
 
 from __future__ import annotations
 
@@ -312,6 +314,52 @@ def test_conditional_put_time_travel_unique_snapshots(spark, tmp_path):
     old = store.table("t", snapshot=first)
     assert [r[0] for r in rows_of(old.df())] == [1, 2, 3]
     assert [r[0] for r in rows_of(store.table("t").df())] == [1, 2, 3, 50]
+
+
+def test_conditional_put_drop_recreate(spark, tmp_path):
+    """Drop must delete the backend's catalog entry — without on_drop the
+    recreate's version-0 CAS conflicted with the ghost entry forever."""
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter,
+        MemoryCatalogBackend,
+        Store,
+    )
+
+    committer = ConditionalPutCommitter(MemoryCatalogBackend())
+    store = Store(spark, str(tmp_path / "dr"), committer=committer)
+    store.put("t", particles(spark, n=3, start=1), order_by=["lati"])
+    store.drop("t")
+    t = store.put("t", particles(spark, n=5, start=50), order_by=["lati"])
+    assert t.nrows == 5
+    assert [r[0] for r in rows_of(t.df())] == [50, 51, 52, 53, 54]
+
+
+def test_prune_retention_survives_conflict_debris(spark, tmp_path):
+    """keep_snapshots=2: a conflict loser's same-numbered dir must neither
+    evict a real retained history snapshot from the keep window nor
+    survive pruning itself."""
+    import os
+
+    from nimhdfstore_spark.store import Store, _SNAP
+
+    store = Store(spark, str(tmp_path / "pr"), keep_snapshots=2)
+    t = store.put("t", particles(spark, n=3, start=1), order_by=["lati"])
+    hist = store.snapshots("t")[-1]
+    t.append(particles(spark, n=1, start=100))  # history + current on disk
+    cur = store.table("t")._meta["current"]
+    cur_no = int(cur.split("-")[1])
+    # plant loser debris sharing the CURRENT snapshot number
+    debris = os.path.join(
+        store._table_dir("t"), _SNAP.format(cur_no) + "-zzzzzzzz"
+    )
+    os.makedirs(debris)
+    store._prune_snapshots("t")
+    assert not os.path.isdir(debris), "conflict debris survived pruning"
+    # the real history snapshot stayed within the keep window
+    assert [r[0] for r in rows_of(store.table("t", snapshot=hist).df())] == [
+        1, 2, 3,
+    ]
+    assert store.table("t").nrows == 4
 
 
 def test_crashed_committer_flock_releases_automatically(spark, tmp_path):

@@ -204,7 +204,7 @@ def test_bloom_index_extends_on_append_stale_on_rewrite(spark, tmp_path):
     )
     t = st.put("t", df)
     t.build_bloom("k")
-    old_entries = dict(t._meta["bloom"]["k"]["files"])
+    old_entries = dict(t._bloom_files(t._meta["bloom"]["k"]))
     t.append(
         spark.range(5).select(
             (F.col("id") + 300).cast("long").alias(ROWID),
@@ -212,11 +212,11 @@ def test_bloom_index_extends_on_append_stale_on_rewrite(spark, tmp_path):
         )
     )
     # the index survived, old entries bit-identical, only new files scanned
-    idx = t._meta["bloom"]["k"]
-    assert set(old_entries) < set(idx["files"])
-    assert all(idx["files"][n] == h for n, h in old_entries.items())
+    fmap = t._bloom_files(t._meta["bloom"]["k"])
+    assert set(old_entries) < set(fmap)
+    assert all(fmap[n] == h for n, h in old_entries.items())
     assert t.last_index_scan == sorted(
-        set(idx["files"]) - set(old_entries)
+        set(fmap) - set(old_entries)
     ) and len(t.last_index_scan) >= 1
     # probes work for BOTH pre-existing and appended values, still pruning
     out, scanned, total = t.lookup_eq("k", 3)
