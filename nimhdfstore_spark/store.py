@@ -402,6 +402,12 @@ class MemoryCatalogBackend:
         with self._mu:
             self._entries.pop(key, None)
 
+    def delete_store(self, root: str) -> None:
+        """Delete every entry under one store root (mode='w' truncate)."""
+        with self._mu:
+            for k in [k for k in self._entries if k[0] == root]:
+                del self._entries[k]
+
     def put_if(
         self,
         key: tuple[str, str],
@@ -448,6 +454,11 @@ class ConditionalPutCommitter:
         """Drop deletes the catalog entry, else the recreate's version-0
         CAS would forever conflict with the ghost entry."""
         self.backend.delete((store.root, name))
+
+    def on_truncate(self, store: "Store") -> None:
+        """mode='w' truncate clears every entry under the root (same ghost
+        hazard as drop, store-wide)."""
+        self.backend.delete_store(store.root)
 
     def flip(
         self,
@@ -540,6 +551,9 @@ class Store:
             return
         if mode == "w" and os.path.isdir(self.root):
             shutil.rmtree(self.root)
+            on_truncate = getattr(self.committer, "on_truncate", None)
+            if on_truncate is not None:  # see ConditionalPutCommitter
+                on_truncate(self)
         os.makedirs(self.root, exist_ok=True)
 
     def _require_writable(self) -> None:

@@ -334,6 +334,51 @@ def test_conditional_put_drop_recreate(spark, tmp_path):
     assert [r[0] for r in rows_of(t.df())] == [50, 51, 52, 53, 54]
 
 
+def test_conditional_put_truncate_recreate(spark, tmp_path):
+    """mode='w' truncate clears the backend's entries under the root —
+    the store-wide variant of the drop ghost hazard."""
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter,
+        MemoryCatalogBackend,
+        Store,
+    )
+
+    committer = ConditionalPutCommitter(MemoryCatalogBackend())
+    root = str(tmp_path / "tr")
+    Store(spark, root, committer=committer).put(
+        "t", particles(spark, n=3, start=1), order_by=["lati"]
+    )
+    fresh = Store(spark, root, mode="w", committer=committer)
+    t = fresh.put("t", particles(spark, n=2, start=50), order_by=["lati"])
+    assert [r[0] for r in rows_of(t.df())] == [50, 51]
+
+
+def test_vacuum_reclaims_orphan_manifest_shards(spark, tmp_path, monkeypatch):
+    """Conflict-loser / superseded shards are reclaimed by vacuum once
+    past the age gate; referenced shards are never touched."""
+    import os
+    import time
+
+    from nimhdfstore_spark.store import Store
+
+    monkeypatch.setattr(Store, "_MANIFEST_INLINE_MAX", 4)
+    st = Store(spark, str(tmp_path / "gc"), rows_per_file=10)
+    t = st.put("t", _mk(spark, 100))
+    live = set(t._meta["manifests"])
+    orphan = st._write_manifest("t", [{"name": "ghost", "lo": 0, "hi": 1,
+                                       "rows": 2}])
+    opath = os.path.join(st._manifest_dir("t"), orphan)
+    st.vacuum(retain=1)
+    assert os.path.isfile(opath), "young orphan must survive the age gate"
+    old = time.time() - 100_000
+    os.utime(opath, (old, old))
+    st.vacuum(retain=1)
+    assert not os.path.isfile(opath), "aged orphan shard not reclaimed"
+    for s in live:
+        assert os.path.isfile(os.path.join(st._manifest_dir("t"), s))
+    assert st.table("t").nrows == 100
+
+
 def test_prune_retention_survives_conflict_debris(spark, tmp_path):
     """keep_snapshots=2: a conflict loser's same-numbered dir must neither
     evict a real retained history snapshot from the keep window nor
