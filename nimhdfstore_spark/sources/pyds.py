@@ -186,7 +186,24 @@ class StoreDataSource(DataSource):
     def name(cls) -> str:
         return "nimhdfstore"
 
-    def schema(self) -> str:
+    def schema(self):
+        # plan-time schema from the persisted catalog entry: no footer read
+        # (and a zero-file table — delete-to-empty — stays readable)
+        root, table = self.options.get("store"), self.options.get("table")
+        if root and table:
+            try:
+                with open(os.path.join(root, table, "_meta.json")) as f:
+                    meta = json.load(f)
+                while "link_to" in meta:
+                    table = meta["link_to"]
+                    with open(os.path.join(root, table, "_meta.json")) as f:
+                        meta = json.load(f)
+                if meta.get("schema"):
+                    from pyspark.sql.types import StructType
+
+                    return StructType.fromJson(json.loads(meta["schema"]))
+            except (OSError, ValueError, KeyError):
+                pass  # fall through to the footer path below
         import pyarrow.parquet as pq
 
         _snap, files = _catalog(self.options)
