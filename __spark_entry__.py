@@ -23,8 +23,22 @@ _registry.load_all()
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: canonical-rowid strided hyperslab + projection over
-    lineitem (SURVEY §2.14 Q6) at sf0.001."""
-    return _registry.QUERIES["q06_hyperslab"](spark, "/root/testdata/sf0.001")
+    lineitem (SURVEY §2.14 Q6) at sf0.001. Inlined rather than pulled from
+    the registry: the old q06_hyperslab row merged into the rotating
+    q03_positional_suite, whose returned leg (and schema) changes per round
+    — entry()'s smoke contract wants a stable schema."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from nimhdfstore_spark.operators import positional
+    from nimhdfstore_spark.rowid import ROWID
+    from nimhdfstore_spark.tables import load_pos
+
+    df = load_pos(spark, "/root/testdata/sf0.001", "lineitem")
+    return (
+        df.where(positional.hyperslab(offset=1000, count=50, stride=7))
+        .select(ROWID, "l_quantity", "l_extendedprice")
+        .orderBy(ROWID)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

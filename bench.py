@@ -113,9 +113,9 @@ def main() -> None:
     # measured query doesn't absorb JVM warmup. Runs at sf0.001, not the
     # bench scale factor — no bench-data caching.
     try:
-        registry.QUERIES["q06_hyperslab"](spark, "/root/testdata/sf0.001").write.format(
-            "noop"
-        ).mode("overwrite").save()
+        registry.QUERIES["q03_positional_suite"](
+            spark, "/root/testdata/sf0.001"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
     # Once-per-session infrastructure registration (uncounted, same stance
