@@ -203,3 +203,147 @@ class TestSchemaInMeta:
         _kv(spark, [(1, 1.0)]).write.parquet(p)
         with pytest.raises(StoreError, match=ROWID):
             scan_rowid_ranges(p)
+
+
+# --------------------------------------------------------------------------
+# Two-process writer-writer contention for BOTH committers (round-9 verdict
+# ask #4): the flock committer was proven under real process races in
+# test_round12; the conditional-PUT protocol only ever ran against the
+# in-process MemoryCatalogBackend. FileCatalogBackend makes the catalog
+# durable and cross-process — the same race must hold.
+# --------------------------------------------------------------------------
+
+_WORKER_SRC = '''
+import sys
+sys.path.insert(0, "/root/repo")
+root, base, committer_kind, cat = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from nimhdfstore_spark.store import (
+    ConditionalPutCommitter, FileCatalogBackend, LockfileCommitter, Store,
+)
+committer = (
+    LockfileCommitter() if committer_kind == "lockfile"
+    else ConditionalPutCommitter(FileCatalogBackend(cat))
+)
+t = Store(spark, root, committer=committer).table("t")
+for i in range(5):
+    df = spark.createDataFrame(
+        [(base + i, 1, 100.0, 20.0)],
+        "lati long, longi long, pressure double, temperature double",
+    )
+    t.append(df)  # auto-retries on StoreConflictError
+spark.stop()
+print("WORKER-OK", base)
+'''
+
+
+@pytest.mark.parametrize("kind", ["lockfile", "condput_file"])
+def test_two_process_append_contention_both_committers(spark, tmp_path, kind):
+    import subprocess
+    import sys
+
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter,
+        FileCatalogBackend,
+        LockfileCommitter,
+    )
+
+    root = str(tmp_path / "mpstore")
+    cat = str(tmp_path / "catalog.json")
+    committer = (
+        LockfileCommitter() if kind == "lockfile"
+        else ConditionalPutCommitter(FileCatalogBackend(cat))
+    )
+    seed = spark.createDataFrame(
+        [(1, 1, 100.0, 20.0), (2, 1, 100.0, 20.0)],
+        "lati long, longi long, pressure double, temperature double",
+    )
+    Store(spark, root, committer=committer).put("t", seed, order_by=["lati"])
+
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER_SRC)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), root, str(base), kind, cat],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for base in (1000, 2000)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        assert "WORKER-OK" in out
+    final = Store(spark, root, committer=committer).table("t")
+    keys = sorted(r["lati"] for r in final.df().collect())
+    assert keys == [1, 2] + list(range(1000, 1005)) + list(range(2000, 2005)), (
+        f"a concurrently committed append was lost ({kind}): {keys}"
+    )
+    assert final.nrows == 12
+
+
+def test_file_catalog_backend_realpath_keying(spark, tmp_path):
+    """ADVICE r9: two handles spelling the same root differently must CAS
+    against one catalog entry (keys are canonicalized via realpath)."""
+    import os
+
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter,
+        FileCatalogBackend,
+        StoreConflictError,
+    )
+
+    backend = FileCatalogBackend(str(tmp_path / "cat.json"))
+    real = str(tmp_path / "store")
+    os.makedirs(real)
+    alias = str(tmp_path / "alias")
+    os.symlink(real, alias)
+
+    df = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    a = Store(spark, real, committer=ConditionalPutCommitter(backend))
+    a.put("t", df, order_by=["k"])
+    ta = a.table("t")
+    b = Store(spark, alias, committer=ConditionalPutCommitter(backend))
+    tb = b.table("t")
+
+    ta.set_attrs(x=1)  # bumps the shared catalog entry
+    with pytest.raises(StoreConflictError):
+        tb.set_attrs(y=2)  # the symlink spelling must SEE that bump
+
+
+def test_above_current_snapshot_is_debris(spark, tmp_path):
+    """ADVICE r9: a crashed conditional-PUT attempt's never-committed
+    snap-N-<hex> dir (N above current) must not resolve, list, or occupy a
+    retention slot."""
+    import os
+
+    store = Store(spark, str(tmp_path / "s"), keep_snapshots=2)
+    df = spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    t = store.put("t", df, order_by=["k"])
+    t.append(spark.createDataFrame([(2, 2.0)], "k bigint, v double"))
+    cur = store.snapshots("t")[-1]
+    # plant crash debris: a complete-looking dir numbered above current
+    tdir = store._table_dir("t")
+    debris = os.path.join(tdir, f"snap-{cur + 3:08d}-deadbeef")
+    os.makedirs(debris)
+    assert store.snapshots("t") == [cur - 1, cur]
+    with pytest.raises(StoreError, match="not retained"):
+        store.table("t", snapshot=cur + 3)
+    # another commit prunes by number: the debris must not evict the real
+    # retained history snapshot (and must itself survive for vacuum)
+    t2 = store.table("t")
+    t2.append(spark.createDataFrame([(3, 3.0)], "k bigint, v double"))
+    snaps = store.snapshots("t")
+    assert snaps == [cur, cur + 1]
+    assert os.path.isdir(debris)  # in-flight-lookalike: left for vacuum
+    # age-gated vacuum reclaims it
+    os.utime(debris, (1, 1))
+    store.vacuum()
+    assert not os.path.isdir(debris)
