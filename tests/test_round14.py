@@ -347,3 +347,178 @@ def test_above_current_snapshot_is_debris(spark, tmp_path):
     os.utime(debris, (1, 1))
     store.vacuum()
     assert not os.path.isdir(debris)
+
+
+# --------------------------------------------------------------------------
+# Degenerate-input hardening for the LLM-pipeline operators (round-9
+# verdict ask #5): every extension family's primary operator must behave
+# (not crash) on zero-document and single-document corpora — the same
+# hypothesis-style edge the mutation model surfaced for the store.
+# --------------------------------------------------------------------------
+
+_TEXTS = ["the quick brown fox jumps over the lazy dog and runs far away"]
+_DIMS = 8
+
+
+def _docs(spark, n):
+    rows = [(i, _TEXTS[0]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _embs(spark, n):
+    rows = [(i, [float(j + i) for j in range(_DIMS)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _edges(spark, n):
+    rows = [(0, 0, 1)] if n else []
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def _op_cases():
+    from nimhdfstore_spark.operators import (
+        decontam,
+        dedup,
+        graph,
+        sampling,
+        similarity,
+        sketches,
+        text,
+    )
+
+    def rows_eq(expect):
+        return lambda out, n: out.count() == expect(n)
+
+    none_ = rows_eq(lambda n: 0)
+    n_ = rows_eq(lambda n: n)
+
+    return {
+        "exact_dedup": (
+            lambda s, n: dedup.exact_dedup(_docs(s, n), ["text"], "doc_id"),
+            rows_eq(lambda n: min(n, 1)),
+        ),
+        "ngram_jaccard_pairs": (
+            lambda s, n: dedup.ngram_jaccard_pairs(
+                _docs(s, n), "doc_id", "text"),
+            none_,
+        ),
+        "minhash_lsh_pairs": (
+            lambda s, n: dedup.minhash_lsh_pairs(_docs(s, n), "doc_id", "text"),
+            none_,
+        ),
+        "simhash_pairs": (
+            lambda s, n: dedup.simhash_pairs(_docs(s, n), "doc_id", "text"),
+            none_,
+        ),
+        "embedding_lsh_pairs": (
+            lambda s, n: dedup.embedding_lsh_pairs(
+                _embs(s, n), "vec_id", "embedding", dims=_DIMS, num_planes=16,
+                bands=4),
+            none_,
+        ),
+        "duplicate_spans": (
+            lambda s, n: dedup.duplicate_spans(_docs(s, n), k=8, sample_mod=2),
+            lambda out, n: out.count() >= 0,
+        ),
+        "connected_components": (
+            lambda s, n: dedup.connected_components(
+                s.createDataFrame([], "id_a long, id_b long"),
+                _docs(s, n).select(F.col("doc_id").alias("id"))),
+            n_,
+        ),
+        "brute_force_topk": (
+            lambda s, n: similarity.brute_force_topk(
+                _embs(s, n), _embs(s, n), k=3),
+            none_,  # include_self=False: a single vector has no neighbor
+        ),
+        "ivf_topk": (
+            lambda s, n: similarity.ivf_topk(
+                _embs(s, n), _embs(s, n), k=3, num_centroids=4, nprobe=2),
+            lambda out, n: out.count() >= 0,
+        ),
+        "semantic_dedup": (
+            lambda s, n: similarity.semantic_dedup(_embs(s, n), k=4),
+            n_,  # nothing to drop without a smaller-id neighbor
+        ),
+        "lang_id_table": (
+            lambda s, n: text.lang_id_table(_docs(s, n)),
+            n_,
+        ),
+        "gopher_quality": (
+            lambda s, n: text.gopher_quality(_docs(s, n)),
+            n_,
+        ),
+        "fingerprint": (
+            lambda s, n: _docs(s, n).select(
+                text.fingerprint(F.col("text")).alias("fp")),
+            n_,
+        ),
+        "ngram_decontaminate": (
+            lambda s, n: decontam.ngram_decontaminate(
+                _docs(s, n), _docs(s, 1)),
+            n_,
+        ),
+        "ngram_decontaminate_empty_benchmark": (
+            lambda s, n: decontam.ngram_decontaminate(
+                _docs(s, n), _docs(s, 0)),
+            n_,
+        ),
+        "decontaminate_spans": (
+            lambda s, n: decontam.decontaminate_spans(_docs(s, n), _docs(s, 1)),
+            n_,
+        ),
+        "decontaminate_spans_empty_benchmark": (
+            lambda s, n: decontam.decontaminate_spans(_docs(s, n), _docs(s, 0)),
+            n_,
+        ),
+        "hash_sample": (
+            lambda s, n: sampling.hash_sample(_docs(s, n), "doc_id", 0.5),
+            lambda out, n: out.count() <= n,
+        ),
+        "fixed_size_hash_sample": (
+            lambda s, n: sampling.fixed_size_hash_sample(
+                _docs(s, n), "doc_id", k=5),
+            n_,  # k > n: all n rows
+        ),
+        "bloom_bitmap_probe": (
+            # integer keys by contract (sample_hash hashes integer ids)
+            lambda s, n: sketches.bloom_probe(
+                _docs(s, n).select(F.col("doc_id").alias("key")),
+                "key",
+                sketches.bloom_bitmap(
+                    _docs(s, n).select(F.col("doc_id").alias("key")), "key")),
+            n_,
+        ),
+        "hll_estimate": (
+            lambda s, n: sketches.hll_estimate(
+                sketches.hll_registers(_docs(s, n), "doc_id")),
+            rows_eq(lambda n: 1),  # one estimate row, even for zero keys
+        ),
+        "pagerank": (
+            lambda s, n: graph.pagerank_fixed_point(
+                _edges(s, n),
+                s.createDataFrame([(max(n, 0),)], "n_nodes long")),
+            lambda out, n: out.count() >= 0,
+        ),
+        "triangle_count": (
+            lambda s, n: graph.triangle_count(
+                _edges(s, n).select(
+                    F.col("src").alias("u"), F.col("dst").alias("v"))),
+            lambda out, n: out.count() >= 0,
+        ),
+        "bfs_hops": (
+            lambda s, n: graph.bfs_hops(
+                _edges(s, n).select("src", "dst"), source=0, max_hops=2),
+            lambda out, n: out.count() >= 0,
+        ),
+    }
+
+
+@pytest.mark.parametrize("n", [0, 1])
+@pytest.mark.parametrize("name", sorted(_op_cases().keys()))
+def test_pipeline_ops_degenerate_inputs(spark, name, n):
+    fn, check = _op_cases()[name]
+    out = fn(spark, n)
+    assert check(out, n), (
+        f"{name} at n={n}: got {out.count()} rows / {out.columns}"
+    )
