@@ -180,6 +180,14 @@ def _parse_dt(buf: bytes, pos: int) -> tuple[np.dtype, np.dtype, int]:
         dt = np.dtype(f"<f{size}")
         return dt, dt, pos
     if cls == 3:  # string
+        # corrupted u32 sizes past C-int range make numpy WRAP the itemsize
+        # negative (np.dtype("S4294967295").itemsize == -1): frombuffer then
+        # raises "negative dimensions", np.zeros raises MemoryError, and a
+        # compound member silently truncates to the parent's itemsize —
+        # none of them the documented malformed-file ValueError (ADVICE r9
+        # size-validation audit)
+        if not 0 <= size < 2**31:
+            raise ValueError(f"invalid string datatype size {size}")
         dt = np.dtype(f"S{size}")
         return dt, dt, pos
     if cls == 9:  # variable-length (sequence or string); base type follows

@@ -522,3 +522,40 @@ def test_pipeline_ops_degenerate_inputs(spark, name, n):
     assert check(out, n), (
         f"{name} at n={n}: got {out.count()} rows / {out.columns}"
     )
+
+
+def test_open_schema_count_read_zero_footers(spark, tmp_path, monkeypatch):
+    """Round-9 verdict ask #8: with the schema persisted in the catalog
+    entry, open + schema + count of a SHARDED-manifest table must touch
+    zero parquet footers (at 100k files each footer read is real IO; the
+    open path used to read one per open and _new_rows another per append).
+    Sharding is forced with a tiny inline threshold; footer reads are
+    counted by intercepting pyarrow.parquet.ParquetFile."""
+    import pyarrow.parquet as pq
+
+    from nimhdfstore_spark.store import Store as S
+
+    monkeypatch.setattr(S, "_MANIFEST_INLINE_MAX", 4)
+    store = S(spark, str(tmp_path / "s"), rows_per_file=2)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k bigint, v double")
+    store.put("t", df, order_by=["k"])  # 10 files > inline max -> sharded
+    assert "manifests" in store._read_meta("t")
+
+    calls: list[str] = []
+    real = pq.ParquetFile
+
+    def counting(path, *a, **kw):
+        calls.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    fresh = S(spark, store.root)  # new handle: no warm caches
+    t = fresh.table("t")
+    assert t.nrows == 20
+    assert [f.name for f in t.schema.fields] == ["k", "v"]
+    t.check_compatibility(t.schema)
+    assert calls == [], f"open/schema path read footers: {calls}"
+    # appends footer-scan ONLY their new files
+    t.append(spark.createDataFrame([(100, 1.0)], "k bigint, v double"))
+    assert len(calls) == 1, f"append must scan only its new file: {calls}"
