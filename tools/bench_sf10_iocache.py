@@ -75,7 +75,20 @@ def run_config(max_partition_bytes: str | None) -> dict:
 
 
 def main() -> None:
-    results = [run_config(None), run_config("32m")]
+    # one PROCESS per config: the sorted-parquet verification memo
+    # (tables._SORTED_CACHE) is process-level, so a second in-process
+    # config would skip the cold footer+key verification the first paid
+    if len(sys.argv) > 1:
+        print(json.dumps(run_config(
+            None if sys.argv[1] == "default" else sys.argv[1])))
+        return
+    results = []
+    for conf in ("default", "32m"):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), conf],
+            capture_output=True, text=True, check=True,
+        )
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
     print(json.dumps({"sf": 10, "query": "q01_full_scan",
                       "configs": results}))
 
