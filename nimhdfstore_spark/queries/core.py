@@ -1215,3 +1215,37 @@ def q50(spark, sf_dir):
         ("file_backend", file_df, lock_df),
     ])
     return lock_df.orderBy(ROWID)
+
+
+# --------------------------------------------------------------------------
+# x209 — empty-table lifecycle (round-10 verdict "what's wrong" #1 made
+# driver-verifiable): delete a table down to ZERO rows, prove the empty
+# state reads as a typed frame (the reference's table is readable at
+# nrecords=0, nimtables.nim:140-147 — a zero-file snapshot used to raise
+# UNABLE_TO_INFER_SCHEMA), then append and return the revived rows with
+# rowids restarted at 0. The in-query asserts gate the empty state; the
+# returned frame proves the append-after-empty path end to end.
+# --------------------------------------------------------------------------
+
+_X209_SQL = f"""
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(10 AS BIGINT), CAST(1.5 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(11 AS BIGINT), CAST(2.5 AS DOUBLE))
+) t({ROWID}, k, v) ORDER BY {ROWID}
+"""
+
+
+@query("x209_empty_table_lifecycle", _X209_SQL)
+def x209(spark, sf_dir):
+    store = scratch_store(spark, f"x209-{os.path.basename(sf_dir)}")
+    five = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k bigint, v double"
+    )
+    t = store.put("t", five, order_by=["k"], overwrite=True)
+    t.delete(0, 4)  # file-pruned delete leaves a zero-file snapshot
+    if t.nrows != 0 or t.df().count() != 0:
+        raise AssertionError("emptied table must read as zero rows")
+    if [f.name for f in t.schema.fields] != ["k", "v"]:
+        raise AssertionError("emptied table must keep its typed schema")
+    t.append(spark.createDataFrame([(10, 1.5), (11, 2.5)], "k bigint, v double"))
+    return t.df().orderBy(ROWID)
