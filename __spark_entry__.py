@@ -27,8 +27,6 @@ def entry(spark: SparkSession) -> DataFrame:
     the registry: the old q06_hyperslab row merged into the rotating
     q03_positional_suite, whose returned leg (and schema) changes per round
     — entry()'s smoke contract wants a stable schema."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     from nimhdfstore_spark.operators import positional
     from nimhdfstore_spark.rowid import ROWID
     from nimhdfstore_spark.tables import load_pos

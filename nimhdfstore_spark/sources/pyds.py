@@ -324,6 +324,27 @@ class StoreWriter(DataSourceArrowWriter):
             "files": files,
             "count": sum(e["rows"] for e in files),
         }
+        # persist the schema like Store.put does (one footer, best-effort):
+        # Store.table()/schema on a pyds-written table then read the
+        # catalog entry instead of planning a scan, and a later
+        # delete-to-empty stays readable
+        if files:
+            try:
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                arrow = pq.ParquetFile(
+                    os.path.join(snap_dir, files[0]["name"])
+                ).schema_arrow
+                meta["schema"] = from_arrow_schema(arrow).json()
+            except Exception:
+                pass  # footer fallback still works
+        try:
+            from nimhdfstore_spark.store import _write_snap_schema
+
+            if meta.get("schema"):
+                _write_snap_schema(snap_dir, meta["schema"])
+        except Exception:
+            pass
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1, sort_keys=True)

@@ -196,6 +196,28 @@ def scan_rowid_ranges(
     return out
 
 
+_SNAP_SCHEMA = "_schema.json"
+
+
+def _write_snap_schema(snap_dir: str, schema_json: str) -> None:
+    """Persist the schema AT a snapshot inside its (immutable) directory —
+    the authority for time-travel handles, which must not inherit the
+    table's current (possibly evolved) schema."""
+    try:
+        with open(os.path.join(snap_dir, _SNAP_SCHEMA), "w") as f:
+            f.write(schema_json)
+    except OSError:
+        pass  # sidecar is an optimization for hist reads; meta still has it
+
+
+def _read_snap_schema(snap_dir: str) -> str | None:
+    try:
+        with open(os.path.join(snap_dir, _SNAP_SCHEMA)) as f:
+            return f.read()
+    except OSError:
+        return None
+
+
 class StoreError(Exception):
     pass
 
@@ -219,10 +241,14 @@ def _racer_prune_errors() -> tuple:
     mid-plan/mid-job: Spark analysis/execution errors (missing input files)
     plus local IO errors (the driver-direct write path and footer scans).
     Only these are candidates for conflict reclassification in
-    ``Table.append`` — anything else is a genuine failure."""
+    ``Table.append`` — a StoreError, assertion, or arbitrary Python failure
+    is never swallowed. The classes are still broad families (ENOSPC is an
+    OSError too): the stale-handle check remains the real gate, and the
+    original exception is chained into the StoreConflictError so a
+    misclassified failure stays diagnosable after the retries drain."""
     from pyspark.errors import PySparkException
 
-    classes: list[type] = [PySparkException, FileNotFoundError, OSError]
+    classes: list[type] = [PySparkException, OSError]
     try:
         from py4j.protocol import Py4JError
 
@@ -233,6 +259,44 @@ def _racer_prune_errors() -> tuple:
 
 
 _RACER_PRUNE_ERRORS = _racer_prune_errors()
+
+
+def _flock_held(path: str, timeout_s: float, timeout_msg: str,
+                write_pid: bool = False):
+    """Context manager: kernel-owned ``flock(2)`` on ``path`` with a bounded
+    non-blocking acquire loop. Crash-safe by construction — a dead holder's
+    lock evaporates with its process, so there is no stale-lock breaking
+    path. Shared by LockfileCommitter (the catalog flip) and
+    FileCatalogBackend (the modeled object-store server)."""
+    import contextlib
+    import fcntl
+    import time
+
+    @contextlib.contextmanager
+    def _held():
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            deadline = time.monotonic() + timeout_s
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except (BlockingIOError, InterruptedError):
+                    if time.monotonic() > deadline:
+                        raise StoreError(timeout_msg)
+                    time.sleep(0.005)
+            try:
+                if write_pid:
+                    os.ftruncate(fd, 0)
+                    os.write(fd, str(os.getpid()).encode())  # debuggability
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
+    return _held()
 
 
 def _collect_payload(df: DataFrame, what: str) -> list:
@@ -340,44 +404,19 @@ class LockfileCommitter:
     LOCK_TIMEOUT_S = 30.0
 
     def _lock(self, store: "Store", name: str):
-        import contextlib
-        import fcntl
-        import time
         import urllib.parse
 
-        @contextlib.contextmanager
-        def _held():
-            d = os.path.join(store.root, "_locks")
-            os.makedirs(d, exist_ok=True)
-            path = os.path.join(
-                d, urllib.parse.quote(name, safe="") + ".lock"
-            )
-            fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
-            try:
-                deadline = time.monotonic() + self.LOCK_TIMEOUT_S
-                while True:
-                    try:
-                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                        break
-                    except (BlockingIOError, InterruptedError):
-                        if time.monotonic() > deadline:
-                            raise StoreError(
-                                f"commit lock on {name!r} held for over "
-                                f"{self.LOCK_TIMEOUT_S:.0f}s — a live "
-                                "committer is stuck (a crashed one releases "
-                                "automatically)"
-                            )
-                        time.sleep(0.005)
-                try:
-                    os.ftruncate(fd, 0)
-                    os.write(fd, str(os.getpid()).encode())  # debuggability
-                    yield
-                finally:
-                    fcntl.flock(fd, fcntl.LOCK_UN)
-            finally:
-                os.close(fd)
-
-        return _held()
+        path = os.path.join(
+            store.root, "_locks", urllib.parse.quote(name, safe="") + ".lock"
+        )
+        return _flock_held(
+            path,
+            self.LOCK_TIMEOUT_S,
+            f"commit lock on {name!r} held for over "
+            f"{self.LOCK_TIMEOUT_S:.0f}s — a live committer is stuck "
+            "(a crashed one releases automatically)",
+            write_pid=True,
+        )
 
     def flip(
         self,
@@ -493,35 +532,12 @@ class FileCatalogBackend:
     def _server(self):
         """The modeled object-store server: an flock held for one
         read-compare-replace request."""
-        import contextlib
-        import fcntl
-        import time
-
-        @contextlib.contextmanager
-        def _held():
-            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-            fd = os.open(self.path + ".srv", os.O_CREAT | os.O_RDWR, 0o644)
-            try:
-                deadline = time.monotonic() + self.LOCK_TIMEOUT_S
-                while True:
-                    try:
-                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                        break
-                    except (BlockingIOError, InterruptedError):
-                        if time.monotonic() > deadline:
-                            raise StoreError(
-                                f"catalog backend {self.path!r} locked for "
-                                f"over {self.LOCK_TIMEOUT_S:.0f}s"
-                            )
-                        time.sleep(0.002)
-                try:
-                    yield
-                finally:
-                    fcntl.flock(fd, fcntl.LOCK_UN)
-            finally:
-                os.close(fd)
-
-        return _held()
+        return _flock_held(
+            self.path + ".srv",
+            self.LOCK_TIMEOUT_S,
+            f"catalog backend {self.path!r} locked for over "
+            f"{self.LOCK_TIMEOUT_S:.0f}s",
+        )
 
     def _load(self) -> dict[str, dict]:
         try:
@@ -752,9 +768,13 @@ class Store:
             # a ConditionalPut committer that died between its rename and
             # the conditional PUT leaves a complete-looking but never-
             # committed snap-N-<hex> dir (ADVICE r9) — serving it would
-            # present uncommitted data as a committed snapshot.
-            cur_no = int(meta["current"].split("-")[1])
-            if snapshot > cur_no:
+            # present uncommitted data as a committed snapshot. A malformed
+            # 'current' degrades to no guard, same as snapshots().
+            try:
+                cur_no = int(meta["current"].split("-")[1])
+            except (KeyError, IndexError, ValueError):
+                cur_no = None
+            if cur_no is not None and snapshot > cur_no:
                 raise StoreError(
                     f"snapshot {snapshot} of {name!r} is not retained "
                     f"(available: {self.snapshots(name)})"
@@ -798,11 +818,15 @@ class Store:
                 hist.pop("manifests", None)  # shards describe CURRENT only
                 hist["files"] = self._scan_ranges(sdir)
                 hist["count"] = sum(e["rows"] for e in hist["files"])
-                if hist["files"]:
-                    # the persisted schema describes CURRENT; the schema may
-                    # have evolved since this snapshot — derive from its own
-                    # files instead (kept only for an EMPTY history snapshot,
-                    # which has no files to derive from)
+                # the META schema describes CURRENT and may have evolved
+                # since this snapshot: the snapshot's own sidecar is the
+                # authority; files (footers) the fallback; the current
+                # schema only a last resort for a pre-sidecar EMPTY
+                # snapshot (nothing else to derive from)
+                snap_schema = _read_snap_schema(sdir)
+                if snap_schema is not None:
+                    hist["schema"] = snap_schema
+                elif hist["files"]:
                     hist.pop("schema", None)
                 # a pending deletion vector overlays CURRENT only; history
                 # shows committed snapshot states. The bloom index likewise
@@ -976,6 +1000,11 @@ class Store:
         # no separate count job (which would recompute the whole sort).
         scanned = self._scan_ranges(os.path.join(tdir, staged))
         meta["count"] = sum(e["rows"] for e in scanned)
+        # snapshot-local schema sidecar: snapshots are immutable, so the
+        # schema AT this snapshot rides inside its directory — time travel
+        # to an EMPTY snapshot must not serve the table's CURRENT (possibly
+        # evolved) schema (round-10 code review, confirmed repro)
+        _write_snap_schema(os.path.join(tdir, staged), meta["schema"])
         self._pack_files(name, meta, scanned)
         if _defer_meta:
             # transaction staging: snapshot written, catalog pointer NOT
@@ -1143,9 +1172,22 @@ class Store:
                         continue
                     if n > cur_no and _time.time() - os.stat(p).st_mtime > 86400:
                         shutil.rmtree(p, ignore_errors=True)
+            def _num(e: str) -> int:
+                try:
+                    return int(e.split("-")[1])
+                except (IndexError, ValueError):
+                    return -1
+
+            # retention counts COMMITTED snapshots only: above-current
+            # debris younger than the age gate would otherwise occupy a
+            # kept slot and evict a real retained history snapshot (the
+            # same hole _prune_snapshots closed; round-10 code review,
+            # confirmed repro). The debris itself is neither doomed nor
+            # kept — the age-gated sweep above owns it.
             snaps = sorted(
                 e for e in os.listdir(tdir)
                 if e.startswith("snap-") and os.path.isdir(os.path.join(tdir, e))
+                and (cur_no is None or _num(e) <= cur_no)
             )
             doomed = [e for e in snaps[:-retain] if e != current] if len(
                 snaps
@@ -2686,12 +2728,16 @@ class Table:
         residual = [e for e in files if e["name"] not in covered]
         # schema maintenance: a full rewrite (no kept files) may change the
         # schema (add_field/drop_field); any commit that keeps files cannot
-        # (mixed snapshots must stay uniform). Tables created before schema
-        # persistence backfill from the pre-commit frame once.
-        if rewrite is not None and rewrite_count > 0 and not keep:
+        # (mixed snapshots must stay uniform). The rewrite's schema is taken
+        # even at rewrite_count == 0 — add_field on an EMPTIED table is a
+        # zero-row full rewrite and must not silently no-op (round-10 code
+        # review, confirmed repro). Tables created before schema persistence
+        # backfill from the pre-commit frame once.
+        if rewrite is not None and not keep:
             self._meta["schema"] = rewrite.schema.json()
         elif "schema" not in self._meta:
             self._meta["schema"] = self.df().schema.json()
+        _write_snap_schema(staged_dir, self._meta["schema"])
         self._meta.update(
             current=snap, count=sum(e["rows"] for e in files)
         )

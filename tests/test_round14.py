@@ -559,3 +559,55 @@ def test_open_schema_count_read_zero_footers(spark, tmp_path, monkeypatch):
     # appends footer-scan ONLY their new files
     t.append(spark.createDataFrame([(100, 1.0)], "k bigint, v double"))
     assert len(calls) == 1, f"append must scan only its new file: {calls}"
+
+
+# --------------------------------------------------------------------------
+# Round-10 code-review regressions (three confirmed-by-repro bugs in the
+# round's own diff, found by the post-hoc review pass).
+# --------------------------------------------------------------------------
+
+def test_add_field_on_emptied_table_sticks(spark, store):
+    """Schema evolution on a zero-row table is a zero-row full rewrite and
+    must not silently no-op (the old guard required rewrite_count > 0)."""
+    t = _emptied(spark, store)
+    t.add_field("w", "int", 7)
+    assert [f.name for f in t.schema.fields] == ["k", "v", "w"]
+    assert [f.name for f in store.table("t").schema.fields] == ["k", "v", "w"]
+    # appends with the evolved schema now succeed
+    t.append(spark.createDataFrame([(1, 1.0, 9)], "k bigint, v double, w int"))
+    assert t.nrows == 1
+    assert t.df().select("w").collect()[0][0] == 9
+    # and drop_field on empty works symmetrically
+    t.delete(0)
+    t.drop_field("w")
+    assert [f.name for f in store.table("t").schema.fields] == ["k", "v"]
+
+
+def test_vacuum_retention_ignores_above_current_debris(spark, tmp_path):
+    """vacuum's keep window must count committed snapshots only: fresh
+    above-current debris occupied a kept slot and evicted a real retained
+    history snapshot."""
+    store = Store(spark, str(tmp_path / "s"), keep_snapshots=8)
+    t = store.put("t", _kv(spark, [(1, 1.0)]), order_by=["k"])
+    t.append(_kv(spark, [(2, 2.0)]))
+    lo, hi = store.snapshots("t")[0], store.snapshots("t")[-1]
+    debris = os.path.join(store._table_dir("t"), f"snap-{hi + 3:08d}-deadbeef")
+    os.makedirs(debris)  # fresh: inside the 24h age gate
+    report = store.vacuum(retain=2)
+    assert store.snapshots("t") == [lo, hi], report
+    assert os.path.isdir(debris)  # age gate protects a possible in-flight
+    h = store.table("t", snapshot=lo)
+    assert h.nrows == 1
+
+
+def test_time_travel_to_empty_snapshot_pre_evolution_schema(spark, store):
+    """An EMPTY history snapshot must serve the schema AT that snapshot,
+    not the table's current evolved one (per-snapshot _schema.json)."""
+    t = _emptied(spark, store)
+    empty_snap = store.snapshots("t")[-1]
+    t.append(_kv(spark, [(1, 1.0)]))
+    t.add_field("w", "int", 7)
+    h = store.table("t", snapshot=empty_snap)
+    assert [f.name for f in h.schema.fields] == ["k", "v"]
+    assert [f.name for f in h.df().schema.fields] == [ROWID, "k", "v"]
+    assert h.df().count() == 0
