@@ -42,21 +42,54 @@ def _cpu_ticks() -> tuple[int | None, int | None]:
         return None, None
 
 
-def _load_minima(sf: str) -> dict[str, float]:
-    """Persisted per-query minima for this scale factor (may be empty)."""
+def _query_fingerprints() -> dict[str, str]:
+    """Per-query source fingerprint: a minimum recorded for an OLD version
+    of a query is unreachable-by-construction once its work changes (q50
+    grew a third committer leg this round and its 2-leg-era 0.83 s minimum
+    inflated every subsequent ratio by a permanent phantom +1.1 s). A
+    changed fingerprint resets that query's minimum instead of letting it
+    poison the ratio forever. Helpers the query calls are deliberately
+    not hashed — only the registered function's own source."""
+    import hashlib
+    import inspect
+
+    from nimhdfstore_spark import queries as registry
+
+    out = {}
+    for name, fn in registry.QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        out[name] = hashlib.sha1(src.encode()).hexdigest()[:12]
+    return out
+
+
+def _load_minima(sf: str, fps: dict[str, str]) -> dict[str, float]:
+    """Persisted per-query minima for this scale factor, DROPPING entries
+    whose query source changed since the minimum was recorded."""
     path = os.path.join(REPO, "bench_minima.json")
     try:
         with open(path) as f:
-            return dict(json.load(f).get(sf, {}))
+            table = json.load(f)
     except (OSError, ValueError):
         return {}
+    mins = dict(table.get(sf, {}))
+    old_fp = table.get("_fp", {})
+    return {
+        n: v for n, v in mins.items()
+        if old_fp.get(n) is None or old_fp.get(n) == fps.get(n)
+    }
 
 
-def _update_minima(sf: str, timings: dict[str, float]) -> float | None:
+def _update_minima(
+    sf: str, timings: dict[str, float], fps: dict[str, str]
+) -> float | None:
     """Fold this run's per-query times into the persisted minima table and
     return the sum of minima over THIS run's queries — the noise-free total
     estimate (steal inflation only ever raises a single run, never lowers a
-    minimum, so the table converges on real cost)."""
+    minimum, so the table converges on real cost). A query whose source
+    fingerprint changed starts a fresh minimum from this run."""
     path = os.path.join(REPO, "bench_minima.json")
     try:
         with open(path) as f:
@@ -64,9 +97,14 @@ def _update_minima(sf: str, timings: dict[str, float]) -> float | None:
     except (OSError, ValueError):
         table = {}
     mins = table.setdefault(sf, {})
+    old_fp = table.setdefault("_fp", {})
     for name, sec in timings.items():
         prev = mins.get(name)
+        if old_fp.get(name) is not None and old_fp.get(name) != fps.get(name):
+            prev = None  # workload changed: the old minimum is unreachable
         mins[name] = round(min(prev, sec) if prev is not None else sec, 3)
+    for name, fp in fps.items():
+        old_fp[name] = fp
     try:
         with open(path, "w") as f:
             json.dump(table, f, indent=1, sort_keys=True)
@@ -177,7 +215,8 @@ def main() -> None:
     # real measured wall time. The re-time pass is budgeted (worst heaviest
     # deltas first, stop past the budget) so an all-stolen window cannot
     # double the bench; raw first-pass totals stay in the record.
-    prev_min = _load_minima(str(sf_num))
+    fps = _query_fingerprints()
+    prev_min = _load_minima(str(sf_num), fps)
     first_run = dict(timings)
     best = dict(timings)
 
@@ -286,7 +325,7 @@ def main() -> None:
         steal_s = round((steal1 - steal0) / os.sysconf("SC_CLK_TCK"), 1)
     if iowait0 is not None and iowait1 is not None:
         iowait_s = round((iowait1 - iowait0) / os.sysconf("SC_CLK_TCK"), 1)
-    min_total = _update_minima(str(sf_num), best)
+    min_total = _update_minima(str(sf_num), best, fps)
     raw_total = round(sum(first_run.values()), 3)
     timings = best
     detail = {
