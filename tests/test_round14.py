@@ -611,3 +611,118 @@ def test_time_travel_to_empty_snapshot_pre_evolution_schema(spark, store):
     assert [f.name for f in h.schema.fields] == ["k", "v"]
     assert [f.name for f in h.df().schema.fields] == [ROWID, "k", "v"]
     assert h.df().count() == 0
+
+
+# --------------------------------------------------------------------------
+# Evolution-aware mutation model (the review's add_field-on-empty bug was
+# exactly a model gap: the round-9 list-model never evolved the schema).
+# Random interleavings of positional mutations WITH add_field/drop_field
+# must keep the read view identical to a plain Python model — including
+# through delete-to-empty states.
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_EV_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["append", "insert", "update", "delete", "delete_deferred",
+             "compact", "add_field", "drop_field"]
+        ),
+        st.integers(0, 999),  # position seed
+        st.integers(1, 3),    # op width
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=_EV_OPS)
+def test_mutation_sequences_with_schema_evolution(spark, ops):
+    import shutil
+
+    path = "/tmp/nimhdfstore_scratch/round14_evmodel"
+    shutil.rmtree(path, ignore_errors=True)
+    store = Store(spark, path)
+    nxt = 1000
+    vs = [i * 10 for i in range(6)]
+    ws: list | None = None  # None = column absent
+    store.put(
+        "t", spark.createDataFrame([(v,) for v in vs], "v long"),
+        order_by=["v"],
+    )
+    t = store.table("t")
+
+    def payload(vals):
+        nonlocal ws
+        if ws is None:
+            return spark.createDataFrame([(v,) for v in vals], "v long")
+        return spark.createDataFrame(
+            [(v, v + 7) for v in vals], "v long, w long"
+        )
+
+    def wvals(vals):
+        return [v + 7 for v in vals]
+
+    for kind, pos_seed, width in ops:
+        n = len(vs)
+        if kind == "append":
+            vals = [nxt + j for j in range(width)]
+            nxt += width
+            t.append(payload(vals))
+            vs.extend(vals)
+            if ws is not None:
+                ws.extend(wvals(vals))
+        elif kind == "insert":
+            i = pos_seed % (n + 1)
+            vals = [nxt + j for j in range(width)]
+            nxt += width
+            t.insert(i, payload(vals))
+            vs[i:i] = vals
+            if ws is not None:
+                ws[i:i] = wvals(vals)
+        elif kind == "update":
+            if n == 0:
+                continue
+            a = pos_seed % n
+            b = min(a + width - 1, n - 1)
+            vals = [nxt + j for j in range(b - a + 1)]
+            nxt += b - a + 1
+            t.update(a, payload(vals), b)
+            vs[a:b + 1] = vals
+            if ws is not None:
+                ws[a:b + 1] = wvals(vals)
+        elif kind in ("delete", "delete_deferred"):
+            if n == 0:
+                continue
+            a = pos_seed % n
+            b = min(a + width - 1, n - 1)
+            getattr(t, kind)(a, b)
+            del vs[a:b + 1]
+            if ws is not None:
+                del ws[a:b + 1]
+        elif kind == "compact":
+            t.compact()
+        elif kind == "add_field":
+            if ws is not None:
+                continue
+            fill = nxt
+            nxt += 1
+            t.add_field("w", "long", fill)
+            ws = [fill] * len(vs)
+        elif kind == "drop_field":
+            if ws is None:
+                continue
+            t.drop_field("w")
+            ws = None
+        # verify the full visible state (schema AND values) after every op
+        cols = ["v"] if ws is None else ["v", "w"]
+        assert [f.name for f in t.schema.fields] == cols, f"after {kind}"
+        rows = t.df().orderBy(ROWID).select(*cols).collect()
+        assert [r["v"] for r in rows] == vs, f"after {kind}"
+        if ws is not None:
+            assert [r["w"] for r in rows] == ws, f"after {kind}"
+    rid = [r[ROWID] for r in t.df().orderBy(ROWID).collect()]
+    assert rid == list(range(len(vs)))
