@@ -483,9 +483,25 @@ def q13(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Q14 — P7 variable-length (array) columns (nimhdf5/datasets.nim:1023-1115;
-# FIXTURES.md F3): vals[j] = id + j/10.0, len = id % 7, round-tripped
-# through a store table.
+# Q14 — the three vlen/HDF5 legs merged into ONE driver row (fourth
+# core-merge wave, with q25_snapshot_suite). ALL legs execute every run;
+# each leg's round-tripped read is checksummed in-query against an
+# INDEPENDENT frame computed straight from the untouched source (the same
+# projection applied BEFORE the store/HDF5 write) in one fused Spark
+# action. The RETURNED leg and its DuckDB oracle rotate on the persisted
+# sweep counter, so each leg is engine-independently verified in 3 rounds.
+#
+#   leg 0 (vlen store) — P7 variable-length (array) columns
+#     (nimhdf5/datasets.nim:1023-1115; FIXTURES.md F3): vals[j] = id +
+#     j/10.0, len = id % 7, round-tripped through a store table.
+#   leg 1 (hdf5 interchange) — the reference's native format actually
+#     flowing (nimtables.nim:94-171): lineitem written through the
+#     connector (h5py when present, else the from-scratch h5lite backend)
+#     and read back with chunk-aligned partition planning.
+#   leg 2 (hdf5 vlen) — array<double> through the HDF5 leg (global-heap
+#     objects in h5lite; nimhdf5/datasets.nim:1023-1115 /
+#     datatypes.nim:376-382 semantics), generated deterministically from
+#     the documents table.
 # --------------------------------------------------------------------------
 
 # The driver's canonicalizer sorts the result frame, which crashes on raw
@@ -523,13 +539,38 @@ def _vlen_df(spark):
     return spark.range(1000).select(F.col("id"), vals.alias("vals"))
 
 
-@query("q14_vlen", _Q14_SQL)
-def q14(spark, sf_dir):
-    store = scratch_store(spark, f"q14-{os.path.basename(sf_dir)}")
-    t = store.put("vlen", _vlen_df(spark), order_by=["id"], overwrite=True)
+_Q46_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS qty_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+_Q49_N = 400
+
+_Q49_SQL = f"""
+WITH src AS (
+  SELECT doc_id, doc_id % 7 AS n_vals
+  FROM documents WHERE doc_id < {_Q49_N}
+),
+js AS (SELECT unnest(range(7)) AS j)
+SELECT doc_id, CAST(n_vals AS BIGINT) AS n_vals,
+       CAST(COALESCE(SUM(CASE WHEN js.j < n_vals THEN
+           CAST(round((doc_id + js.j / 10.0) * 100) AS BIGINT) END), 0)
+         AS BIGINT) AS sum_fp
+FROM src CROSS JOIN js
+GROUP BY doc_id, n_vals ORDER BY doc_id
+"""
+
+
+def _vlen_view(df):
+    """The driver-checked P7 projection: scalar per-row view AND exploded
+    element view, null-free (sentinel (-1, -1.0) for empty arrays)."""
     return (
-        t.df()
-        .select(
+        df.select(
             "id",
             F.size("vals").cast("long").alias("n_vals"),
             F.array_join(
@@ -539,8 +580,126 @@ def q14(spark, sf_dir):
         )
         .withColumn("j", F.coalesce(F.col("j").cast("long"), F.lit(-1)))
         .withColumn("val", F.coalesce(F.col("val"), F.lit(-1.0)))
-        .orderBy("id", "j")
     )
+
+
+def _li_cents_agg(df):
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")).alias(
+            "qty_cents"
+        ),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("price_cents"),
+    )
+
+
+def _vlen_fp_agg(df):
+    return df.select(
+        "doc_id",
+        F.size("vals").cast("long").alias("n_vals"),
+        F.aggregate(
+            F.transform("vals", lambda v: F.round(v * 100).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_fp"),
+    )
+
+
+#: 0=vlen store roundtrip, 1=hdf5 interchange, 2=hdf5 vlen
+_Q14_LEG = sweep_rotation() % 3
+
+
+@query(
+    "q14_hdf5_suite",
+    (_Q14_SQL, _Q46_SQL, _Q49_SQL)[_Q14_LEG],
+)
+def q14(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nimhdfstore_spark.sources.hdf5 import (
+        read_hdf5_table,
+        write_hdf5_table,
+    )
+    from nimhdfstore_spark.tables import table_nrows
+
+    os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    tag = os.path.basename(sf_dir)
+
+    def _leg_vlen_store():
+        store = scratch_store(spark, f"q14-{tag}")
+        t = store.put(
+            "vlen", _vlen_df(spark), order_by=["id"], overwrite=True
+        )
+        return _vlen_view(t.df())
+
+    def _leg_interchange():
+        path = os.path.join(SCRATCH_ROOT, f"q14h5-{tag}.h5")
+        if os.path.exists(path):
+            os.remove(path)
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_returnflag",
+        )
+        write_hdf5_table(li, path, "lineitem")
+        back = read_hdf5_table(
+            spark, path, "lineitem",
+            target_records=max(5000, table_nrows(sf_dir, "lineitem") // 8),
+        )
+        return _li_cents_agg(back)
+
+    def _h5_vlen_src():
+        return (
+            load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < _Q49_N)
+            .select(
+                "doc_id",
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        (F.col("doc_id") % 7).cast("int") - 1,
+                    ),
+                    lambda j: F.col("doc_id") + j.cast("double") / 10.0,
+                ).alias("vals"),
+            )
+            .withColumn(
+                "vals",
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.array().cast("array<double>")
+                ).otherwise(F.col("vals")),
+            )
+        )
+
+    def _leg_h5_vlen():
+        path = os.path.join(SCRATCH_ROOT, f"q14vl-{tag}.h5")
+        if os.path.exists(path):
+            os.remove(path)
+        write_hdf5_table(_h5_vlen_src(), path, "docs_vlen")
+        back = read_hdf5_table(spark, path, "docs_vlen", target_records=100)
+        return _vlen_fp_agg(back)
+
+    # disjoint store root + two disjoint .h5 files — concurrent end-to-end
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_store = ex.submit(_leg_vlen_store)
+        f_inter = ex.submit(_leg_interchange)
+        f_vlen = ex.submit(_leg_h5_vlen)
+        got = (f_store.result(), f_inter.result(), f_vlen.result())
+
+    # independent expected frames: the same projections applied to the
+    # UNWRITTEN sources (no store, no HDF5 file in the plan)
+    want = (
+        _vlen_view(_vlen_df(spark)),
+        _li_cents_agg(load(spark, sf_dir, "lineitem")),
+        _vlen_fp_agg(_h5_vlen_src()),
+    )
+    assert_legs_match([
+        ("vlen_store", got[0], want[0]),
+        ("interchange", got[1], want[1]),
+        ("h5_vlen", got[2], want[2]),
+    ])
+    order = (("id", "j"), ("l_returnflag",), ("doc_id",))[_Q14_LEG]
+    return got[_Q14_LEG].orderBy(*order)
 
 
 # --------------------------------------------------------------------------
@@ -591,10 +750,31 @@ def q20(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Q25 — time travel over retained snapshots: with keep_snapshots >= 2, a
-# mutation leaves the previous snapshot readable (Store.table(snapshot=N)).
-# Returns the union of the pre- and post-update states, version-tagged;
-# the oracle reconstructs both states relationally.
+# Q25 — the four snapshot-lifecycle legs merged into ONE driver row (fourth
+# core-merge wave, same slot economics as q09/q38/q03: every merge frees a
+# driver sweep slot for a never-verified extension entry). ALL legs execute
+# every run against independent scratch roots; each leg's store-side result
+# is checksummed in-query against an INDEPENDENT relationally-rebuilt frame
+# (computed straight from the untouched parquet, same arithmetic as the
+# oracles) in one fused Spark action. The RETURNED leg and its DuckDB
+# oracle rotate on the persisted sweep counter, so each leg is
+# engine-independently verified within 4 rounds.
+#
+#   leg 0 (time_travel) — retained-snapshot reads: with keep_snapshots=2 an
+#     update leaves the previous snapshot readable (Store.table(snapshot=N));
+#     result = version-tagged union of the pre-/post-update states.
+#   leg 1 (snapshot_diff) — CDC diff (Table.changes): after an append the
+#     diff against the pre-append snapshot reads ONLY the part-files new to
+#     the current snapshot (hardlinked files are byte-identical by
+#     construction) — an append to a 100 TB table diffs by scanning just
+#     the appended files.
+#   leg 2 (vacuum) — snapshot-retention reclaim with an auditable dry-run
+#     report; result = post-vacuum catalog state (wall-clock bytes are
+#     machine-dependent, so counts are what's checked).
+#   leg 3 (publish) — multi-table atomic transaction: a summary table AND
+#     its per-segment index commit in ONE publish (all snapshots written
+#     before any catalog pointer flips); result reads both back joined —
+#     consistent by construction.
 # --------------------------------------------------------------------------
 
 _Q25_SQL = f"""
@@ -611,30 +791,196 @@ ORDER BY version, {ROWID}
 """
 
 
-@query("q25_time_travel", _Q25_SQL)
+_Q28_SQL = f"""
+WITH base AS ({rowid_over('nation')}),
+c AS (SELECT COUNT(*) AS n FROM base)
+SELECT b.{ROWID} + c.n AS {ROWID},
+       CAST(b.n_nationkey AS BIGINT) AS n_nationkey, b.n_name,
+       'insert' AS op
+FROM base b, c WHERE b.{ROWID} BETWEEN 0 AND 2
+ORDER BY {ROWID}
+"""
+
+_Q42_SQL = """
+SELECT 'nation_v' AS tbl,
+       CAST(3 AS BIGINT) AS snaps_before,
+       CAST(1 AS BIGINT) AS snaps_after,
+       CAST(2 AS BIGINT) AS n_removed_dry,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_rows_after
+"""
+
+_Q47_SQL = """
+WITH summary AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS bal_cents
+  FROM customer GROUP BY c_mktsegment
+),
+idx AS (
+  SELECT c_mktsegment, CAST(MIN(c_custkey) AS BIGINT) AS first_key,
+         CAST(MAX(c_custkey) AS BIGINT) AS last_key
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT s.c_mktsegment, s.n_customers, s.bal_cents, i.first_key, i.last_key
+FROM summary s JOIN idx i ON s.c_mktsegment = i.c_mktsegment
+ORDER BY s.c_mktsegment
+"""
+
+#: 0=time_travel, 1=snapshot_diff, 2=vacuum, 3=publish
+_Q25_LEG = sweep_rotation() % 4
+
+
+@query(
+    "q25_snapshot_suite",
+    (_Q25_SQL, _Q28_SQL, _Q42_SQL, _Q47_SQL)[_Q25_LEG],
+)
 def q25(spark, sf_dir):
-    store = Store(
-        spark, os.path.join(SCRATCH_ROOT, f"q25-{os.path.basename(sf_dir)}"),
-        keep_snapshots=2,
-    )
-    t = store.put("nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True)
-    first_snap = store.snapshots("nation_scratch")[-1]
-    dts = dict(t.df().dtypes)
-    patched = (
-        t.df()
-        .where(F.col(ROWID) == 0)
-        .select(
-            F.lit(1_000_000_000).cast(dts["n_nationkey"]).alias("n_nationkey"),
-            "n_name", "n_regionkey",
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nimhdfstore_spark.tables import table_nrows
+
+    root = os.path.join(SCRATCH_ROOT, f"q25-{os.path.basename(sf_dir)}")
+    nation = load_pos(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    n_nat = table_nrows(sf_dir, "nation")  # footer count — no scan job
+    r = F.col(ROWID)
+
+    def _leg_time_travel():
+        store = Store(spark, os.path.join(root, "tt"), keep_snapshots=2)
+        t = store.put("nation_scratch", nation, overwrite=True)
+        first_snap = store.snapshots("nation_scratch")[-1]
+        dts = dict(t.df().dtypes)
+        patched = (
+            t.df()
+            .where(r == 0)
+            .select(
+                F.lit(1_000_000_000).cast(dts["n_nationkey"]).alias(
+                    "n_nationkey"
+                ),
+                "n_name", "n_regionkey",
+            )
+        )
+        t.update(0, patched)
+        old = store.table("nation_scratch", snapshot=first_snap)
+        new = store.table("nation_scratch")
+        pick = lambda tt, v: tt.df().select(  # noqa: E731
+            F.lit(v).alias("version"), r, F.col("n_nationkey").cast("long")
+        )
+        return pick(old, 0).unionByName(pick(new, 1))
+
+    def _leg_snapshot_diff():
+        store = Store(spark, os.path.join(root, "diff"), keep_snapshots=2)
+        t = store.put("nation_scratch", nation, overwrite=True)
+        snap0 = store.snapshots("nation_scratch")[-1]
+        t.add_records_from(t, 0, 3)
+        return t.changes(snap0).select(
+            ROWID,
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            "op",
+        )
+
+    def _leg_vacuum():
+        # retention 3 so two mutations leave three snapshots on disk
+        store = Store(spark, os.path.join(root, "vac"), keep_snapshots=3)
+        t = store.put("nation_v", nation, overwrite=True)
+        t.set_attrs(touch=1)
+        t.update(0, t[0:1])                              # second snapshot
+        t.update(1, t[1:2])                              # third snapshot
+        snaps_before = len(store.snapshots("nation_v"))
+
+        dry = store.vacuum(retain=1, dry_run=True)
+        n_removed_dry = len(dry["nation_v"]["removed"])
+        if dry["nation_v"]["bytes"] <= 0:
+            raise AssertionError("dry run reported nothing reclaimable")
+        if len(store.snapshots("nation_v")) != snaps_before:
+            raise AssertionError("dry run must not delete")
+
+        store.vacuum(retain=1)
+        snaps_after = len(store.snapshots("nation_v"))
+        n_rows = store.table("nation_v").nrows
+        return spark.createDataFrame(
+            [("nation_v", snaps_before, snaps_after, n_removed_dry, n_rows)],
+            "tbl string, snaps_before long, snaps_after long, "
+            "n_removed_dry long, n_rows_after long",
+        )
+
+    def _pub_frames(src):
+        summary = src.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+            ).alias("bal_cents"),
+        )
+        idx = src.groupBy("c_mktsegment").agg(
+            F.min("c_custkey").alias("first_key"),
+            F.max("c_custkey").alias("last_key"),
+        )
+        return summary, idx
+
+    def _leg_publish():
+        store = Store(spark, os.path.join(root, "pub"))
+        summary, idx = _pub_frames(cust)
+        with store.transaction() as tx:
+            tx.put(
+                "seg_summary", summary, order_by=["c_mktsegment"],
+                overwrite=True,
+            )
+            tx.put(
+                "seg_index", idx, order_by=["c_mktsegment"], overwrite=True
+            )
+        s = store["seg_summary"].df().drop(ROWID)
+        i = store["seg_index"].df().drop(ROWID)
+        return s.join(i, "c_mktsegment")
+
+    # the four legs run on disjoint scratch roots — concurrent end-to-end
+    # (the q09 pattern: wall time is the slowest leg, not the sum)
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_tt = ex.submit(_leg_time_travel)
+        f_diff = ex.submit(_leg_snapshot_diff)
+        f_vac = ex.submit(_leg_vacuum)
+        f_pub = ex.submit(_leg_publish)
+        got = (f_tt.result(), f_diff.result(), f_vac.result(), f_pub.result())
+
+    # independent expected frames, rebuilt relationally from the untouched
+    # parquet (the oracles' arithmetic, in Spark)
+    want_tt = nation.select(
+        F.lit(0).alias("version"), r, F.col("n_nationkey").cast("long")
+    ).unionByName(
+        nation.select(
+            F.lit(1).alias("version"),
+            r,
+            F.when(r == 0, F.lit(1_000_000_000))
+            .otherwise(F.col("n_nationkey"))
+            .cast("long")
+            .alias("n_nationkey"),
         )
     )
-    t.update(0, patched)
-    old = store.table("nation_scratch", snapshot=first_snap)
-    new = store.table("nation_scratch")
-    pick = lambda tt, v: tt.df().select(  # noqa: E731
-        F.lit(v).alias("version"), F.col(ROWID), F.col("n_nationkey").cast("long")
+    want_diff = nation.where(r.between(0, 2)).select(
+        (r + F.lit(n_nat)).cast("long").alias(ROWID),
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.lit("insert").alias("op"),
     )
-    return pick(old, 0).unionByName(pick(new, 1)).orderBy("version", ROWID)
+    want_vac = spark.createDataFrame(
+        [("nation_v", 3, 1, 2, n_nat)],
+        "tbl string, snaps_before long, snaps_after long, "
+        "n_removed_dry long, n_rows_after long",
+    )
+    w_summary, w_idx = _pub_frames(cust)
+    want_pub = w_summary.join(w_idx, "c_mktsegment")
+
+    assert_legs_match([
+        ("time_travel", got[0], want_tt),
+        ("snapshot_diff", got[1], want_diff),
+        ("vacuum", got[2], want_vac),
+        ("publish", got[3], want_pub),
+    ])
+    order = (
+        ("version", ROWID), (ROWID,), ("tbl",), ("c_mktsegment",)
+    )[_Q25_LEG]
+    return got[_Q25_LEG].orderBy(*order)
 
 
 # --------------------------------------------------------------------------
@@ -982,49 +1328,6 @@ def q27(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Q28 — CDC snapshot diff (Table.changes): after an append, the diff against
-# the pre-append snapshot reads ONLY the part-files new to the current
-# snapshot (hardlinked files are byte-identical by construction), so an
-# append to a 100 TB table diffs by scanning just the appended files. The
-# oracle rebuilds the appended slice arithmetically.
-# --------------------------------------------------------------------------
-
-_Q28_SQL = f"""
-WITH base AS ({rowid_over('nation')}),
-c AS (SELECT COUNT(*) AS n FROM base)
-SELECT b.{ROWID} + c.n AS {ROWID},
-       CAST(b.n_nationkey AS BIGINT) AS n_nationkey, b.n_name,
-       'insert' AS op
-FROM base b, c WHERE b.{ROWID} BETWEEN 0 AND 2
-ORDER BY {ROWID}
-"""
-
-
-@query("q28_snapshot_diff", _Q28_SQL)
-def q28(spark, sf_dir):
-    store = Store(
-        spark,
-        os.path.join(SCRATCH_ROOT, f"q28-{os.path.basename(sf_dir)}"),
-        keep_snapshots=2,
-    )
-    t = store.put(
-        "nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True
-    )
-    snap0 = store.snapshots("nation_scratch")[-1]
-    t.add_records_from(t, 0, 3)
-    return (
-        t.changes(snap0)
-        .select(
-            ROWID,
-            F.col("n_nationkey").cast("long").alias("n_nationkey"),
-            "n_name",
-            "op",
-        )
-        .orderBy(ROWID)
-    )
-
-
-# --------------------------------------------------------------------------
 # Q43 — merge-on-read deletion vectors: two composed deferred deletes move
 # ZERO bytes (the snapshot directory is untouched — pinned in tests); the
 # read overlays the vector and renumbers. Deferred deletes must compose
@@ -1064,55 +1367,6 @@ def q43(spark, sf_dir):
         )
         .orderBy(ROWID)
     )
-
-
-# --------------------------------------------------------------------------
-# Q47 — multi-table atomic publish: a summary table AND its per-segment
-# index table commit in ONE transaction (all snapshots written before any
-# catalog pointer flips; an aborted transaction leaves both untouched —
-# pinned in tests). The cross-table publish single-table lakehouse formats
-# lack. Result reads BOTH tables back joined — consistent by construction.
-# --------------------------------------------------------------------------
-
-_Q47_SQL = """
-WITH summary AS (
-  SELECT c_mktsegment,
-         CAST(COUNT(*) AS BIGINT) AS n_customers,
-         CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
-           AS bal_cents
-  FROM customer GROUP BY c_mktsegment
-),
-idx AS (
-  SELECT c_mktsegment, CAST(MIN(c_custkey) AS BIGINT) AS first_key,
-         CAST(MAX(c_custkey) AS BIGINT) AS last_key
-  FROM customer GROUP BY c_mktsegment
-)
-SELECT s.c_mktsegment, s.n_customers, s.bal_cents, i.first_key, i.last_key
-FROM summary s JOIN idx i ON s.c_mktsegment = i.c_mktsegment
-ORDER BY s.c_mktsegment
-"""
-
-
-@query("q47_transaction_publish", _Q47_SQL)
-def q47(spark, sf_dir):
-    store = scratch_store(spark, f"q47-{os.path.basename(sf_dir)}")
-    cust = load(spark, sf_dir, "customer")
-    summary = cust.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")).alias(
-            "bal_cents"
-        ),
-    )
-    idx = cust.groupBy("c_mktsegment").agg(
-        F.min("c_custkey").alias("first_key"),
-        F.max("c_custkey").alias("last_key"),
-    )
-    with store.transaction() as tx:
-        tx.put("seg_summary", summary, order_by=["c_mktsegment"], overwrite=True)
-        tx.put("seg_index", idx, order_by=["c_mktsegment"], overwrite=True)
-    s = store["seg_summary"].df().drop(ROWID)
-    i = store["seg_index"].df().drop(ROWID)
-    return s.join(i, "c_mktsegment").orderBy("c_mktsegment")
 
 
 # --------------------------------------------------------------------------

@@ -574,192 +574,6 @@ def q40(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q42 — VACUUM: snapshot retention reclaim with an auditable dry-run
-# report. The checked output is the post-vacuum catalog state (snapshot
-# counts + the table still answering correctly from its current
-# snapshot), since wall-clock bytes are machine-dependent.
-# --------------------------------------------------------------------------
-
-_Q42_SQL = """
-SELECT 'nation_v' AS tbl,
-       CAST(3 AS BIGINT) AS snaps_before,
-       CAST(1 AS BIGINT) AS snaps_after,
-       CAST(2 AS BIGINT) AS n_removed_dry,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_rows_after
-"""
-
-
-@query("q42_vacuum", _Q42_SQL)
-def q42(spark, sf_dir):
-    from nimhdfstore_spark.queries.core import scratch_store
-    from nimhdfstore_spark.store import Store
-    from nimhdfstore_spark.tables import load_pos
-
-    base = scratch_store(spark, f"q42-{os.path.basename(sf_dir)}")
-    # retention 3 so two mutations leave three snapshots on disk
-    store = Store(spark, base.root, keep_snapshots=3)
-    t = store.put("nation_v", load_pos(spark, sf_dir, "nation"), overwrite=True)
-    t.set_attrs(touch=1)
-    t.update(0, t[0:1])                                  # second snapshot
-    t.update(1, t[1:2])                                  # third snapshot
-    snaps_before = len(store.snapshots("nation_v"))
-
-    dry = store.vacuum(retain=1, dry_run=True)
-    n_removed_dry = len(dry["nation_v"]["removed"])
-    if dry["nation_v"]["bytes"] <= 0:
-        raise AssertionError("dry run reported nothing reclaimable")
-    if len(store.snapshots("nation_v")) != snaps_before:
-        raise AssertionError("dry run must not delete")
-
-    store.vacuum(retain=1)
-    snaps_after = len(store.snapshots("nation_v"))
-    n_rows = store.table("nation_v").nrows
-
-    return spark.createDataFrame(
-        [("nation_v", snaps_before, snaps_after, n_removed_dry, n_rows)],
-        "tbl string, snaps_before long, snaps_after long, "
-        "n_removed_dry long, n_rows_after long",
-    )
-
-
-# --------------------------------------------------------------------------
-# q46 — the HDF5 interchange leg EXECUTES: write lineitem through the
-# connector (h5py when present, else the from-scratch h5lite backend —
-# sources/h5lite.py implements the public HDF5 v0 structures directly) and
-# read it back with chunk-aligned partition planning; the aggregate of
-# what came back must match the oracle over the original parquet. This is
-# the reference's native format actually flowing, not a gated stub
-# (nimtables.nim:94-171).
-# --------------------------------------------------------------------------
-
-_Q46_SQL = """
-SELECT l_returnflag,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS qty_cents,
-       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS price_cents
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-"""
-
-
-@query("q46_hdf5_roundtrip", _Q46_SQL)
-def q46(spark, sf_dir):
-    from nimhdfstore_spark.queries.core import SCRATCH_ROOT
-    from nimhdfstore_spark.sources.hdf5 import (
-        read_hdf5_table,
-        write_hdf5_table,
-    )
-    from nimhdfstore_spark.tables import load, table_nrows
-
-    os.makedirs(SCRATCH_ROOT, exist_ok=True)
-    path = os.path.join(
-        SCRATCH_ROOT, f"q46-{os.path.basename(sf_dir)}.h5"
-    )
-    if os.path.exists(path):
-        os.remove(path)
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
-        "l_returnflag",
-    )
-    write_hdf5_table(li, path, "lineitem")
-    back = read_hdf5_table(
-        spark, path, "lineitem",
-        target_records=max(5000, table_nrows(sf_dir, "lineitem") // 8),
-    )
-    return (
-        back.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")).alias(
-                "qty_cents"
-            ),
-            F.sum(
-                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-            ).alias("price_cents"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-# --------------------------------------------------------------------------
-# q49 — VLEN columns through the HDF5 leg: an array<double> column written
-# and read back via the connector's backend (global-heap objects in
-# h5lite, reference nimhdf5/datasets.nim:1023-1115 / datatypes.nim:376-382
-# semantics). The vlen data is generated deterministically from the
-# documents table so the oracle can recompute the projected per-row
-# aggregate without touching HDF5.
-# --------------------------------------------------------------------------
-
-_Q49_N = 400
-
-_Q49_SQL = f"""
-WITH src AS (
-  SELECT doc_id, doc_id % 7 AS n_vals
-  FROM documents WHERE doc_id < {_Q49_N}
-),
-js AS (SELECT unnest(range(7)) AS j)
-SELECT doc_id, CAST(n_vals AS BIGINT) AS n_vals,
-       CAST(COALESCE(SUM(CASE WHEN js.j < n_vals THEN
-           CAST(round((doc_id + js.j / 10.0) * 100) AS BIGINT) END), 0)
-         AS BIGINT) AS sum_fp
-FROM src CROSS JOIN js
-GROUP BY doc_id, n_vals ORDER BY doc_id
-"""
-
-
-@query("q49_hdf5_vlen_roundtrip", _Q49_SQL)
-def q49(spark, sf_dir):
-    from nimhdfstore_spark.queries.core import SCRATCH_ROOT
-    from nimhdfstore_spark.sources.hdf5 import (
-        read_hdf5_table,
-        write_hdf5_table,
-    )
-    from nimhdfstore_spark.tables import load
-
-    os.makedirs(SCRATCH_ROOT, exist_ok=True)
-    path = os.path.join(SCRATCH_ROOT, f"q49-{os.path.basename(sf_dir)}.h5")
-    if os.path.exists(path):
-        os.remove(path)
-    src = (
-        load(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < _Q49_N)
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    (F.col("doc_id") % 7).cast("int") - 1,
-                ),
-                lambda j: F.col("doc_id") + j.cast("double") / 10.0,
-            ).alias("vals"),
-        )
-        .withColumn(
-            "vals",
-            F.when(F.col("doc_id") % 7 == 0,
-                   F.array().cast("array<double>")).otherwise(F.col("vals")),
-        )
-    )
-    write_hdf5_table(src, path, "docs_vlen")
-    back = read_hdf5_table(spark, path, "docs_vlen", target_records=100)
-    return (
-        back.select(
-            "doc_id",
-            F.size("vals").cast("long").alias("n_vals"),
-            F.aggregate(
-                F.transform(
-                    "vals",
-                    lambda v: F.round(v * 100).cast("long"),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("sum_fp"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-# --------------------------------------------------------------------------
 # q48 — fine-grained read policies (row filter + column subset + masking):
 # the governed-read surface a shared lakehouse needs (engine-enforced
 # row-level security and column masking, not caller discipline). The
