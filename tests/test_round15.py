@@ -1,0 +1,66 @@
+"""Round-15 pins: the fourth core-merge wave (q25_snapshot_suite,
+q14_hdf5_suite).
+
+The heavyweight correctness of every rotation leg is covered by the
+registry-driven oracle sweep (tests/test_queries_oracle.py) plus the
+manual all-legs sf0.001 sweep run before landing; these pins guard the
+cheap invariants that would silently skew a driver round: the captured
+leg index always agrees with the registered oracle, the merged-away rows
+are really gone, and the freed sweep slots landed where the slot
+economics say they must.
+"""
+
+from __future__ import annotations
+
+import nimhdfstore_spark.queries as Q
+
+Q.load_all()
+
+MERGED_AWAY = [
+    # wave 4 (this round)
+    "q25_time_travel", "q28_snapshot_diff", "q42_vacuum",
+    "q47_transaction_publish", "q14_vlen", "q46_hdf5_roundtrip",
+    "q49_hdf5_vlen_roundtrip",
+    # earlier waves — must never resurface
+    "q04_backwards_index", "q05_slice", "q06_hyperslab", "q07_point_set",
+    "q08_cast_projection", "q10_insert", "q11_delete", "q12_update",
+    "q39_python_datasource_write",
+]
+
+
+def test_merged_rows_absent():
+    for name in MERGED_AWAY:
+        assert name not in Q.QUERIES, f"{name} must stay merged away"
+        assert name not in Q.ORACLE
+
+
+def test_snapshot_suite_leg_matches_registered_oracle():
+    from nimhdfstore_spark.queries import core
+
+    leg = core._Q25_LEG
+    assert leg == Q.sweep_rotation() % 4
+    sqls = (core._Q25_SQL, core._Q28_SQL, core._Q42_SQL, core._Q47_SQL)
+    assert Q.ORACLE["q25_snapshot_suite"] == sqls[leg]
+    # the four leg oracles are genuinely distinct queries
+    assert len(set(sqls)) == 4
+
+
+def test_hdf5_suite_leg_matches_registered_oracle():
+    from nimhdfstore_spark.queries import core
+
+    leg = core._Q14_LEG
+    assert leg == Q.sweep_rotation() % 3
+    sqls = (core._Q14_SQL, core._Q46_SQL, core._Q49_SQL)
+    assert Q.ORACLE["q14_hdf5_suite"] == sqls[leg]
+    assert len(set(sqls)) == 3
+
+
+def test_core_slot_economics():
+    """Core 29 rows -> 21 extension slots inside the driver's ~50-row
+    sweep window, every one of them never-driver-verified (first-time)."""
+    order = Q.sweep_order()
+    core_rows = [n for n in order if n.startswith("q")]
+    assert len(core_rows) == 29
+    ext_slots = [n for n in order[:50] if not n.startswith("q")]
+    assert len(ext_slots) == 21
+    assert not set(ext_slots) & Q.driver_verified()
