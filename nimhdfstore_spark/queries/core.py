@@ -703,27 +703,6 @@ def q14(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Q15 — A1/A2 attributes (nimhdf5/attributes.nim:207-437): set table-level
-# metadata, read back sorted (key, value) pairs.
-# --------------------------------------------------------------------------
-
-_Q15_SQL = (
-    "SELECT * FROM (VALUES ('source', 'survey'), ('version', '1')) "
-    "t(attr_key, attr_value) ORDER BY attr_key"
-)
-
-
-@query("q15_attributes", _Q15_SQL)
-def q15(spark, sf_dir):
-    store = scratch_store(spark, f"q15-{os.path.basename(sf_dir)}")
-    t = store.put("particles", _particles(spark), order_by=["lati"], overwrite=True)
-    t.set_attrs(source="survey", version=1)
-    t2 = store.table("particles")  # re-open: attrs persist in catalog
-    rows = sorted((k, str(v)) for k, v in t2.attrs.items())
-    return spark.createDataFrame(rows, "attr_key string, attr_value string")
-
-
-# --------------------------------------------------------------------------
 # Q16 — C1-C3 compression invariance (nimtables.nim:60-89; filters.nim:29-96):
 # the Q1 result is byte-identical across none/snappy/zstd codecs.
 # --------------------------------------------------------------------------
@@ -1075,98 +1054,6 @@ def q23(spark, sf_dir):
             f"compaction did not reduce file count: {files_before} -> {files_after}"
         )
     return t.df().orderBy(ROWID)
-
-
-# --------------------------------------------------------------------------
-# Q21 — the two catalog-administration legs merged into ONE driver row
-# (round-6/7 verdict ask: core-slot economics — the q17 pattern; both legs
-# execute every run, both are checked in-query against Python-literal
-# expectations shared with the oracles, and the RETURNED leg rotates on
-# the persisted sweep counter so each is DuckDB-verified within 2 rounds):
-#
-#   leg 0 (copy) — M8 cross-store copy (h5util.nim:159-209: same copy
-#     routine with the destination being another open file): a dataset
-#     table copied into a second store keeps attrs (incl. shape → reopens
-#     as Dataset), codec, and data.
-#   leg 1 (group_attrs) — A1-A5 on groups (attributes.nim:207-319 attaches
-#     attributes to any object, groups included): set/get/delete attrs on
-#     a namespace prefix, persisting across re-open and independent of
-#     member tables.
-# --------------------------------------------------------------------------
-
-_Q21_COPY_ROWS = [
-    ("copy", "codec", "zstd"),
-    ("copy", "shape", "2x3"),
-    ("copy", "unit", "kelvin"),
-    ("copy", "vals", "1.0,2.0,3.0,4.0,5.0,6.0"),
-]
-_Q21_ATTR_ROWS = [
-    ("group_attrs", "sensors/day1|calibrated", "true"),
-    ("group_attrs", "sensors/day1|site", "north"),
-    ("group_attrs", "sensors|owner", "ops"),
-]
-
-
-def _values_sql(rows: list[tuple]) -> str:
-    body = ",\n  ".join(
-        "(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows
-    )
-    return (
-        f"SELECT * FROM (VALUES\n  {body}\n) t(leg, prop, val) "
-        "ORDER BY leg, prop"
-    )
-
-
-_Q21_LEG = sweep_rotation() % 2  # 0=copy, 1=group_attrs
-
-
-@query(
-    "q21_copy_group_attrs",
-    (_values_sql(_Q21_COPY_ROWS), _values_sql(_Q21_ATTR_ROWS))[_Q21_LEG],
-)
-def q21(spark, sf_dir):
-    from nimhdfstore_spark.datasets import Dataset, create_dataset
-
-    # leg 0 — cross-store copy round-trip
-    src = scratch_store(spark, f"q21src-{os.path.basename(sf_dir)}")
-    dst = scratch_store(spark, f"q21dst-{os.path.basename(sf_dir)}")
-    d = create_dataset(
-        src, "temps", data=[[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]],
-        codec="zstd", overwrite=True,
-    )
-    d.table.set_attrs(unit="kelvin")
-    src.copy("temps", "temps", into=dst)
-    back = Dataset(dst.table("temps"))  # raises unless shape attr survived
-    copy_rows = [
-        ("copy", "codec", back.table.codec),
-        ("copy", "shape", "x".join(str(n) for n in back.shape)),
-        ("copy", "unit", str(back.table.attrs["unit"])),
-        ("copy", "vals", ",".join(f"{v:.1f}" for v in back.read().flatten())),
-    ]
-    if copy_rows != _Q21_COPY_ROWS:
-        raise AssertionError(f"copy leg diverged: {copy_rows}")
-
-    # leg 1 — group attributes across re-open
-    store = scratch_store(spark, f"q22-{os.path.basename(sf_dir)}")
-    store.put("sensors/day1/particles", _particles(spark),
-              order_by=["lati"], overwrite=True)
-    store.set_group_attrs("sensors", owner="ops", stale="x")
-    store.del_group_attr("sensors", "stale")
-    store.set_group_attrs("sensors/day1", site="north", calibrated=True)
-    reopened = Store(spark, store.root)  # attrs persist across re-open
-    attr_rows = sorted(
-        ("group_attrs", f"{g}|{k}",
-         str(v).lower() if isinstance(v, bool) else str(v))
-        for g in ("sensors", "sensors/day1")
-        for k, v in reopened.group_attrs(g).items()
-    )
-    if attr_rows != sorted(_Q21_ATTR_ROWS):
-        raise AssertionError(f"group-attrs leg diverged: {attr_rows}")
-
-    rows = (copy_rows, attr_rows)[_Q21_LEG]
-    return spark.createDataFrame(
-        rows, "leg string, prop string, val string"
-    ).orderBy("leg", "prop")
 
 
 # The oracle checks VALUES through the codec round-trip via a fixed-point

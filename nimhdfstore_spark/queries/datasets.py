@@ -155,11 +155,29 @@ def q17(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q37 — A6 dimension scales (hl/H5DSpublic.nim:36-56, the one remaining
-# documented-only row): scales are 1-d datasets attached to axes as
-# metadata; the query uses them the way an analyst would — joining each
-# axis coordinate to its scale's value to LABEL a hyperslab read. The
-# oracle recomputes labels from the same linear arithmetic.
+# q15 — the four attribute/metadata legs merged into ONE driver row (fifth
+# core-merge wave; q15+q21+q37 — q21 was itself the round-7 merge of the
+# copy and group-attrs rows). ALL legs execute every run on disjoint
+# scratch roots via a thread pool. The three literal-result legs are
+# checked DRIVER-SIDE against the same Python literals their VALUES
+# oracles embed (stronger than a hash: element-exact, no Spark job); the
+# dimension-scales leg is checksummed in one fused action against an
+# arithmetic rebuild that never touches the datasets. The RETURNED leg
+# and its DuckDB oracle rotate on the persisted sweep counter, so each
+# leg is engine-independently verified within 4 rounds.
+#
+#   leg 0 (table_attrs) — A1/A2 attributes (nimhdf5/attributes.nim:
+#     207-437): set table-level metadata, read back across re-open.
+#   leg 1 (copy) — M8 cross-store copy (h5util.nim:159-209): a dataset
+#     table copied into a second store keeps attrs (incl. shape →
+#     reopens as Dataset), codec, and data.
+#   leg 2 (group_attrs) — A1-A5 on groups (attributes.nim:207-319):
+#     set/get/delete attrs on a namespace prefix, persisting across
+#     re-open and independent of member tables.
+#   leg 3 (dim_scales) — A6 dimension scales (hl/H5DSpublic.nim:36-56):
+#     scales are 1-d datasets attached to axes as metadata; used the way
+#     an analyst would — joining each axis coordinate to its scale's
+#     value to LABEL a hyperslab read.
 # --------------------------------------------------------------------------
 
 _Q37_SQL = f"""
@@ -173,39 +191,186 @@ SELECT i0, 100.0 + i0 * 10 AS row_label,
 FROM cells WHERE i0 % 2 = 0 ORDER BY {ROWID}
 """
 
+_Q15_SQL = (
+    "SELECT * FROM (VALUES ('source', 'survey'), ('version', '1')) "
+    "t(attr_key, attr_value) ORDER BY attr_key"
+)
 
-@query("q37_dimension_scales", _Q37_SQL)
-def q37(spark, sf_dir):
+_Q15_COPY_ROWS = [
+    ("copy", "codec", "zstd"),
+    ("copy", "shape", "2x3"),
+    ("copy", "unit", "kelvin"),
+    ("copy", "vals", "1.0,2.0,3.0,4.0,5.0,6.0"),
+]
+_Q15_ATTR_ROWS = [
+    ("group_attrs", "sensors/day1|calibrated", "true"),
+    ("group_attrs", "sensors/day1|site", "north"),
+    ("group_attrs", "sensors|owner", "ops"),
+]
+
+
+def _values_sql(rows: list[tuple]) -> str:
+    body = ",\n  ".join(
+        "(" + ", ".join(f"'{v}'" for v in r) + ")" for r in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES\n  {body}\n) t(leg, prop, val) "
+        "ORDER BY leg, prop"
+    )
+
+
+#: 0=table_attrs, 1=copy, 2=group_attrs, 3=dim_scales
+_Q15_LEG = sweep_rotation() % 4
+
+
+@query(
+    "q15_attribute_suite",
+    (
+        _Q15_SQL,
+        _values_sql(_Q15_COPY_ROWS),
+        _values_sql(_Q15_ATTR_ROWS),
+        _Q37_SQL,
+    )[_Q15_LEG],
+)
+def q15(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
     from nimhdfstore_spark.datasets import (
         attach_scale, create_dataset, get_scales, set_scale,
     )
+    from nimhdfstore_spark.queries.core import _particles
+    from nimhdfstore_spark.store import Store
 
-    store = scratch_store(spark, f"q37-{os.path.basename(sf_dir)}")
-    ds = _linear_dataset(spark, sf_dir, "q37", 24, [6, 4])
-    rows = create_dataset(
-        store, "row_scale", [100.0 + i * 10 for i in range(6)], overwrite=True
+    tag = os.path.basename(sf_dir)
+
+    def _leg_table_attrs():
+        store = scratch_store(spark, f"q15-{tag}")
+        t = store.put(
+            "particles", _particles(spark), order_by=["lati"], overwrite=True
+        )
+        t.set_attrs(source="survey", version=1)
+        t2 = store.table("particles")  # re-open: attrs persist in catalog
+        rows = sorted((k, str(v)) for k, v in t2.attrs.items())
+        if rows != [("source", "survey"), ("version", "1")]:
+            raise AssertionError(f"table-attrs leg diverged: {rows}")
+        return spark.createDataFrame(
+            rows, "attr_key string, attr_value string"
+        )
+
+    def _leg_copy():
+        src = scratch_store(spark, f"q21src-{tag}")
+        dst = scratch_store(spark, f"q21dst-{tag}")
+        d = create_dataset(
+            src, "temps", data=[[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]],
+            codec="zstd", overwrite=True,
+        )
+        d.table.set_attrs(unit="kelvin")
+        src.copy("temps", "temps", into=dst)
+        back = Dataset(dst.table("temps"))  # raises unless shape survived
+        copy_rows = [
+            ("copy", "codec", back.table.codec),
+            ("copy", "shape", "x".join(str(n) for n in back.shape)),
+            ("copy", "unit", str(back.table.attrs["unit"])),
+            ("copy", "vals",
+             ",".join(f"{v:.1f}" for v in back.read().flatten())),
+        ]
+        if copy_rows != _Q15_COPY_ROWS:
+            raise AssertionError(f"copy leg diverged: {copy_rows}")
+        return spark.createDataFrame(
+            copy_rows, "leg string, prop string, val string"
+        )
+
+    def _leg_group_attrs():
+        store = scratch_store(spark, f"q22-{tag}")
+        store.put("sensors/day1/particles", _particles(spark),
+                  order_by=["lati"], overwrite=True)
+        store.set_group_attrs("sensors", owner="ops", stale="x")
+        store.del_group_attr("sensors", "stale")
+        store.set_group_attrs("sensors/day1", site="north", calibrated=True)
+        reopened = Store(spark, store.root)  # attrs persist across re-open
+        attr_rows = sorted(
+            ("group_attrs", f"{g}|{k}",
+             str(v).lower() if isinstance(v, bool) else str(v))
+            for g in ("sensors", "sensors/day1")
+            for k, v in reopened.group_attrs(g).items()
+        )
+        if attr_rows != sorted(_Q15_ATTR_ROWS):
+            raise AssertionError(f"group-attrs leg diverged: {attr_rows}")
+        return spark.createDataFrame(
+            attr_rows, "leg string, prop string, val string"
+        )
+
+    def _leg_dim_scales():
+        store = scratch_store(spark, f"q37-{tag}")
+        ds = _linear_dataset(spark, sf_dir, "q37", 24, [6, 4])
+        rows = create_dataset(
+            store, "row_scale", [100.0 + i * 10 for i in range(6)],
+            overwrite=True,
+        )
+        cols = create_dataset(
+            store, "col_scale", [0.5 + i for i in range(4)], overwrite=True
+        )
+        set_scale(rows, "row-centers")
+        set_scale(cols, "col-centers")
+        attach_scale(ds, 0, rows)
+        attach_scale(ds, 1, cols)
+        # re-open through the catalog: the attachment is durable metadata
+        names = get_scales(Dataset(ds.table.store.table("dset")))
+        if names != {0: "row_scale", 1: "col_scale"}:
+            raise AssertionError(f"scale attachment did not persist: {names}")
+        body = ds.df().where(F.col("i0") % 2 == 0)
+        rlab = rows.df().select(
+            F.col("i0").alias("r_i"), F.col("value").alias("row_label")
+        )
+        clab = cols.df().select(
+            F.col("i0").alias("c_i"), F.col("value").alias("col_label")
+        )
+        return (
+            body.join(F.broadcast(rlab), body.i0 == rlab.r_i)
+            .join(F.broadcast(clab), body.i1 == clab.c_i)
+            .select("i0", "row_label", "i1", "col_label", "value", ROWID)
+        )
+
+    # the four legs run on disjoint scratch roots — concurrent end-to-end
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        f_ta = ex.submit(_leg_table_attrs)
+        f_cp = ex.submit(_leg_copy)
+        f_ga = ex.submit(_leg_group_attrs)
+        f_ds = ex.submit(_leg_dim_scales)
+        got = (f_ta.result(), f_cp.result(), f_ga.result(), f_ds.result())
+
+    # legs 0-2 were already element-compared driver-side against the same
+    # literals their oracles embed; the dim-scales leg gets the fused
+    # checksum against an arithmetic rebuild (no dataset in the plan),
+    # cast column-for-column to the got frame's exact types so the hash
+    # compares values, not width mismatches.
+    got37 = got[3]
+    want37 = (
+        spark.range(24)
+        .select(
+            F.col("id").alias(ROWID),
+            F.col("id").cast("double").alias("value"),
+            ((F.col("id") / 4).cast("long") % 6).alias("i0"),
+            (F.col("id") % 4).alias("i1"),
+        )
+        .where(F.col("i0") % 2 == 0)
+        .select(
+            "i0",
+            (F.lit(100.0) + F.col("i0") * 10).alias("row_label"),
+            "i1",
+            (F.lit(0.5) + F.col("i1")).alias("col_label"),
+            "value",
+            ROWID,
+        )
     )
-    cols = create_dataset(
-        store, "col_scale", [0.5 + i for i in range(4)], overwrite=True
+    dts = dict(got37.dtypes)
+    want37 = want37.select(
+        *[F.col(c).cast(dts[c]).alias(c) for c in got37.columns]
     )
-    set_scale(rows, "row-centers")
-    set_scale(cols, "col-centers")
-    attach_scale(ds, 0, rows)
-    attach_scale(ds, 1, cols)
-    # re-open through the catalog: the attachment is durable metadata
-    names = get_scales(Dataset(ds.table.store.table("dset")))
-    if names != {0: "row_scale", 1: "col_scale"}:
-        raise AssertionError(f"scale attachment did not persist: {names}")
-    body = ds.df().where(F.col("i0") % 2 == 0)
-    rlab = rows.df().select(
-        F.col("i0").alias("r_i"), F.col("value").alias("row_label")
-    )
-    clab = cols.df().select(
-        F.col("i0").alias("c_i"), F.col("value").alias("col_label")
-    )
-    return (
-        body.join(F.broadcast(rlab), body.i0 == rlab.r_i)
-        .join(F.broadcast(clab), body.i1 == clab.c_i)
-        .select("i0", "row_label", "i1", "col_label", "value", ROWID)
-        .orderBy(ROWID)
-    )
+    assert_legs_match([("dim_scales", got37, want37)])
+
+    if _Q15_LEG == 0:
+        return got[0].orderBy("attr_key")
+    if _Q15_LEG == 3:
+        return got37.orderBy(ROWID)
+    return got[_Q15_LEG].orderBy("leg", "prop")

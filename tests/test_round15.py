@@ -21,6 +21,8 @@ MERGED_AWAY = [
     "q25_time_travel", "q28_snapshot_diff", "q42_vacuum",
     "q47_transaction_publish", "q14_vlen", "q46_hdf5_roundtrip",
     "q49_hdf5_vlen_roundtrip",
+    # wave 5 (this round): the attribute/metadata family
+    "q15_attributes", "q21_copy_group_attrs", "q37_dimension_scales",
     # earlier waves — must never resurface
     "q04_backwards_index", "q05_slice", "q06_hyperslab", "q07_point_set",
     "q08_cast_projection", "q10_insert", "q11_delete", "q12_update",
@@ -55,12 +57,27 @@ def test_hdf5_suite_leg_matches_registered_oracle():
     assert len(set(sqls)) == 3
 
 
+def test_attribute_suite_leg_matches_registered_oracle():
+    from nimhdfstore_spark.queries import datasets as dsq
+
+    leg = dsq._Q15_LEG
+    assert leg == Q.sweep_rotation() % 4
+    sqls = (
+        dsq._Q15_SQL,
+        dsq._values_sql(dsq._Q15_COPY_ROWS),
+        dsq._values_sql(dsq._Q15_ATTR_ROWS),
+        dsq._Q37_SQL,
+    )
+    assert Q.ORACLE["q15_attribute_suite"] == sqls[leg]
+    assert len(set(sqls)) == 4
+
+
 def test_core_slot_economics():
-    """Core 29 rows -> 21 extension slots inside the driver's ~50-row
+    """Core 27 rows -> 23 extension slots inside the driver's ~50-row
     sweep window, every one of them never-driver-verified (first-time)."""
     order = Q.sweep_order()
     core_rows = [n for n in order if n.startswith("q")]
-    assert len(core_rows) == 29
+    assert len(core_rows) == 27
     ext_slots = [n for n in order[:50] if not n.startswith("q")]
-    assert len(ext_slots) == 21
+    assert len(ext_slots) == 23
     assert not set(ext_slots) & Q.driver_verified()
