@@ -1005,57 +1005,6 @@ def q24(spark, sf_dir):
     return t.df().orderBy(ROWID)
 
 
-# --------------------------------------------------------------------------
-# Q23 — compaction: repeated small appends fragment the snapshot file
-# catalog; ``Table.compact`` rewrites it at ``rows_per_file`` sizing. The
-# maintenance op every log-structured store schedules (the reference's
-# chunked HDF5 tables get the same effect from H5 chunk re-packing). The
-# file-count drop is asserted Spark-side (runtime layout, not
-# SQL-expressible); the oracle checks the data is untouched.
-# --------------------------------------------------------------------------
-
-_Q23_SQL = f"""
-WITH base AS ({rowid_over('nation')}),
-cnt AS (SELECT COUNT(*) AS c FROM nation),
-app AS (
-  SELECT {ROWID} + c AS {ROWID}, CAST(1000000000 + n_nationkey AS INTEGER),
-         'synthetic', CAST(0 AS INTEGER)
-  FROM base, cnt WHERE {ROWID} < 3
-)
-SELECT * FROM base UNION ALL SELECT * FROM app ORDER BY {ROWID}
-"""
-
-
-@query("q23_compaction", _Q23_SQL)
-def q23(spark, sf_dir):
-    store = Store(
-        spark, os.path.join(SCRATCH_ROOT, f"q23-{os.path.basename(sf_dir)}"),
-        rows_per_file=5,
-    )
-    t = store.put("nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True)
-    dts = dict(t.df().dtypes)  # payload must match table dtypes exactly
-    one_by_one = (
-        t.df()
-        .where(F.col(ROWID) < 3)
-        .select(
-            (F.col("n_nationkey") + 1_000_000_000)
-            .cast(dts["n_nationkey"]).alias("n_nationkey"),
-            F.lit("synthetic").alias("n_name"),
-            F.lit(0).cast(dts["n_regionkey"]).alias("n_regionkey"),
-        )
-    )
-    for r in one_by_one.collect():  # 3 × 1-row appends → 3 fragment files
-        t.append(spark.createDataFrame([r], one_by_one.schema), n=1)
-    files_before = len(t._meta["files"])
-    t.compact()
-    files_after = len(t._meta["files"])
-    if files_after >= files_before:
-        raise AssertionError(
-            f"compaction did not reduce file count: {files_before} -> {files_after}"
-        )
-    return t.df().orderBy(ROWID)
-
-
 # The oracle checks VALUES through the codec round-trip via a fixed-point
 # aggregate (hash-exact across engines); full-data equality across all three
 # codecs is asserted in-query by the XOR row-hash checksums below — a 60k-row

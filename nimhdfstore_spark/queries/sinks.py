@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from nimhdfstore_spark.queries import query, sweep_rotation
 from nimhdfstore_spark.queries.core import SCRATCH_ROOT
+from nimhdfstore_spark.rowid import ROWID
 from nimhdfstore_spark.tables import load, rowid_over
 
 
@@ -106,48 +107,15 @@ def q29(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q32 — Hive-partitioned layout + partition-pruned read. THE physical-layout
-# lever at 100 TB: a filter on the partition column must become a
-# PartitionFilter (directory pruning — zero IO for other partitions), not a
-# data filter. Asserted in-query against the executed plan.
-# --------------------------------------------------------------------------
-
-_Q32_SQL = """
-SELECT event_id, ts, user_id, event_type, value
-FROM events WHERE event_type = 'click' ORDER BY event_id
-"""
-
-
-@query("q32_partitioned_layout_prune", _Q32_SQL)
-def q32(spark, sf_dir):
-    src = load(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    path = os.path.join(SCRATCH_ROOT, f"part-events-{os.path.basename(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    src.write.partitionBy("event_type").parquet(path)
-    back = spark.read.parquet(path)
-    out = back.where(F.col("event_type") == "click").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    if "PartitionFilters: [" not in plan or "event_type" not in plan.split(
-        "PartitionFilters:"
-    )[1].split("]")[0]:
-        raise AssertionError(
-            "partition filter did not reach the scan:\n" + plan[:2000]
-        )
-    return out.orderBy("event_id")
-
-
-# --------------------------------------------------------------------------
-# q33 — the three file-skipping-index legs merged into ONE driver row
-# (round-6/7 verdict ask: core-slot economics — the q17 pattern). ALL legs
-# execute every run; each leg's output is checksummed in-query against the
-# PLAIN parquet read with the same value filter — a path that never touches
-# the Store, its layout, or its indexes — in a single fused Spark action.
-# The RETURNED leg (and its DuckDB oracle) rotates on the persisted sweep
-# counter, so each leg is engine-independently verified within 3 rounds.
+# q33 — the five physical-layout legs merged into ONE driver row (the
+# round-6/7 zone-map/z-order/bloom merge, widened in the sixth core-merge
+# wave with the compaction and Hive-partition-prune rows). ALL legs
+# execute every run; each leg's output is checksummed in-query against
+# the PLAIN parquet read with the same value filter — a path that never
+# touches the Store, its layout, or its indexes — in a single fused Spark
+# action. The RETURNED leg (and its DuckDB oracle) rotates on the
+# persisted sweep counter, so each leg is engine-independently verified
+# within 5 rounds.
 #
 #   leg 0 — zone map: per-file (min,max) footer stats over a VALUE column
 #     prune the file list driver-side before Spark plans the scan; a
@@ -160,7 +128,33 @@ def q32(spark, sf_dir):
 #   leg 2 — bloom file index: a hash-clustered layout decorrelates files
 #     from the lookup key (zone maps useless by construction); a per-file
 #     Bloom filter still skips every file that provably lacks the value.
+#   leg 3 — compaction: repeated 1-row appends fragment the snapshot file
+#     catalog; ``Table.compact`` rewrites it at ``rows_per_file`` sizing
+#     (the maintenance op every log-structured store schedules — the
+#     reference's chunked HDF5 tables get it from H5 chunk re-packing).
+#     The file-count drop is asserted Spark-side.
+#   leg 4 — Hive-partitioned layout + partition-pruned read — THE
+#     physical-layout lever at 100 TB: a filter on the partition column
+#     must become a PartitionFilter (directory pruning — zero IO for
+#     other partitions), not a data filter. Asserted against the executed
+#     plan.
 # --------------------------------------------------------------------------
+
+_Q23_SQL = f"""
+WITH base AS ({rowid_over('nation')}),
+cnt AS (SELECT COUNT(*) AS c FROM nation),
+app AS (
+  SELECT {ROWID} + c AS {ROWID}, CAST(1000000000 + n_nationkey AS INTEGER),
+         'synthetic', CAST(0 AS INTEGER)
+  FROM base, cnt WHERE {ROWID} < 3
+)
+SELECT * FROM base UNION ALL SELECT * FROM app ORDER BY {ROWID}
+"""
+
+_Q32_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events WHERE event_type = 'click' ORDER BY event_id
+"""
 
 _Q33_LO, _Q33_HI = 5000, 5999
 _Q44_KEY = 97
@@ -187,20 +181,24 @@ SELECT * FROM ({{rowid_over}}) WHERE p_partkey = {_Q44_KEY}
 ORDER BY _rowid
 """
 
-_Q33_LEG = sweep_rotation() % 3  # 0=zone map, 1=z-order, 2=bloom
+#: 0=zone map, 1=z-order, 2=bloom, 3=compaction, 4=partition-prune
+_Q33_LEG = sweep_rotation() % 5
 
 
 @query(
-    "q33_layout_index",
+    "q33_layout_suite",
     (
         _Q33_SQL.format(rowid_over=rowid_over("lineitem")),
         _Q35_SQL.format(rowid_over=rowid_over("lineitem")),
         _Q44_SQL.format(rowid_over=rowid_over("part")),
+        _Q23_SQL,
+        _Q32_SQL,
     )[_Q33_LEG],
 )
 def q33(spark, sf_dir):
     from nimhdfstore_spark.operators.zorder import morton_code
     from nimhdfstore_spark.queries.core import assert_legs_match, scratch_store
+    from nimhdfstore_spark.store import Store
     from nimhdfstore_spark.tables import load_pos, table_nrows
 
     from concurrent.futures import ThreadPoolExecutor
@@ -260,22 +258,103 @@ def q33(spark, sf_dir):
             )
         return bl
 
-    # the two table chains are independent — concurrent submission makes
-    # wall time the slower chain, not the sum (the q13/q16 pattern)
-    with ThreadPoolExecutor(max_workers=2) as ex:
+    def chain_compact():
+        # leg 3 — append-fragmentation then compact; the file-count drop
+        # is runtime layout (not SQL-expressible), asserted here
+        cs = Store(
+            spark,
+            os.path.join(SCRATCH_ROOT, f"q23-{os.path.basename(sf_dir)}"),
+            rows_per_file=5,
+        )
+        t = cs.put(
+            "nation_scratch", load_pos(spark, sf_dir, "nation"),
+            overwrite=True,
+        )
+        dts = dict(t.df().dtypes)  # payload must match table dtypes
+        one_by_one = (
+            t.df()
+            .where(F.col(ROWID) < 3)
+            .select(
+                (F.col("n_nationkey") + 1_000_000_000)
+                .cast(dts["n_nationkey"]).alias("n_nationkey"),
+                F.lit("synthetic").alias("n_name"),
+                F.lit(0).cast(dts["n_regionkey"]).alias("n_regionkey"),
+            )
+        )
+        for r in one_by_one.collect():  # 3 × 1-row appends → 3 fragments
+            t.append(spark.createDataFrame([r], one_by_one.schema), n=1)
+        files_before = len(t._meta["files"])
+        t.compact()
+        files_after = len(t._meta["files"])
+        if files_after >= files_before:
+            raise AssertionError(
+                f"compaction did not reduce file count: "
+                f"{files_before} -> {files_after}"
+            )
+        return t.df()
+
+    def chain_hive():
+        # leg 4 — Hive-partitioned write + directory-pruned read
+        src = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        path = os.path.join(
+            SCRATCH_ROOT, f"part-events-{os.path.basename(sf_dir)}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        src.write.partitionBy("event_type").parquet(path)
+        back = spark.read.parquet(path)
+        out = back.where(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters: [" not in plan or "event_type" not in plan.split(
+            "PartitionFilters:"
+        )[1].split("]")[0]:
+            raise AssertionError(
+                "partition filter did not reach the scan:\n" + plan[:2000]
+            )
+        return out
+
+    # the four scratch chains are independent — concurrent submission
+    # makes wall time the slowest chain, not the sum (the q13/q16 pattern)
+    with ThreadPoolExecutor(max_workers=4) as ex:
         f_li = ex.submit(chain_li)
         f_part = ex.submit(chain_part)
+        f_cmp = ex.submit(chain_compact)
+        f_hive = ex.submit(chain_hive)
         (zm, zo), bl = f_li.result(), f_part.result()
+        cmp_df, hive_df = f_cmp.result(), f_hive.result()
 
     want_zm = li.where(F.col("l_orderkey").between(_Q33_LO, _Q33_HI))
     want_zo = li.where(F.col("l_partkey").between(0, 31))
     want_bl = part.where(F.col("p_partkey") == _Q44_KEY)
+    # leg 3 want: relational rebuild straight from the parquet — base
+    # nation plus the three synthetic rows at rowids n..n+2
+    nation = load_pos(spark, sf_dir, "nation")
+    n_nat = table_nrows(sf_dir, "nation")
+    ndts = dict(nation.dtypes)
+    want_cmp = nation.unionByName(
+        nation.where(F.col(ROWID) < 3).select(
+            (F.col(ROWID) + F.lit(n_nat)).cast("long").alias(ROWID),
+            (F.col("n_nationkey") + 1_000_000_000)
+            .cast(ndts["n_nationkey"]).alias("n_nationkey"),
+            F.lit("synthetic").alias("n_name"),
+            F.lit(0).cast(ndts["n_regionkey"]).alias("n_regionkey"),
+        )
+    )
+    # leg 4 want: the same filter over the UNPARTITIONED source parquet
+    want_hive = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).where(F.col("event_type") == "click")
     try:
         assert_legs_match(
             [("zone-map", zm, want_zm), ("z-order", zo, want_zo),
-             ("bloom", bl, want_bl)]
+             ("bloom", bl, want_bl), ("compaction", cmp_df, want_cmp),
+             ("partition-prune", hive_df, want_hive)]
         )
-        return (zm, zo, bl)[_Q33_LEG].orderBy("_rowid")
+        order = ("_rowid", "_rowid", "_rowid", ROWID, "event_id")[_Q33_LEG]
+        return (zm, zo, bl, cmp_df, hive_df)[_Q33_LEG].orderBy(order)
     finally:
         li.unpersist()
         part.unpersist()

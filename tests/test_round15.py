@@ -23,6 +23,8 @@ MERGED_AWAY = [
     "q49_hdf5_vlen_roundtrip",
     # wave 5 (this round): the attribute/metadata family
     "q15_attributes", "q21_copy_group_attrs", "q37_dimension_scales",
+    # wave 6 (this round): the physical-layout family
+    "q23_compaction", "q32_partitioned_layout_prune", "q33_layout_index",
     # earlier waves — must never resurface
     "q04_backwards_index", "q05_slice", "q06_hyperslab", "q07_point_set",
     "q08_cast_projection", "q10_insert", "q11_delete", "q12_update",
@@ -72,12 +74,29 @@ def test_attribute_suite_leg_matches_registered_oracle():
     assert len(set(sqls)) == 4
 
 
+def test_layout_suite_leg_matches_registered_oracle():
+    from nimhdfstore_spark.queries import sinks
+    from nimhdfstore_spark.tables import rowid_over
+
+    leg = sinks._Q33_LEG
+    assert leg == Q.sweep_rotation() % 5
+    sqls = (
+        sinks._Q33_SQL.format(rowid_over=rowid_over("lineitem")),
+        sinks._Q35_SQL.format(rowid_over=rowid_over("lineitem")),
+        sinks._Q44_SQL.format(rowid_over=rowid_over("part")),
+        sinks._Q23_SQL,
+        sinks._Q32_SQL,
+    )
+    assert Q.ORACLE["q33_layout_suite"] == sqls[leg]
+    assert len(set(sqls)) == 5
+
+
 def test_core_slot_economics():
-    """Core 27 rows -> 23 extension slots inside the driver's ~50-row
+    """Core 25 rows -> 25 extension slots inside the driver's ~50-row
     sweep window, every one of them never-driver-verified (first-time)."""
     order = Q.sweep_order()
     core_rows = [n for n in order if n.startswith("q")]
-    assert len(core_rows) == 27
+    assert len(core_rows) == 25
     ext_slots = [n for n in order[:50] if not n.startswith("q")]
-    assert len(ext_slots) == 23
+    assert len(ext_slots) == 25
     assert not set(ext_slots) & Q.driver_verified()
