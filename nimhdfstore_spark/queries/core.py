@@ -708,8 +708,26 @@ def q14(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 # --------------------------------------------------------------------------
-# Q20 — M15 schema evolution (H5TBinsert_field/H5TBdelete_field,
-# hl/H5TBpublic.nim:120-125): add a defaulted column, drop another.
+# Q20 — the three keyed/structural mutation legs merged into ONE driver
+# row (seventh core-merge wave). ALL legs execute every run on disjoint
+# scratch stores via a thread pool; each leg's post-mutation read is
+# checksummed in one fused action against a relationally-rebuilt frame
+# (the oracles' join/window arithmetic, in Spark, straight from the
+# untouched parquet). The RETURNED leg and its DuckDB oracle rotate on
+# the persisted sweep counter, so each leg is engine-independently
+# verified within 3 rounds.
+#
+#   leg 0 (schema_evolution) — M15 (H5TBinsert_field/H5TBdelete_field,
+#     hl/H5TBpublic.nim:120-125): add a defaulted column, drop another.
+#   leg 1 (combine) — J1/J2 (H5TBcombine_tables + H5TBadd_records_from,
+#     hl/H5TBpublic.nim:114-119): concatenate region+nation into a third
+#     table, then append nation rows 1..3 once more; positions of the
+#     second operand follow the first, the slice append rebases onto the
+#     tail.
+#   leg 2 (merge_upsert) — keyed MERGE (extension: the reference
+#     addresses rows only by position, SURVEY §2.9): two payload rows hit
+#     existing keys (in-place update, _rowid unchanged), two miss
+#     (appended at the tail in key order).
 # --------------------------------------------------------------------------
 
 _Q20_SQL = f"""
@@ -718,14 +736,189 @@ SELECT CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS {ROWID},
 FROM nation ORDER BY {ROWID}
 """
 
+_Q24_SQL = f"""
+WITH r AS ({rowid_over('region')}),
+n AS ({rowid_over('nation')}),
+rc AS (SELECT COUNT(*) AS c FROM region),
+nc AS (SELECT COUNT(*) AS c FROM nation),
+combined AS (
+  SELECT {ROWID}, r_regionkey AS k, r_name AS name FROM r
+  UNION ALL
+  SELECT {ROWID} + rc.c, n_nationkey, n_name FROM n, rc
+),
+appended AS (
+  SELECT * FROM combined
+  UNION ALL
+  SELECT n.{ROWID} - 1 + rc.c + nc.c, n_nationkey, n_name
+  FROM n, rc, nc WHERE n.{ROWID} BETWEEN 1 AND 3
+)
+SELECT * FROM appended ORDER BY {ROWID}
+"""
 
-@query("q20_schema_evolution", _Q20_SQL)
+_Q27_PAYLOAD = [
+    (3, "MERGED-3", 0),
+    (7, "MERGED-7", 1),
+    (100, "NEW-100", 2),
+    (101, "NEW-101", 3),
+]
+
+_Q27_SQL = f"""
+WITH base AS ({rowid_over('nation')}),
+pay(n_nationkey, n_name, n_regionkey) AS (
+  VALUES {", ".join(str(r) for r in _Q27_PAYLOAD)}
+),
+updated AS (
+  SELECT b.{ROWID}, b.n_nationkey,
+         COALESCE(p.n_name, b.n_name) AS n_name,
+         COALESCE(p.n_regionkey, b.n_regionkey) AS n_regionkey
+  FROM base b LEFT JOIN pay p ON b.n_nationkey = p.n_nationkey
+),
+ins AS (
+  SELECT (SELECT COUNT(*) FROM base)
+           + ROW_NUMBER() OVER (ORDER BY p.n_nationkey) - 1 AS {ROWID},
+         p.n_nationkey, p.n_name, p.n_regionkey
+  FROM pay p WHERE p.n_nationkey NOT IN (SELECT n_nationkey FROM base)
+)
+SELECT {ROWID}, CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM (SELECT * FROM updated UNION ALL SELECT * FROM ins)
+ORDER BY {ROWID}
+"""
+
+#: 0=schema_evolution, 1=combine, 2=merge_upsert
+_Q20_LEG = sweep_rotation() % 3
+
+
+@query(
+    "q20_evolution_suite",
+    (_Q20_SQL, _Q24_SQL, _Q27_SQL)[_Q20_LEG],
+)
 def q20(spark, sf_dir):
-    store = scratch_store(spark, f"q20-{os.path.basename(sf_dir)}")
-    t = store.put("nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True)
-    t.add_field("n_flag", "long", 1)
-    t.drop_field("n_name")
-    return t.df().orderBy(ROWID)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Window
+
+    from nimhdfstore_spark.tables import table_nrows
+
+    tag = os.path.basename(sf_dir)
+    nation = load_pos(spark, sf_dir, "nation")
+    region = load_pos(spark, sf_dir, "region")
+    n_nat = table_nrows(sf_dir, "nation")  # footer counts — no scan job
+    n_reg = table_nrows(sf_dir, "region")
+    r = F.col(ROWID)
+
+    def _leg_evolution():
+        store = scratch_store(spark, f"q20-{tag}")
+        t = store.put("nation_scratch", nation, overwrite=True)
+        t.add_field("n_flag", "long", 1)
+        t.drop_field("n_name")
+        return t.df()
+
+    def _leg_combine():
+        store = scratch_store(spark, f"q24-{tag}")
+        store.put("r_scratch", region.select(
+            ROWID, F.col("r_regionkey").alias("k"),
+            F.col("r_name").alias("name"),
+        ), overwrite=True)
+        store.put("n_scratch", nation.select(
+            ROWID, F.col("n_nationkey").alias("k"),
+            F.col("n_name").alias("name"),
+        ), overwrite=True)
+        t = store.combine("r_scratch", "n_scratch", "both", overwrite=True)
+        t.add_records_from(store.table("n_scratch"), start=1, n=3)
+        return t.df()
+
+    def _leg_merge():
+        store = scratch_store(spark, f"q27-{tag}")
+        t = store.put("nation_scratch", nation, overwrite=True)
+        pay = spark.createDataFrame(
+            _Q27_PAYLOAD, "n_nationkey int, n_name string, n_regionkey int"
+        )
+        stats = t.merge(pay, "n_nationkey")
+        assert stats == {"updated": 2, "inserted": 2}, stats
+        return t.df().select(
+            ROWID,
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+
+    # disjoint scratch stores — concurrent end-to-end (the q09 pattern)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_ev = ex.submit(_leg_evolution)
+        f_cb = ex.submit(_leg_combine)
+        f_mg = ex.submit(_leg_merge)
+        got = (f_ev.result(), f_cb.result(), f_mg.result())
+
+    # independent expected frames — the oracles' arithmetic in Spark,
+    # cast column-for-column to the store frames' exact types
+    def _cast_like(df, like):
+        dts = dict(like.dtypes)
+        return df.select(
+            *[F.col(c).cast(dts[c]).alias(c) for c in like.columns]
+        )
+
+    want_ev = _cast_like(
+        nation.select(ROWID, "n_nationkey", "n_regionkey",
+                      F.lit(1).alias("n_flag")),
+        got[0],
+    )
+    comb = region.select(
+        r, F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+    ).unionByName(
+        nation.select(
+            (r + F.lit(n_reg)).alias(ROWID),
+            F.col("n_nationkey").alias("k"), F.col("n_name").alias("name"),
+        )
+    )
+    want_cb = _cast_like(
+        comb.unionByName(
+            nation.where(r.between(1, 3)).select(
+                (r - 1 + F.lit(n_reg) + F.lit(n_nat)).alias(ROWID),
+                F.col("n_nationkey").alias("k"),
+                F.col("n_name").alias("name"),
+            )
+        ),
+        got[1],
+    )
+    pay = spark.createDataFrame(
+        _Q27_PAYLOAD, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    updated = (
+        nation.alias("b")
+        .join(pay.alias("p"), "n_nationkey", "left")
+        .select(
+            r,
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            F.coalesce(F.col("p.n_name"), F.col("b.n_name")).alias("n_name"),
+            F.coalesce(F.col("p.n_regionkey"), F.col("b.n_regionkey"))
+            .cast("long").alias("n_regionkey"),
+        )
+    )
+    ins = (
+        pay.join(
+            nation.select("n_nationkey"), "n_nationkey", "left_anti"
+        )
+        .withColumn(
+            ROWID,
+            F.lit(n_nat)
+            + F.row_number().over(Window.orderBy("n_nationkey")) - 1,
+        )
+        .select(
+            F.col(ROWID).cast("long").alias(ROWID),
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        )
+    )
+    want_mg = updated.unionByName(ins)
+
+    assert_legs_match([
+        ("schema_evolution", got[0], want_ev),
+        ("combine", got[1], want_cb),
+        ("merge_upsert", got[2], want_mg),
+    ])
+    return got[_Q20_LEG].orderBy(ROWID)
 
 
 # --------------------------------------------------------------------------
@@ -963,112 +1156,6 @@ def q25(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Q24 — J1/J2 table combination (H5TBcombine_tables + H5TBadd_records_from,
-# hl/H5TBpublic.nim:114-119): concatenate region+nation into a third table,
-# then append nation rows 1..3 from the source once more. Positions of the
-# second operand follow the first; the slice append rebases onto the tail.
-# --------------------------------------------------------------------------
-
-_Q24_SQL = f"""
-WITH r AS ({rowid_over('region')}),
-n AS ({rowid_over('nation')}),
-rc AS (SELECT COUNT(*) AS c FROM region),
-nc AS (SELECT COUNT(*) AS c FROM nation),
-combined AS (
-  SELECT {ROWID}, r_regionkey AS k, r_name AS name FROM r
-  UNION ALL
-  SELECT {ROWID} + rc.c, n_nationkey, n_name FROM n, rc
-),
-appended AS (
-  SELECT * FROM combined
-  UNION ALL
-  SELECT n.{ROWID} - 1 + rc.c + nc.c, n_nationkey, n_name
-  FROM n, rc, nc WHERE n.{ROWID} BETWEEN 1 AND 3
-)
-SELECT * FROM appended ORDER BY {ROWID}
-"""
-
-
-@query("q24_combine_tables", _Q24_SQL)
-def q24(spark, sf_dir):
-    store = scratch_store(spark, f"q24-{os.path.basename(sf_dir)}")
-    region = load_pos(spark, sf_dir, "region").select(
-        ROWID, F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
-    )
-    nation = load_pos(spark, sf_dir, "nation").select(
-        ROWID, F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
-    )
-    store.put("r_scratch", region, overwrite=True)
-    store.put("n_scratch", nation, overwrite=True)
-    t = store.combine("r_scratch", "n_scratch", "both", overwrite=True)
-    t.add_records_from(store.table("n_scratch"), start=1, n=3)
-    return t.df().orderBy(ROWID)
-
-
-# The oracle checks VALUES through the codec round-trip via a fixed-point
-# aggregate (hash-exact across engines); full-data equality across all three
-# codecs is asserted in-query by the XOR row-hash checksums below — a 60k-row
-# result here would only re-verify what q01 already hash-matches while costing
-# the driver's sweep budget several seconds of transfer+hash per check.
-_Q16_SQL = """
-SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_fp,
-       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_fp
-FROM lineitem GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
-"""
-
-
-@query("q16_compression", _Q16_SQL)
-def q16(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    store = scratch_store(spark, f"q16-{os.path.basename(sf_dir)}")
-    # persist: the same rowid'd frame is written 3× (once per codec) — cache
-    # it instead of recomputing the rank sort per write. Deliberate for this
-    # codec-invariance check; a 100 TB single write wouldn't cache.
-    src = load_pos(spark, sf_dir, "lineitem").persist()
-    src.count()  # materialize once before the concurrent writers share it
-
-    def write_and_sum(codec):
-        # concurrent job submission: the three codec writes and their
-        # checksum scans are independent — Spark's scheduler interleaves
-        # them across the same executors, so wall time is the slowest one,
-        # not the sum (FIFO pools are per-job, not per-session)
-        t = store.put(f"li_{codec}", src, codec=codec, overwrite=True)
-        df = t.df()
-        # order-insensitive per-table checksum in one scan: count + XOR of
-        # full-row hashes (cheaper than exceptAll's join-shuffle).
-        row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
-            ).alias("h"),
-        ).collect()[0]
-        return codec, df, (row["n"], row["h"])
-
-    with ThreadPoolExecutor(max_workers=3) as ex:
-        results = list(ex.map(write_and_sum, ("none", "snappy", "zstd")))
-    reads = {c: df for c, df, _ in results}
-    sums = {c: s for c, _, s in results}
-    src.unpersist()
-    if len(set(sums.values())) != 1:
-        raise AssertionError(f"codec round-trips differ: {sums}")
-    zstd = reads["zstd"]
-    return (
-        zstd.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.expr("cast(round(l_quantity * 100) as bigint)")).alias("qty_fp"),
-            F.sum(
-                F.expr("cast(round(l_extendedprice * 100) as bigint)")
-            ).alias("price_fp"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-# --------------------------------------------------------------------------
 # Q26 — SQL over the store catalog: Store.sql registers every table (with
 # _rowid) as a temp view, so positional predicates and joins compose in
 # plain Spark SQL. The oracle reproduces the same statement over the
@@ -1097,70 +1184,6 @@ def q26(spark, sf_dir):
         WHERE n.{ROWID} BETWEEN 5 AND 14
         ORDER BY nation_rowid
     """)
-
-
-# --------------------------------------------------------------------------
-# Q27 — keyed MERGE / upsert (extension: the reference addresses rows only
-# by position, SURVEY §2.9; Table.merge gives the keyed mutation a warehouse
-# user expects, with the same file-pruned snapshot commit as update_rows).
-# Two payload rows hit existing keys (in-place update, _rowid unchanged),
-# two miss (appended at the tail in key order). The oracle reproduces the
-# semantics relationally: LEFT JOIN for the update leg, NOT IN + row_number
-# for the insert leg.
-# --------------------------------------------------------------------------
-
-_Q27_PAYLOAD = [
-    (3, "MERGED-3", 0),
-    (7, "MERGED-7", 1),
-    (100, "NEW-100", 2),
-    (101, "NEW-101", 3),
-]
-
-_Q27_SQL = f"""
-WITH base AS ({rowid_over('nation')}),
-pay(n_nationkey, n_name, n_regionkey) AS (
-  VALUES {", ".join(str(r) for r in _Q27_PAYLOAD)}
-),
-updated AS (
-  SELECT b.{ROWID}, b.n_nationkey,
-         COALESCE(p.n_name, b.n_name) AS n_name,
-         COALESCE(p.n_regionkey, b.n_regionkey) AS n_regionkey
-  FROM base b LEFT JOIN pay p ON b.n_nationkey = p.n_nationkey
-),
-ins AS (
-  SELECT (SELECT COUNT(*) FROM base)
-           + ROW_NUMBER() OVER (ORDER BY p.n_nationkey) - 1 AS {ROWID},
-         p.n_nationkey, p.n_name, p.n_regionkey
-  FROM pay p WHERE p.n_nationkey NOT IN (SELECT n_nationkey FROM base)
-)
-SELECT {ROWID}, CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-       CAST(n_regionkey AS BIGINT) AS n_regionkey
-FROM (SELECT * FROM updated UNION ALL SELECT * FROM ins)
-ORDER BY {ROWID}
-"""
-
-
-@query("q27_merge_upsert", _Q27_SQL)
-def q27(spark, sf_dir):
-    store = scratch_store(spark, f"q27-{os.path.basename(sf_dir)}")
-    t = store.put(
-        "nation_scratch", load_pos(spark, sf_dir, "nation"), overwrite=True
-    )
-    pay = spark.createDataFrame(
-        _Q27_PAYLOAD, "n_nationkey int, n_name string, n_regionkey int"
-    )
-    stats = t.merge(pay, "n_nationkey")
-    assert stats == {"updated": 2, "inserted": 2}, stats
-    return (
-        t.df()
-        .select(
-            ROWID,
-            F.col("n_nationkey").cast("long").alias("n_nationkey"),
-            "n_name",
-            F.col("n_regionkey").cast("long").alias("n_regionkey"),
-        )
-        .orderBy(ROWID)
-    )
 
 
 # --------------------------------------------------------------------------

@@ -25,6 +25,8 @@ MERGED_AWAY = [
     "q15_attributes", "q21_copy_group_attrs", "q37_dimension_scales",
     # wave 6 (this round): the physical-layout family
     "q23_compaction", "q32_partitioned_layout_prune", "q33_layout_index",
+    # wave 7 (this round): the keyed/structural mutation family
+    "q20_schema_evolution", "q24_combine_tables", "q27_merge_upsert",
     # earlier waves — must never resurface
     "q04_backwards_index", "q05_slice", "q06_hyperslab", "q07_point_set",
     "q08_cast_projection", "q10_insert", "q11_delete", "q12_update",
@@ -91,12 +93,22 @@ def test_layout_suite_leg_matches_registered_oracle():
     assert len(set(sqls)) == 5
 
 
+def test_evolution_suite_leg_matches_registered_oracle():
+    from nimhdfstore_spark.queries import core
+
+    leg = core._Q20_LEG
+    assert leg == Q.sweep_rotation() % 3
+    sqls = (core._Q20_SQL, core._Q24_SQL, core._Q27_SQL)
+    assert Q.ORACLE["q20_evolution_suite"] == sqls[leg]
+    assert len(set(sqls)) == 3
+
+
 def test_core_slot_economics():
-    """Core 25 rows -> 25 extension slots inside the driver's ~50-row
+    """Core 22 rows -> 28 extension slots inside the driver's ~50-row
     sweep window, every one of them never-driver-verified (first-time)."""
     order = Q.sweep_order()
     core_rows = [n for n in order if n.startswith("q")]
-    assert len(core_rows) == 25
+    assert len(core_rows) == 22
     ext_slots = [n for n in order[:50] if not n.startswith("q")]
-    assert len(ext_slots) == 25
+    assert len(ext_slots) == 28
     assert not set(ext_slots) & Q.driver_verified()
