@@ -569,12 +569,37 @@ def q38(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q40 — declarative table constraints: declared once in the table's catalog
-# metadata (persisted, mutation-surviving), audited on demand by
-# Table.validate() — check rules fold into one scan, uniqueness is one
-# keyed groupBy, foreign keys one LEFT ANTI join each. Violations are
-# deterministically injected so every rule exercises a real count.
+# q26 — the three governed-access legs merged into ONE driver row (eighth
+# core-merge wave): the SQL surface over the catalog, declarative table
+# constraints, and fine-grained read policies — the three faces of a
+# shared lakehouse's access contract. ALL legs execute every run on
+# disjoint scratch stores via a thread pool; each leg's governed read is
+# checksummed in one fused action against the same projection/arithmetic
+# rebuilt straight from the untouched parquet (never through the Store).
+# The RETURNED leg and its DuckDB oracle rotate on the persisted sweep
+# counter, so each leg is engine-independently verified within 3 rounds.
+#
+#   leg 0 (store_sql) — Store.sql registers every table (with _rowid) as
+#     a temp view, so positional predicates and joins compose in plain
+#     Spark SQL.
+#   leg 1 (constraints) — declared once in the table's catalog metadata
+#     (persisted, mutation-surviving), audited on demand by
+#     Table.validate(): check rules fold into one scan, uniqueness is one
+#     keyed groupBy, foreign keys one LEFT ANTI join each; violations are
+#     deterministically injected so every rule exercises a real count.
+#   leg 2 (read_policies) — engine-enforced row filter + column subset +
+#     masking living in the catalog meta, surviving re-open, rewriting
+#     the SAME lazy frame df() returns (the filter still pushes to the
+#     scan).
 # --------------------------------------------------------------------------
+
+_Q26_SQL = f"""
+WITH n AS ({rowid_over('nation')}), r AS ({rowid_over('region')})
+SELECT n.{ROWID} AS nation_rowid, n.n_name, r.r_name
+FROM n JOIN r ON n.n_regionkey = r.r_regionkey
+WHERE n.{ROWID} BETWEEN 5 AND 14
+ORDER BY nation_rowid
+"""
 
 _Q40_SQL = """
 WITH scratch AS (
@@ -607,87 +632,166 @@ report AS (
 SELECT rule, n_violations FROM report ORDER BY rule
 """
 
-
-@query("q40_table_constraints", _Q40_SQL)
-def q40(spark, sf_dir):
-    from nimhdfstore_spark.queries.core import scratch_store
-    from nimhdfstore_spark.tables import load
-
-    store = scratch_store(spark, f"q40-{os.path.basename(sf_dir)}")
-    cust = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
-    )
-    bad = cust.where(F.col("c_custkey") % 97 == 0).select(
-        "c_custkey",
-        F.lit(None).cast("string").alias("c_name"),
-        "c_nationkey",
-        F.lit(-1000000.0).alias("c_acctbal"),
-    )
-    nation_ref = (
-        load(spark, sf_dir, "nation")
-        .where(F.col("n_nationkey") < 20)
-        .select("n_nationkey", "n_name")
-    )
-    store.put(
-        "nation_ref", nation_ref, order_by=["n_nationkey"], overwrite=True
-    )
-    t = store.put(
-        "customer_audited",
-        cust.unionByName(bad),
-        order_by=["c_custkey", "c_acctbal"],
-        overwrite=True,
-    )
-    t.add_constraint("check_acctbal_min", check="c_acctbal >= -1000")
-    t.add_constraint("check_name_not_null", check="c_name IS NOT NULL")
-    t.add_constraint("unique_custkey", unique=["c_custkey"])
-    t.add_constraint(
-        "fk_nation", foreign_key=("c_nationkey", "nation_ref", "n_nationkey")
-    )
-    # constraints persist in the catalog: a fresh handle sees and runs them
-    fresh = store.table("customer_audited")
-    if set(fresh.constraints) != {
-        "check_acctbal_min", "check_name_not_null", "unique_custkey", "fk_nation"
-    }:
-        raise AssertionError(f"constraints did not persist: {fresh.constraints}")
-    return fresh.validate().orderBy("rule")
-
-
-# --------------------------------------------------------------------------
-# q48 — fine-grained read policies (row filter + column subset + masking):
-# the governed-read surface a shared lakehouse needs (engine-enforced
-# row-level security and column masking, not caller discipline). The
-# policy lives in the catalog meta, survives re-open, and rewrites the
-# SAME lazy frame df() returns — the filter still pushes to the scan.
-# Oracle: DuckDB applies the identical predicate, sha256 mask and
-# projection over the canonical-rowid view.
-# --------------------------------------------------------------------------
-
 _Q48_SQL = (
     "SELECT {rowid}, c_custkey, sha256(c_name) AS c_name, c_mktsegment "
     "FROM ({rowid_over}) WHERE c_mktsegment = 'BUILDING' ORDER BY {rowid}"
-)
+).format(rowid=ROWID, rowid_over=rowid_over("customer"))
+
+#: 0=store_sql, 1=constraints, 2=read_policies
+_Q26_LEG = sweep_rotation() % 3
 
 
 @query(
-    "q48_read_policies",
-    _Q48_SQL.format(rowid="_rowid", rowid_over=rowid_over("customer")),
+    "q26_governance_suite",
+    (_Q26_SQL, _Q40_SQL, _Q48_SQL)[_Q26_LEG],
 )
-def q48(spark, sf_dir):
-    from nimhdfstore_spark.queries.core import scratch_store
+def q26(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nimhdfstore_spark.queries.core import (
+        assert_legs_match, scratch_store,
+    )
     from nimhdfstore_spark.tables import load_pos
 
-    store = scratch_store(spark, f"q48-{os.path.basename(sf_dir)}")
-    store.put("cust", load_pos(spark, sf_dir, "customer"), overwrite=True)
-    t = store.table("cust")
-    t.set_policy(
-        "analyst",
-        row_filter="c_mktsegment = 'BUILDING'",
-        columns=["c_custkey", "c_name", "c_mktsegment"],
-        masks={"c_name": "sha256"},
+    tag = os.path.basename(sf_dir)
+    nation_pos = load_pos(spark, sf_dir, "nation")
+    region_pos = load_pos(spark, sf_dir, "region")
+    cust_pos = load_pos(spark, sf_dir, "customer")
+
+    def _leg_store_sql():
+        store = scratch_store(spark, f"q26-{tag}")
+        store.put("nation_scratch", nation_pos, overwrite=True)
+        store.put("region_scratch", region_pos, overwrite=True)
+        return store.sql(f"""
+            SELECT n.{ROWID} AS nation_rowid, n.n_name, r.r_name
+            FROM nation_scratch n JOIN region_scratch r
+              ON n.n_regionkey = r.r_regionkey
+            WHERE n.{ROWID} BETWEEN 5 AND 14
+        """)
+
+    def _scratch_frames():
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+        )
+        bad = cust.where(F.col("c_custkey") % 97 == 0).select(
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_name"),
+            "c_nationkey",
+            F.lit(-1000000.0).alias("c_acctbal"),
+        )
+        return cust, bad
+
+    def _leg_constraints():
+        store = scratch_store(spark, f"q40-{tag}")
+        cust, bad = _scratch_frames()
+        nation_ref = (
+            load(spark, sf_dir, "nation")
+            .where(F.col("n_nationkey") < 20)
+            .select("n_nationkey", "n_name")
+        )
+        store.put(
+            "nation_ref", nation_ref, order_by=["n_nationkey"],
+            overwrite=True,
+        )
+        t = store.put(
+            "customer_audited",
+            cust.unionByName(bad),
+            order_by=["c_custkey", "c_acctbal"],
+            overwrite=True,
+        )
+        t.add_constraint("check_acctbal_min", check="c_acctbal >= -1000")
+        t.add_constraint("check_name_not_null", check="c_name IS NOT NULL")
+        t.add_constraint("unique_custkey", unique=["c_custkey"])
+        t.add_constraint(
+            "fk_nation",
+            foreign_key=("c_nationkey", "nation_ref", "n_nationkey"),
+        )
+        # constraints persist in the catalog: a fresh handle sees them
+        fresh = store.table("customer_audited")
+        if set(fresh.constraints) != {
+            "check_acctbal_min", "check_name_not_null", "unique_custkey",
+            "fk_nation",
+        }:
+            raise AssertionError(
+                f"constraints did not persist: {fresh.constraints}"
+            )
+        return fresh.validate()
+
+    def _leg_policies():
+        store = scratch_store(spark, f"q48-{tag}")
+        store.put("cust", cust_pos, overwrite=True)
+        store.table("cust").set_policy(
+            "analyst",
+            row_filter="c_mktsegment = 'BUILDING'",
+            columns=["c_custkey", "c_name", "c_mktsegment"],
+            masks={"c_name": "sha256"},
+        )
+        # re-open through a fresh handle: the policy comes from the catalog
+        return store.table("cust").df_as("analyst")
+
+    # disjoint scratch stores — concurrent end-to-end (the q09 pattern)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_sql = ex.submit(_leg_store_sql)
+        f_con = ex.submit(_leg_constraints)
+        f_pol = ex.submit(_leg_policies)
+        got = (f_sql.result(), f_con.result(), f_pol.result())
+
+    # independent expected frames, straight from the parquet
+    want_sql = (
+        nation_pos.alias("n")
+        .join(
+            region_pos.alias("r"),
+            F.col("n.n_regionkey") == F.col("r.r_regionkey"),
+        )
+        .where(F.col(f"n.{ROWID}").between(5, 14))
+        .select(
+            F.col(f"n.{ROWID}").alias("nation_rowid"), "n_name", "r_name"
+        )
     )
-    # re-open through a fresh handle: the policy must come from the catalog
-    return (
-        store.table("cust")
-        .df_as("analyst")
-        .orderBy("_rowid")
+    cust, bad = _scratch_frames()
+    scratch = cust.unionByName(bad)
+    nat20 = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") < 20)
+        .select("n_nationkey")
     )
+    def _rule(name, frame):
+        return frame.select(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+    dup = (
+        scratch.groupBy("c_custkey").count().where(F.col("count") > 1)
+        .select(
+            F.lit("unique_custkey").alias("rule"),
+            F.coalesce(F.sum(F.col("count") - 1), F.lit(0))
+            .cast("long").alias("n_violations"),
+        )
+    )
+    want_con = (
+        _rule("check_acctbal_min", scratch.where(~(F.col("c_acctbal") >= -1000)))
+        .unionByName(_rule(
+            "check_name_not_null", scratch.where(F.col("c_name").isNull())
+        ))
+        .unionByName(_rule(
+            "fk_nation",
+            scratch.where(F.col("c_nationkey").isNotNull())
+            .join(nat20, F.col("c_nationkey") == F.col("n_nationkey"),
+                  "left_anti"),
+        ))
+        .unionByName(dup)
+    )
+    want_pol = (
+        cust_pos.where(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            ROWID, "c_custkey",
+            F.sha2(F.col("c_name"), 256).alias("c_name"), "c_mktsegment",
+        )
+    )
+    assert_legs_match([
+        ("store_sql", got[0], want_sql),
+        ("constraints", got[1], want_con),
+        ("read_policies", got[2], want_pol),
+    ])
+    order = ("nation_rowid", "rule", ROWID)[_Q26_LEG]
+    return got[_Q26_LEG].orderBy(order)

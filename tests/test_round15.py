@@ -27,6 +27,8 @@ MERGED_AWAY = [
     "q23_compaction", "q32_partitioned_layout_prune", "q33_layout_index",
     # wave 7 (this round): the keyed/structural mutation family
     "q20_schema_evolution", "q24_combine_tables", "q27_merge_upsert",
+    # wave 8 (this round): the governed-access family
+    "q26_store_sql", "q40_table_constraints", "q48_read_policies",
     # earlier waves — must never resurface
     "q04_backwards_index", "q05_slice", "q06_hyperslab", "q07_point_set",
     "q08_cast_projection", "q10_insert", "q11_delete", "q12_update",
@@ -103,12 +105,32 @@ def test_evolution_suite_leg_matches_registered_oracle():
     assert len(set(sqls)) == 3
 
 
+def test_governance_suite_leg_matches_registered_oracle():
+    from nimhdfstore_spark.queries import sinks
+
+    leg = sinks._Q26_LEG
+    assert leg == Q.sweep_rotation() % 3
+    sqls = (sinks._Q26_SQL, sinks._Q40_SQL, sinks._Q48_SQL)
+    assert Q.ORACLE["q26_governance_suite"] == sqls[leg]
+    assert len(set(sqls)) == 3
+
+
+def test_q16_still_registered():
+    """Regression pin: the wave-7 block excision briefly deleted the
+    q16_compression registration (its leading comment had no dashed
+    separator, so an index('# -----') overshot). The row is load-bearing
+    reference parity (C1-C3 codec invariance) and must never silently
+    drop out of the registry again."""
+    assert "q16_compression" in Q.QUERIES
+    assert "q16_compression" in Q.ORACLE
+
+
 def test_core_slot_economics():
-    """Core 22 rows -> 28 extension slots inside the driver's ~50-row
+    """Core 21 rows -> 29 extension slots inside the driver's ~50-row
     sweep window, every one of them never-driver-verified (first-time)."""
     order = Q.sweep_order()
     core_rows = [n for n in order if n.startswith("q")]
-    assert len(core_rows) == 22
+    assert len(core_rows) == 21
     ext_slots = [n for n in order[:50] if not n.startswith("q")]
-    assert len(ext_slots) == 28
+    assert len(ext_slots) == 29
     assert not set(ext_slots) & Q.driver_verified()
