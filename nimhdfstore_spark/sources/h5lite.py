@@ -946,6 +946,15 @@ def _read_range_info(path: str, info: dict, start: int, stop: int) -> np.ndarray
         return np.empty(0, dtype=mem_dt)
     itemsize = file_dt.itemsize
     with open(path, "rb") as f:
+        # Corruption guard: a flipped byte in a row count, chunk size, or
+        # data address can make the requested region astronomically large —
+        # f.read(n) PRE-ALLOCATES n bytes, so the failure mode is
+        # MemoryError before the short read is even visible (hypothesis
+        # single-byte-corruption falsifying example: vlen file, offset
+        # 1364). Every raw-data read is therefore bounded by the file's
+        # actual size BEFORE any allocation; overshoot is the documented
+        # malformed-file ValueError.
+        fsize = os.fstat(f.fileno()).st_size
         if "btree" in info:  # chunked layout: assemble intersecting chunks
             chunk_rows = info["chunk_rows"]
             filters = info.get("filters", [])
@@ -955,6 +964,11 @@ def _read_range_info(path: str, info: dict, start: int, stop: int) -> np.ndarray
             for row_off, caddr, nbytes in sorted(chunks):
                 if row_off >= stop or row_off + chunk_rows <= start:
                     continue
+                if caddr < 0 or nbytes < 0 or caddr + nbytes > fsize:
+                    raise ValueError(
+                        f"malformed HDF5 file: chunk at {caddr} "
+                        f"({nbytes} bytes) extends past EOF ({fsize})"
+                    )
                 blob = _defilter(
                     f_read(f, caddr, nbytes), filters, itemsize,
                     max_bytes=chunk_rows * itemsize,
@@ -968,10 +982,15 @@ def _read_range_info(path: str, info: dict, start: int, stop: int) -> np.ndarray
                 else np.empty(0, dtype=file_dt)
             )
         else:
-            f.seek(info["addr"] + start * itemsize)
-            raw = np.frombuffer(
-                f.read((stop - start) * itemsize), dtype=file_dt
-            )
+            off = info["addr"] + start * itemsize
+            need = (stop - start) * itemsize
+            if off < 0 or need < 0 or off + need > fsize:
+                raise ValueError(
+                    f"malformed HDF5 file: contiguous data region at {off} "
+                    f"({need} bytes) extends past EOF ({fsize})"
+                )
+            f.seek(off)
+            raw = np.frombuffer(f.read(need), dtype=file_dt)
         if mem_dt is file_dt:
             return raw.copy()
         out = np.empty(len(raw), dtype=mem_dt)

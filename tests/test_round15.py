@@ -134,3 +134,38 @@ def test_core_slot_economics():
     ext_slots = [n for n in order[:50] if not n.startswith("q")]
     assert len(ext_slots) == 29
     assert not set(ext_slots) & Q.driver_verified()
+
+
+def test_h5lite_corrupted_size_raises_valueerror_not_memoryerror():
+    """Regression pin for the round-14 fuzz finding: a single flipped byte
+    (vlen fixture, offset 1364 -> 2) landed in a row count / data address
+    and made the contiguous read path PRE-ALLOCATE the corrupted region
+    size via f.read(n) -> MemoryError, outside the documented ValueError
+    contract. Every raw-data read is now bounded by the file's actual
+    size before any allocation. The pin replays the exact falsifying
+    draw rather than relying on the local hypothesis example database."""
+    import tempfile
+
+    import numpy as np
+
+    from nimhdfstore_spark.sources import h5lite
+
+    vdt = np.dtype([
+        ("doc_id", "<i8"),
+        ("text", np.dtype("O", metadata={"vlen": bytes})),
+    ])
+    va = np.empty(40, dtype=vdt)
+    va["doc_id"] = np.arange(40)
+    va["text"] = [b"x" * (i % 17) for i in range(40)]
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/vlen.h5"
+        h5lite.write(p, {"t": va})
+        blob = bytearray(open(p, "rb").read())
+        blob[1364] = 2
+        pc = f"{d}/corrupt.h5"
+        open(pc, "wb").write(bytes(blob))
+        try:
+            for name in h5lite.catalog(pc):
+                h5lite.read(pc, name)
+        except ValueError:
+            pass  # the ONLY acceptable failure class
