@@ -816,14 +816,18 @@ def q20(spark, sf_dir):
 
     def _leg_combine():
         store = scratch_store(spark, f"q24-{tag}")
-        store.put("r_scratch", region.select(
-            ROWID, F.col("r_regionkey").alias("k"),
-            F.col("r_name").alias("name"),
-        ), overwrite=True)
-        store.put("n_scratch", nation.select(
-            ROWID, F.col("n_nationkey").alias("k"),
-            F.col("n_name").alias("name"),
-        ), overwrite=True)
+        # the two source puts are independent tables — concurrent, so this
+        # leg's commit chain is 3 deep (put ∥ put → combine → append), not 4
+        with ThreadPoolExecutor(max_workers=2) as inner:
+            fr = inner.submit(store.put, "r_scratch", region.select(
+                ROWID, F.col("r_regionkey").alias("k"),
+                F.col("r_name").alias("name"),
+            ), overwrite=True)
+            fn = inner.submit(store.put, "n_scratch", nation.select(
+                ROWID, F.col("n_nationkey").alias("k"),
+                F.col("n_name").alias("name"),
+            ), overwrite=True)
+            fr.result(), fn.result()
         t = store.combine("r_scratch", "n_scratch", "both", overwrite=True)
         t.add_records_from(store.table("n_scratch"), start=1, n=3)
         return t.df()
