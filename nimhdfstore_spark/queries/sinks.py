@@ -281,7 +281,10 @@ def q33(spark, sf_dir):
                 F.lit(0).cast(dts["n_regionkey"]).alias("n_regionkey"),
             )
         )
-        for r in one_by_one.collect():  # 3 × 1-row appends → 3 fragments
+        # orderBy before collect: want_cmp and the oracle place the three
+        # appended rows at rowids n..n+2 in base-rowid order, and a
+        # multi-split read's collect order is not guaranteed to agree
+        for r in one_by_one.orderBy("n_nationkey").collect():  # 3 × 1-row appends
             t.append(spark.createDataFrame([r], one_by_one.schema), n=1)
         files_before = len(t._meta["files"])
         t.compact()

@@ -164,8 +164,16 @@ def test_h5lite_corrupted_size_raises_valueerror_not_memoryerror():
         blob[1364] = 2
         pc = f"{d}/corrupt.h5"
         open(pc, "wb").write(bytes(blob))
+        raised = False
         try:
             for name in h5lite.catalog(pc):
                 h5lite.read(pc, name)
         except ValueError:
-            pass  # the ONLY acceptable failure class
+            raised = True  # the ONLY acceptable failure class
+        # non-vacuous: this byte DOES land in a row-count/address field
+        # today — if a layout change moves it, the pin must be re-aimed,
+        # not silently pass
+        assert raised, (
+            "corrupted vlen file no longer raises — offset 1364 must have "
+            "moved out of the row-count/address field; re-aim the pin"
+        )
