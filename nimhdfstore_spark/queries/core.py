@@ -839,7 +839,10 @@ def q20(spark, sf_dir):
             _Q27_PAYLOAD, "n_nationkey int, n_name string, n_regionkey int"
         )
         stats = t.merge(pay, "n_nationkey")
-        assert stats == {"updated": 2, "inserted": 2}, stats
+        # explicit raise, not a bare assert: python -O strips asserts and
+        # would silently disable this leg's in-query gate (ADVICE r10)
+        if stats != {"updated": 2, "inserted": 2}:
+            raise AssertionError(f"merge stats diverged: {stats}")
         return t.df().select(
             ROWID,
             F.col("n_nationkey").cast("long").alias("n_nationkey"),

@@ -654,6 +654,17 @@ def _read_messages_f(f, addr: int) -> list[tuple[int, bytes]]:
     ver, _, nmsg, _, hsize = struct.unpack_from("<BBHII", head, 0)
     if ver != 1:
         raise ValueError(f"unsupported object header version {ver}")
+    # same adversarial-parse bound as the global-heap / raw-data reads
+    # (ADVICE r10): hsize is a u32 straight from the file, and f.read(n)
+    # pre-allocates n bytes — a corrupted object header could demand ~4 GiB
+    # before the short read surfaces. Overshoot past EOF is the documented
+    # malformed-file ValueError, never a MemoryError.
+    size = os.fstat(f.fileno()).st_size
+    if addr + 16 + hsize > size:
+        raise ValueError(
+            f"object header at {addr} claims {hsize} message bytes "
+            f"in a {size}-byte file"
+        )
     buf = f_read(f, addr + 16, hsize)
     pos, out = 0, []
     for _ in range(nmsg):

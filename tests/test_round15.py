@@ -138,12 +138,20 @@ def test_core_slot_economics():
 
 def test_h5lite_corrupted_size_raises_valueerror_not_memoryerror():
     """Regression pin for the round-14 fuzz finding: a single flipped byte
-    (vlen fixture, offset 1364 -> 2) landed in a row count / data address
-    and made the contiguous read path PRE-ALLOCATE the corrupted region
-    size via f.read(n) -> MemoryError, outside the documented ValueError
-    contract. Every raw-data read is now bounded by the file's actual
-    size before any allocation. The pin replays the exact falsifying
-    draw rather than relying on the local hypothesis example database."""
+    (vlen fixture, originally offset 1364 -> 2) landed in a row count /
+    data address and made the contiguous read path PRE-ALLOCATE the
+    corrupted region size via f.read(n) -> MemoryError, outside the
+    documented ValueError contract. Every header-derived read is now
+    bounded by the file's actual size before any allocation.
+
+    ADVICE r10: the original pin hard-coded the byte offset, so any
+    h5lite writer-layout change turned it into a manual re-aiming
+    exercise. This version is layout-proof: it sweeps EVERY offset of
+    the file (flipping each byte to the falsifying value 2, one at a
+    time), asserts clean-read-or-ValueError at all of them, and asserts
+    at least one offset actually raised — so the pin stays non-vacuous
+    without referencing where the row-count/address fields happen to
+    live this week."""
     import tempfile
 
     import numpy as np
@@ -161,19 +169,22 @@ def test_h5lite_corrupted_size_raises_valueerror_not_memoryerror():
         p = f"{d}/vlen.h5"
         h5lite.write(p, {"t": va})
         blob = bytearray(open(p, "rb").read())
-        blob[1364] = 2
         pc = f"{d}/corrupt.h5"
-        open(pc, "wb").write(bytes(blob))
-        raised = False
-        try:
-            for name in h5lite.catalog(pc):
-                h5lite.read(pc, name)
-        except ValueError:
-            raised = True  # the ONLY acceptable failure class
-        # non-vacuous: this byte DOES land in a row-count/address field
-        # today — if a layout change moves it, the pin must be re-aimed,
-        # not silently pass
-        assert raised, (
-            "corrupted vlen file no longer raises — offset 1364 must have "
-            "moved out of the row-count/address field; re-aim the pin"
+        n_raised = 0
+        for off in range(len(blob)):
+            orig = blob[off]
+            if orig == 2:
+                continue  # not a flip — would silently test the clean file
+            blob[off] = 2
+            with open(pc, "wb") as fh:
+                fh.write(blob)
+            blob[off] = orig
+            try:
+                for name in h5lite.catalog(pc):
+                    h5lite.read(pc, name)
+            except ValueError:
+                n_raised += 1  # the ONLY acceptable failure class
+        assert n_raised > 0, (
+            "no single-byte flip raised anywhere — the structural fields "
+            "must validate SOMETHING; the pin has gone vacuous"
         )
