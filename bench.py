@@ -274,10 +274,15 @@ def main() -> None:
     # minima — never trips the per-query suspect bar (r09: 36 s total
     # inflation, only 9 re-times fired), yet it is exactly the cold-cache /
     # first-session noise a second measurement removes. When the running
-    # total sits more than 8% over the persisted-minima total, keep
+    # total sits more than 4% over the persisted-minima total, keep
     # re-timing the largest absolute over-minimum deltas (same <=3
     # attempts/query cap, own budget) until the ratio clears or nothing
     # improvable remains. Every published number stays a real wall time.
+    # (Round-10 verdict ask #2: the trigger dropped 1.08 -> 1.04 — the
+    # residual driver-window gap was a +0.1-0.2 s/query long tail that a
+    # 1.08 gate stopped chasing too early; the in-batch recheck still
+    # stops the sweep the moment the ratio clears, so the marginal cost
+    # is only the re-timed queries themselves.)
     ratio_retimed = 0
 
     def _ratio() -> float:
@@ -293,7 +298,7 @@ def main() -> None:
         known0 = [n for n in best if n in prev_min]
         overage = sum(best[n] - prev_min[n] for n in known0)
         ratio_budget = max(120.0, 4.0 * max(0.0, overage))
-        while _ratio() > 1.08 and ratio_budget > 0:
+        while _ratio() > 1.04 and ratio_budget > 0:
             cands = sorted(
                 (n for n in best
                  if n in prev_min and best[n] > prev_min[n]
@@ -306,7 +311,7 @@ def main() -> None:
             for name in cands:
                 # recheck INSIDE the batch: once the ratio clears the bar,
                 # every further re-time is pure wasted wall (review r10)
-                if ratio_budget <= 0 or _ratio() <= 1.08:
+                if ratio_budget <= 0 or _ratio() <= 1.04:
                     break
                 t0 = time.perf_counter()
                 sec = run_one(name, fail_sink=retime_fails)

@@ -27,6 +27,34 @@ EXPECTED_EMPTY: set[str] = set()
 _ROTATION_SNAPSHOT: int | None = None  # per-process file-count cache
 _VERIFIED_SNAPSHOT: set[str] | None = None  # per-process verified-name cache
 
+#: Round-scoped verification priorities (round-10 verdict ask #5): names
+#: listed here sort to the FRONT of the fresh (never-driver-verified)
+#: partition, ahead of the cyclic shift, so a specific backlog family is
+#: guaranteed driver slots this round. The list is self-draining — once an
+#: entry goes driver-green it leaves the fresh partition entirely and the
+#: priority no longer applies — and names already verified are skipped, so
+#: a stale list costs nothing. Round 11: the streaming family (least
+#: externally verified — most rows last saw a driver check in r01 under
+#: older state-shard configs) plus x209 (the round-10 delete-to-empty fix,
+#: judge-verified but never driver-verified).
+SWEEP_PRIORITY: list[str] = [
+    "x209_empty_table_lifecycle",
+    "x64_stream_dedup",
+    "x65_stream_session_window",
+    "x66_stream_stream_join",
+    "x67_stream_ingest_store",
+    "x68_stream_pii_scrub",
+    "x79_interval_join",
+    "x125_stream_countmin",
+    "x127_stream_merge_upsert",
+    "x131_stream_stream_left_outer",
+    "x132_stream_timeout_sessions",
+    "x142_stream_restart_recovery",
+    "x196_stream_incremental_dedup",
+    "x188_stream_media_ingest",
+    "x203_stream_video_ingest",
+]
+
 
 def query(name: str, sql: str | None = None):
     """Register a declared query; ``sql=None`` marks it rows-only checked
@@ -190,9 +218,15 @@ def sweep_order() -> list[str]:
         seen = driver_verified()
         fresh = [n for n in flat if n not in seen]
         done = [n for n in flat if n in seen]
+        # Round-scoped priorities land at the very front of the fresh
+        # partition, in list order, BEFORE the cyclic shift (which then
+        # only rotates the non-priority remainder). See SWEEP_PRIORITY.
+        prio = [n for n in SWEEP_PRIORITY if n in QUERIES and n not in seen]
+        fresh = [n for n in fresh if n not in set(prio)]
         if fresh:
             s = (3 * sweep_rotation()) % len(fresh)
             fresh = fresh[s:] + fresh[:s]
+        fresh = prio + fresh
         if done:
             # Rotate the verified partition too (ADVICE r8): once the
             # backlog drains, fresh is empty and without this shift the

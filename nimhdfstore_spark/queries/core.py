@@ -1226,13 +1226,44 @@ def q16(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Q43 — merge-on-read deletion vectors: two composed deferred deletes move
-# ZERO bytes (the snapshot directory is untouched — pinned in tests); the
-# read overlays the vector and renumbers. Deferred deletes must compose
-# exactly like q11's eager ones: logical 10..19 then logical 10..14 equals
-# raw 10..24 gone. Lakehouse DV semantics (Delta/Iceberg v2 position
-# deletes) on the positional store.
+# Q34 — the three incremental-maintenance legs merged into ONE driver row
+# (ninth core-merge wave, round-10 verdict ask #1 — same slot economics as
+# waves 1-8: every core merge frees a driver sweep slot for a
+# never-verified extension entry). ALL legs execute every run against
+# independent scratch roots; each leg's store-side result is checksummed
+# in-query against an INDEPENDENT relationally-rebuilt frame (computed
+# straight from the untouched parquet — never through the store, the
+# deletion vector, or the IVM delta operator) in one fused Spark action.
+# The RETURNED leg and its DuckDB oracle rotate on the persisted sweep
+# counter, so each leg is engine-independently verified within 3 rounds.
+#
+#   leg 0 (continuous_aggregate) — hypertable rollup with incremental
+#     refresh: a daily rollup table absorbs a late batch by MERGEing only
+#     the touched buckets (TimescaleDB-style maintenance). The rebuild
+#     recomputes the rollup from ALL events; (initial + delta) must land
+#     on identical values, which is why the summed measure is int64
+#     fixed-point (double sums differ in the last ulp between the two
+#     association orders).
+#   leg 1 (deletion_vectors) — merge-on-read DVs: two composed deferred
+#     deletes move ZERO bytes (snapshot directory untouched — pinned in
+#     tests); the read overlays the vector and renumbers. Deferred deletes
+#     compose exactly like eager ones: logical 10..19 then logical 10..14
+#     equals raw 10..24 gone (Delta/Iceberg v2 position-delete semantics).
+#   leg 2 (incremental_join_view) — materialized join view V = orders ⋈
+#     customer absorbs an ingest batch by computing ONLY the three delta
+#     terms (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB — operators/ivm.py) and APPENDING them
+#     (hardlinked reuse: zero existing view files rewrite). The rebuild
+#     recomputes the full join — IVM must be indistinguishable from
+#     recompute.
 # --------------------------------------------------------------------------
+
+_Q34_SQL = """
+SELECT concat(CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS VARCHAR),
+              ':', event_type) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_fp
+FROM events GROUP BY 1 ORDER BY bucket
+"""
 
 _Q43_SQL = f"""
 WITH base AS ({rowid_over('customer')}),
@@ -1247,24 +1278,173 @@ SELECT kept.*, (SELECT COUNT(*) FROM kept) AS total_count,
 FROM kept WHERE {ROWID} BETWEEN 5 AND 14 ORDER BY {ROWID}
 """
 
+_Q45_SQL = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
 
-@query("q43_deletion_vectors", _Q43_SQL)
-def q43(spark, sf_dir):
-    store = scratch_store(spark, f"q43-{os.path.basename(sf_dir)}")
-    t = store.put(
-        "customer_scratch", load_pos(spark, sf_dir, "customer"), overwrite=True
+#: 0=continuous_aggregate, 1=deletion_vectors, 2=incremental_join_view
+_Q34_LEG = sweep_rotation() % 3
+
+
+@query(
+    "q34_incremental_suite",
+    (_Q34_SQL, _Q43_SQL, _Q45_SQL)[_Q34_LEG],
+)
+def q34(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Window
+
+    from nimhdfstore_spark.operators.ivm import join_delta
+    from nimhdfstore_spark.tables import table_nrows
+
+    tag = os.path.basename(sf_dir)
+
+    # --- leg 0: continuous aggregate with incremental MERGE refresh -------
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(
+            F.expr("cast(cast(ts as timestamp) as bigint) div 86400")
+            .cast("string"),
+            F.lit(":"),
+            F.col("event_type"),
+        ).alias("bucket"),
+        F.expr("cast(round(value * 100) as bigint)").alias("v_fp"),
+        "event_id",
     )
-    t.delete_deferred(10, 19)
-    t.delete_deferred(10, 14)  # logical, post-first-delete => raw 20..24
-    return (
-        t.df()
-        .where(F.col(ROWID).between(5, 14))
-        .withColumn("total_count", F.lit(t.nrows).cast("long"))
-        .withColumn(
-            "n_dv_ranges", F.lit(len(t.deletion_vector)).cast("long")
+
+    def rollup(df):
+        return df.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v_fp").alias("sum_fp")
         )
-        .orderBy(ROWID)
+
+    def _leg_cagg():
+        store = scratch_store(spark, f"q34-{tag}")
+        initial = ev.where(F.col("event_id") % 10 != 0)
+        late = ev.where(F.col("event_id") % 10 == 0)
+        t = store.put(
+            "cagg", rollup(initial), order_by=["bucket"], overwrite=True
+        )
+        # incremental refresh: combine ONLY the delta's buckets with their
+        # current values, then keyed MERGE (touched files rewritten, rest
+        # hardlinked — one snapshot commit)
+        delta = rollup(late)
+        cur = t.df().select("bucket", "n", "sum_fp")
+        payload = (
+            delta.alias("d")
+            .join(cur.alias("c"), "bucket", "left")
+            .select(
+                "bucket",
+                (F.coalesce(F.col("c.n"), F.lit(0)) + F.col("d.n")).alias("n"),
+                (
+                    F.coalesce(F.col("c.sum_fp"), F.lit(0)) + F.col("d.sum_fp")
+                ).alias("sum_fp"),
+            )
+        )
+        t.merge(payload, "bucket")
+        return t.df().select("bucket", "n", "sum_fp")
+
+    # --- leg 1: deferred deletion vectors ----------------------------------
+    def _leg_dv():
+        store = scratch_store(spark, f"q43-{tag}")
+        t = store.put(
+            "customer_scratch",
+            load_pos(spark, sf_dir, "customer"),
+            overwrite=True,
+        )
+        t.delete_deferred(10, 19)
+        t.delete_deferred(10, 14)  # logical, post-first-delete => raw 20..24
+        if len(t.deletion_vector) != 1:
+            raise AssertionError(
+                f"composed DVs must coalesce to ONE range: {t.deletion_vector}"
+            )
+        return (
+            t.df()
+            .where(F.col(ROWID).between(5, 14))
+            .withColumn("total_count", F.lit(t.nrows).cast("long"))
+            .withColumn(
+                "n_dv_ranges", F.lit(len(t.deletion_vector)).cast("long")
+            )
+        )
+
+    # --- leg 2: incremental join-view maintenance ---------------------------
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+
+    def _leg_ivm():
+        store = scratch_store(spark, f"q45-{tag}")
+        base_o = orders.where(F.col("o_orderkey") % 10 != 0)
+        delta_o = orders.where(F.col("o_orderkey") % 10 == 0)
+        base_c = cust.where(F.col("c_custkey") % 7 != 0)
+        delta_c = cust.where(F.col("c_custkey") % 7 == 0)
+        v0 = base_o.join(base_c, F.col("o_custkey") == F.col("c_custkey"))
+        # rank explicitly: Catalyst's sizeInBytes estimate for a join is the
+        # side product, which pushes with_rowid's auto strategy onto the
+        # distributed prefix-sum path — 3 extra passes over a re-computed
+        # join. The view is skinny; a single-task window rank is cheaper.
+        wv = Window.orderBy("o_orderkey")
+        v0r = v0.withColumn(ROWID, (F.row_number().over(wv) - 1).cast("long"))
+        t = store.put("order_cust_view", v0r, overwrite=True)
+        dv = join_delta(
+            base_o, delta_o, base_c, delta_c, "o_custkey", "c_custkey"
+        )
+        w = Window.orderBy("o_orderkey")  # delta-batch-sized: single task
+        t.append(dv.withColumn(ROWID, (F.row_number().over(w) - 1).cast("long")))
+        return (
+            t.df()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).alias("revenue_cents"),
+            )
+        )
+
+    # disjoint scratch stores — concurrent end-to-end (the q09/q20 pattern)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_ca = ex.submit(_leg_cagg)
+        f_dv = ex.submit(_leg_dv)
+        f_iv = ex.submit(_leg_ivm)
+        got = (f_ca.result(), f_dv.result(), f_iv.result())
+
+    # independent expected frames — the oracles' arithmetic straight off
+    # the parquet, never through the store / DV / delta operator
+    want_ca = rollup(ev).select("bucket", "n", "sum_fp")
+    base = load_pos(spark, sf_dir, "customer")
+    r = F.col(ROWID)
+    n_cust = table_nrows(sf_dir, "customer")  # footer count — no scan job
+    kept = base.where(r < 10).unionByName(
+        base.where(r > 24).withColumn(ROWID, (r - 15).cast("long"))
+    )
+    want_dv = (
+        kept.where(r.between(5, 14))
+        # 15 raw rows gone: 10..19 plus logical 10..14 => raw 20..24
+        .withColumn("total_count", F.lit(n_cust - 15).cast("long"))
+        .withColumn("n_dv_ranges", F.lit(1).cast("long"))
+    )
+    want_iv = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+    assert_legs_match([
+        ("continuous_aggregate", got[0], want_ca),
+        ("deletion_vectors", got[1], want_dv),
+        ("incremental_join_view", got[2], want_iv),
+    ])
+    keys = ("bucket", ROWID, "c_mktsegment")
+    return got[_Q34_LEG].orderBy(keys[_Q34_LEG])
 
 
 # --------------------------------------------------------------------------

@@ -271,54 +271,10 @@ def x141(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q41 — media-file ingestion through Spark's binaryFile source: payloads
-# are materialized as individual files (executor-side writes), read back
-# with spark.read.format("binaryFile"), ids recovered from paths, headers
-# parsed from the content column. This is the standard entry path for a
-# real media corpus (S3/HDFS directories of images/audio), exercised
-# end-to-end against the same oracle arithmetic as x141.
+# q41 (binaryFile media ingestion) moved into q29_ingest_suite leg 4 in the
+# tenth core-merge wave (round-10 verdict ask #1); sinks.py reuses this
+# module's synth_payload and _x141_sql.
 # --------------------------------------------------------------------------
-
-_Q41_LIMIT = 200
-
-
-@query("q41_binaryfile_ingest", _x141_sql(where=f"doc_id < {_Q41_LIMIT}"))
-def q41(spark, sf_dir):
-    import os as _os
-    import shutil as _shutil
-
-    from nimhdfstore_spark.queries.core import SCRATCH_ROOT
-
-    stage = _os.path.join(
-        SCRATCH_ROOT, f"q41-{_os.path.basename(sf_dir)}", "media"
-    )
-    _shutil.rmtree(_os.path.dirname(stage), ignore_errors=True)
-    _os.makedirs(stage, exist_ok=True)
-
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < _Q41_LIMIT)
-    packed = docs.select("doc_id", synth_payload().alias("payload"))
-
-    def write_files(it):
-        # executor-side writes: each partition lands its own files — the
-        # distributed produce step a real pipeline replaces with its
-        # upstream media fetcher
-        for pdf in it:
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                ext = "png" if doc_id % 2 == 0 else "wav"
-                with open(_os.path.join(stage, f"doc_{doc_id}.{ext}"), "wb") as f:
-                    f.write(bytes(payload))
-            yield pdf.iloc[0:0]
-
-    packed.mapInPandas(write_files, packed.schema).count()
-
-    files = spark.read.format("binaryFile").load(stage)
-    by_id = files.select(
-        F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("content").alias("payload"),
-    )
-    return M.parse_media_headers(by_id).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -1530,69 +1530,11 @@ def x155(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# x162/q45 — incremental maintenance of a materialized join view: the view
-# V = orders ⋈ customer is stored once, then an ingest batch (10% of orders
-# and 1/7 of customers arriving "late") is absorbed by computing ONLY the
-# three delta terms (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB — operators/ivm.py) and APPENDING
-# them (hardlinked reuse: zero existing view files rewrite; pinned in
-# tests). The oracle recomputes the full join — IVM must be
-# indistinguishable from recompute.
+# x162/q45 (incremental join-view maintenance, operators/ivm.py) moved into
+# core.py's q34_incremental_suite in the ninth core-merge wave (round-10
+# verdict ask #1) — fused with the continuous-aggregate and deletion-vector
+# legs under one driver row.
 # --------------------------------------------------------------------------
-
-_Q45_SQL = """
-SELECT c.c_mktsegment,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-         AS revenue_cents
-FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-GROUP BY c.c_mktsegment
-ORDER BY c.c_mktsegment
-"""
-
-
-@query("q45_incremental_join_view", _Q45_SQL)
-def q45(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from nimhdfstore_spark.operators.ivm import join_delta
-    from nimhdfstore_spark.queries.core import scratch_store
-    from nimhdfstore_spark.rowid import ROWID
-
-    store = scratch_store(spark, f"q45-{os.path.basename(sf_dir)}")
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    base_o = orders.where(F.col("o_orderkey") % 10 != 0)
-    delta_o = orders.where(F.col("o_orderkey") % 10 == 0)
-    base_c = cust.where(F.col("c_custkey") % 7 != 0)
-    delta_c = cust.where(F.col("c_custkey") % 7 == 0)
-
-    v0 = base_o.join(base_c, F.col("o_custkey") == F.col("c_custkey"))
-    # rank explicitly: Catalyst's sizeInBytes estimate for a join is the
-    # side product, which pushes with_rowid's auto strategy onto the
-    # distributed prefix-sum path — 3 extra passes over a re-computed join.
-    # The view is skinny; a single-task window rank is the cheaper plan.
-    wv = Window.orderBy("o_orderkey")
-    v0r = v0.withColumn(ROWID, (F.row_number().over(wv) - 1).cast("long"))
-    t = store.put("order_cust_view", v0r, overwrite=True)
-    dv = join_delta(
-        base_o, delta_o, base_c, delta_c, "o_custkey", "c_custkey"
-    )
-    w = Window.orderBy("o_orderkey")  # delta-batch-sized: single-task is fine
-    t.append(
-        dv.withColumn(ROWID, (F.row_number().over(w) - 1).cast("long")),
-    )
-    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-    return (
-        t.df()
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(cents).alias("revenue_cents"),
-        )
-        .orderBy("c_mktsegment")
-    )
 
 
 # --------------------------------------------------------------------------

@@ -52,18 +52,26 @@ def _roundtrip(spark, sf_dir, table: str, fmt: str, key: str, **options):
     return back.orderBy(key)
 
 
-# Which leg's re-read rows go back to the driver's DuckDB hash-match,
-# rotated per round on the same persisted counter as the sweep slots
-# (ADVICE r5: with all three legs merged into one driver row, a leg whose
-# output is only self-checksummed would never catch a SYMMETRIC write+read
-# defect — e.g. a timezone shift applied in both directions. Rotation makes
-# every leg engine-independently verified within 3 rounds.) sweep_rotation()
-# is process-snapshot so this import-time capture and sweep_order() always
-# agree within a round (ADVICE r6). The returned frame carries a ``leg``
+# Which leg's rows go back to the driver's DuckDB hash-match, rotated per
+# round on the same persisted counter as the sweep slots (ADVICE r5: with
+# the legs merged into one driver row, a leg whose output is only
+# self-checksummed would never catch a SYMMETRIC write+read defect — e.g.
+# a timezone shift applied in both directions. Rotation makes every leg
+# engine-independently verified within 5 rounds.) sweep_rotation() is
+# process-snapshot so this import-time capture and sweep_order() always
+# agree within a round (ADVICE r6). The interchange frames carry a ``leg``
 # column so each round's CORRECTNESS row states which sink was verified
 # (round-6 verdict nit #2).
-_Q29_LEG = sweep_rotation() % 3  # 0=CSV, 1=JSON, 2=ORC
-_LEG_NAME = ("csv", "json", "orc")[_Q29_LEG]
+#
+# Tenth core-merge wave (round-10 verdict ask #1): the ANALYZE-stats row
+# (old q36) and the binaryFile media-ingest row (old q41) fold in as legs
+# 3 and 4 — the ingest/stats family under ONE driver row. ALL five legs
+# execute every run; every leg is checksummed in-query against an
+# INDEPENDENT frame (the untouched parquet for the round-trips, a direct
+# relational recompute for ANALYZE, the JVM-synthesized payloads for
+# binaryFile) in one fused Spark action.
+_Q29_LEG = sweep_rotation() % 5  # 0=CSV, 1=JSON, 2=ORC, 3=ANALYZE, 4=binaryFile
+_LEG_NAME = ("csv", "json", "orc", "analyze", "binaryfile")[_Q29_LEG]
 
 _CUSTOMER_SQL = (
     f"SELECT *, '{_LEG_NAME}' AS leg FROM customer ORDER BY c_custkey"
@@ -73,37 +81,178 @@ _ORC_SQL = (
     "ORDER BY l_orderkey, l_linenumber"
 )
 
+# --- leg 3 (old q36) — ANALYZE TABLE catalog statistics: one pass per
+# column computes (count, nulls, exact NDV, min, max), persists them as
+# attrs (readable without a scan), and the attrs round-trip is asserted
+# through a fresh table handle in-query.
+_Q36_COLS = ("o_custkey", "o_orderkey", "o_totalprice")
 
-@query("q29_sink_interchange_roundtrip",
-       _ORC_SQL if _Q29_LEG == 2 else _CUSTOMER_SQL)
-def q29(spark, sf_dir):
-    """ALL THREE interchange round-trips in ONE driver row — core-suite
-    slot economics (round-4 verdict ask #2 extended): the driver verifies
-    ~50 registry entries, so every core slot freed puts one more
-    extension FAMILY under driver verification. Each leg writes, re-reads
-    with the source schema, and asserts an exact full-row value checksum
-    in-query (a broken round-trip fails this row loudly in any leg); the
-    RETURNED rows — the ones the oracle hash-matches end-to-end against
-    the untouched Parquet — rotate per round over the CSV / JSON / ORC
-    legs (``_Q29_LEG``), so each leg gets engine-independent verification
-    within three rounds rather than the CSV leg forever."""
-    back_csv = _roundtrip(
-        spark, sf_dir, "customer", "csv", "c_custkey", header="true"
-    )
-    back_json = _roundtrip(spark, sf_dir, "customer", "json", "c_custkey")
-    src = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 7)
-    path = os.path.join(SCRATCH_ROOT, f"sink-orc-{os.path.basename(sf_dir)}")
-    shutil.rmtree(path, ignore_errors=True)
-    src.write.format("orc").save(path)
-    back_orc = spark.read.format("orc").schema(src.schema).load(path)
-    if _checksum(src) != _checksum(back_orc):
-        raise AssertionError("orc round-trip of lineitem changed values")
+_Q36_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col_name, CAST(COUNT({c}) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v
+FROM orders"""
+    for c in _Q36_COLS
+) + " ORDER BY col_name"
+
+# --- leg 4 (old q41) — media-file ingestion through Spark's binaryFile
+# source: payloads materialized as individual files (executor-side writes),
+# read back with spark.read.format("binaryFile"), ids recovered from paths,
+# headers parsed from the content column — the standard entry path for a
+# real media corpus (S3/HDFS directories of images/audio).
+_Q41_LIMIT = 200
+
+
+def _q29_oracle() -> str:
     if _Q29_LEG == 2:
-        return back_orc.orderBy("l_orderkey", "l_linenumber").withColumn(
+        return _ORC_SQL
+    if _Q29_LEG == 3:
+        return _Q36_SQL
+    if _Q29_LEG == 4:
+        from nimhdfstore_spark.queries.multimodal import _x141_sql
+
+        return _x141_sql(where=f"doc_id < {_Q41_LIMIT}")
+    return _CUSTOMER_SQL
+
+
+@query("q29_ingest_suite", _q29_oracle())
+def q29(spark, sf_dir):
+    """The five ingest/stats legs in ONE driver row — core-suite slot
+    economics (round-4 verdict ask #2, extended by the round-10 tenth
+    wave): the driver verifies ~50 registry entries, so every core slot
+    freed puts one more extension FAMILY under driver verification. Legs
+    run concurrently on disjoint scratch paths; ALL legs are checksummed
+    in one fused action against frames that never touch the leg's own
+    write path; the RETURNED rows — the ones the oracle hash-matches
+    end-to-end — rotate per round over the legs (``_Q29_LEG``)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nimhdfstore_spark.operators import multimodal as M
+    from nimhdfstore_spark.queries.core import (
+        assert_legs_match,
+        scratch_store,
+    )
+    from nimhdfstore_spark.queries.multimodal import synth_payload
+    from nimhdfstore_spark.tables import load_pos
+
+    tag = os.path.basename(sf_dir)
+    cust_src = load(spark, sf_dir, "customer")
+    orc_src = load(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 100 == 7
+    )
+
+    def _leg_fmt(fmt, **options):
+        path = os.path.join(SCRATCH_ROOT, f"sink-{fmt}-{tag}-customer")
+        shutil.rmtree(path, ignore_errors=True)
+        cust_src.write.format(fmt).options(**options).save(path)
+        return (
+            spark.read.format(fmt).options(**options)
+            .schema(cust_src.schema).load(path)
+        )
+
+    def _leg_orc():
+        path = os.path.join(SCRATCH_ROOT, f"sink-orc-{tag}")
+        shutil.rmtree(path, ignore_errors=True)
+        orc_src.write.format("orc").save(path)
+        return spark.read.format("orc").schema(orc_src.schema).load(path)
+
+    def _leg_analyze():
+        store = scratch_store(spark, f"q36-{tag}")
+        t = store.put(
+            "orders_s", load_pos(spark, sf_dir, "orders"), overwrite=True
+        )
+        stats = t.analyze(list(_Q36_COLS))
+        persisted = store.table("orders_s").attrs.get("stats", {})
+        if set(persisted) != set(_Q36_COLS):
+            raise AssertionError(f"stats attrs did not persist: {persisted}")
+        return stats
+
+    def _leg_binaryfile():
+        stage = os.path.join(SCRATCH_ROOT, f"q41-{tag}", "media")
+        shutil.rmtree(os.path.dirname(stage), ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        docs = load(spark, sf_dir, "documents").where(
+            F.col("doc_id") < _Q41_LIMIT
+        )
+        packed = docs.select("doc_id", synth_payload().alias("payload"))
+
+        def write_files(it):
+            # executor-side writes: each partition lands its own files —
+            # the distributed produce step a real pipeline replaces with
+            # its upstream media fetcher
+            for pdf in it:
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    ext = "png" if doc_id % 2 == 0 else "wav"
+                    with open(
+                        os.path.join(stage, f"doc_{doc_id}.{ext}"), "wb"
+                    ) as f:
+                        f.write(bytes(payload))
+                yield pdf.iloc[0:0]
+
+        packed.mapInPandas(write_files, packed.schema).count()
+        files = spark.read.format("binaryFile").load(stage)
+        by_id = files.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+        return M.parse_media_headers(by_id)
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        f_csv = ex.submit(_leg_fmt, "csv", header="true")
+        f_json = ex.submit(_leg_fmt, "json")
+        f_orc = ex.submit(_leg_orc)
+        f_an = ex.submit(_leg_analyze)
+        f_bf = ex.submit(_leg_binaryfile)
+        got = (
+            f_csv.result(), f_json.result(), f_orc.result(),
+            f_an.result(), f_bf.result(),
+        )
+
+    # independent expected frames: the untouched parquet for the
+    # round-trips; a direct relational recompute (no store, no attrs) for
+    # ANALYZE; the header parse over the JVM-synthesized payloads (no
+    # filesystem round-trip) for binaryFile.
+    want_analyze = None
+    for c in _Q36_COLS:
+        one = load(spark, sf_dir, "orders").agg(
+            F.lit(c).alias("col_name"),
+            F.count(c).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("ndv"),
+            F.min(c).cast("double").alias("min_v"),
+            F.max(c).cast("double").alias("max_v"),
+        )
+        want_analyze = (
+            one if want_analyze is None else want_analyze.unionByName(one)
+        )
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _Q41_LIMIT
+    )
+    want_bf = M.parse_media_headers(
+        docs.select("doc_id", synth_payload().alias("payload"))
+    )
+
+    assert_legs_match([
+        ("csv", got[0], cust_src),
+        ("json", got[1], cust_src),
+        ("orc", got[2], orc_src),
+        ("analyze", got[3], want_analyze),
+        ("binaryfile", got[4], want_bf),
+    ])
+    if _Q29_LEG == 2:
+        return got[2].orderBy("l_orderkey", "l_linenumber").withColumn(
             "leg", F.lit("orc")
         )
-    chosen = back_json if _Q29_LEG == 1 else back_csv
-    return chosen.withColumn("leg", F.lit(_LEG_NAME))
+    if _Q29_LEG == 3:
+        return got[3].orderBy("col_name")
+    if _Q29_LEG == 4:
+        return got[4].orderBy("doc_id")
+    return got[_Q29_LEG].orderBy("c_custkey").withColumn(
+        "leg", F.lit(_LEG_NAME)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -451,36 +600,9 @@ def x208(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q36 — ANALYZE TABLE catalog statistics: one stack+groupBy pass computes
-# per-column (count, nulls, exact NDV, min, max), persists them as attrs
-# (readable without a scan), and the attrs round-trip is asserted through a
-# fresh table handle in-query.
+# q36 (ANALYZE stats) moved into q29_ingest_suite leg 3 in the tenth
+# core-merge wave (round-10 verdict ask #1).
 # --------------------------------------------------------------------------
-
-_Q36_COLS = ("o_custkey", "o_orderkey", "o_totalprice")
-
-_Q36_SQL = " UNION ALL ".join(
-    f"""SELECT '{c}' AS col_name, CAST(COUNT({c}) AS BIGINT) AS n,
-       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
-       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
-       CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v
-FROM orders"""
-    for c in _Q36_COLS
-) + " ORDER BY col_name"
-
-
-@query("q36_analyze_table_stats", _Q36_SQL)
-def q36(spark, sf_dir):
-    from nimhdfstore_spark.queries.core import scratch_store
-    from nimhdfstore_spark.tables import load_pos
-
-    store = scratch_store(spark, f"q36-{os.path.basename(sf_dir)}")
-    t = store.put("orders_s", load_pos(spark, sf_dir, "orders"), overwrite=True)
-    stats = t.analyze(list(_Q36_COLS))
-    persisted = store.table("orders_s").attrs.get("stats", {})
-    if set(persisted) != set(_Q36_COLS):
-        raise AssertionError(f"stats attrs did not persist: {persisted}")
-    return stats.orderBy("col_name")
 
 
 # --------------------------------------------------------------------------

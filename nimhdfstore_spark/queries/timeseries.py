@@ -241,67 +241,10 @@ def x55(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# q34 — continuous aggregate (hypertable rollup) with incremental refresh:
-# a daily rollup table in the store is brought up to date for a late
-# batch by MERGEing only the touched buckets — the TimescaleDB-style
-# maintenance shape. The oracle recomputes the rollup from ALL events; the
-# incremental path must land on identical values, which is why the summed
-# measure is int64 fixed-point (double sums would differ in the last ulp
-# between (initial + delta) and one full pass).
+# q34 (continuous aggregate) moved into core.py's q34_incremental_suite in
+# the ninth core-merge wave (round-10 verdict ask #1) — fused with the
+# deletion-vector and incremental-join-view legs under one driver row.
 # --------------------------------------------------------------------------
-
-_Q34_SQL = """
-SELECT concat(CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS VARCHAR),
-              ':', event_type) AS bucket,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_fp
-FROM events GROUP BY 1 ORDER BY bucket
-"""
-
-
-@query("q34_continuous_aggregate", _Q34_SQL)
-def q34(spark, sf_dir):
-    import os as _os
-
-    from nimhdfstore_spark.queries.core import scratch_store
-
-    ev = load(spark, sf_dir, "events").select(
-        F.concat(
-            F.expr("cast(cast(ts as timestamp) as bigint) div 86400").cast("string"),
-            F.lit(":"),
-            F.col("event_type"),
-        ).alias("bucket"),
-        F.expr("cast(round(value * 100) as bigint)").alias("v_fp"),
-        "event_id",
-    )
-    initial = ev.where(F.col("event_id") % 10 != 0)
-    late = ev.where(F.col("event_id") % 10 == 0)
-
-    def rollup(df):
-        return df.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("v_fp").alias("sum_fp")
-        )
-
-    store = scratch_store(spark, f"q34-{_os.path.basename(sf_dir)}")
-    t = store.put("cagg", rollup(initial), order_by=["bucket"], overwrite=True)
-    # incremental refresh: combine ONLY the delta's buckets with their
-    # current values, then keyed MERGE (touched files rewritten, rest
-    # hardlinked — one snapshot commit)
-    delta = rollup(late)
-    cur = t.df().select("bucket", "n", "sum_fp")
-    payload = (
-        delta.alias("d")
-        .join(cur.alias("c"), "bucket", "left")
-        .select(
-            "bucket",
-            (F.coalesce(F.col("c.n"), F.lit(0)) + F.col("d.n")).alias("n"),
-            (F.coalesce(F.col("c.sum_fp"), F.lit(0)) + F.col("d.sum_fp")).alias(
-                "sum_fp"
-            ),
-        )
-    )
-    t.merge(payload, "bucket")
-    return t.df().select("bucket", "n", "sum_fp").orderBy("bucket")
 
 
 # --------------------------------------------------------------------------

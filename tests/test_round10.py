@@ -411,9 +411,9 @@ def test_strip_html_edges(spark):
 
 
 # --------------------------------------------------------------------------
-# q29 leg rotation (ADVICE r5): the oracle-returned interchange leg is
-# derived from the same persisted counter as the sweep slots, covering
-# CSV/JSON/ORC within three rounds.
+# q29 leg rotation (ADVICE r5): the oracle-returned ingest leg is derived
+# from the same persisted counter as the sweep slots, covering
+# CSV/JSON/ORC/ANALYZE/binaryFile within five rounds.
 # --------------------------------------------------------------------------
 
 def test_q29_leg_rotates_with_counter(monkeypatch):
@@ -422,13 +422,13 @@ def test_q29_leg_rotates_with_counter(monkeypatch):
     import nimhdfstore_spark.queries.sinks as S
 
     try:
-        for r in range(6):
+        for r in range(10):
             monkeypatch.setenv("SPARK_GRAFT_SWEEP_ROTATION", str(r))
             mod = importlib.reload(S)
-            assert mod._Q29_LEG == r % 3
+            assert mod._Q29_LEG == r % 5
             # the registered oracle must match the returned leg
-            want = mod._ORC_SQL if mod._Q29_LEG == 2 else mod._CUSTOMER_SQL
-            assert Q.ORACLE["q29_sink_interchange_roundtrip"] == want
+            want = mod._q29_oracle()
+            assert Q.ORACLE["q29_ingest_suite"] == want
     finally:
         monkeypatch.delenv("SPARK_GRAFT_SWEEP_ROTATION", raising=False)
         importlib.reload(S)  # restore the real rotation's registration

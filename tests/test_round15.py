@@ -126,13 +126,14 @@ def test_q16_still_registered():
 
 
 def test_core_slot_economics():
-    """Core 21 rows -> 29 extension slots inside the driver's ~50-row
-    sweep window, every one of them never-driver-verified (first-time)."""
+    """Core 17 rows (after the round-11 ninth/tenth merge waves) -> 33
+    extension slots inside the driver's 50-row sweep window, every one of
+    them never-driver-verified (first-time)."""
     order = Q.sweep_order()
     core_rows = [n for n in order if n.startswith("q")]
-    assert len(core_rows) == 21
+    assert len(core_rows) == 17
     ext_slots = [n for n in order[:50] if not n.startswith("q")]
-    assert len(ext_slots) == 29
+    assert len(ext_slots) == 33
     assert not set(ext_slots) & Q.driver_verified()
 
 
