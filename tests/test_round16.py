@@ -9,6 +9,12 @@ slots 29 -> 33.
 
 from __future__ import annotations
 
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 import nimhdfstore_spark.queries as Q
 
 Q.load_all()
@@ -82,3 +88,334 @@ def test_sweep_priority_front_loads_fresh_partition(monkeypatch):
 def test_sweep_priority_names_exist():
     missing = [n for n in Q.SWEEP_PRIORITY if n not in Q.QUERIES]
     assert not missing, f"stale SWEEP_PRIORITY names: {missing}"
+
+
+# --------------------------------------------------------------------------
+# Crash injection (round-10 verdict "what's missing" #2): a child process
+# SIGKILLs ITSELF at a named point inside a real commit — post-stage,
+# post-rename, pre-PUT, mid-flock, post-publish — for BOTH durable
+# committers. The parent then asserts the crash-safety invariants the
+# hand-placed-debris tests only modeled: no committed update is lost, an
+# uncommitted attempt is never served (debris not resolvable), vacuum
+# reclaims debris only past the age gate, and the next writer proceeds.
+# --------------------------------------------------------------------------
+
+_CRASH_WORKER_SRC = '''
+import os, sys
+sys.path.insert(0, "/root/repo")
+root, kind, cat, point = sys.argv[1:5]
+os.environ["SPARK_GRAFT_CRASH_POINT"] = point
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+from nimhdfstore_spark.store import (
+    ConditionalPutCommitter, FileCatalogBackend, LockfileCommitter, Store,
+)
+committer = (
+    LockfileCommitter() if kind == "lockfile"
+    else ConditionalPutCommitter(FileCatalogBackend(cat))
+)
+t = Store(spark, root, committer=committer).table("t")
+t.append(spark.createDataFrame([(100, 100.0)], "k long, v double"))
+print("NO-CRASH")  # reached only if the injected point never fired
+'''
+
+# (kind, kill point, committed?) — committed=True iff the kill lands AFTER
+# the committer's atomic publish (lockfile: the meta write; conditional
+# PUT: the catalog os.replace), so the child's append MUST survive.
+_CRASH_CASES = [
+    ("lockfile", "lock.pre_rename", False),
+    ("lockfile", "lock.post_rename", False),
+    ("lockfile", "lock.post_meta", True),
+    ("condput", "cas.post_unique", False),
+    ("condput", "cas.pre_publish", False),
+    ("condput", "cas.post_publish", True),
+]
+
+
+@pytest.mark.parametrize("kind,point,committed", _CRASH_CASES)
+def test_crash_injected_commit_invariants(spark, tmp_path, kind, point, committed):
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter,
+        FileCatalogBackend,
+        LockfileCommitter,
+        Store,
+        StoreError,
+    )
+
+    root = str(tmp_path / "store")
+    cat = str(tmp_path / "catalog.json")
+
+    def make_committer():
+        return (
+            LockfileCommitter() if kind == "lockfile"
+            else ConditionalPutCommitter(FileCatalogBackend(cat))
+        )
+
+    seed = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    Store(spark, root, committer=make_committer()).put(
+        "t", seed, order_by=["k"]
+    )
+
+    script = tmp_path / "crasher.py"
+    script.write_text(_CRASH_WORKER_SRC)
+    p = subprocess.run(
+        [sys.executable, str(script), root, kind, cat, point],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == -signal.SIGKILL, (
+        f"child was not SIGKILLed at {point}: rc={p.returncode}\n"
+        f"{p.stdout}\n{p.stderr[-1500:]}"
+    )
+    assert "NO-CRASH" not in p.stdout
+
+    # fresh handles after the crash: committed state only
+    store = Store(spark, root, committer=make_committer())
+    t = store.table("t")
+    want = [1, 2] + ([100] if committed else [])
+    got = sorted(r["k"] for r in t.df().collect())
+    assert got == want, f"{point}: committed state wrong: {got} != {want}"
+
+    tdir = os.path.join(root, "t")
+    cur = store._read_meta("t")["current"]
+    cur_no = int(cur.split("-")[1])
+    debris = [
+        e for e in os.listdir(tdir)
+        if e.startswith("snap-") and os.path.isdir(os.path.join(tdir, e))
+        and int(e.split("-")[1]) > cur_no
+    ]
+    if not committed and point in ("lock.post_rename", "cas.post_unique",
+                                   "cas.pre_publish"):
+        # the crashed attempt's renamed-but-never-committed snapshot dir
+        assert debris, f"{point}: expected above-current crash debris"
+        # never resolvable as a snapshot read
+        with pytest.raises(StoreError):
+            store.table("t", snapshot=cur_no + 1)
+        assert store.snapshots("t") == [cur_no]
+        # age-gated vacuum: fresh debris survives, 2-day-old debris goes
+        store.vacuum()
+        for e in debris:
+            assert os.path.isdir(os.path.join(tdir, e)), (
+                f"{point}: vacuum reclaimed debris inside the age gate "
+                "(a live racer's in-flight rename looks identical)"
+            )
+        old = time.time() - 2 * 86400
+        for e in debris:
+            os.utime(os.path.join(tdir, e), (old, old))
+        store.vacuum()
+        for e in debris:
+            assert not os.path.exists(os.path.join(tdir, e)), (
+                f"{point}: vacuum left age-expired crash debris"
+            )
+
+    # the next writer proceeds and no committed update is lost
+    t.append(spark.createDataFrame([(200, 200.0)], "k long, v double"))
+    final = Store(spark, root, committer=make_committer()).table("t")
+    got = sorted(r["k"] for r in final.df().collect())
+    assert got == want + [200], f"{point}: post-crash append lost rows: {got}"
+    assert final.nrows == len(want) + 1
+
+
+# --------------------------------------------------------------------------
+# Concurrent-writer mutation x evolution property test (round-10 verdict
+# ask #6): the single-writer interleaving model (test_round14) run from TWO
+# threads under BOTH durable committers. Interleaving makes a positional
+# list-model nondeterministic, so the committed-winner invariants are what
+# the model asserts instead, after EVERY successful op and at the end:
+#   - no lost update: final row count == seed + the sum of the row-count
+#     deltas of exactly the ops whose commits SUCCEEDED (a silently
+#     dropped commit breaks the arithmetic; a doubled one breaks it the
+#     other way);
+#   - the committed state is always well-formed: _rowid dense 0..n-1,
+#     catalog count == actual rows;
+#   - schema evolution composes: each thread adds/drops only its OWN
+#     column, so the final field set is exactly seed + the columns whose
+#     add succeeded without a later successful drop, order-independent.
+# Conflicted positional ops retry from a refreshed handle (the documented
+# caller recipe); appends auto-retry internally.
+# --------------------------------------------------------------------------
+
+_CW_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["append", "insert", "update", "delete", "add_field",
+             "drop_field"]
+        ),
+        st.integers(0, 999),
+        st.integers(1, 2),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ops_a=_CW_OPS, ops_b=_CW_OPS,
+       kind=st.sampled_from(["lockfile", "condput"]))
+def test_concurrent_mutation_evolution_both_committers(
+    spark, tmp_path_factory, ops_a, ops_b, kind
+):
+    import shutil
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from nimhdfstore_spark.rowid import ROWID
+    from nimhdfstore_spark.store import (
+        _RACER_PRUNE_ERRORS,
+        ConditionalPutCommitter,
+        FileCatalogBackend,
+        LockfileCommitter,
+        Store,
+        StoreConflictError,
+        StoreError,
+    )
+
+    base_dir = str(tmp_path_factory.mktemp("cwev"))
+    root = os.path.join(base_dir, "store")
+    cat = os.path.join(base_dir, "catalog.json")
+    shutil.rmtree(root, ignore_errors=True)
+
+    def make_committer():
+        return (
+            LockfileCommitter() if kind == "lockfile"
+            else ConditionalPutCommitter(FileCatalogBackend(cat))
+        )
+
+    seed_n = 6
+    # retention depth > 1: a racer's commit pruning the snapshot the other
+    # thread planned from is a liveness hazard, not the property under
+    # test — retained snapshots keep the retry loop clean
+    store0 = Store(spark, root, committer=make_committer(), keep_snapshots=8)
+    store0.put(
+        "t",
+        spark.createDataFrame([(i * 10,) for i in range(seed_n)], "v long"),
+        order_by=["v"],
+    )
+
+    results: dict[str, dict] = {}
+    errors: list[BaseException] = []
+    retryable = (StoreConflictError,) + _RACER_PRUNE_ERRORS
+
+    def worker(tag: str, ops, vbase: int) -> None:
+        try:
+            st_ = Store(
+                spark, root, committer=make_committer(), keep_snapshots=8
+            )
+            t = st_.table("t")
+            my_field = f"w{tag}"
+            has_field = False
+            delta = 0
+            nxt = vbase
+            for op, pos, width in ops:
+                for _attempt in range(10):
+                    try:
+                        t.refresh()
+                        cols = [
+                            f.name for f in t.schema.fields if f.name != ROWID
+                        ]
+
+                        def payload(k):
+                            nonlocal nxt
+                            rows = [
+                                tuple(nxt + j if c == "v" else nxt + j + 7
+                                      for c in cols)
+                                for j in range(k)
+                            ]
+                            nxt += k
+                            return spark.createDataFrame(
+                                rows, ", ".join(f"{c} long" for c in cols)
+                            )
+
+                        n = t.nrows
+                        if op == "append":
+                            t.append(payload(width))
+                            delta += width
+                        elif op == "insert":
+                            t.insert(pos % (n + 1), payload(width))
+                            delta += width
+                        elif op == "update":
+                            if n == 0:
+                                break
+                            a = pos % n
+                            b = min(a + width - 1, n - 1)
+                            t.update(a, payload(b - a + 1), b)
+                        elif op == "delete":
+                            if n == 0:
+                                break
+                            a = pos % n
+                            b = min(a + width - 1, n - 1)
+                            t.delete(a, b)
+                            delta -= b - a + 1
+                        elif op == "add_field":
+                            if has_field:
+                                break
+                            t.add_field(my_field, "long", 0)
+                            has_field = True
+                        elif op == "drop_field":
+                            if not has_field:
+                                break
+                            t.drop_field(my_field)
+                            has_field = False
+                        # committed-winner invariant after every success:
+                        # dense rowids, catalog count == actual rows
+                        t.refresh()
+                        rid = [
+                            r[ROWID]
+                            for r in t.df().select(ROWID).orderBy(ROWID)
+                            .collect()
+                        ]
+                        assert rid == list(range(len(rid))), (
+                            f"{tag}/{op}: non-dense rowids {rid[:10]}..."
+                        )
+                        assert t.nrows == len(rid), (
+                            f"{tag}/{op}: catalog count {t.nrows} != "
+                            f"{len(rid)} actual rows"
+                        )
+                        break
+                    except retryable:
+                        t = st_.table("t")  # replan from committed state
+                    except StoreError as e:
+                        # a concurrent add/drop_field between this
+                        # attempt's payload build and the append's schema
+                        # gate surfaces as the documented payload-schema
+                        # mismatch — the caller rebuilds the payload from
+                        # the refreshed schema and retries; anything else
+                        # is a real failure
+                        if "payload schema" not in str(e):
+                            raise
+                        t = st_.table("t")
+                else:
+                    raise AssertionError(
+                        f"{tag}/{op}: starved after 10 conflict retries"
+                    )
+            results[tag] = {"delta": delta, "field": has_field}
+        except BaseException as e:  # surface thread failures in the test
+            errors.append(e)
+
+    ta = threading.Thread(target=worker, args=("a", ops_a, 1000))
+    tb = threading.Thread(target=worker, args=("b", ops_b, 2000))
+    ta.start(), tb.start()
+    ta.join(180), tb.join(180)
+    assert not errors, errors[0]
+    assert set(results) == {"a", "b"}
+
+    final = Store(spark, root, committer=make_committer()).table("t")
+    want_n = seed_n + results["a"]["delta"] + results["b"]["delta"]
+    rows = final.df().orderBy(ROWID).collect()
+    assert final.nrows == want_n, (
+        f"lost/duplicated update: {final.nrows} rows vs {want_n} committed"
+    )
+    assert [r[ROWID] for r in rows] == list(range(want_n))
+    want_cols = {"v"} | {
+        f"w{tag}" for tag in ("a", "b") if results[tag]["field"]
+    }
+    got_cols = {f.name for f in final.schema.fields if f.name != ROWID}
+    assert got_cols == want_cols, f"schema diverged: {got_cols} != {want_cols}"
