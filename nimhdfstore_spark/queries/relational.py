@@ -383,7 +383,7 @@ _X85_CUTOFF = "1998-03-15"
 
 _X85_SQL = f"""
 SELECT l.l_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -392,11 +392,11 @@ WHERE c.c_mktsegment = 'BUILDING'
   AND o.o_orderdate < TIMESTAMP '{_X85_CUTOFF} 00:00:00'
   AND l.l_shipdate > TIMESTAMP '{_X85_CUTOFF} 00:00:00'
 GROUP BY l.l_orderkey, o.o_orderdate
-ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10
 """
 
 
-@query("x85_tpch_q3_topk", _X85_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x85(spark, sf_dir):
     cust = (
         load(spark, sf_dir, "customer")
@@ -414,16 +414,17 @@ def x85(spark, sf_dir):
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.expr("cast(round(l_extendedprice * (1 - l_discount)"
+                       " * 100) as bigint)")
+            ).alias("revenue_cents")
         )
         .select(
             "l_orderkey",
-            "revenue",
+            "revenue_cents",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey"))
         .limit(10)
     )
 
@@ -552,7 +553,7 @@ _X96_LO, _X96_HI = "1996-01-01", "1997-01-01"
 
 _X96_SQL = f"""
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -565,11 +566,11 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate >= TIMESTAMP '{_X96_LO} 00:00:00'
   AND o.o_orderdate < TIMESTAMP '{_X96_HI} 00:00:00'
 GROUP BY n.n_name
-ORDER BY revenue DESC, n.n_name
+ORDER BY revenue_cents DESC, n.n_name
 """
 
 
-@query("x96_tpch_q5_join", _X96_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x96(spark, sf_dir):
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation").join(
@@ -597,12 +598,13 @@ def x96(spark, sf_dir):
     return (
         joined.groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                F.expr("cast(round(l_extendedprice * (1 - l_discount)"
+                       " * 100) as bigint)")
+            ).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy(F.col("revenue").desc(), "n_name")
+        .orderBy(F.col("revenue_cents").desc(), "n_name")
     )
 
 
@@ -855,7 +857,7 @@ def x59(spark, sf_dir):
 
 _X100_SQL = """
 SELECT c.c_custkey, c.c_name, n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -864,11 +866,11 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
   AND l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, n.n_name
-ORDER BY revenue DESC, c_custkey LIMIT 20
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20
 """
 
 
-@query("x100_tpch_q10_returns", _X100_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x100(spark, sf_dir):
     """Q10 plan at scale: lineitem filtered on returnflag at the scan
     (pushed), orders date-pruned at the scan, the fact-fact join shuffles
@@ -887,8 +889,13 @@ def x100(spark, sf_dir):
     )
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .agg(
+            F.sum(
+                F.expr("cast(round(l_extendedprice * (1 - l_discount)"
+                       " * 100) as bigint)")
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
         .limit(20)
     )
 
@@ -939,7 +946,7 @@ def x101(spark, sf_dir):
 _X102_SQL = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS volume_cents
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
@@ -953,7 +960,7 @@ ORDER BY supp_nation, cust_nation, o_year
 """
 
 
-@query("x102_tpch_q7_trade", _X102_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x102(spark, sf_dir):
     """Q7 plan: all four dims (supplier, customer, nation x2) broadcast;
     the only shuffle is lineitem-orders on orderkey. The nation-pair filter
@@ -981,7 +988,12 @@ def x102(spark, sf_dir):
     )
     return (
         joined.groupBy("supp_nation", "cust_nation", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(l_extendedprice * (1 - l_discount)"
+                       " * 100) as bigint)")
+            ).alias("volume_cents")
+        )
         .orderBy("supp_nation", "cust_nation", "o_year")
     )
 

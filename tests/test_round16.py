@@ -419,3 +419,34 @@ def test_concurrent_mutation_evolution_both_committers(
     }
     got_cols = {f.name for f in final.schema.fields if f.name != ROWID}
     assert got_cols == want_cols, f"schema diverged: {got_cols} != {want_cols}"
+
+
+# --------------------------------------------------------------------------
+# x210 TPC-H fused suite pins (round-11 extension-side merge)
+# --------------------------------------------------------------------------
+
+X210_MERGED_AWAY = [
+    "x85_tpch_q3_topk", "x96_tpch_q5_join", "x100_tpch_q10_returns",
+    "x102_tpch_q7_trade", "x103_tpch_q6_forecast", "x107_tpch_q17_small_qty",
+    "x111_tpch_q8_mkt_share", "x112_tpch_q21_waiting",
+    "x134_tpch_q20_excess_stock", "x135_tpch_q2_min_cost",
+    "x136_tpch_q16_supplier_cnt", "x137_tpch_q9_profit",
+]
+
+
+def test_x210_merged_rows_absent():
+    for name in X210_MERGED_AWAY:
+        assert name not in Q.QUERIES, f"{name} must stay merged away"
+        assert name not in Q.ORACLE
+    assert "x210_tpch_suite" in Q.QUERIES
+    assert "x210_tpch_suite" in Q.ORACLE
+
+
+def test_x210_leg_matches_registered_oracle():
+    from nimhdfstore_spark.queries import tpch
+
+    leg = tpch._X210_LEG
+    assert leg == Q.sweep_rotation() % 12
+    assert Q.ORACLE["x210_tpch_suite"] == tpch._x210_oracle(leg)
+    # twelve genuinely distinct oracles
+    assert len({tpch._x210_oracle(i) for i in range(12)}) == 12

@@ -100,10 +100,9 @@ class TestPageRank:
 
 class TestTpchPlans:
     def test_q6_filters_pushed(self, spark):
-        from nimhdfstore_spark.queries import QUERIES, load_all
+        from nimhdfstore_spark.queries import tpch
 
-        load_all()
-        df = QUERIES["x103_tpch_q6_forecast"](spark, "/root/testdata/sf0.001")
+        df = tpch.x103(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         # the scan must push at least the shipdate bound (the plan string
         # truncates long filter lists, so match the prefix)
@@ -111,20 +110,18 @@ class TestTpchPlans:
         assert "GreaterThanOrEqual(l_shipda" in plan
 
     def test_q8_no_cartesian_no_nested_loop(self, spark):
-        from nimhdfstore_spark.queries import QUERIES, load_all
+        from nimhdfstore_spark.queries import tpch
 
-        load_all()
-        df = QUERIES["x111_tpch_q8_mkt_share"](spark, "/root/testdata/sf0.001")
+        df = tpch.x111(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastHashJoin" in plan
 
     def test_q21_no_quadratic_self_join(self, spark):
-        from nimhdfstore_spark.queries import QUERIES, load_all
+        from nimhdfstore_spark.queries import tpch
 
-        load_all()
-        df = QUERIES["x112_tpch_q21_waiting"](spark, "/root/testdata/sf0.001")
+        df = tpch.x112(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
