@@ -53,6 +53,16 @@ SWEEP_PRIORITY: list[str] = [
     "x196_stream_incremental_dedup",
     "x188_stream_media_ingest",
     "x203_stream_video_ingest",
+    # the round-11 fused extension suites: newly-registered names whose
+    # legs' old rows are gone — they must land in driver slots this round
+    # or the merged families regress to zero external verification
+    "x210_tpch_suite",
+    "x211_media_decode_suite",
+    "x212_text_quality_suite",
+    "x213_stats_suite",
+    "x214_sketch_suite",
+    "x215_rollup_suite",
+    "x216_window_cube_suite",
 ]
 
 

@@ -1,0 +1,88 @@
+"""Fused extension suites — the round-11 extension-side answer to the
+core-merge waves' driver-slot economics.
+
+The external sweep verifies a hard 50 rows per round; with ~180 extension
+entries, a family of N individually-registered pure-function queries
+occupies N potential slots to stay verified. Fusing a family into one row
+keeps every leg EXECUTING every run (a broken plan, a lost column, or a
+decode crash in any leg fails the row loudly) while the VALUE check
+rotates: the returned leg's registered oracle is hash-matched against
+DuckDB by the driver, so every leg is engine-independently verified
+within ``len(legs)`` rounds. Where a second in-process rendering is cheap
+(the oracle text happens to be Spark-SQL-portable, or the leg has a
+closed-form rebuild) it is value-compared inside the SAME fused action
+every run.
+
+This deliberately differs from the core suites (q09/q20/q25/...), whose
+legs mutate scratch stores and are therefore checksummed against
+independent relational rebuilds EVERY run: a pure function of the input
+parquet has no cheaper second implementation — re-running it through the
+same engine proves transcription, not semantics — so the rotation IS the
+independent check, and execution-every-run is what the fusion preserves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nimhdfstore_spark.tables import load
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark, sf_dir: str, tables=ALL_TABLES) -> None:
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def run_fused(
+    spark,
+    legs: list[tuple[str, DataFrame]],
+    rot_idx: int,
+    twins: dict[int, DataFrame] | None = None,
+) -> DataFrame:
+    """Execute every leg's FULL result into one (count, hash) aggregate in
+    a single Spark action and return ``legs[rot_idx]``'s frame (lazy — the
+    caller's sink executes it against the registered oracle).
+
+    ``twins`` maps leg index -> an independently-constructed frame that
+    must match that leg exactly (count + order-insensitive full-row XOR
+    hash); twin frames execute inside the same fused action."""
+    twins = twins or {}
+
+    def agg(tag: str, side: str, df: DataFrame):
+        cols = ", ".join(sorted(df.columns))
+        return df.select(
+            F.lit(tag).alias("leg"),
+            F.lit(side).alias("side"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(f"bit_xor(xxhash64({cols}))").alias("h"),
+        )
+
+    aggs = []
+    for i, (tag, df) in enumerate(legs):
+        aggs.append(agg(tag, "got", df))
+        if i in twins:
+            want = twins[i]
+            # frontend dtype drift (SQL DECIMAL vs DataFrame DOUBLE):
+            # cast the twin column-for-column to the leg's exact types
+            dts = dict(df.dtypes)
+            want = want.select(
+                *[F.col(c).cast(dts[c]).alias(c) for c in df.columns]
+            )
+            aggs.append(agg(tag, "want", want))
+    frame = aggs[0]
+    for a in aggs[1:]:
+        frame = frame.unionByName(a)
+    rows = {(r["leg"], r["side"]): (r["n"], r["h"]) for r in frame.collect()}
+    for i in twins:
+        tag = legs[i][0]
+        if rows[(tag, "got")] != rows[(tag, "want")]:
+            raise AssertionError(
+                f"{tag} leg diverged from its independent twin: "
+                f"{rows[(tag, 'got')]} != {rows[(tag, 'want')]}"
+            )
+    return legs[rot_idx][1]

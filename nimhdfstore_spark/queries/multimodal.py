@@ -431,7 +431,7 @@ FROM px GROUP BY doc_id ORDER BY doc_id
 """
 
 
-@query("x185_png_resize_roundtrip", _X185_SQL)
+# merged into x211 fused suite (round-11): leg body kept, registration moved
 def x185(spark, sf_dir):
     packed = _png_gradient_payloads(spark, sf_dir, _X185_N)
     resized = M.resize_images(packed, _X185_W, _X185_H).select(
@@ -713,7 +713,7 @@ def _apng_payloads(spark, sf_dir, limit):
     )
 
 
-@query("x190_apng_frame_sample", _X190_SQL)
+# merged into x211 fused suite (round-11): leg body kept, registration moved
 def x190(spark, sf_dir):
     packed = _apng_payloads(spark, sf_dir, _X190_N)
     sampled = M.sample_frames(packed, every_n=2)
@@ -871,7 +871,7 @@ def _jpeg_band_payloads(spark, sf_dir, limit):
     )
 
 
-@query("x197_jpeg_decode_pixels", _X197_SQL)
+# merged into x211 fused suite (round-11): leg body kept, registration moved
 def x197(spark, sf_dir):
     packed = _jpeg_band_payloads(spark, sf_dir, _X197_N)
     return M.decode_images(packed).orderBy("doc_id")
@@ -917,7 +917,7 @@ FROM bv GROUP BY doc_id, w, nf, fps, f ORDER BY doc_id, frame_no
 """
 
 
-@query("x198_avi_mjpeg_frame_sample", _X198_SQL)
+# merged into x211 fused suite (round-11): leg body kept, registration moved
 def x198(spark, sf_dir):
     from nimhdfstore_spark.operators.video import sample_avi_frames
 
@@ -1363,7 +1363,7 @@ def _gif_anim_payloads(spark, sf_dir, limit):
     )
 
 
-@query("x207_gif_frame_sample", _X207_SQL)
+# merged into x211 fused suite (round-11): leg body kept, registration moved
 def x207(spark, sf_dir):
     packed = _gif_anim_payloads(spark, sf_dir, _X207_N)
     sampled = M.sample_frames(packed, every_n=2)
@@ -1384,3 +1384,122 @@ def x207(spark, sf_dir):
         .join(dec, ["doc_id", "frame_index"])
         .orderBy("doc_id", "frame_index")
     )
+
+
+# --------------------------------------------------------------------------
+# x211 — the five format-decode / frame-sample rows merged into ONE driver
+# row (round-11 extension-side slot economics; see queries/_fused.py). ALL
+# legs execute every run in one fused checksum action; the returned leg and
+# its DuckDB oracle rotate on the persisted sweep counter. In-query value
+# checks every run:
+#   - png_resize (x185): intrinsic — decode → resize → re-encode → decode
+#     chain, any defect breaks the rotating oracle AND the pixel sums;
+#   - apng_sample (x190) / gif_sample (x207): intrinsic — each sampled
+#     frame's standalone PNG is independently re-decoded and joined on the
+#     matching pixel sum inside the leg itself;
+#   - jpeg_decode (x197) / avi_sample (x198): no intrinsic roundtrip, so
+#     each is checksummed against its CLOSED-FORM Spark rebuild (the
+#     oracle's arithmetic over exploded ranges — a few thousand synthetic
+#     rows, no decode path shared with the leg).
+# --------------------------------------------------------------------------
+
+
+def _x197_closed_form(spark, sf_dir):
+    d = F.col("doc_id")
+    src = (
+        load(spark, sf_dir, "documents")
+        .where(d < _X197_N)
+        .select("doc_id", (8 * (d % 4 + 3)).alias("w"), (d % 3 + 3).alias("nb"))
+    )
+    bv = src.select(
+        "doc_id", "w", "nb",
+        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("b"),
+    ).withColumn("v", 64 + 2 * ((d * 7 + F.col("b") * 5) % 80))
+    return (
+        bv.groupBy("doc_id", "w", "nb")
+        .agg(
+            F.sum(F.col("v") * 8 * F.col("w")).alias("px_sum"),
+            F.min("v").alias("px_min"),
+            F.max("v").alias("px_max"),
+        )
+        .select(
+            "doc_id",
+            F.col("w").alias("width"),
+            (F.col("nb") * 8).alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(8).alias("bit_depth"),
+            (F.col("w") * 8 * F.col("nb")).alias("n_pixels"),
+            "px_sum", "px_min", "px_max",
+        )
+    )
+
+
+def _x198_closed_form(spark, sf_dir):
+    d = F.col("doc_id")
+    src = (
+        load(spark, sf_dir, "documents")
+        .where(d < _X198_N)
+        .select(
+            "doc_id",
+            (8 * (d % 3 + 3)).alias("w"),
+            (d % 5 + 4).alias("nf"),
+            (d % 3 + 10).alias("fps"),
+        )
+    )
+    fb = (
+        src.select(
+            "doc_id", "w", "nf", "fps",
+            F.explode(F.sequence(F.lit(0), F.lit(8))).alias("f"),
+        )
+        .where((F.col("f") < F.col("nf")) & (F.col("f") % 2 == 0))
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("b")
+        )
+        .withColumn(
+            "v", 64 + 2 * ((d * 3 + F.col("f") * 7 + F.col("b") * 5) % 80)
+        )
+    )
+    return (
+        fb.groupBy("doc_id", "w", "nf", "fps", "f")
+        .agg(
+            F.sum(F.col("v") * 8 * F.col("w")).alias("px_sum"),
+            F.min("v").alias("px_min"),
+            F.max("v").alias("px_max"),
+        )
+        .select(
+            "doc_id",
+            F.col("f").alias("frame_no"),
+            F.col("nf").alias("n_frames"),
+            "fps",
+            F.col("w").alias("width"),
+            F.lit(24).alias("height"),
+            "px_sum", "px_min", "px_max",
+        )
+    )
+
+
+#: leg order: 0=png_resize, 1=apng_sample, 2=jpeg_decode, 3=avi_sample,
+#: 4=gif_sample
+_X211_SQLS = (_X185_SQL, _X190_SQL, _X197_SQL, _X198_SQL, _X207_SQL)
+
+from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+
+_X211_LEG = _rot() % 5
+
+
+@query("x211_media_decode_suite", _X211_SQLS[_X211_LEG])
+def x211(spark, sf_dir):
+    from nimhdfstore_spark.queries._fused import run_fused
+
+    legs = [
+        ("png_resize", x185(spark, sf_dir)),
+        ("apng_sample", x190(spark, sf_dir)),
+        ("jpeg_decode", x197(spark, sf_dir)),
+        ("avi_sample", x198(spark, sf_dir)),
+        ("gif_sample", x207(spark, sf_dir)),
+    ]
+    twins = {
+        2: _x197_closed_form(spark, sf_dir),
+        3: _x198_closed_form(spark, sf_dir),
+    }
+    return run_fused(spark, legs, _X211_LEG, twins)

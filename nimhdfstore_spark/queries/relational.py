@@ -220,7 +220,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
-@query("x80_group_quantiles", _X80_SQL)
+# merged into x216 fused suite (round-11): leg body kept, registration moved
 def x80(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
@@ -314,7 +314,7 @@ ORDER BY o_custkey, rnk
 """
 
 
-@query("x83_window_suite", _X83_SQL)
+# merged into x216 fused suite (round-11): leg body kept, registration moved
 def x83(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -626,7 +626,7 @@ ORDER BY flag, status
 """
 
 
-@query("x97_cube", _X97_SQL)
+# merged into x216 fused suite (round-11): leg body kept, registration moved
 def x97(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (
@@ -1059,7 +1059,7 @@ ORDER BY o_orderpriority, o_orderkey
 """
 
 
-@query("x121_window_suite2", _X121_SQL)
+# merged into x216 fused suite (round-11): leg body kept, registration moved
 def x121(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -1102,7 +1102,7 @@ ORDER BY grouping_lvl, returnflag, linestatus
 """
 
 
-@query("x122_grouping_sets", _X122_SQL)
+# merged into x216 fused suite (round-11): leg body kept, registration moved
 def x122(spark, sf_dir):
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("__x122_li")
     return spark.sql(f"""
@@ -1459,7 +1459,7 @@ FROM m ORDER BY l_returnflag
 """
 
 
-@query("x149_grouped_regression", _X149_SQL)
+# merged into x213 fused suite (round-11): leg body kept, registration moved
 def x149(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
@@ -1581,7 +1581,7 @@ FROM clipped GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
-@query("x163_winsorize", _X163_SQL)
+# merged into x216 fused suite (round-11): leg body kept, registration moved
 def x163(spark, sf_dir):
     """Group-wise winsorized aggregate. Scale shape: one map-side-combined
     pass computes the per-group exact percentiles (the group count is tiny),
@@ -1652,7 +1652,7 @@ ORDER BY lang, source
 """
 
 
-@query("x165_chi_square_independence", _X165_SQL)
+# merged into x213 fused suite (round-11): leg body kept, registration moved
 def x165(spark, sf_dir):
     """Contingency table + exact-arithmetic chi-square. One groupBy builds
     the observed cells (|lang|×|source| rows at any corpus size); margins
@@ -1829,7 +1829,7 @@ ORDER BY l_returnflag, pair
 """
 
 
-@query("x170_correlation_matrix", _X170_SQL)
+# merged into x213 fused suite (round-11): leg body kept, registration moved
 def x170(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("long")
@@ -2062,3 +2062,65 @@ def x179(spark, sf_dir):
         .select("probe_id", "user_id", "jaccard", "rank")
         .orderBy("probe_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# x213/x216 — the statistics family (grouped OLS / chi-square / correlation
+# matrix) and the window-grouping family (two window suites, CUBE, grouping
+# sets, exact group quantiles, winsorize) merged into two driver rows
+# (round-11 extension-side slot economics; rationale in queries/_fused.py).
+# ALL legs execute every run in one fused action; the returned leg + its
+# DuckDB oracle rotate on the persisted sweep counter. Legs whose oracle
+# text is Spark-SQL-portable additionally get a second-frontend twin
+# (spark.sql over temp views) value-compared in the same action WHEN they
+# are the rotating leg — three independent renderings that round.
+# --------------------------------------------------------------------------
+
+#: (tag, fn, sql attr, spark-sql-portable)
+_X213_LEGS = (
+    ("grouped_regression", "x149", "_X149_SQL", True),
+    ("chi_square", "x165", "_X165_SQL", False),       # uses //
+    ("correlation_matrix", "x170", "_X170_SQL", True),
+)
+
+_X216_LEGS = (
+    ("window_suite", "x83", "_X83_SQL", True),
+    ("window_suite2", "x121", "_X121_SQL", True),
+    ("cube", "x97", "_X97_SQL", True),
+    ("grouping_sets", "x122", "_X122_SQL", True),
+    ("group_quantiles", "x80", "_X80_SQL", False),    # quantile_cont
+    ("winsorize", "x163", "_X163_SQL", False),        # quantile_cont
+)
+
+from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+
+_X213_LEG = _rot() % len(_X213_LEGS)
+_X216_LEG = _rot() % len(_X216_LEGS)
+
+
+def _run_family(spark, sf_dir, legdefs, rot_idx):
+    from nimhdfstore_spark.queries._fused import register_views, run_fused
+
+    legs = [
+        (tag, globals()[fn](spark, sf_dir)) for tag, fn, _, _ in legdefs
+    ]
+    twins = {}
+    tag, fn, sqlname, portable = legdefs[rot_idx]
+    if portable:
+        register_views(
+            spark, sf_dir,
+            ("region", "nation", "customer", "supplier", "part", "orders",
+             "lineitem", "events"),
+        )
+        twins[rot_idx] = spark.sql(globals()[sqlname])
+    return run_fused(spark, legs, rot_idx, twins)
+
+
+@query("x213_stats_suite", globals()[_X213_LEGS[_X213_LEG][2]])
+def x213(spark, sf_dir):
+    return _run_family(spark, sf_dir, _X213_LEGS, _X213_LEG)
+
+
+@query("x216_window_cube_suite", globals()[_X216_LEGS[_X216_LEG][2]])
+def x216(spark, sf_dir):
+    return _run_family(spark, sf_dir, _X216_LEGS, _X216_LEG)

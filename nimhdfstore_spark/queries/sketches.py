@@ -139,7 +139,7 @@ FROM agg
 """
 
 
-@query("x139_hll_distinct_estimate", _x139_sql())
+# merged into x214 fused suite (round-11): leg body kept, registration moved
 def x139(spark, sf_dir):
     """HyperLogLog distinct-order estimate over lineitem: 256 registers of
     bounded, map-side-combined state regardless of input size — the
@@ -216,7 +216,7 @@ ORDER BY quantile
 """
 
 
-@query("x145_histogram_quantiles", _x145_sql())
+# merged into x214 fused suite (round-11): leg body kept, registration moved
 def x145(spark, sf_dir):
     """Approximate quantiles of l_extendedprice from a fixed-width
     histogram sketch: per-partition histograms merge by adding counts
@@ -278,7 +278,7 @@ FROM agg ORDER BY hour_bucket
 """
 
 
-@query("x173_sliding_hll_distinct", _x173_sql())
+# merged into x214 fused suite (round-11): leg body kept, registration moved
 def x173(spark, sf_dir):
     """Trailing-3h distinct-user estimates for every active hour. Scale
     shape: raw events collapse to ≤ 256 registers per hour (map-side
@@ -335,3 +335,34 @@ def x173(spark, sf_dir):
             "users_estimate"
         ),
     ).orderBy("hour_bucket")
+
+
+# --------------------------------------------------------------------------
+# x214 — the three bounded-state sketch rows merged into ONE driver row
+# (round-11 extension-side slot economics; rationale in queries/_fused.py).
+# ALL legs execute every run in one fused action; the returned leg + its
+# DuckDB oracle rotate on the persisted sweep counter (each leg
+# engine-verified within 3 rounds). The sketch estimates themselves are
+# engine-exact by construction (hash-deterministic register arithmetic),
+# which is what makes the rotating DuckDB hash-match meaningful.
+# --------------------------------------------------------------------------
+
+_X214_LEGS = (
+    ("hll_distinct", "x139", _x139_sql()),
+    ("hist_quantiles", "x145", _x145_sql()),
+    ("sliding_hll", "x173", _x173_sql()),
+)
+
+from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+
+_X214_LEG = _rot() % len(_X214_LEGS)
+
+
+@query("x214_sketch_suite", _X214_LEGS[_X214_LEG][2])
+def x214(spark, sf_dir):
+    from nimhdfstore_spark.queries._fused import run_fused
+
+    legs = [
+        (tag, globals()[fn](spark, sf_dir)) for tag, fn, _ in _X214_LEGS
+    ]
+    return run_fused(spark, legs, _X214_LEG)

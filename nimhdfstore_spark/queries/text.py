@@ -354,7 +354,7 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
-@query("x115_text_type_token_stats", _X115_SQL)
+# merged into x212 fused suite (round-11): leg body kept, registration moved
 def x115(spark, sf_dir):
     """Two-pass corpus-statistics scoring — the shape every corpus-level
     quality signal needs at 100 TB: pass 1 builds global token counts (one
@@ -583,7 +583,7 @@ FROM scored ORDER BY fluency_ppm DESC, doc_id LIMIT 25
 """
 
 
-@query("x159_bigram_lm_score", _X159_SQL)
+# merged into x212 fused suite (round-11): leg body kept, registration moved
 def x159(spark, sf_dir):
     """Top-25 most LM-fluent documents. Train: bigram counts via explode +
     per-doc window-lead + map-side-combined groupBy (same shape as x154);
@@ -662,7 +662,7 @@ ORDER BY g.doc_id
 """
 
 
-@query("x171_ngram_novelty", _X171_SQL)
+# merged into x212 fused suite (round-11): leg body kept, registration moved
 def x171(spark, sf_dir):
     """Per-document trigram novelty. Distinct trigrams per doc (explode of
     a transform over the token array — no window needed), one map-side-
@@ -899,7 +899,7 @@ FROM k GROUP BY doc_id ORDER BY doc_id
 """
 
 
-@query("x194_repetition_trim", _X194_SQL)
+# merged into x212 fused suite (round-11): leg body kept, registration moved
 def x194(spark, sf_dir):
     from nimhdfstore_spark.operators.text import repetition_trim
 
@@ -950,7 +950,7 @@ FROM t ORDER BY doc_id
 """
 
 
-@query("x200_unicode_nfc_normalize", _X200_SQL)
+# merged into x212 fused suite (round-11): leg body kept, registration moved
 def x200(spark, sf_dir):
     from nimhdfstore_spark.operators.text import unicode_normalize
 
@@ -1014,7 +1014,7 @@ FROM t ORDER BY doc_id
 """
 
 
-@query("x201_html_to_text", _X201_SQL)
+# merged into x212 fused suite (round-11): leg body kept, registration moved
 def x201(spark, sf_dir):
     from nimhdfstore_spark.operators.text import html_tag_count, strip_html
 
@@ -1081,7 +1081,7 @@ FROM r ORDER BY doc_id
 """
 
 
-@query("x204_readability_scores", _X204_SQL)
+# merged into x212 fused suite (round-11): leg body kept, registration moved
 def x204(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     n_words = T.token_count("text").cast("long")
@@ -1181,3 +1181,43 @@ def x205(spark, sf_dir):
         )
         .orderBy("domain")
     )
+
+
+# --------------------------------------------------------------------------
+# x212 — the seven single-scan text-quality rows merged into ONE driver row
+# (round-11 extension-side slot economics; rationale in queries/_fused.py).
+# ALL legs execute every run in one fused checksum action — a broken plan,
+# a lost column, or a regex/codegen failure in any leg fails the row — and
+# the returned leg + its DuckDB oracle rotate on the persisted sweep
+# counter, so each leg is engine-independently verified within 7 rounds.
+# The legs are pure JVM-side transforms of the documents table with
+# DuckDB-dialect oracles (unnest/string_agg/regexp_extract_all), so there
+# is no cheap second in-process rendering — rotation is the value check,
+# execution-every-run is what the fusion preserves.
+# --------------------------------------------------------------------------
+
+#: 0=type_token, 1=bigram_lm, 2=ngram_novelty, 3=repetition_trim,
+#: 4=nfc_normalize, 5=html_to_text, 6=readability
+_X212_LEGS = (
+    ("type_token", "x115", "_X115_SQL"),
+    ("bigram_lm", "x159", "_X159_SQL"),
+    ("ngram_novelty", "x171", "_X171_SQL"),
+    ("repetition_trim", "x194", "_X194_SQL"),
+    ("nfc_normalize", "x200", "_X200_SQL"),
+    ("html_to_text", "x201", "_X201_SQL"),
+    ("readability", "x204", "_X204_SQL"),
+)
+
+from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+
+_X212_LEG = _rot() % len(_X212_LEGS)
+
+
+@query("x212_text_quality_suite", globals()[_X212_LEGS[_X212_LEG][2]])
+def x212(spark, sf_dir):
+    from nimhdfstore_spark.queries._fused import run_fused
+
+    legs = [
+        (tag, globals()[fn](spark, sf_dir)) for tag, fn, _ in _X212_LEGS
+    ]
+    return run_fused(spark, legs, _X212_LEG)

@@ -151,7 +151,7 @@ ORDER BY user_id, ts_sec
 """
 
 
-@query("x54_moving_average", _X54_SQL)
+# merged into x215 fused suite (round-11): leg body kept, registration moved
 def x54(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     p = ev.where(
@@ -271,7 +271,7 @@ ORDER BY user_id, bucket
 """
 
 
-@query("x147_ohlc_downsample", _X147_SQL)
+# merged into x215 fused suite (round-11): leg body kept, registration moved
 def x147(spark, sf_dir):
     from nimhdfstore_spark.tables import load
 
@@ -607,7 +607,7 @@ ORDER BY user_id
 """
 
 
-@query("x169_time_weighted_average", _X169_SQL)
+# merged into x215 fused suite (round-11): leg body kept, registration moved
 def x169(spark, sf_dir):
     """Per-user TWAP. One shuffle on user_id for the lead window, one
     map-side-combined groupBy; duration×cents products stay < 2^63 for
@@ -708,3 +708,32 @@ def x181(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         .orderBy("event_type", "bin")
     )
+
+
+# --------------------------------------------------------------------------
+# x215 — the three time-series rollup rows merged into ONE driver row
+# (round-11 extension-side slot economics; rationale in queries/_fused.py).
+# ALL legs execute every run in one fused action; the returned leg + its
+# DuckDB oracle rotate on the persisted sweep counter (each leg
+# engine-verified within 3 rounds).
+# --------------------------------------------------------------------------
+
+_X215_LEGS = (
+    ("moving_average", "x54", "_X54_SQL"),
+    ("ohlc", "x147", "_X147_SQL"),
+    ("time_weighted_avg", "x169", "_X169_SQL"),
+)
+
+from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+
+_X215_LEG = _rot() % len(_X215_LEGS)
+
+
+@query("x215_rollup_suite", globals()[_X215_LEGS[_X215_LEG][2]])
+def x215(spark, sf_dir):
+    from nimhdfstore_spark.queries._fused import run_fused
+
+    legs = [
+        (tag, globals()[fn](spark, sf_dir)) for tag, fn, _ in _X215_LEGS
+    ]
+    return run_fused(spark, legs, _X215_LEG)

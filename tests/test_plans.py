@@ -405,7 +405,8 @@ def test_html_to_text_stays_jvm_side(spark, sf_dir):
     import nimhdfstore_spark.queries as Q
 
     Q.load_all()
-    plan = _plan(Q.QUERIES["x201_html_to_text"](spark, sf_dir))
+    from nimhdfstore_spark.queries import text as _text
+    plan = _plan(_text.x201(spark, sf_dir))
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, f"x201 left the JVM ({marker}):\n{plan[:2000]}"

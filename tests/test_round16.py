@@ -450,3 +450,78 @@ def test_x210_leg_matches_registered_oracle():
     assert Q.ORACLE["x210_tpch_suite"] == tpch._x210_oracle(leg)
     # twelve genuinely distinct oracles
     assert len({tpch._x210_oracle(i) for i in range(12)}) == 12
+
+
+# --------------------------------------------------------------------------
+# Round-11 fused extension suites (x211-x216) pins
+# --------------------------------------------------------------------------
+
+FUSED_MERGED_AWAY = {
+    "x211_media_decode_suite": [
+        "x185_png_resize_roundtrip", "x190_apng_frame_sample",
+        "x197_jpeg_decode_pixels", "x198_avi_mjpeg_frame_sample",
+        "x207_gif_frame_sample",
+    ],
+    "x212_text_quality_suite": [
+        "x115_text_type_token_stats", "x159_bigram_lm_score",
+        "x171_ngram_novelty", "x194_repetition_trim",
+        "x200_unicode_nfc_normalize", "x201_html_to_text",
+        "x204_readability_scores",
+    ],
+    "x213_stats_suite": [
+        "x149_grouped_regression", "x165_chi_square_independence",
+        "x170_correlation_matrix",
+    ],
+    "x214_sketch_suite": [
+        "x139_hll_distinct_estimate", "x145_histogram_quantiles",
+        "x173_sliding_hll_distinct",
+    ],
+    "x215_rollup_suite": [
+        "x54_moving_average", "x147_ohlc_downsample",
+        "x169_time_weighted_average",
+    ],
+    "x216_window_cube_suite": [
+        "x83_window_suite", "x121_window_suite2", "x97_cube",
+        "x122_grouping_sets", "x80_group_quantiles", "x163_winsorize",
+    ],
+}
+
+
+def test_fused_suites_registered_and_parts_absent():
+    for suite, parts in FUSED_MERGED_AWAY.items():
+        assert suite in Q.QUERIES and suite in Q.ORACLE
+        for name in parts:
+            assert name not in Q.QUERIES, f"{name} must stay merged away"
+            assert name not in Q.ORACLE
+
+
+def test_fused_suite_legs_match_registered_oracles():
+    from nimhdfstore_spark.queries import (
+        multimodal, relational, sketches, text, timeseries,
+    )
+
+    r = Q.sweep_rotation()
+    assert multimodal._X211_LEG == r % 5
+    assert Q.ORACLE["x211_media_decode_suite"] == (
+        multimodal._X211_SQLS[multimodal._X211_LEG]
+    )
+    assert text._X212_LEG == r % 7
+    assert Q.ORACLE["x212_text_quality_suite"] == getattr(
+        text, text._X212_LEGS[text._X212_LEG][2]
+    )
+    assert relational._X213_LEG == r % 3
+    assert Q.ORACLE["x213_stats_suite"] == getattr(
+        relational, relational._X213_LEGS[relational._X213_LEG][2]
+    )
+    assert sketches._X214_LEG == r % 3
+    assert Q.ORACLE["x214_sketch_suite"] == (
+        sketches._X214_LEGS[sketches._X214_LEG][2]
+    )
+    assert timeseries._X215_LEG == r % 3
+    assert Q.ORACLE["x215_rollup_suite"] == getattr(
+        timeseries, timeseries._X215_LEGS[timeseries._X215_LEG][2]
+    )
+    assert relational._X216_LEG == r % 6
+    assert Q.ORACLE["x216_window_cube_suite"] == getattr(
+        relational, relational._X216_LEGS[relational._X216_LEG][2]
+    )

@@ -24,7 +24,8 @@ def test_frequent_pairs_is_equi_join(spark, sf_dir):
 
 def test_bigram_lm_is_equi_join(spark, sf_dir):
     # x159: the scoring join hits the model on (w1, w2) — an equi-join.
-    plan = _plan(QUERIES["x159_bigram_lm_score"](spark, sf_dir))
+    from nimhdfstore_spark.queries import text as _text
+    plan = _plan(_text.x159(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -304,24 +305,28 @@ def test_correlation_matrix_single_scan_per_branch(spark, sf_dir):
     # x170: all moment sums come from ONE aggregate; the three matrix rows
     # re-use it (union of projections). No join, no second fact aggregate
     # per pair.
-    df = QUERIES["x170_correlation_matrix"](spark, sf_dir)
+    from nimhdfstore_spark.queries import relational as _rel
+    df = _rel.x170(spark, sf_dir)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in opt, opt[:1500]
 
 
 def test_winsorize_broadcasts_thresholds(spark, sf_dir):
-    plan = _plan(QUERIES["x163_winsorize"](spark, sf_dir))
+    from nimhdfstore_spark.queries import relational as _rel
+    plan = _plan(_rel.x163(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_novelty_no_pairwise_join(spark, sf_dir):
-    plan = _plan(QUERIES["x171_ngram_novelty"](spark, sf_dir))
+    from nimhdfstore_spark.queries import text as _text
+    plan = _plan(_text.x171(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_twap_values_bounded_by_min_max(spark, sf_dir):
-    rows = QUERIES["x169_time_weighted_average"](spark, sf_dir).collect()
+    from nimhdfstore_spark.queries import timeseries as _ts
+    rows = _ts.x169(spark, sf_dir).collect()
     assert rows, "no TWAP rows"
     for r in rows:
         assert r["n_segments"] >= 5 and r["span_us"] > 0
