@@ -66,6 +66,10 @@ def test_core_frozen_and_permutation_for_any_rotation(monkeypatch):
 
 
 def test_slots_disjoint_per_round_and_full_coverage(monkeypatch):
+    # SWEEP_PRIORITY entries deliberately PIN the front until verified
+    # (the round-11 explicit exception, tested in test_round16); this
+    # test asserts the underlying rotation machinery in isolation.
+    monkeypatch.setattr(Q, "SWEEP_PRIORITY", [])
     base = _order(monkeypatch, 0)
     n_core = sum(n.startswith("q") for n in base)
     ext = len(base) - n_core
