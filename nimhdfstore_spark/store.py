@@ -1710,6 +1710,10 @@ class Transaction:
                             os.path.join(tdir, t._meta["current"])),
                 )
                 flipped += 1
+                # crash-injection point: a process death here exposes the
+                # documented prefix (flipped tables committed, the rest
+                # staged-only) — tests/test_round16.py asserts that bound
+                _crash_point("txn.mid_flip")
         except StoreConflictError:
             # discard the not-yet-flipped remainder; already-flipped tables
             # are committed (see prefix-exposure note above)

@@ -525,3 +525,94 @@ def test_fused_suite_legs_match_registered_oracles():
     assert Q.ORACLE["x216_window_cube_suite"] == getattr(
         relational, relational._X216_LEGS[relational._X216_LEG][2]
     )
+
+
+# --------------------------------------------------------------------------
+# Crash injection for the multi-table transaction: a kill between the
+# per-table pointer flips exposes the DOCUMENTED prefix bound (flipped
+# tables committed, the rest staged-only, readers never see a partial
+# snapshot) — and nothing worse: the unflipped table serves its prior
+# state, its staged .tmp- dir is invisible to snapshot listing and
+# reclaimed age-gated, and both tables accept the next write.
+# --------------------------------------------------------------------------
+
+_TXN_CRASH_WORKER_SRC = '''
+import os, sys
+sys.path.insert(0, "/root/repo")
+root = sys.argv[1]
+os.environ["SPARK_GRAFT_CRASH_POINT"] = "txn.mid_flip"
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+from nimhdfstore_spark.store import Store
+store = Store(spark, root)
+with store.transaction() as tx:
+    tx.put("a", spark.createDataFrame([(10, 10.0)], "k long, v double"),
+           order_by=["k"], overwrite=True)
+    tx.put("b", spark.createDataFrame([(20, 20.0)], "k long, v double"),
+           order_by=["k"], overwrite=True)
+print("NO-CRASH")
+'''
+
+
+def test_crash_injected_transaction_prefix_bound(spark, tmp_path):
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from nimhdfstore_spark.store import Store
+
+    root = str(tmp_path / "store")
+    store = Store(spark, root)
+    for name in ("a", "b"):
+        store.put(
+            name,
+            spark.createDataFrame([(1, 1.0)], "k long, v double"),
+            order_by=["k"],
+        )
+
+    script = tmp_path / "txn_crasher.py"
+    script.write_text(_TXN_CRASH_WORKER_SRC)
+    p = subprocess.run(
+        [sys.executable, str(script), root],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == -signal.SIGKILL, (
+        f"child not SIGKILLed: rc={p.returncode}\n{p.stdout}\n"
+        f"{p.stderr[-1500:]}"
+    )
+
+    # prefix bound: table 'a' (first flip) committed, 'b' at prior state
+    store2 = Store(spark, root)
+    ka = sorted(r["k"] for r in store2.table("a").df().collect())
+    kb = sorted(r["k"] for r in store2.table("b").df().collect())
+    assert ka == [10], f"first-flipped table must be committed: {ka}"
+    assert kb == [1], f"unflipped table must serve its prior state: {kb}"
+
+    # b's staged snapshot is .tmp- debris: not a snapshot, reclaimed only
+    # past the age gate
+    bdir = os.path.join(root, "b")
+    staged = [e for e in os.listdir(bdir) if e.startswith(".tmp-snap-")]
+    assert staged, "expected the unflipped staged dir as debris"
+    assert store2.snapshots("b") == [0]
+    store2.vacuum()
+    for e in staged:
+        assert os.path.isdir(os.path.join(bdir, e)), "age gate violated"
+    old = time.time() - 2 * 86400
+    for e in staged:
+        os.utime(os.path.join(bdir, e), (old, old))
+    store2.vacuum()
+    for e in staged:
+        assert not os.path.exists(os.path.join(bdir, e)), (
+            "age-expired staged debris not reclaimed"
+        )
+
+    # both tables accept the next write
+    for name, want in (("a", [10, 99]), ("b", [1, 99])):
+        t = store2.table(name)
+        t.append(spark.createDataFrame([(99, 9.9)], "k long, v double"))
+        got = sorted(r["k"] for r in t.df().collect())
+        assert got == want, f"{name}: post-crash append broken: {got}"
