@@ -98,6 +98,14 @@ def _update_minima(
         table = {}
     mins = table.setdefault(sf, {})
     old_fp = table.setdefault("_fp", {})
+    # drop minima for names no longer in the registry (merged-away rows):
+    # they are inert for min_total (which sums over THIS run's queries)
+    # but a stale 39-entry tail misreads as live benchmark surface
+    from nimhdfstore_spark import queries as _registry
+
+    for name in [n for n in mins if n not in _registry.QUERIES]:
+        del mins[name]
+        old_fp.pop(name, None)
     for name, sec in timings.items():
         prev = mins.get(name)
         if old_fp.get(name) is not None and old_fp.get(name) != fps.get(name):
@@ -297,7 +305,12 @@ def main() -> None:
         # its delta, so ~4x the overage buys the sweep room to converge
         known0 = [n for n in best if n in prev_min]
         overage = sum(best[n] - prev_min[n] for n in known0)
-        ratio_budget = max(120.0, 4.0 * max(0.0, overage))
+        # capped: on a persistently stolen host the overage can be huge and
+        # the 1.04 bar unreachable — an uncapped 4x-overage budget chased a
+        # 388-steal-CPU-s window past a 20-minute wall (round-15). The cap
+        # bounds the whole bench at first-pass + ~10 minutes worst case
+        # while leaving sane windows' behavior unchanged.
+        ratio_budget = min(600.0, max(120.0, 4.0 * max(0.0, overage)))
         while _ratio() > 1.04 and ratio_budget > 0:
             cands = sorted(
                 (n for n in best
