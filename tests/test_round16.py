@@ -616,3 +616,23 @@ def test_crash_injected_transaction_prefix_bound(spark, tmp_path):
         t.append(spark.createDataFrame([(99, 9.9)], "k long, v double"))
         got = sorted(r["k"] for r in t.df().collect())
         assert got == want, f"{name}: post-crash append broken: {got}"
+
+
+# --------------------------------------------------------------------------
+# Plan gates for the fused suites: fusing 12-24 plans into one action must
+# not smuggle in a cartesian/nested-loop join that the per-leg plan tests
+# (test_round3_ops/test_plans) would have caught on the individual rows.
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", [
+    "x210_tpch_suite", "x212_text_quality_suite", "x213_stats_suite",
+    "x216_window_cube_suite", "q34_incremental_suite",
+])
+def test_fused_suite_returned_plan_no_cartesian(spark, name):
+    df = Q.QUERIES[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # broadcast of a 1-row global aggregate is a legitimate nested-loop
+    # (x106-style max-compare); anything bigger is a plan bug. The gated
+    # suites' returned legs use none.
+    assert "BroadcastNestedLoopJoin" not in plan
