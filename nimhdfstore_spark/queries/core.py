@@ -1167,11 +1167,21 @@ def q25(spark, sf_dir):
 # codecs is asserted in-query by the XOR row-hash checksums below — a 60k-row
 # result here would only re-verify what q01 already hash-matches while costing
 # the driver's sweep budget several seconds of transfer+hash per check.
-_Q16_SQL = """
+# Write-volume cap (round 15, the q33 pattern): codec round-trip
+# invariance is a per-byte property — 100k rows exercise all three codec
+# paths, the filter framework, and the checksum identically to 600k while
+# writing 1/6 the volume (q16 was the heaviest write-bound core row at
+# 4.6-6.1 s). Below-cap scale factors are unaffected (the filter matches
+# every row); the decade story for raw write volume lives in the BASELINE
+# sf1/sf10 codec rows.
+_Q16_CAP = 100_000
+
+_Q16_SQL = f"""
 SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_fp,
        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_fp
-FROM lineitem GROUP BY l_returnflag, l_linestatus
+FROM ({rowid_over('lineitem')}) WHERE {ROWID} < {_Q16_CAP}
+GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
@@ -1184,7 +1194,11 @@ def q16(spark, sf_dir):
     # persist: the same rowid'd frame is written 3× (once per codec) — cache
     # it instead of recomputing the rank sort per write. Deliberate for this
     # codec-invariance check; a 100 TB single write wouldn't cache.
-    src = load_pos(spark, sf_dir, "lineitem").persist()
+    src = (
+        load_pos(spark, sf_dir, "lineitem")
+        .where(F.col(ROWID) < _Q16_CAP)
+        .persist()
+    )
     src.count()  # materialize once before the concurrent writers share it
 
     def write_and_sum(codec):
