@@ -171,6 +171,118 @@ def driver_verified() -> set[str]:
     return _VERIFIED_SNAPSHOT
 
 
+_LEG_RECORDS_SNAPSHOT: list[tuple[int, set[str]]] | None = None
+
+
+def leg_records() -> list[tuple[int, set[str]]]:
+    """Per archived driver record: ``(rotation_at_sweep_time, green_names)``.
+
+    The rotation the registry saw DURING round K's sweep equals the number
+    of ``CORRECTNESS_r*.json`` records already archived at that moment —
+    i.e. the count of records with round number < K (the driver writes
+    round K's record only after its sweep completes). That reconstruction
+    stays correct even when a round crashed and left no record: the
+    missing round simply never incremented anyone's rotation. Snapshot
+    once per process like the other registry state.
+    ``SPARK_GRAFT_LEG_RECORDS`` overrides for tests
+    (format ``"rot:name1|name2;rot:name3"``; empty string = no records).
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    env = os.environ.get("SPARK_GRAFT_LEG_RECORDS")
+    if env is not None:
+        out = []
+        for part in env.split(";"):
+            if not part.strip():
+                continue
+            rot, names = part.split(":", 1)
+            out.append((int(rot), {n for n in names.split("|") if n}))
+        return out
+    global _LEG_RECORDS_SNAPSHOT
+    if _LEG_RECORDS_SNAPSHOT is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        rounds: dict[int, set[str]] = {}
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if not isinstance(rec, dict):
+                continue
+            greens = {
+                name
+                for name, row in rec.items()
+                if isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            }
+            rounds[int(m.group(1))] = greens
+        ks = sorted(rounds)
+        _LEG_RECORDS_SNAPSHOT = [
+            (sum(1 for j in ks if j < k), rounds[k]) for k in ks
+        ]
+    return _LEG_RECORDS_SNAPSHOT
+
+
+def checked_legs(
+    name: str, n_legs: int,
+    records: list[tuple[int, set[str]]] | None = None,
+) -> set[int]:
+    """Leg indices of suite ``name`` that have already occupied the
+    driver-hash-checked (returned/oracle) position in a GREEN driver row.
+
+    A suite row green in a record taken at rotation ``r`` proves leg
+    ``choice(r)`` was engine-independently verified. For records predating
+    this mechanism the choice was ``r % n_legs``; replaying the greedy
+    rule below over the sorted records reproduces that for the historical
+    rounds (the fused suites first went green at exactly one record each)
+    and stays exact going forward."""
+    recs = leg_records() if records is None else records
+    checked: set[int] = set()
+    for rot, greens in sorted(recs):
+        if name in greens:
+            checked.add(_greedy_leg(rot, n_legs, checked))
+    return checked
+
+
+def _greedy_leg(rotation: int, n_legs: int, checked: set[int]) -> int:
+    unchecked = [i for i in range(n_legs) if i not in checked]
+    if unchecked:
+        return unchecked[rotation % len(unchecked)]
+    return rotation % n_legs
+
+
+def leg_choice(
+    name: str, n_legs: int,
+    records: list[tuple[int, set[str]]] | None = None,
+) -> int:
+    """Returned-leg index for fused suite ``name`` this round: the first
+    never-driver-checked leg (rotated within the unchecked set so a leg
+    that keeps failing verification doesn't pin the slot), falling back to
+    plain rotation once every leg has been checked at least once.
+
+    Round-11 verdict ask #3: with plain ``rotation % n_legs`` a suite's
+    full leg coverage needs ``n_legs`` CONSECUTIVE archived records —
+    a single missing round (driver crash, budget cut) skips that round's
+    leg for a whole extra cycle. Preferring never-checked legs guarantees
+    full coverage after ``n_legs`` GREEN records, regardless of gaps:
+    a missing record leaves the rotation counter unchanged, so the same
+    unchecked leg is simply offered again."""
+    checked = checked_legs(name, n_legs, records)
+    return _greedy_leg(sweep_rotation(), n_legs, checked)
+
+
 def sweep_order() -> list[str]:
     """Registry names ordered for a time-budgeted external sweep.
 

@@ -38,6 +38,27 @@ def register_views(spark, sf_dir: str, tables=ALL_TABLES) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def fused_agg(tag: str, side: str, df: DataFrame) -> DataFrame:
+    """One-row (leg, side, n, h, s) checksum aggregate over a frame's FULL
+    result: row count + order-insensitive XOR of per-row xxhash64 + an
+    order-insensitive SUM of the same hashes. ADVICE r11: XOR alone
+    cancels even-multiplicity differences (two frames that differ only by
+    a pair of duplicated rows hash identically); the additive aggregate
+    breaks parity cancellation — a row present k times contributes k·hash
+    to the sum, so multiplicity changes shift it. The sum accumulates in
+    decimal(38,0) (not long: 64-bit hash sums overflow LongType after two
+    rows, which ANSI mode turns into a runtime error; decimal(38) holds
+    ~1e19 rows' worth exactly)."""
+    cols = ", ".join(sorted(df.columns))
+    return df.select(
+        F.lit(tag).alias("leg"),
+        F.lit(side).alias("side"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(f"bit_xor(xxhash64({cols}))").alias("h"),
+        F.expr(f"sum(cast(xxhash64({cols}) as decimal(38,0)))").alias("s"),
+    )
+
+
 def run_fused(
     spark,
     legs: list[tuple[str, DataFrame]],
@@ -49,22 +70,13 @@ def run_fused(
     caller's sink executes it against the registered oracle).
 
     ``twins`` maps leg index -> an independently-constructed frame that
-    must match that leg exactly (count + order-insensitive full-row XOR
-    hash); twin frames execute inside the same fused action."""
+    must match that leg exactly (count + order-insensitive full-row
+    hashes); twin frames execute inside the same fused action."""
     twins = twins or {}
-
-    def agg(tag: str, side: str, df: DataFrame):
-        cols = ", ".join(sorted(df.columns))
-        return df.select(
-            F.lit(tag).alias("leg"),
-            F.lit(side).alias("side"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.expr(f"bit_xor(xxhash64({cols}))").alias("h"),
-        )
 
     aggs = []
     for i, (tag, df) in enumerate(legs):
-        aggs.append(agg(tag, "got", df))
+        aggs.append(fused_agg(tag, "got", df))
         if i in twins:
             want = twins[i]
             # frontend dtype drift (SQL DECIMAL vs DataFrame DOUBLE):
@@ -73,11 +85,14 @@ def run_fused(
             want = want.select(
                 *[F.col(c).cast(dts[c]).alias(c) for c in df.columns]
             )
-            aggs.append(agg(tag, "want", want))
+            aggs.append(fused_agg(tag, "want", want))
     frame = aggs[0]
     for a in aggs[1:]:
         frame = frame.unionByName(a)
-    rows = {(r["leg"], r["side"]): (r["n"], r["h"]) for r in frame.collect()}
+    rows = {
+        (r["leg"], r["side"]): (r["n"], r["h"], r["s"])
+        for r in frame.collect()
+    }
     for i in twins:
         tag = legs[i][0]
         if rows[(tag, "got")] != rows[(tag, "want")]:

@@ -62,29 +62,28 @@ def scratch_store(spark, name: str) -> Store:
 
 def assert_legs_match(legs: list[tuple[str, "DataFrame", "DataFrame"]]) -> None:
     """In-query checksum gate for merged multi-leg rows: every ``(tag, got,
-    want)`` pair must agree on (row count, order-insensitive XOR row hash).
+    want)`` pair must agree on (row count, order-insensitive XOR row hash,
+    order-insensitive SUM of row hashes — ADVICE r11: XOR alone cancels
+    even-multiplicity differences; the sum breaks parity cancellation).
 
     ALL frames fold into ONE Spark action — each frame becomes a 1-row
-    ``(leg, side, n, h)`` aggregate and the aggregates union — instead of
-    2·len(legs) separate collect jobs (round-7 verdict "what's wrong" #3:
-    the merged q17 spent ~2.5 s of the driver's sweep budget on 6 jobs of
-    per-job scheduler overhead)."""
+    ``(leg, side, n, h, s)`` aggregate and the aggregates union — instead
+    of 2·len(legs) separate collect jobs (round-7 verdict "what's wrong"
+    #3: the merged q17 spent ~2.5 s of the driver's sweep budget on 6 jobs
+    of per-job scheduler overhead)."""
+    from nimhdfstore_spark.queries._fused import fused_agg
+
     aggs = []
     for tag, got, want in legs:
         for side, df in (("got", got), ("want", want)):
-            cols = ", ".join(sorted(df.columns))
-            aggs.append(
-                df.select(
-                    F.lit(tag).alias("leg"),
-                    F.lit(side).alias("side"),
-                    F.count(F.lit(1)).cast("long").alias("n"),
-                    F.expr(f"bit_xor(xxhash64({cols}))").alias("h"),
-                )
-            )
+            aggs.append(fused_agg(tag, side, df))
     frame = aggs[0]
     for a in aggs[1:]:
         frame = frame.unionByName(a)
-    got_rows = {(r["leg"], r["side"]): (r["n"], r["h"]) for r in frame.collect()}
+    got_rows = {
+        (r["leg"], r["side"]): (r["n"], r["h"], r["s"])
+        for r in frame.collect()
+    }
     for tag, _g, _w in legs:
         if got_rows[(tag, "got")] != got_rows[(tag, "want")]:
             raise AssertionError(

@@ -1482,9 +1482,9 @@ def _x198_closed_form(spark, sf_dir):
 #: 4=gif_sample
 _X211_SQLS = (_X185_SQL, _X190_SQL, _X197_SQL, _X198_SQL, _X207_SQL)
 
-from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+from nimhdfstore_spark.queries import leg_choice as _leg_choice  # noqa: E402
 
-_X211_LEG = _rot() % 5
+_X211_LEG = _leg_choice("x211_media_decode_suite", 5)
 
 
 @query("x211_media_decode_suite", _X211_SQLS[_X211_LEG])

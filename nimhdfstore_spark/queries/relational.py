@@ -2092,10 +2092,10 @@ _X216_LEGS = (
     ("winsorize", "x163", "_X163_SQL", False),        # quantile_cont
 )
 
-from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+from nimhdfstore_spark.queries import leg_choice as _leg_choice  # noqa: E402
 
-_X213_LEG = _rot() % len(_X213_LEGS)
-_X216_LEG = _rot() % len(_X216_LEGS)
+_X213_LEG = _leg_choice("x213_stats_suite", len(_X213_LEGS))
+_X216_LEG = _leg_choice("x216_window_cube_suite", len(_X216_LEGS))
 
 
 def _run_family(spark, sf_dir, legdefs, rot_idx):

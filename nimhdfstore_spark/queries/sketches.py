@@ -353,9 +353,9 @@ _X214_LEGS = (
     ("sliding_hll", "x173", _x173_sql()),
 )
 
-from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+from nimhdfstore_spark.queries import leg_choice as _leg_choice  # noqa: E402
 
-_X214_LEG = _rot() % len(_X214_LEGS)
+_X214_LEG = _leg_choice("x214_sketch_suite", len(_X214_LEGS))
 
 
 @query("x214_sketch_suite", _X214_LEGS[_X214_LEG][2])

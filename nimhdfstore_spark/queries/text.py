@@ -1208,9 +1208,9 @@ _X212_LEGS = (
     ("readability", "x204", "_X204_SQL"),
 )
 
-from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+from nimhdfstore_spark.queries import leg_choice as _leg_choice  # noqa: E402
 
-_X212_LEG = _rot() % len(_X212_LEGS)
+_X212_LEG = _leg_choice("x212_text_quality_suite", len(_X212_LEGS))
 
 
 @query("x212_text_quality_suite", globals()[_X212_LEGS[_X212_LEG][2]])

@@ -724,9 +724,9 @@ _X215_LEGS = (
     ("time_weighted_avg", "x169", "_X169_SQL"),
 )
 
-from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+from nimhdfstore_spark.queries import leg_choice as _leg_choice  # noqa: E402
 
-_X215_LEG = _rot() % len(_X215_LEGS)
+_X215_LEG = _leg_choice("x215_rollup_suite", len(_X215_LEGS))
 
 
 @query("x215_rollup_suite", globals()[_X215_LEGS[_X215_LEG][2]])

@@ -849,63 +849,37 @@ def _x210_oracle(i: int) -> str:
     return getattr(src, sqlname)
 
 
-from nimhdfstore_spark.queries import sweep_rotation as _rot  # noqa: E402
+from nimhdfstore_spark.queries import leg_choice as _leg_choice  # noqa: E402
 
-_X210_LEG = _rot() % len(_X210_LEG_DEFS)
+_X210_LEG = _leg_choice("x210_tpch_suite", len(_X210_LEG_DEFS))
 
 
 @query("x210_tpch_suite", _x210_oracle(_X210_LEG))
 def x210(spark, sf_dir):
+    """ADVICE r11: expressed via _fused.run_fused (the inline copy of the
+    (count, hash) + dtype-cast twin machinery had already drifted from it
+    in error text); only the strftime→date_format rewrite — DuckDB-only
+    rendering in the registered oracle, same output — stays local."""
     import nimhdfstore_spark.queries.relational as _rel
     import nimhdfstore_spark.queries.tpch as _tpch
+    from nimhdfstore_spark.queries._fused import run_fused
 
     for t in _X210_TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
-    def _agg(tag, side, df):
-        cols = ", ".join(sorted(df.columns))
-        return df.select(
-            F.lit(tag).alias("leg"),
-            F.lit(side).alias("side"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.expr(f"bit_xor(xxhash64({cols}))").alias("h"),
-        )
-
-    aggs = []
-    rotating = None
-    twin_tag = None
-    for i, (tag, mod, fnname, sqlname) in enumerate(_X210_LEG_DEFS):
+    legs = []
+    for tag, mod, fnname, _ in _X210_LEG_DEFS:
         src = _rel if mod == "relational" else _tpch
-        got = getattr(src, fnname)(spark, sf_dir)
-        # every leg's full result is materialized into ONE (count, hash)
-        # aggregate — a broken plan, lost column, or crash in ANY leg
-        # fails the row; the rotating leg's aggregate is value-compared
-        aggs.append(_agg(tag, "got", got))
-        if i == _X210_LEG:
-            sql = getattr(src, sqlname)
-            if tag == "q3_topk":  # strftime is DuckDB-only; same rendering
-                sql = sql.replace(
-                    "strftime(o.o_orderdate, '%Y-%m-%d')",
-                    "date_format(o.o_orderdate, 'yyyy-MM-dd')",
-                )
-            want = spark.sql(sql)
-            # SQL-frontend numeric literals promote to DECIMAL where the
-            # DataFrame's Python floats stay DOUBLE; cast the twin
-            # column-for-column to the leg's exact types
-            dts = dict(got.dtypes)
-            want = want.select(
-                *[F.col(c).cast(dts[c]).alias(c) for c in got.columns]
-            )
-            rotating, twin_tag = got, tag
-            aggs.append(_agg(tag, "want", want))
-    frame = aggs[0]
-    for a in aggs[1:]:
-        frame = frame.unionByName(a)
-    rows = {(r["leg"], r["side"]): (r["n"], r["h"]) for r in frame.collect()}
-    if rows[(twin_tag, "got")] != rows[(twin_tag, "want")]:
-        raise AssertionError(
-            f"{twin_tag} leg diverged between the DataFrame and SQL "
-            f"frontends: {rows[(twin_tag, 'got')]} != "
-            f"{rows[(twin_tag, 'want')]}"
+        # every leg's full result is materialized into the fused checksum
+        # action — a broken plan, lost column, or crash in ANY leg fails
+        # the row; the rotating leg's aggregate is value-compared against
+        # the SQL-frontend twin inside the same action
+        legs.append((tag, getattr(src, fnname)(spark, sf_dir)))
+    sql = _x210_oracle(_X210_LEG)
+    if _X210_LEG_DEFS[_X210_LEG][0] == "q3_topk":
+        # strftime is DuckDB-only; same rendering
+        sql = sql.replace(
+            "strftime(o.o_orderdate, '%Y-%m-%d')",
+            "date_format(o.o_orderdate, 'yyyy-MM-dd')",
         )
-    return rotating
+    return run_fused(spark, legs, _X210_LEG, {_X210_LEG: spark.sql(sql)})

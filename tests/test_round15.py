@@ -127,14 +127,38 @@ def test_q16_still_registered():
 
 def test_core_slot_economics():
     """Core 17 rows (after the round-11 ninth/tenth merge waves) -> 33
-    extension slots inside the driver's 50-row sweep window, every one of
-    them never-driver-verified (first-time)."""
+    extension slots inside the driver's 50-row sweep window.
+
+    Round-12 rewrite (verdict ask #1 / ADVICE r11): the original version
+    asserted every one of the 33 slots was never-driver-verified — an
+    invariant that EXPIRED the moment CORRECTNESS_r11.json landed and the
+    fresh backlog (26) fell below the slot count. Assert the durable
+    ORDERING property instead: never-verified entries sort strictly before
+    verified ones within the extension partition, so the window's slots
+    always carry min(backlog, slots) fresh entries — and the test survives
+    backlog exhaustion (backlog 0 => the min is 0 and rotation of verified
+    repeats takes over, which is the designed behavior)."""
     order = Q.sweep_order()
     core_rows = [n for n in order if n.startswith("q")]
     assert len(core_rows) == 17
     ext_slots = [n for n in order[:50] if not n.startswith("q")]
     assert len(ext_slots) == 33
-    assert not set(ext_slots) & Q.driver_verified()
+    seen = Q.driver_verified()
+    ext_all = [n for n in order if not n.startswith("q")]
+    backlog = [n for n in ext_all if n not in seen]
+    # every fresh entry sorts before every verified one
+    if backlog:
+        last_fresh = max(i for i, n in enumerate(ext_all) if n not in seen)
+        first_done = min(
+            (i for i, n in enumerate(ext_all) if n in seen),
+            default=len(ext_all),
+        )
+        assert last_fresh < first_done, (
+            "a driver-verified entry sorted ahead of a never-verified one"
+        )
+    # the window carries exactly min(backlog, slots) fresh entries
+    fresh_in_window = [n for n in ext_slots if n not in seen]
+    assert len(fresh_in_window) == min(len(backlog), 33)
 
 
 def test_h5lite_corrupted_size_raises_valueerror_not_memoryerror():

@@ -446,10 +446,15 @@ def test_x210_leg_matches_registered_oracle():
     from nimhdfstore_spark.queries import tpch
 
     leg = tpch._X210_LEG
-    assert leg == Q.sweep_rotation() % 12
+    assert leg == Q.leg_choice("x210_tpch_suite", 12)
     assert Q.ORACLE["x210_tpch_suite"] == tpch._x210_oracle(leg)
     # twelve genuinely distinct oracles
     assert len({tpch._x210_oracle(i) for i in range(12)}) == 12
+    # round-12: the returned leg is never one an archived green record
+    # already hash-checked, until every leg has been checked once
+    checked = Q.checked_legs("x210_tpch_suite", 12)
+    if len(checked) < 12:
+        assert leg not in checked
 
 
 # --------------------------------------------------------------------------
@@ -500,31 +505,69 @@ def test_fused_suite_legs_match_registered_oracles():
         multimodal, relational, sketches, text, timeseries,
     )
 
-    r = Q.sweep_rotation()
-    assert multimodal._X211_LEG == r % 5
+    assert multimodal._X211_LEG == Q.leg_choice("x211_media_decode_suite", 5)
     assert Q.ORACLE["x211_media_decode_suite"] == (
         multimodal._X211_SQLS[multimodal._X211_LEG]
     )
-    assert text._X212_LEG == r % 7
+    assert text._X212_LEG == Q.leg_choice("x212_text_quality_suite", 7)
     assert Q.ORACLE["x212_text_quality_suite"] == getattr(
         text, text._X212_LEGS[text._X212_LEG][2]
     )
-    assert relational._X213_LEG == r % 3
+    assert relational._X213_LEG == Q.leg_choice("x213_stats_suite", 3)
     assert Q.ORACLE["x213_stats_suite"] == getattr(
         relational, relational._X213_LEGS[relational._X213_LEG][2]
     )
-    assert sketches._X214_LEG == r % 3
+    assert sketches._X214_LEG == Q.leg_choice("x214_sketch_suite", 3)
     assert Q.ORACLE["x214_sketch_suite"] == (
         sketches._X214_LEGS[sketches._X214_LEG][2]
     )
-    assert timeseries._X215_LEG == r % 3
+    assert timeseries._X215_LEG == Q.leg_choice("x215_rollup_suite", 3)
     assert Q.ORACLE["x215_rollup_suite"] == getattr(
         timeseries, timeseries._X215_LEGS[timeseries._X215_LEG][2]
     )
-    assert relational._X216_LEG == r % 6
+    assert relational._X216_LEG == Q.leg_choice("x216_window_cube_suite", 6)
     assert Q.ORACLE["x216_window_cube_suite"] == getattr(
         relational, relational._X216_LEGS[relational._X216_LEG][2]
     )
+    # until a suite's legs are all checked, the returned leg is fresh
+    for suite, n in (
+        ("x211_media_decode_suite", 5), ("x212_text_quality_suite", 7),
+        ("x213_stats_suite", 3), ("x214_sketch_suite", 3),
+        ("x215_rollup_suite", 3), ("x216_window_cube_suite", 6),
+    ):
+        checked = Q.checked_legs(suite, n)
+        if len(checked) < n:
+            assert Q.leg_choice(suite, n) not in checked
+
+
+def test_leg_choice_covers_all_legs_despite_gaps():
+    """Verdict r11 ask #3 pin: full leg coverage in <= n_legs GREEN
+    records, regardless of missing rounds, replaying the greedy rule over
+    synthetic record histories."""
+    name, n = "x210_tpch_suite", 12
+    # history: suite green at rotations 10, 11, 13, 14, ... (round 12's
+    # record missing — rotation 12 never happened); every green record
+    # checks a NEW leg until all 12 are covered
+    records: list[tuple[int, set[str]]] = []
+    rots = [10, 11] + list(range(13, 30))
+    covered: set[int] = set()
+    greens = 0
+    for rot in rots:
+        leg = Q._greedy_leg(rot, n, Q.checked_legs(name, n, records))
+        if greens < n:
+            assert leg not in covered, (rot, leg, covered)
+        covered.add(leg)
+        records.append((rot, {name}))
+        greens += 1
+        if len(covered) == n:
+            break
+    assert len(covered) == n and greens == n
+    # historical replay exactness: the single r11 record (rotation 10,
+    # empty checked set) reproduces the old rot%n choice
+    assert Q.checked_legs(name, n, [(10, {name})]) == {10 % n}
+    # a red round (record exists, suite not green) advances rotation but
+    # marks nothing
+    assert Q.checked_legs(name, n, [(10, set())]) == set()
 
 
 # --------------------------------------------------------------------------
