@@ -549,6 +549,8 @@ class FileCatalogBackend:
 
     def __init__(self, path: str) -> None:
         self.path = os.path.abspath(path)
+        #: (fstat identity, parsed state) for the lock-free read path
+        self._read_cache: tuple[tuple, dict] | None = None
 
     @staticmethod
     def _key(key: tuple[str, str]) -> str:
@@ -618,11 +620,36 @@ class FileCatalogBackend:
             return reason
 
     def get(self, key: tuple[str, str]) -> dict | None:
-        """Authoritative read of one catalog entry (the GET a real client
-        issues after a failed conditional PUT to learn what it lost to)."""
-        with self._server():
-            e = self._load().get(self._key(key))
-            return dict(e) if e is not None else None
+        """Read-committed read of one catalog entry (the GET a real client
+        issues after a failed conditional PUT to learn what it lost to).
+
+        LOCK-FREE (ADVICE r11: Store.table() heals on every open, and a
+        GET that takes the server flock serializes the whole read path on
+        the commit lock — a real object store's GET never queues behind
+        writers). ``_publish`` installs state by atomic ``os.replace``, so
+        an unlocked read always parses ONE fully-published catalog image:
+        exactly the read-committed isolation a real GET gives. The parsed
+        image is cached by the open file's identity (fstat ino/mtime/size
+        — ``os.replace`` swaps the inode every publish), so repeated opens
+        of an unchanged catalog cost one open+fstat, not a full JSON parse
+        of a catalog that grows with table count."""
+        try:
+            with open(self.path) as f:
+                st = os.fstat(f.fileno())
+                ck = (st.st_ino, st.st_mtime_ns, st.st_size)
+                cached = self._read_cache
+                if cached is not None and cached[0] == ck:
+                    state = cached[1]
+                else:
+                    try:
+                        state = json.load(f)
+                    except ValueError:
+                        return None
+                    self._read_cache = (ck, state)
+        except FileNotFoundError:
+            return None
+        e = state.get(self._key(key))
+        return dict(e) if e is not None else None
 
 
 class ConditionalPutCommitter:
@@ -831,6 +858,12 @@ class Store:
         meta = self._read_meta(name)
         while "link_to" in meta:  # M9 hardlink (files.nim:363-390)
             name = meta["link_to"]
+            # ADVICE r11: heal the RESOLVED target too — the outer heal
+            # only covered the link entry, so opening a hardlink after a
+            # cas.post_publish crash on the target still served the
+            # target's stale mirror.
+            if heal is not None:
+                heal(self, name)
             meta = self._read_meta(name)
         if snapshot is not None:
             # Numbers ABOVE the committed current can only be crash debris:
