@@ -90,59 +90,82 @@ _Q17_LEG = sweep_rotation() % 3  # 0=hyperslab, 1=coord-write, 2=resize
 @query("q17_dataset_crud",
        (_Q17_SQL, _Q18_SQL, _Q19_SQL)[_Q17_LEG])
 def q17(spark, sf_dir):
-    # leg 0 — hyperslab read (P4): offset/count/stride selection algebra
-    ds = _linear_dataset(spark, sf_dir, "q17", 800, [20, 8, 5])
-    hs = ds.hyperslab(offset=[2, 1, 0], count=[5, 3, 2], stride=[3, 2, 2])
-    cells = spark.range(800).selectExpr(
-        f"id AS {ROWID}", "CAST(id AS DOUBLE) AS value",
-        "(id div 40) % 20 AS i0", "(id div 5) % 8 AS i1", "id % 5 AS i2",
-    )
-    want_hs = cells.where(
-        "i0 >= 2 AND i0 < 15 AND (i0 - 2) % 3 = 0 "
-        "AND i1 >= 1 AND i1 < 6 AND (i1 - 1) % 2 = 0 "
-        "AND i2 >= 0 AND i2 < 3 AND i2 % 2 = 0"
-    ).selectExpr("i0", "i1", "i2", "value", ROWID)
+    from concurrent.futures import ThreadPoolExecutor
 
-    # leg 1 — coordinate write + element/index-broadcast readback (P1/P6/M13)
-    ds2 = _linear_dataset(spark, sf_dir, "q18", 100, [10, 10])
-    ds2.write_coords([(2, 3), (5, 5), (9, 9)], [111.0, 222.0, 333.0])
-    points = ds2.elements([(2, 3), (5, 5), (9, 9)])
-    row5 = ds2[5]  # whole row i0=5 (index broadcast, P6)
-    cw = points.unionByName(row5).dropDuplicates([ROWID]).orderBy(ROWID)
-    want_cw = (
-        spark.range(100)
-        .selectExpr(
-            f"id AS {ROWID}",
-            "CASE id WHEN 23 THEN 111.0 WHEN 55 THEN 222.0 "
-            "WHEN 99 THEN 333.0 ELSE CAST(id AS DOUBLE) END AS value",
-            "(id div 10) % 10 AS i0", "id % 10 AS i1",
+    def leg_hyperslab():
+        # leg 0 — hyperslab read (P4): offset/count/stride selection algebra
+        ds = _linear_dataset(spark, sf_dir, "q17", 800, [20, 8, 5])
+        hs = ds.hyperslab(
+            offset=[2, 1, 0], count=[5, 3, 2], stride=[3, 2, 2]
         )
-        .where(f"{ROWID} IN (23, 55, 99) OR i0 = 5")
-        .selectExpr("i0", "i1", "value", ROWID)
-    )
-
-    # leg 2 — axis append + hyperslab over the grown shape (M10/M11)
-    ds3 = _linear_dataset(spark, sf_dir, "q19", 24, [6, 4])
-    ds3.add([[900.0 + j + 4 * i for j in range(4)] for i in range(2)])  # 8×4
-    assert ds3.shape == [8, 4]
-    rz = ds3.hyperslab([0, 0], [5, 4]).unionByName(
-        ds3.hyperslab([6, 0], [2, 4])
-    ).orderBy(ROWID)
-    want_rz = (
-        spark.range(24)
-        .selectExpr(
+        cells = spark.range(800).selectExpr(
             f"id AS {ROWID}", "CAST(id AS DOUBLE) AS value",
-            "(id div 4) % 8 AS i0", "id % 4 AS i1",
+            "(id div 40) % 20 AS i0", "(id div 5) % 8 AS i1", "id % 5 AS i2",
         )
-        .unionByName(
-            spark.range(8).selectExpr(
-                f"24 + id AS {ROWID}", "900.0 + id AS value",
-                "6 + (id div 4) AS i0", "id % 4 AS i1",
+        want_hs = cells.where(
+            "i0 >= 2 AND i0 < 15 AND (i0 - 2) % 3 = 0 "
+            "AND i1 >= 1 AND i1 < 6 AND (i1 - 1) % 2 = 0 "
+            "AND i2 >= 0 AND i2 < 3 AND i2 % 2 = 0"
+        ).selectExpr("i0", "i1", "i2", "value", ROWID)
+        return hs, want_hs
+
+    def leg_coord_write():
+        # leg 1 — coordinate write + element/index-broadcast readback
+        # (P1/P6/M13)
+        ds2 = _linear_dataset(spark, sf_dir, "q18", 100, [10, 10])
+        ds2.write_coords([(2, 3), (5, 5), (9, 9)], [111.0, 222.0, 333.0])
+        points = ds2.elements([(2, 3), (5, 5), (9, 9)])
+        row5 = ds2[5]  # whole row i0=5 (index broadcast, P6)
+        cw = points.unionByName(row5).dropDuplicates([ROWID]).orderBy(ROWID)
+        want_cw = (
+            spark.range(100)
+            .selectExpr(
+                f"id AS {ROWID}",
+                "CASE id WHEN 23 THEN 111.0 WHEN 55 THEN 222.0 "
+                "WHEN 99 THEN 333.0 ELSE CAST(id AS DOUBLE) END AS value",
+                "(id div 10) % 10 AS i0", "id % 10 AS i1",
             )
+            .where(f"{ROWID} IN (23, 55, 99) OR i0 = 5")
+            .selectExpr("i0", "i1", "value", ROWID)
         )
-        .where("i0 < 5 OR i0 >= 6")
-        .selectExpr("i0", "i1", "value", ROWID)
-    )
+        return cw, want_cw
+
+    def leg_resize():
+        # leg 2 — axis append + hyperslab over the grown shape (M10/M11)
+        ds3 = _linear_dataset(spark, sf_dir, "q19", 24, [6, 4])
+        ds3.add([[900.0 + j + 4 * i for j in range(4)] for i in range(2)])
+        assert ds3.shape == [8, 4]  # grown 6×4 → 8×4
+        rz = ds3.hyperslab([0, 0], [5, 4]).unionByName(
+            ds3.hyperslab([6, 0], [2, 4])
+        ).orderBy(ROWID)
+        want_rz = (
+            spark.range(24)
+            .selectExpr(
+                f"id AS {ROWID}", "CAST(id AS DOUBLE) AS value",
+                "(id div 4) % 8 AS i0", "id % 4 AS i1",
+            )
+            .unionByName(
+                spark.range(8).selectExpr(
+                    f"24 + id AS {ROWID}", "900.0 + id AS value",
+                    "6 + (id div 4) AS i0", "id % 4 AS i1",
+                )
+            )
+            .where("i0 < 5 OR i0 >= 6")
+            .selectExpr("i0", "i1", "value", ROWID)
+        )
+        return rz, want_rz
+
+    # the three legs create and mutate DISJOINT scratch datasets (q17/q18/
+    # q19): their snapshot commits are independent, so the writes submit
+    # concurrently (the q09/q25 thread-pool pattern — round-11 verdict ask
+    # #2: this was the heaviest core row left committing sequentially)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_hs = ex.submit(leg_hyperslab)
+        f_cw = ex.submit(leg_coord_write)
+        f_rz = ex.submit(leg_resize)
+        hs, want_hs = f_hs.result()
+        cw, want_cw = f_cw.result()
+        rz, want_rz = f_rz.result()
 
     # all six (got, want) checksums in ONE fused action (round-7 verdict
     # "what's wrong" #3: six separate aggregate+collect jobs cost ~2.5 s of
@@ -151,7 +174,7 @@ def q17(spark, sf_dir):
         [("hyperslab", hs, want_hs), ("coord-write", cw, want_cw),
          ("resize", rz, want_rz)]
     )
-    return (hs, cw.orderBy(ROWID), rz)[_Q17_LEG]
+    return (hs, cw, rz)[_Q17_LEG]
 
 
 # --------------------------------------------------------------------------

@@ -1570,6 +1570,15 @@ class Store:
         ("bigint", "int", "smallint", "tinyint", "double", "float", "string",
          "boolean", "binary", "date")
     )
+    #: rewrite bodies at or below this row count collect to the driver
+    #: (one toArrow job) and write through the pyarrow path instead of a
+    #: distributed shuffle-write job. A scatter/slice mutation's rewrite is
+    #: (touched files' rows ± payload); the Hadoop committer + range
+    #: shuffle cost ~1.5 s of fixed overhead that dwarfs moving <=256k rows
+    #: (~tens of MB — bounded driver materialization even on a shared
+    #: cluster driver). Bigger rewrites keep the distributed writer: at
+    #: 100 TB a mutation touching many 4M-row files must never collect.
+    LOCAL_REWRITE_MAX_ROWS = 262_144
     _LOCAL_WRITE_CODECS = {
         "uncompressed": "NONE", "snappy": "SNAPPY", "gzip": "GZIP",
         "zstd": "ZSTD",
@@ -1590,17 +1599,33 @@ class Store:
         A pyarrow file write lands the same sorted, stat-carrying Parquet
         in milliseconds. Taken when the frame carries the driver-rows
         marker ``_new_rows`` attaches (zero jobs: the rows are already on
-        the driver) or Spark reports the plan local (one ``toArrow``), and
+        the driver), Spark reports the plan local (one ``toArrow``), or the
+        committer knows the rewrite is small (``expected_rows`` <=
+        ``LOCAL_REWRITE_MAX_ROWS``: one bounded collect-as-Arrow job
+        replaces the range-shuffle + Hadoop-committer write job, the
+        dominant fixed cost of small mutations), and
         only for types whose pyarrow encoding matches Spark's writer
         (mixed snapshots must stay uniform); returns False to fall through
         to the distributed path otherwise."""
         local_rows = getattr(body, "_nimhdfstore_rows", None)
-        if local_rows is None and not body.isLocal():
+        small_rewrite = (
+            local_rows is None
+            and expected_rows is not None
+            and expected_rows <= self.LOCAL_REWRITE_MAX_ROWS
+        )
+        if local_rows is None and not small_rewrite and not body.isLocal():
             return False
         pq_codec = self._LOCAL_WRITE_CODECS.get(codec)
         if pq_codec is None:
             return False
         if any(t not in self._LOCAL_WRITE_TYPES for _c, t in body.dtypes):
+            return False
+        if small_rewrite and not body.isLocal() and any(
+            t == "binary" for _c, t in body.dtypes
+        ):
+            # the row gate doesn't bound BYTES: binary cells (media blobs)
+            # can be MBs each, so a 256k-row rewrite could be tens of GB.
+            # Blob tables keep the distributed writer.
             return False
         import uuid
 
@@ -1628,6 +1653,12 @@ class Store:
             )
         else:
             tbl = body.toArrow()
+            if expected_rows is not None and tbl.num_rows != expected_rows:
+                raise StoreError(
+                    f"rewrite produced {tbl.num_rows} rows but the commit "
+                    f"expects {expected_rows}: manifest row accounting and "
+                    "the rewrite plan disagree"
+                )
         if ROWID in tbl.column_names:
             tbl = tbl.sort_by(ROWID)
         snap_dir = os.path.join(self._table_dir(name), snap)
