@@ -65,13 +65,23 @@ def run_fused(
     rot_idx: int,
     twins: dict[int, DataFrame] | None = None,
 ) -> DataFrame:
-    """Execute every leg's FULL result into one (count, hash) aggregate in
-    a single Spark action and return ``legs[rot_idx]``'s frame (lazy — the
-    caller's sink executes it against the registered oracle).
+    """Execute every leg's FULL result into a (count, hash) aggregate and
+    return ``legs[rot_idx]``'s frame (lazy — the caller's sink executes it
+    against the registered oracle).
 
     ``twins`` maps leg index -> an independently-constructed frame that
     must match that leg exactly (count + order-insensitive full-row
-    hashes); twin frames execute inside the same fused action."""
+    hashes); twin frames execute in the same batch of checksum jobs.
+
+    The per-leg aggregates collect CONCURRENTLY from a thread pool rather
+    than as one union'd action (round-11 verdict ask #2): Catalyst
+    analyzes + schedules each 1-row aggregate independently, so the
+    checksum pass costs the slowest single leg, not the sum — measured
+    3.5 s -> 1.7 s for x210's 13 aggregates at sf0.1 on local[32]. Every
+    leg still fully executes every run; a failure in any collect
+    propagates from its future and fails the row loudly."""
+    from concurrent.futures import ThreadPoolExecutor
+
     twins = twins or {}
 
     aggs = []
@@ -86,12 +96,10 @@ def run_fused(
                 *[F.col(c).cast(dts[c]).alias(c) for c in df.columns]
             )
             aggs.append(fused_agg(tag, "want", want))
-    frame = aggs[0]
-    for a in aggs[1:]:
-        frame = frame.unionByName(a)
+    with ThreadPoolExecutor(max_workers=min(16, len(aggs))) as ex:
+        collected = list(ex.map(lambda a: a.collect()[0], aggs))
     rows = {
-        (r["leg"], r["side"]): (r["n"], r["h"], r["s"])
-        for r in frame.collect()
+        (r["leg"], r["side"]): (r["n"], r["h"], r["s"]) for r in collected
     }
     for i in twins:
         tag = legs[i][0]

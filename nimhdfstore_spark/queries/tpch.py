@@ -864,17 +864,25 @@ def x210(spark, sf_dir):
     import nimhdfstore_spark.queries.tpch as _tpch
     from nimhdfstore_spark.queries._fused import run_fused
 
+    from concurrent.futures import ThreadPoolExecutor
+
     for t in _X210_TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
-    legs = []
-    for tag, mod, fnname, _ in _X210_LEG_DEFS:
+    # every leg's full result is materialized into the fused checksum
+    # pass — a broken plan, lost column, or crash in ANY leg fails the
+    # row; the rotating leg's aggregate is value-compared against the
+    # SQL-frontend twin in the same pass. The twelve leg BUILDS are pure
+    # plan construction (driver-side Catalyst analysis, ~4.2 s sequential
+    # at sf0.1) on independent inputs — submit them concurrently
+    # (round-11 verdict ask #2): py4j calls release the GIL on socket IO.
+    def build(defn):
+        tag, mod, fnname, _ = defn
         src = _rel if mod == "relational" else _tpch
-        # every leg's full result is materialized into the fused checksum
-        # action — a broken plan, lost column, or crash in ANY leg fails
-        # the row; the rotating leg's aggregate is value-compared against
-        # the SQL-frontend twin inside the same action
-        legs.append((tag, getattr(src, fnname)(spark, sf_dir)))
+        return tag, getattr(src, fnname)(spark, sf_dir)
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        legs = list(ex.map(build, _X210_LEG_DEFS))
     sql = _x210_oracle(_X210_LEG)
     if _X210_LEG_DEFS[_X210_LEG][0] == "q3_topk":
         # strftime is DuckDB-only; same rendering
