@@ -124,3 +124,186 @@ def test_hardlink_open_heals_resolved_target_mirror(spark, tmp_path):
     assert got == [1, 2, 100], (
         f"link open served the target's stale pre-crash mirror: {got}"
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11 verdict ask #4: crash injection INSIDE the data write (mid-stage,
+# before any rename) and inside vacuum's reclaim loop. The staged dir is
+# debris the protocol must never surface; vacuum must be re-runnable from
+# any partial sweep with no retained snapshot lost.
+# --------------------------------------------------------------------------
+
+_STAGE_CRASH_WORKER = '''
+import os, sys
+sys.path.insert(0, "/root/repo")
+root, kind, cat, point = sys.argv[1:5]
+os.environ["SPARK_GRAFT_CRASH_POINT"] = point
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+from nimhdfstore_spark.store import (
+    ConditionalPutCommitter, FileCatalogBackend, LockfileCommitter, Store,
+)
+committer = (
+    LockfileCommitter() if kind == "lockfile"
+    else ConditionalPutCommitter(FileCatalogBackend(cat))
+)
+t = Store(spark, root, rows_per_file=2, committer=committer).table("t")
+# touches ONE file; the others hardlink (keep), so stage.mid_link fires
+t.update(1, spark.createDataFrame([(1, 777.0)], "k long, v double"))
+print("NO-CRASH")
+'''
+
+_STAGE_CASES = [
+    (kind, point)
+    for kind in ("lockfile", "condput")
+    for point in ("stage.mid_data", "stage.post_data", "stage.mid_link")
+]
+
+
+@pytest.mark.parametrize("kind,point", _STAGE_CASES)
+def test_crash_mid_stage_leaves_invisible_debris(spark, tmp_path, kind, point):
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter,
+        FileCatalogBackend,
+        LockfileCommitter,
+        Store,
+        StoreError,
+    )
+
+    root = str(tmp_path / "store")
+    cat = str(tmp_path / "catalog.json")
+
+    def make_store():
+        committer = (
+            LockfileCommitter() if kind == "lockfile"
+            else ConditionalPutCommitter(FileCatalogBackend(cat))
+        )
+        return Store(spark, root, rows_per_file=2, committer=committer)
+
+    seed = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "k long, v double"
+    )
+    make_store().put("t", seed, order_by=["k"])  # 3 files of 2 rows
+
+    script = tmp_path / "crasher.py"
+    script.write_text(_STAGE_CRASH_WORKER)
+    p = subprocess.run(
+        [sys.executable, str(script), root, kind, cat, point],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == -signal.SIGKILL, (
+        f"child was not SIGKILLed at {point}: rc={p.returncode}\n"
+        f"{p.stdout}\n{p.stderr[-1500:]}"
+    )
+    assert "NO-CRASH" not in p.stdout
+
+    # nothing was renamed or published: fresh handles serve the seed
+    store = make_store()
+    t = store.table("t")
+    got = sorted((r["k"], r["v"]) for r in t.df().collect())
+    assert got == [(i, float(i)) for i in range(6)], got
+
+    # the crashed attempt's staging dir is on disk but INVISIBLE
+    tdir = os.path.join(root, "t")
+    debris = [e for e in os.listdir(tdir) if e.startswith(".tmp-snap-")]
+    assert debris, f"{point}: expected a .tmp-snap- staging dir"
+    assert store.snapshots("t") == [0]
+    with pytest.raises(StoreError):
+        store.table("t", snapshot=1)
+
+    # young debris survives vacuum (a LIVE commit's staging dir must never
+    # be yanked); age-gated debris is reclaimed on the next vacuum
+    store.vacuum()
+    assert [e for e in os.listdir(tdir) if e.startswith(".tmp-snap-")]
+    old = time.time() - 2 * 86400
+    for e in debris:
+        os.utime(os.path.join(tdir, e), (old, old))
+    store.vacuum()
+    assert not [e for e in os.listdir(tdir) if e.startswith(".tmp-snap-")]
+    # and the table still reads after the reclaim
+    assert t.nrows == 6
+
+    # a fresh writer commits cleanly over the debris history
+    t2 = make_store().table("t")
+    t2.update(1, spark.createDataFrame([(1, 888.0)], "k long, v double"))
+    assert sorted(r["v"] for r in t2.df().where("k = 1").collect()) == [888.0]
+
+
+_VACUUM_CRASH_WORKER = '''
+import os, sys
+sys.path.insert(0, "/root/repo")
+root, kind, cat = sys.argv[1:4]
+os.environ["SPARK_GRAFT_CRASH_POINT"] = "vacuum.mid_reclaim"
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false").getOrCreate())
+from nimhdfstore_spark.store import (
+    ConditionalPutCommitter, FileCatalogBackend, LockfileCommitter, Store,
+)
+committer = (
+    LockfileCommitter() if kind == "lockfile"
+    else ConditionalPutCommitter(FileCatalogBackend(cat))
+)
+Store(spark, root, keep_snapshots=5, committer=committer).vacuum(retain=3)
+print("NO-CRASH")
+'''
+
+
+@pytest.mark.parametrize("kind", ["lockfile", "condput"])
+def test_crash_mid_vacuum_is_rerunnable(spark, tmp_path, kind):
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter,
+        FileCatalogBackend,
+        LockfileCommitter,
+        Store,
+    )
+
+    root = str(tmp_path / "store")
+    cat = str(tmp_path / "catalog.json")
+
+    def make_store():
+        committer = (
+            LockfileCommitter() if kind == "lockfile"
+            else ConditionalPutCommitter(FileCatalogBackend(cat))
+        )
+        return Store(spark, root, keep_snapshots=5, committer=committer)
+
+    s = make_store()
+    s.put("t", spark.createDataFrame([(0, 0.0)], "k long, v double"),
+          order_by=["k"])
+    t = s.table("t")
+    for i in range(1, 5):  # snapshots 2..5 retained alongside 1
+        t.append(spark.createDataFrame([(i, float(i))], "k long, v double"))
+        t = s.table("t")
+    assert len(s.snapshots("t")) == 5
+
+    script = tmp_path / "crasher.py"
+    script.write_text(_VACUUM_CRASH_WORKER)
+    p = subprocess.run(
+        [sys.executable, str(script), root, kind, cat],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert p.returncode == -signal.SIGKILL, (
+        f"child was not SIGKILLed: rc={p.returncode}\n{p.stdout}\n"
+        f"{p.stderr[-1500:]}"
+    )
+
+    # the partial sweep removed SOME doomed snapshot, kept the rest
+    s2 = make_store()
+    left = s2.snapshots("t")
+    assert set(left) >= {2, 3, 4}, left  # no RETAINED snapshot lost
+    assert len(left) < 5  # the crashed sweep did reclaim something
+
+    # re-run converges to exactly the newest 3; current still serves
+    s2.vacuum(retain=3)
+    assert s2.snapshots("t") == [2, 3, 4]
+    assert sorted(r["k"] for r in s2.table("t").df().collect()) == [0, 1, 2, 3, 4]
+    # historical retained snapshot still readable after the reclaim
+    assert sorted(
+        r["k"] for r in s2.table("t", snapshot=3).df().collect()
+    ) == [0, 1, 2, 3]
