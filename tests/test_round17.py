@@ -232,6 +232,166 @@ def test_crash_mid_stage_leaves_invisible_debris(spark, tmp_path, kind, point):
     assert sorted(r["v"] for r in t2.df().where("k = 1").collect()) == [888.0]
 
 
+# --------------------------------------------------------------------------
+# Round-11 verdict ask #6: flaky-PUT fault model — transient, AMBIGUOUS
+# conditional-PUT failures (the 5xx/connection-reset shape a real object
+# store serves), injected before and after the server-side apply. The
+# committer's GET-and-match-txn loop must converge with no lost and no
+# doubled commit.
+# --------------------------------------------------------------------------
+
+
+class _FlakyBackend:
+    """Wraps a real backend; each put_if consumes one schedule entry:
+    'ok'     — pass through untouched
+    'before' — fault WITHOUT applying (request never reached the server)
+    'after'  — apply (or refuse) server-side, then fault (response lost)
+    """
+
+    def __init__(self, inner, schedule):
+        self.inner = inner
+        self.schedule = list(schedule)
+        self.faults = 0
+
+    def put_if(self, key, meta, expected_version, require_same_uid,
+               mirror, seed=None):
+        from nimhdfstore_spark.store import TransientBackendError
+
+        mode = self.schedule.pop(0) if self.schedule else "ok"
+        if mode == "before":
+            self.faults += 1
+            raise TransientBackendError("injected pre-apply fault")
+        reason = self.inner.put_if(
+            key, meta, expected_version, require_same_uid,
+            mirror=mirror, seed=seed,
+        )
+        if mode == "after":
+            self.faults += 1
+            raise TransientBackendError("injected post-apply fault")
+        return reason
+
+    def get(self, key):
+        return self.inner.get(key)
+
+    def delete(self, key):
+        return self.inner.delete(key)
+
+    def delete_store(self, root):
+        return self.inner.delete_store(root)
+
+
+def _flaky_store(spark, root, cat, schedule):
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter, FileCatalogBackend,
+    )
+
+    backend = _FlakyBackend(FileCatalogBackend(cat), schedule)
+    return Store(
+        spark, root, committer=ConditionalPutCommitter(backend)
+    ), backend
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(schedule=st.lists(
+    st.sampled_from(["ok", "before", "after"]), min_size=0, max_size=10,
+))
+def test_flaky_put_converges_exactly_once(spark, tmp_path_factory, schedule):
+    """Any schedule of ambiguous faults over a run of appends: every commit
+    lands EXACTLY once (post-apply faults must not double on retry,
+    pre-apply faults must not lose the commit), catalog == mirror."""
+    tmp_path = tmp_path_factory.mktemp("flaky")
+    root = str(tmp_path / "store")
+    cat = str(tmp_path / "catalog.json")
+
+    s, backend = _flaky_store(spark, root, cat, schedule)
+    s.put("t", spark.createDataFrame([(0, 0.0)], "k long, v double"),
+          order_by=["k"])
+    t = s.table("t")
+    for i in range(1, 4):
+        t.append(
+            spark.createDataFrame([(i, float(i))], "k long, v double")
+        )
+
+    # exactly-once: every append present, none doubled
+    got = sorted(r["k"] for r in s.table("t").df().collect())
+    assert got == [0, 1, 2, 3], got
+    # catalog and mirror agree on the committed version
+    entry = backend.get((s._realroot, "t"))
+    assert entry is not None
+    assert int(s._read_meta("t")["version"]) == int(entry["version"])
+    assert s._read_meta("t")["current"] == entry["current"]
+
+
+def test_flaky_put_exhaustion_raises_and_loses_nothing(spark, tmp_path):
+    from nimhdfstore_spark.store import (
+        ConditionalPutCommitter, TransientBackendError,
+    )
+
+    root = str(tmp_path / "store")
+    cat = str(tmp_path / "catalog.json")
+    dead = ["before"] * (2 * (1 + ConditionalPutCommitter.TRANSIENT_RETRIES))
+    s, backend = _flaky_store(spark, root, cat, [])
+    s.put("t", spark.createDataFrame([(0, 0.0)], "k long, v double"),
+          order_by=["k"])
+    s2, _ = _flaky_store(spark, root, cat, dead)
+    t = s2.table("t")
+    with pytest.raises(TransientBackendError):
+        t.append(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    # nothing committed, nothing visible; a healthy handle proceeds
+    s3, _ = _flaky_store(spark, root, cat, [])
+    assert sorted(r["k"] for r in s3.table("t").df().collect()) == [0]
+    t3 = s3.table("t")
+    t3.append(spark.createDataFrame([(2, 2.0)], "k long, v double"))
+    assert sorted(r["k"] for r in s3.table("t").df().collect()) == [0, 2]
+
+
+def test_flaky_put_with_concurrent_writer_no_lost_update(spark, tmp_path):
+    """A flaky writer and a clean writer interleave on the same table:
+    every committed append survives, none doubles, rowids stay dense."""
+    root = str(tmp_path / "store")
+    cat = str(tmp_path / "catalog.json")
+    s, _ = _flaky_store(spark, root, cat, [])
+    s.put("t", spark.createDataFrame([(0, 0.0)], "k long, v double"),
+          order_by=["k"])
+
+    flaky, _ = _flaky_store(
+        spark, root, cat, ["after", "before", "ok", "after", "before"]
+    )
+    clean, _ = _flaky_store(spark, root, cat, [])
+
+    import threading
+
+    errs = []
+
+    def writer(store, lo):
+        try:
+            for i in range(lo, lo + 3):
+                h = store.table("t")
+                h.append(spark.createDataFrame(
+                    [(i, float(i))], "k long, v double"
+                ))
+        except Exception as e:  # pragma: no cover - surfaced via errs
+            errs.append(e)
+
+    th1 = threading.Thread(target=writer, args=(flaky, 10))
+    th2 = threading.Thread(target=writer, args=(clean, 20))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs, errs
+
+    rows = s.table("t").df().collect()
+    ks = sorted(r["k"] for r in rows)
+    assert ks == [0, 10, 11, 12, 20, 21, 22], ks
+    rowids = sorted(r["_rowid"] for r in rows)
+    assert rowids == list(range(7)), rowids
+
+
 _VACUUM_CRASH_WORKER = '''
 import os, sys
 sys.path.insert(0, "/root/repo")
