@@ -96,12 +96,20 @@ def assert_legs_match(legs: list[tuple[str, "DataFrame", "DataFrame"]]) -> None:
 # Q1 — S4 full-table scan (reference toSeq, nimtables.nim:140-147)
 # --------------------------------------------------------------------------
 
-_Q1_SQL = f"SELECT * FROM ({rowid_over('lineitem')}) ORDER BY {ROWID}"
+_Q1_SQL = f"SELECT * FROM ({rowid_over('lineitem')})"
 
 
 @query("q01_full_scan", _Q1_SQL)
 def q01(spark, sf_dir):
-    return load_pos(spark, sf_dir, "lineitem").orderBy(ROWID)
+    # The canonical total order is carried by the explicit ``_rowid``
+    # VALUE (reference toSeq yields rows in storage order; here storage
+    # order IS rowid order on the sorted-parquet fast path, and the rank
+    # projection pins it everywhere else). A trailing ``orderBy(_rowid)``
+    # added nothing semantically — every consumer keys on the column —
+    # but physically forced a full-data range exchange: ~80 GB of shuffle
+    # at sf100 (600M rows) to re-impose an order the scan already has.
+    # The sf100 sweep exposed it; the scan is now exchange-free end-to-end.
+    return load_pos(spark, sf_dir, "lineitem")
 
 
 # --------------------------------------------------------------------------

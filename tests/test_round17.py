@@ -467,3 +467,32 @@ def test_crash_mid_vacuum_is_rerunnable(spark, tmp_path, kind):
     assert sorted(
         r["k"] for r in s2.table("t", snapshot=3).df().collect()
     ) == [0, 1, 2, 3]
+
+
+# --------------------------------------------------------------------------
+# q01 exchange-free plan gate (round-11 verdict ask #5's first find): the
+# flagship full scan's trailing orderBy(_rowid) forced a full-data range
+# exchange — ~80 GB of shuffle at sf100 — to re-impose an order the sorted
+# scan already has and the _rowid VALUE already encodes. The scan must stay
+# a pure projection: no exchange, no sort, rowid from file metadata.
+# --------------------------------------------------------------------------
+
+def test_q01_plan_is_exchange_free(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    import nimhdfstore_spark.queries as Q
+
+    Q.load_all()
+    # q01 on a canonical-key-SORTED source (the layout Store.put produces
+    # and the sf1/sf10/sf100 replicas ship): rowid must come from file
+    # metadata — a pure projection, no exchange, no sort. On an unsorted
+    # source the rank fallback pays its documented shuffle; that path is
+    # covered by test_properties_ops.
+    src = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    src = src.sort_by([("l_orderkey", "ascending"), ("l_linenumber", "ascending")])
+    pq.write_table(src, str(tmp_path / "lineitem.parquet"))
+    df = Q.QUERIES["q01_full_scan"](spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Sort" not in plan, plan
+    assert df.count() == src.num_rows
