@@ -7,7 +7,6 @@ uniqueness groupBys + referential anti-joins, unioned into a tiny
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from nimhdfstore_spark.operators import quality as QA
@@ -133,15 +132,23 @@ def x161(spark, sf_dir):
     all-integer, so the oracle matches bit-for-bit (a float Σ p·ln p
     entropy would not: libm and summation order differ across engines).
 
-    Scale shape: one map-side-combined groupBy on the key, then a
-    row_number window over the (small) per-key count table, then a single
-    global aggregate — the profile is one row at any corpus size."""
+    Scale shape: one map-side-combined groupBy on the key, then the rank
+    over the per-key count table via ``with_rowid`` — at test scale the
+    auto strategy keeps the cheap single-task window, but when the key
+    table itself is big (a billion distinct keys: exactly the corpus that
+    NEEDS a skew profile) it switches to the range-partition + prefix-sum
+    path instead of moving every count through one task (the round-12
+    registry-wide plan audit's find) — then a single global aggregate: the
+    profile is one row at any corpus size."""
+    from nimhdfstore_spark.rowid import ROWID, with_rowid
+
     li = load(spark, sf_dir, "lineitem")
     counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.orderBy("c", "key")
-    ranked = counts.select("key", "c", F.row_number().over(w).cast("long").alias("r"))
+    ranked = with_rowid(counts, ["c", "key"]).select(
+        "key", "c", (F.col(ROWID) + 1).cast("long").alias("r")
+    )
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("c").alias("total_rows"),
