@@ -85,14 +85,21 @@ def test_slots_disjoint_per_round_and_full_coverage(monkeypatch):
 
 
 def test_round6_slots_are_new_vs_r05(monkeypatch):
-    """The concrete 'done' criterion from the round-5 verdict: this round's
-    slots differ from the x30/x156/x28 trio CORRECTNESS_r05 verified."""
-    monkeypatch.delenv("SPARK_GRAFT_SWEEP_ROTATION", raising=False)
+    """The concrete 'done' criterion from the round-5 verdict: a round's
+    slots differ from the trio the previous record verified. Round-13
+    rewrite (verdict ask #1): the original read the REAL archived state
+    and asserted the trio never reaches the front — an invariant that
+    expires once the backlog drains (rotation of the verified partition
+    legitimately re-offers them) or once staleness re-freshens them.
+    Pin the historical r05 state synthetically instead."""
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_ROTATION", "5")
+    trio = {"x30_dedup_exact", "x156_bfs_hops", "x28_tfidf_terms"}
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_VERIFIED", ",".join(trio))
+    monkeypatch.setattr(Q, "SWEEP_PRIORITY", [])
     base = Q.sweep_order()
     n_core = sum(n.startswith("q") for n in base)
     slots = base[n_core : n_core + N_SLOTS]
-    assert Q.sweep_rotation() >= 5
-    assert not set(slots) & {"x30_dedup_exact", "x156_bfs_hops", "x28_tfidf_terms"}
+    assert not set(slots) & trio
 
 
 @given(

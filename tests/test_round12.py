@@ -45,9 +45,14 @@ def _ext(order):
     return order[n_core:]
 
 
-def test_front_slots_never_already_verified(monkeypatch):
-    """With the real archived CORRECTNESS records, every front extension
-    slot is first-time-verified (the round-7 'done' criterion)."""
+def test_fresh_first_ordering_at_any_backlog_depth(monkeypatch):
+    """Round-13 rewrite (verdict ask #1, the repeat offender): the old
+    assertion — "the front 8 extension slots are never-driver-verified" —
+    EXPIRED the moment the backlog hit zero (CORRECTNESS_r12 drained it:
+    every entry is verified, so no slot can be fresh). Assert the durable
+    ordering invariant instead, against the REAL archived records: every
+    fresh entry precedes every verified entry, so the front slots carry
+    min(backlog, 8) fresh entries at every backlog depth including 0."""
     monkeypatch.delenv("SPARK_GRAFT_SWEEP_ROTATION", raising=False)
     monkeypatch.delenv("SPARK_GRAFT_SWEEP_VERIFIED", raising=False)
     seen = registry.driver_verified()
@@ -57,8 +62,33 @@ def test_front_slots_never_already_verified(monkeypatch):
     # every fresh entry precedes every verified entry
     assert all(n not in seen for n in ext[:n_fresh])
     assert all(n in seen for n in ext[n_fresh:])
-    # the driver's extension slots (front ~8) are all first-time
-    assert not set(ext[:8]) & seen
+    # the driver's front slots are fresh exactly as far as backlog allows
+    assert not set(ext[: min(n_fresh, 8)]) & seen
+
+
+@pytest.mark.parametrize("n_verified", [0, 3, 40, 10_000])
+def test_front_slots_fresh_while_backlog_exists(monkeypatch, n_verified):
+    """Synthetic-history form of the round-7 'done' criterion, valid at
+    every backlog depth: verify the first n entries of the flat order,
+    then the NEXT front slots are all first-time — until the backlog is
+    exhausted, at which point the verified partition must rotate with the
+    round counter instead of pinning a fixed front (ADVICE r8)."""
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_VERIFIED", "")
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_ROTATION", "4")
+    all_ext = _ext(registry.sweep_order())
+    verified = set(all_ext[:n_verified])
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_VERIFIED", ",".join(verified))
+    ext = _ext(registry.sweep_order())
+    backlog = len(all_ext) - min(n_verified, len(all_ext))
+    fresh_front = ext[: min(backlog, 8)]
+    assert not set(fresh_front) & verified
+    if backlog == 0:
+        # zero backlog: consecutive rounds re-verify DIFFERENT entries
+        monkeypatch.setenv("SPARK_GRAFT_SWEEP_ROTATION", "5")
+        ext2 = _ext(registry.sweep_order())
+        assert ext2[:8] != ext[:8], (
+            "verified partition must rotate once the backlog is empty"
+        )
 
 
 def test_driver_verified_env_override(monkeypatch):

@@ -672,10 +672,34 @@ def test_crash_injected_transaction_prefix_bound(spark, tmp_path):
     "x216_window_cube_suite", "q34_incremental_suite",
 ])
 def test_fused_suite_returned_plan_no_cartesian(spark, name):
+    """Round-13 rewrite (verdict ask #1): the blanket BNLJ ban went red
+    when rotation 12 flipped x212's returned leg to x115, whose corpus-
+    total join broadcasts a ONE-ROW global aggregate — a legitimate,
+    scale-safe nested loop at any corpus size. The gate now holds at
+    EVERY rotation: cartesians and multi-row-build nested loops only."""
+    from tests._plancheck import assert_no_unbounded_nested_loop
+
     df = Q.QUERIES[name](spark, "/root/testdata/sf0.001")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    # broadcast of a 1-row global aggregate is a legitimate nested-loop
-    # (x106-style max-compare); anything bigger is a plan bug. The gated
-    # suites' returned legs use none.
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert_no_unbounded_nested_loop(df)
+
+
+def test_every_fused_leg_plan_no_unbounded_nested_loop(spark):
+    """Gate EVERY leg of every fused suite (39 legs), not just the leg
+    the current rotation returns (verdict r12 ask #1): builds each leg's
+    frame directly from the leg tables — pure Catalyst analysis, no fused
+    checksum execution — so the gate is rotation-independent and a plan
+    regression in a leg is caught the round it lands, not n_legs rounds
+    later when the rotation reaches it."""
+    from tests._plancheck import bnlj_violations, fused_leg_builders
+
+    legs = fused_leg_builders()
+    assert len(legs) == 39
+    bad = {}
+    for suite, tag, build in legs:
+        df = build(spark, "/root/testdata/sf0.001")
+        v = bnlj_violations(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        if v:
+            bad[f"{suite}:{tag}"] = v
+    assert not bad, f"unbounded nested-loop plans in fused legs: {bad}"
