@@ -26,36 +26,38 @@ EXPECTED_EMPTY: set[str] = set()
 
 _ROTATION_SNAPSHOT: int | None = None  # per-process file-count cache
 _VERIFIED_SNAPSHOT: set[str] | None = None  # per-process verified-name cache
+_STALE_SNAPSHOT: set[str] | None = None  # per-process stale-name cache
 
-#: Round-scoped verification priorities (round-10 verdict ask #5): names
-#: listed here sort to the FRONT of the fresh (never-driver-verified)
-#: partition, ahead of the cyclic shift, so a specific backlog family is
-#: guaranteed driver slots this round. The list is self-draining — once an
-#: entry goes driver-green it leaves the fresh partition entirely and the
-#: priority no longer applies — and names already verified are skipped, so
-#: a stale list costs nothing. Round 11: the streaming family (least
-#: externally verified — most rows last saw a driver check in r01 under
-#: older state-shard configs) plus x209 (the round-10 delete-to-empty fix,
-#: judge-verified but never driver-verified).
+#: Leg counts of the fused extension suites (one driver row, N rotating
+#: verified legs each). Core suites rotate legs too, but all 17 core rows
+#: sit inside the driver's 50-row window every round, so only the
+#: extension suites need sweep-slot pinning to keep their legs advancing.
+SUITE_LEGS: dict[str, int] = {
+    "x210_tpch_suite": 12,
+    "x211_media_decode_suite": 5,
+    "x212_text_quality_suite": 7,
+    "x213_stats_suite": 3,
+    "x214_sketch_suite": 3,
+    "x215_rollup_suite": 3,
+    "x216_window_cube_suite": 6,
+}
+
+#: Round-scoped verification priorities (round-10 verdict ask #5,
+#: extended round 13 per verdict ask #2): a listed name sorts to the
+#: front of whichever partition it currently occupies —
+#:   * never-driver-verified (or fingerprint-stale): front of the fresh
+#:     partition, ahead of the cyclic shift, guaranteeing a driver slot;
+#:   * verified fused suite with unchecked legs (``SUITE_LEGS`` /
+#:     ``checked_legs``): front of the re-verification region, so each
+#:     green round hash-checks one NEW leg until all legs are covered;
+#:   * verified and fully leg-checked: no effect (self-draining).
+#: Round 13: the r11 streaming/backlog priorities all drained (r12 hit
+#: zero backlog), so the list now carries the seven fused suites whose
+#: leg coverage is 7/39, plus the two rows the r12 verdict named as the
+#: motivating staleness cases (dedup kernels rewritten r6-internal,
+#: driver-green r02/r05-era) so they re-verify THIS round rather than
+#: wherever the stale partition's cyclic shift happens to place them.
 SWEEP_PRIORITY: list[str] = [
-    "x209_empty_table_lifecycle",
-    "x64_stream_dedup",
-    "x65_stream_session_window",
-    "x66_stream_stream_join",
-    "x67_stream_ingest_store",
-    "x68_stream_pii_scrub",
-    "x79_interval_join",
-    "x125_stream_countmin",
-    "x127_stream_merge_upsert",
-    "x131_stream_stream_left_outer",
-    "x132_stream_timeout_sessions",
-    "x142_stream_restart_recovery",
-    "x196_stream_incremental_dedup",
-    "x188_stream_media_ingest",
-    "x203_stream_video_ingest",
-    # the round-11 fused extension suites: newly-registered names whose
-    # legs' old rows are gone — they must land in driver slots this round
-    # or the merged families regress to zero external verification
     "x210_tpch_suite",
     "x211_media_decode_suite",
     "x212_text_quality_suite",
@@ -63,6 +65,8 @@ SWEEP_PRIORITY: list[str] = [
     "x214_sketch_suite",
     "x215_rollup_suite",
     "x216_window_cube_suite",
+    "x30_dedup_exact",
+    "x32_dedup_minhash_lsh",
 ]
 
 
@@ -169,6 +173,185 @@ def driver_verified() -> set[str]:
                     out.add(name)
         _VERIFIED_SNAPSHOT = out
     return _VERIFIED_SNAPSHOT
+
+
+def _pkg_refs(text: str) -> set[str]:
+    import re
+
+    return set(re.findall(r"nimhdfstore_spark(?:\.[A-Za-z0-9_]+)+", text))
+
+
+def fingerprint_source(
+    fn_name: str,
+    module_rel: str,
+    read,
+    exists,
+    oracle: str | None = None,
+) -> str | None:
+    """Implementation fingerprint of one registered query, computed
+    against an arbitrary source tree (round-12 verdict ask #3 — mirror
+    the bench's per-query source fingerprints on the VERIFICATION side,
+    so a row whose implementation changed since its last driver-green
+    re-enters the fresh partition of ``sweep_order``).
+
+    Recipe: sha1 over (a) the registered function's own source segment
+    (decorators included, extracted by ast so the recipe is identical for
+    the working tree and for historical git trees), (b) its registered
+    oracle text, and (c) the FULL text of every package module referenced
+    by the function body or by the defining module's import lines —
+     a 1-level closure, so rewriting an operator kernel (x30/x32's r6
+    rewrite — the motivating cases) stales its dependents. Same-module
+    helper drift is deliberately not hashed, matching the bench's stance
+    (bench.py `_query_fingerprints`): hashing the whole defining module
+    would stale every sibling row on any one-row edit and flood the
+    sweep's ~26 re-verification slots.
+
+    ``read(rel_path) -> str | None`` and ``exists(rel_path) -> bool``
+    abstract the tree (filesystem now, ``git show`` for the tree a past
+    driver record actually tested). Returns None when the function cannot
+    be located — callers treat that as stale."""
+    import ast
+    import hashlib
+    import re
+
+    text = read(module_rel)
+    if text is None:
+        return None
+    try:
+        tree = ast.parse(text)
+    except SyntaxError:
+        return None
+    lines = text.splitlines(keepends=True)
+    seg = None
+    for node in tree.body:
+        if (
+            isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+            and node.name == fn_name
+        ):
+            start = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            ) - 1
+            seg = "".join(lines[start : node.end_lineno])
+            break
+    if seg is None:
+        return None
+    import_lines = [
+        line
+        for line in text.splitlines()
+        if re.match(r"\s*(from|import)\s+nimhdfstore_spark", line)
+    ]
+    refs = _pkg_refs(seg) | _pkg_refs("\n".join(import_lines))
+    for line in import_lines:
+        m = re.match(
+            r"\s*from\s+(nimhdfstore_spark[\w.]*)\s+import\s+(.+)", line
+        )
+        if m:
+            base = m.group(1)
+            for sym in m.group(2).split(","):
+                sym = sym.split(" as ")[0].strip().strip("()")
+                if sym.isidentifier():
+                    refs.add(f"{base}.{sym}")
+    # the registry itself and the measured cost table are sweep
+    # BOOKKEEPING, not query implementation — every module imports the
+    # registry for @query, so including it would stale all 166 rows on
+    # any sweep-machinery edit (exactly what happened on first run)
+    skip = {
+        module_rel,
+        "nimhdfstore_spark/queries/__init__.py",
+        "nimhdfstore_spark/queries/_costs.py",
+    }
+    paths = set()
+    for r in sorted(refs):
+        rel = r.replace(".", "/")
+        for cand in (rel + ".py", rel + "/__init__.py"):
+            if cand not in skip and exists(cand):
+                paths.add(cand)
+                break
+    h = hashlib.sha1()
+    h.update(seg.encode())
+    h.update(b"\0" + (oracle or "").encode())
+    for p in sorted(paths):
+        h.update(b"\0" + p.encode() + b"\0" + (read(p) or "").encode())
+    return h.hexdigest()[:16]
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def impl_fingerprint(name: str) -> str | None:
+    """Working-tree fingerprint of a registered query (recipe above)."""
+    import os
+
+    fn = QUERIES[name]
+    module_rel = fn.__module__.replace(".", "/") + ".py"
+    root = _repo_root()
+
+    def read(rel):
+        try:
+            with open(os.path.join(root, rel)) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def exists(rel):
+        return os.path.isfile(os.path.join(root, rel))
+
+    return fingerprint_source(
+        fn.__name__, module_rel, read, exists, ORACLE.get(name)
+    )
+
+
+def recorded_fingerprints() -> dict[str, str | None]:
+    """``FPRINTS.json`` at the repo root: per query name, the fingerprint
+    of the implementation its LAST green driver record actually tested
+    (rebuilt idempotently by ``tools/update_fingerprints.py`` from the
+    archived records + the per-round driver commits; ``None`` = the
+    historical source could not be resolved, treated as stale)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(_repo_root(), "FPRINTS.json")) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    fp = rec.get("fp")
+    return fp if isinstance(fp, dict) else {}
+
+
+def stale_verified() -> set[str]:
+    """Driver-verified names whose implementation fingerprint changed
+    since their last green record — indistinguishable from fresh greens
+    before round 13 (verdict ask #3). These re-enter the fresh partition
+    of ``sweep_order`` so the driver re-verifies the CURRENT code, not
+    the code of the round that went green. Missing entries (no recorded
+    fingerprint — e.g. the tool has not run since a new row registered)
+    are NOT stale: they are either never-verified (already fresh) or
+    freshly recorded next round. Snapshot once per process.
+    ``SPARK_GRAFT_SWEEP_STALE`` (comma-separated; "" = empty) overrides
+    for tests."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_SWEEP_STALE")
+    if env is not None:
+        return {n for n in env.split(",") if n}
+    global _STALE_SNAPSHOT
+    if _STALE_SNAPSHOT is None:
+        recorded = recorded_fingerprints()
+        out = set()
+        for name in QUERIES:
+            if name not in recorded:
+                continue
+            want = recorded[name]
+            if want is None or want != impl_fingerprint(name):
+                out.add(name)
+        _STALE_SNAPSHOT = out
+    return _STALE_SNAPSHOT
 
 
 _LEG_RECORDS_SNAPSHOT: list[tuple[int, set[str]]] | None = None
@@ -330,33 +513,59 @@ def sweep_order() -> list[str]:
                 flat.append(lane[i])
     if flat:
         # Never-driver-verified entries first (round-7 verdict ask #2): the
-        # driver's ~5 extension slots land on the FRONT of this list, so
+        # driver's extension slots land on the FRONT of this list, so
         # re-offering already-green entries wastes verification breadth.
         # The 3·r cyclic shift still applies WITHIN the fresh partition as
         # a safety net — if a slot fails to verify (driver timeout, flaky
         # window) it stays fresh, and without the shift it would pin the
-        # front forever; with it, the next round samples past it. Both
+        # front forever; with it, the next round samples past it. All
         # partitions keep the family-interleaved cheapest-first order.
+        #
+        # Round-13 partition order (verdict asks #2/#3):
+        #   1. never-driver-verified        (first verification is urgent)
+        #   2. pinned fused suites with unchecked legs (SWEEP_PRIORITY ∩
+        #      SUITE_LEGS — each green round hash-checks one NEW leg)
+        #   3. fingerprint-stale verified rows (their green record tested
+        #      an older implementation — re-verify the current one)
+        #   4. the rest, rotated (ADVICE r8: once nothing needs a slot,
+        #      the shift spreads RE-verification across the registry)
         seen = driver_verified()
+        stale = stale_verified() & seen
         fresh = [n for n in flat if n not in seen]
-        done = [n for n in flat if n in seen]
-        # Round-scoped priorities land at the very front of the fresh
-        # partition, in list order, BEFORE the cyclic shift (which then
-        # only rotates the non-priority remainder). See SWEEP_PRIORITY.
+        pinned = [
+            n
+            for n in SWEEP_PRIORITY
+            if n in SUITE_LEGS
+            and n in seen
+            and len(checked_legs(n, SUITE_LEGS[n])) < SUITE_LEGS[n]
+        ]
+        staled = [n for n in flat if n in stale and n not in pinned]
+        done = [
+            n
+            for n in flat
+            if n in seen and n not in stale and n not in pinned
+        ]
+        # Fresh-partition priorities land at the very front, in list
+        # order, BEFORE the cyclic shift (which then only rotates the
+        # non-priority remainder). See SWEEP_PRIORITY.
         prio = [n for n in SWEEP_PRIORITY if n in QUERIES and n not in seen]
         fresh = [n for n in fresh if n not in set(prio)]
-        if fresh:
-            s = (3 * sweep_rotation()) % len(fresh)
-            fresh = fresh[s:] + fresh[:s]
-        fresh = prio + fresh
-        if done:
-            # Rotate the verified partition too (ADVICE r8): once the
-            # backlog drains, fresh is empty and without this shift the
-            # driver would re-verify the identical front entries forever —
-            # the shift spreads RE-verification across the whole registry.
-            s = (3 * sweep_rotation()) % len(done)
-            done = done[s:] + done[:s]
-        flat = fresh + done
+
+        def shift(part: list[str]) -> list[str]:
+            if not part:
+                return part
+            s = (3 * sweep_rotation()) % len(part)
+            return part[s:] + part[:s]
+
+        # Stale-partition priorities front their partition too (the
+        # shift only rotates the non-priority remainder), mirroring the
+        # fresh-partition rule.
+        prio_stale = [n for n in SWEEP_PRIORITY if n in staled]
+        staled = [n for n in staled if n not in set(prio_stale)]
+        flat = (
+            prio + shift(fresh) + pinned
+            + prio_stale + shift(staled) + shift(done)
+        )
     out.extend(flat)
     return out
 
