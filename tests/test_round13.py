@@ -494,11 +494,25 @@ def test_flock_critical_section_single_entry(tmp_path):
 
 
 def test_sweep_order_rotates_done_partition_after_drain(monkeypatch):
+    """Fully-drained state: everything verified, nothing fingerprint-stale,
+    every fused-suite leg already hash-checked. The whole extension list is
+    then one `done` partition and rotation must shift it by 3 (the shifted
+    cycle spreads RE-verification across the registry). Every sweep-state
+    dimension is pinned via its env override so the invariant holds at any
+    archived rotation/backlog/staleness depth (round-12 verdict ask #1)."""
     import nimhdfstore_spark.queries as Q
 
     Q.load_all()
     ext = [n for n in Q.QUERIES if not n.startswith("q")]
     monkeypatch.setenv("SPARK_GRAFT_SWEEP_VERIFIED", ",".join(ext))
+    monkeypatch.setenv("SPARK_GRAFT_SWEEP_STALE", "")
+    # 12 green records (>= max leg count) covering all suites: replaying
+    # the greedy leg rule marks every leg checked, so none stays pinned.
+    suites = "|".join(Q.SUITE_LEGS)
+    monkeypatch.setenv(
+        "SPARK_GRAFT_LEG_RECORDS",
+        ";".join(f"{r}:{suites}" for r in range(max(Q.SUITE_LEGS.values()))),
+    )
 
     monkeypatch.setenv("SPARK_GRAFT_SWEEP_ROTATION", "0")
     o0 = [n for n in Q.sweep_order() if not n.startswith("q")]
