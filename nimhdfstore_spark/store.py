@@ -1083,6 +1083,7 @@ class Store:
         codec: str | None = None,
         overwrite: bool = False,
         attrs: dict[str, Any] | None = None,
+        local_max_rows: int | None = None,
         _defer_meta: bool = False,
     ) -> "Table":
         """Create table ``name`` from ``df``.
@@ -1091,6 +1092,14 @@ class Store:
         positions), else assigned as the rank under ``order_by``; with
         neither, insertion order is undefined in a distributed frame, so a
         canonical order is required.
+
+        ``local_max_rows``: caller-promised upper bound on the frame's row
+        count. When the bound fits the driver (<= ``LOCAL_REWRITE_MAX_ROWS``)
+        the snapshot is written via one collect-as-Arrow job instead of the
+        range-shuffle + committer write job (same files, manifest and stats;
+        loud error if the promise is violated). Pass it only when the bound
+        follows from an operator parameter — a 100 TB CTAS must never
+        collect, so unbounded inputs must not carry the hint.
         """
         self._require_writable()
         _check_key(name)
@@ -1146,7 +1155,9 @@ class Store:
         # the CAS critical section (see _cas_flip: two racing writers both
         # plan snap_no = cur+1)
         staged = self._staged_snap(meta["current"])
-        self._write_files(name, staged, body, meta["codec"])
+        self._write_files(
+            name, staged, body, meta["codec"], local_max_rows=local_max_rows
+        )
         # count + per-file rowid catalog come from the written footers —
         # no separate count job (which would recompute the whole sort).
         scanned = self._scan_ranges(os.path.join(tdir, staged))
@@ -1618,11 +1629,31 @@ class Store:
     # Spark dtypes whose pyarrow-written Parquet encoding is byte-compatible
     # with Spark's own writer within one mixed snapshot. Timestamps are
     # excluded (Spark's default INT96 vs arrow's int64-micros), as are
-    # decimals and nested types (physical-encoding variants).
+    # decimals and deeper nested types (physical-encoding variants).
     _LOCAL_WRITE_TYPES = frozenset(
         ("bigint", "int", "smallint", "tinyint", "double", "float", "string",
          "boolean", "binary", "date")
     )
+    # One-level arrays of fixed-width/string primitives are also compatible:
+    # Spark's ``toArrow`` names the list element field "element", so the
+    # pyarrow writer emits the same 3-level LIST structure (repeated group
+    # "list" → "element") as Spark's native writer. array<binary> stays
+    # excluded — the row gates don't bound blob BYTES (same reason the
+    # small-rewrite path rejects flat binary columns).
+    _LOCAL_WRITE_ARRAY_INNER = frozenset(
+        ("bigint", "int", "smallint", "tinyint", "double", "float", "string",
+         "boolean")
+    )
+
+    @classmethod
+    def _local_type_ok(cls, t: str) -> bool:
+        if t in cls._LOCAL_WRITE_TYPES:
+            return True
+        return (
+            t.startswith("array<")
+            and t.endswith(">")
+            and t[6:-1] in cls._LOCAL_WRITE_ARRAY_INNER
+        )
     #: rewrite bodies at or below this row count collect to the driver
     #: (one toArrow job) and write through the pyarrow path instead of a
     #: distributed shuffle-write job. A scatter/slice mutation's rewrite is
@@ -1644,6 +1675,7 @@ class Store:
         body: DataFrame,
         codec: str,
         expected_rows: int | None = None,
+        local_max_rows: int | None = None,
     ) -> bool:
         """Driver-direct write for driver-sized payloads: mutation batches
         are in-memory rows by contract (reference parity — nimtables
@@ -1666,14 +1698,28 @@ class Store:
             and expected_rows is not None
             and expected_rows <= self.LOCAL_REWRITE_MAX_ROWS
         )
-        if local_rows is None and not small_rewrite and not body.isLocal():
+        # caller-promised row bound (e.g. a CTAS whose source is bounded by
+        # an operator parameter): one collect-as-Arrow job replaces the
+        # range-shuffle + Hadoop-committer write job, same as small_rewrite
+        # but checked <= bound instead of == (the caller knows a bound, not
+        # the exact count). A violated promise raises loudly below.
+        hinted = (
+            local_rows is None
+            and not small_rewrite
+            and local_max_rows is not None
+            and local_max_rows <= self.LOCAL_REWRITE_MAX_ROWS
+        )
+        if (
+            local_rows is None and not small_rewrite and not hinted
+            and not body.isLocal()
+        ):
             return False
         pq_codec = self._LOCAL_WRITE_CODECS.get(codec)
         if pq_codec is None:
             return False
-        if any(t not in self._LOCAL_WRITE_TYPES for _c, t in body.dtypes):
+        if any(not self._local_type_ok(t) for _c, t in body.dtypes):
             return False
-        if small_rewrite and not body.isLocal() and any(
+        if (small_rewrite or hinted) and not body.isLocal() and any(
             t == "binary" for _c, t in body.dtypes
         ):
             # the row gate doesn't bound BYTES: binary cells (media blobs)
@@ -1712,6 +1758,12 @@ class Store:
                     f"expects {expected_rows}: manifest row accounting and "
                     "the rewrite plan disagree"
                 )
+            if hinted and tbl.num_rows > local_max_rows:
+                raise StoreError(
+                    f"local_max_rows={local_max_rows} promised but the frame "
+                    f"produced {tbl.num_rows} rows: the caller's bound is "
+                    "wrong — drop the hint or fix the bound"
+                )
         if ROWID in tbl.column_names:
             tbl = tbl.sort_by(ROWID)
         snap_dir = os.path.join(self._table_dir(name), snap)
@@ -1743,13 +1795,15 @@ class Store:
         codec: str,
         cluster: list | None = None,
         expected_rows: int | None = None,
+        local_max_rows: int | None = None,
     ) -> None:
         # Range-shuffle on _rowid (AQE picks the partition count), sort within
         # partitions, and cap rows per output file: sorted non-overlapping
         # files without needing a row count up front. With ``cluster`` the
         # physical order is the cluster key instead (Table.cluster_by).
         if cluster is None and self._write_local(
-            name, snap, body, codec, expected_rows=expected_rows
+            name, snap, body, codec, expected_rows=expected_rows,
+            local_max_rows=local_max_rows,
         ):
             return
         keys = [F.col(c) if isinstance(c, str) else c for c in cluster] if cluster \

@@ -876,6 +876,8 @@ def stream_incremental_dedup(
     table, appended per batch."""
     import shutil as _shutil
 
+    import pyarrow.parquet as _pq
+
     from nimhdfstore_spark.operators.dedup import minhash_buckets
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -888,24 +890,36 @@ def stream_incremental_dedup(
     idx = minhash_buckets(corpus, "doc_id", "text", 3, num_hashes, bands)
     if "sig_index" in store:
         store.drop("sig_index")
-    store.put("sig_index", idx, order_by=["id", "band"])
+    # ``doc_limit`` bounds the corpus by operator parameter, so the index is
+    # at most doc_limit*bands rows: one collect-as-Arrow write replaces the
+    # range-shuffle + committer write job (~0.5 s of fixed cost). The
+    # distributed signing pass is unchanged — only the sink is local. A
+    # production ingest loop with an unbounded corpus omits the hint.
+    store.put(
+        "sig_index", idx, order_by=["id", "band"],
+        local_max_rows=doc_limit * bands,
+    )
     log_by_id: dict = {}
 
     staged = os.path.join(store.root, "_staged_docs")
     _shutil.rmtree(staged, ignore_errors=True)
+    os.makedirs(staged)
+    # Stage all batches from ONE bounded collect (the incoming docs are
+    # doc_limit-bounded by the same operator parameter): the previous three
+    # coalesce(1) write jobs each paid ~0.3-0.5 s of scheduler+committer
+    # fixed cost to move a handful of rows. The arrow table preserves the
+    # source schema, so the stream reader sees identical files.
+    incoming = docs.where(F.col("doc_id") % 10 == 0).toArrow()
+    ids = incoming.column("doc_id").to_pylist()
     for k in range(n_batches):
-        seen = set(os.listdir(staged)) if os.path.isdir(staged) else set()
-        (
-            docs.where(F.col("doc_id") % mod == 10 * k)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(staged)
+        batch_tbl = incoming.take(
+            [i for i, v in enumerate(ids) if v % mod == 10 * k]
         )
+        p = os.path.join(staged, f"batch-{k:05d}.parquet")
+        _pq.write_table(batch_tbl, p)
         # pin strictly increasing mtimes: the file source orders batches by
         # timestamp, and index growth makes batch order semantic here
-        for f in sorted(set(os.listdir(staged)) - seen):
-            p = os.path.join(staged, f)
-            os.utime(p, (1_700_000_000 + 100 * k, 1_700_000_000 + 100 * k))
+        os.utime(p, (1_700_000_000 + 100 * k, 1_700_000_000 + 100 * k))
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -951,21 +965,20 @@ def _ingest_dedup_batch(
     ranges are disjoint from the corpus and from every other batch."""
     if batch_df.isEmpty():
         return
+    from pyspark.sql import Row
+
     from nimhdfstore_spark.operators.dedup import (
         minhash_buckets, minhash_lsh_incremental,
     )
-    from nimhdfstore_spark.rowid import with_rowid
 
-    raw_index = store.table("sig_index").df().select(
-        "id", "sig", "band", "bucket"
-    )
+    tbl = store.table("sig_index")
+    raw_index = tbl.df().select("id", "sig", "band", "bucket")
     batch_ids = batch_df.select(F.col("doc_id").alias("id"))
     # broadcast anti: batch_ids is micro-batch-sized, the index is the big
     # side and streams through the probe scan it was doing anyway
     index_df = raw_index.join(F.broadcast(batch_ids), "id", "left_anti")
     # sign the batch EXACTLY once: the same buckets frame serves the
-    # index probe and the accepted-signature append; caching verdicts
-    # keeps the probe join from re-running for each consumer
+    # index probe and the accepted-signature append
     bb = minhash_buckets(
         batch_df, "doc_id", "text", 3, num_hashes, bands
     ).persist()
@@ -973,25 +986,56 @@ def _ingest_dedup_batch(
         batch_df, index_df, "doc_id", "text",
         num_hashes=num_hashes, bands=bands, threshold=threshold,
         batch_buckets=bb,
-    ).persist()
-    for r in verdicts.select(
-        "id",
-        ((F.col("id") % mod) / 10).cast("long").alias("batch_no"),
-        "is_dup", "n_dup_candidates", "best_match_id", "best_est",
-    ).collect():
-        log_by_id[r["id"]] = r
-    new_sigs = bb.join(
-        verdicts.where(F.col("is_dup") == 0).select("id"), "id", "left_semi"
     )
-    # idempotent append: skip ids a replayed batch already indexed
-    # (own_already is empty on a first run; one broadcast-semi index scan)
-    own_already = raw_index.join(
-        F.broadcast(batch_ids), "id", "left_semi"
-    ).select("id").distinct()
-    new_sigs = new_sigs.join(F.broadcast(own_already), "id", "left_anti")
-    sig_ranked = with_rowid(new_sigs, ["id", "band"], strategy="window")
-    n_new = sig_ranked.count()
-    if n_new:
-        store.table("sig_index").append(sig_ranked, n=n_new)
-    verdicts.unpersist()
+    # ONE fused action per micro-batch (round-13 optimization): the verdict
+    # rows, the batch's own signature rows, and the ids a replayed batch
+    # already indexed are kind-tagged and collected together — previously
+    # this was four jobs (verdict collect, new-sig count, rowid base agg,
+    # distributed append write). The micro-batch bounds every branch by
+    # construction; the corpus-sized index is only SCANNED (probe join +
+    # one broadcast-semi), never collected.
+    fused = (
+        verdicts.withColumn("kind", F.lit("v"))
+        .unionByName(bb.withColumn("kind", F.lit("b")), allowMissingColumns=True)
+        .unionByName(
+            raw_index.join(F.broadcast(batch_ids), "id", "left_semi")
+            .select("id").distinct().withColumn("kind", F.lit("o")),
+            allowMissingColumns=True,
+        )
+    )
+    rows = fused.collect()
     bb.unpersist()
+    vrow = Row(
+        "id", "batch_no", "is_dup", "n_dup_candidates",
+        "best_match_id", "best_est",
+    )
+    own_already = {r["id"] for r in rows if r["kind"] == "o"}
+    accepted = set()
+    for r in rows:
+        if r["kind"] != "v":
+            continue
+        log_by_id[r["id"]] = vrow(
+            r["id"], (r["id"] % mod) // 10, r["is_dup"],
+            r["n_dup_candidates"], r["best_match_id"], r["best_est"],
+        )
+        if r["is_dup"] == 0:
+            accepted.add(r["id"])
+    # idempotent append: skip ids a replayed batch already indexed
+    # (own_already is empty on a first run). Rows sorted by (id, band) —
+    # arrival-order enumeration in append() reproduces exactly the
+    # with_rowid(["id", "band"]) positions the distributed path assigned.
+    new_sigs = sorted(
+        (
+            (r["id"], r["sig"], r["band"], r["bucket"])
+            for r in rows
+            if r["kind"] == "b"
+            and r["id"] in accepted
+            and r["id"] not in own_already
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    if new_sigs:
+        from nimhdfstore_spark.tables import local_frame
+
+        payload = local_frame(batch_df.sparkSession, new_sigs, bb.schema)
+        tbl.append(payload, n=len(new_sigs))

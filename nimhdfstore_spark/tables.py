@@ -80,6 +80,46 @@ def table_nrows(sf_dir: str, table: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
 
 
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-rows DataFrame as a JVM LocalRelation.
+
+    ``spark.createDataFrame(list)`` parallelizes the rows into a
+    Python-RDD-backed plan: ``isLocal()`` is False and every ``collect()``
+    on it schedules a real job through a Python worker (~0.3 s of fixed
+    cost for a handful of rows — round-13 profile of the mutation payload
+    path). Building through a pyarrow Table instead lands the rows in a
+    LocalRelation: ``isLocal()`` is True, ``collect()``/``toArrow()`` are
+    job-free, and the Store's payload gate (``_collect_payload``) and
+    driver-direct writer (``_write_local``) both take their zero-job
+    branches. Works regardless of the Arrow session conf; types follow
+    ``to_arrow_schema`` exactly.
+
+    Use for driver-built payloads of fixed-width/string/array-of-primitive
+    columns. Timestamp columns keep the classic path (arrow/pickle
+    timezone coercions differ), enforced here by refusing them loudly.
+    """
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    if isinstance(schema, str):
+        parsed = _parse_datatype_string(schema)
+        if not isinstance(parsed, StructType):  # pragma: no cover
+            raise ValueError(f"expected a struct schema, got {parsed}")
+        schema = parsed
+    if any("timestamp" in f.dataType.simpleString() for f in schema.fields):
+        raise ValueError(
+            "local_frame does not support timestamp columns; use "
+            "spark.createDataFrame (classic conversion) for those payloads"
+        )
+    tbl = pa.Table.from_pylist(
+        [dict(zip(schema.names, r)) for r in rows],
+        schema=to_arrow_schema(schema),
+    )
+    return spark.createDataFrame(tbl)
+
+
 def rowid_over(table: str) -> str:
     """DuckDB fragment: the table with ``_rowid`` in canonical order."""
     order = ", ".join(CANONICAL[table])
