@@ -282,6 +282,23 @@ def minhash_buckets(
     return df.select(id_col, text_col).mapInPandas(compute, schema=schema)
 
 
+def _agree_expr(num_hashes: int):
+    """Count of agreeing signature positions, as ONE parsed SQL string.
+
+    Semantically identical to the previous
+    ``sum(F.when(sig_a[i] == sig_b[i], 1).otherwise(0) for i ...)`` chain —
+    the parsed tree is the same codegen'd IF-sum, so per-row execution is
+    unchanged — but built with a single py4j round-trip instead of
+    ~3·num_hashes Column calls (measured 1.2 s of driver-side plan
+    construction per query at num_hashes=64; x90/x32/x140/x196 all pay it
+    at least once per run)."""
+    return F.expr(
+        " + ".join(
+            f"IF(sig_a[{i}] = sig_b[{i}], 1, 0)" for i in range(num_hashes)
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -317,14 +334,7 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = sum(
-        (
-            F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
-            for i in range(num_hashes)
-        ),
-        F.lit(0),
-    )
-    est = agree / F.lit(float(num_hashes))
+    est = _agree_expr(num_hashes) / F.lit(float(num_hashes))
     return (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
@@ -380,15 +390,9 @@ def minhash_lsh_incremental(
         )
         .dropDuplicates(["id", "match_id"])
     )
-    agree = sum(
-        (
-            F.when(F.col("sig_a")[i] == F.col("sig_b")[i], 1).otherwise(0)
-            for i in range(num_hashes)
-        ),
-        F.lit(0),
-    )
     scored = cand.withColumn(
-        "est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6)
+        "est_jaccard",
+        F.round(_agree_expr(num_hashes) / F.lit(float(num_hashes)), 6),
     ).where(F.col("est_jaccard") >= threshold)
     per_doc = scored.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_candidates"),

@@ -23,7 +23,9 @@ from pyspark.sql.types import (
 from nimhdfstore_spark.queries import query, sweep_rotation
 from nimhdfstore_spark.rowid import ROWID
 from nimhdfstore_spark.store import Store
-from nimhdfstore_spark.tables import CANONICAL, load, load_pos, rowid_over
+from nimhdfstore_spark.tables import (
+    CANONICAL, load, load_pos, local_frame, rowid_over,
+)
 
 SCRATCH_ROOT = os.environ.get("NIMHDFSTORE_SCRATCH", "/tmp/nimhdfstore_scratch")
 
@@ -146,7 +148,7 @@ def q02(spark, sf_dir):
         StructField("field_type", StringType()),
         StructField("n_rows", LongType()),
     ])
-    return spark.createDataFrame(rows, schema).orderBy("field_name")
+    return local_frame(spark, rows, schema).orderBy("field_name")
 
 
 # --------------------------------------------------------------------------
@@ -329,13 +331,13 @@ def _synthetic_customers(spark, keys, rowids=None):
     ]
     if rowids is None:
         rows = [(k, "synthetic", 0, 0.0, "synthetic") for k in keys]
-        return spark.createDataFrame(rows, StructType(fields))
+        return local_frame(spark, rows, StructType(fields))
     rows = [
         (r, k, "synthetic", 0, 0.0, "synthetic")
         for r, k in zip(rowids, keys)
     ]
-    return spark.createDataFrame(
-        rows, StructType([StructField(ROWID, LongType())] + fields)
+    return local_frame(
+        spark, rows, StructType([StructField(ROWID, LongType())] + fields)
     )
 
 
@@ -467,7 +469,7 @@ def _particles(spark):
         StructField("pressure", DoubleType()),
         StructField("temperature", DoubleType()),
     ])
-    return spark.createDataFrame(rows, schema)
+    return local_frame(spark, rows, schema)
 
 
 @query("q13_catalog", _Q13_SQL)
@@ -486,7 +488,7 @@ def q13(spark, sf_dir):
             ("particles", "particles2"),
         ))
     store.drop("particles2")
-    return spark.createDataFrame([(k,) for k in store.keys()], "key string")
+    return local_frame(spark, [(k,) for k in store.keys()], "key string")
 
 
 # --------------------------------------------------------------------------
@@ -842,8 +844,9 @@ def q20(spark, sf_dir):
     def _leg_merge():
         store = scratch_store(spark, f"q27-{tag}")
         t = store.put("nation_scratch", nation, overwrite=True)
-        pay = spark.createDataFrame(
-            _Q27_PAYLOAD, "n_nationkey int, n_name string, n_regionkey int"
+        pay = local_frame(
+            spark, _Q27_PAYLOAD,
+            "n_nationkey int, n_name string, n_regionkey int",
         )
         stats = t.merge(pay, "n_nationkey")
         # explicit raise, not a bare assert: python -O strips asserts and
@@ -895,8 +898,8 @@ def q20(spark, sf_dir):
         ),
         got[1],
     )
-    pay = spark.createDataFrame(
-        _Q27_PAYLOAD, "n_nationkey int, n_name string, n_regionkey int"
+    pay = local_frame(
+        spark, _Q27_PAYLOAD, "n_nationkey int, n_name string, n_regionkey int"
     )
     updated = (
         nation.alias("b")
@@ -1086,7 +1089,8 @@ def q25(spark, sf_dir):
         store.vacuum(retain=1)
         snaps_after = len(store.snapshots("nation_v"))
         n_rows = store.table("nation_v").nrows
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             [("nation_v", snaps_before, snaps_after, n_removed_dry, n_rows)],
             "tbl string, snaps_before long, snaps_after long, "
             "n_removed_dry long, n_rows_after long",
@@ -1149,7 +1153,8 @@ def q25(spark, sf_dir):
         "n_name",
         F.lit("insert").alias("op"),
     )
-    want_vac = spark.createDataFrame(
+    want_vac = local_frame(
+        spark,
         [("nation_v", 3, 1, 2, n_nat)],
         "tbl string, snaps_before long, snaps_after long, "
         "n_removed_dry long, n_rows_after long",
@@ -1591,8 +1596,8 @@ SELECT * FROM (VALUES
 @query("x209_empty_table_lifecycle", _X209_SQL)
 def x209(spark, sf_dir):
     store = scratch_store(spark, f"x209-{os.path.basename(sf_dir)}")
-    five = spark.createDataFrame(
-        [(i, float(i)) for i in range(5)], "k bigint, v double"
+    five = local_frame(
+        spark, [(i, float(i)) for i in range(5)], "k bigint, v double"
     )
     t = store.put("t", five, order_by=["k"], overwrite=True)
     t.delete(0, 4)  # file-pruned delete leaves a zero-file snapshot
@@ -1600,5 +1605,5 @@ def x209(spark, sf_dir):
         raise AssertionError("emptied table must read as zero rows")
     if [f.name for f in t.schema.fields] != ["k", "v"]:
         raise AssertionError("emptied table must keep its typed schema")
-    t.append(spark.createDataFrame([(10, 1.5), (11, 2.5)], "k bigint, v double"))
+    t.append(local_frame(spark, [(10, 1.5), (11, 2.5)], "k bigint, v double"))
     return t.df().orderBy(ROWID)

@@ -16,6 +16,7 @@ from nimhdfstore_spark.datasets import Dataset, create_dataset
 from nimhdfstore_spark.queries import query, sweep_rotation
 from nimhdfstore_spark.queries.core import assert_legs_match, scratch_store
 from nimhdfstore_spark.rowid import ROWID
+from nimhdfstore_spark.tables import local_frame
 
 # 3-d dataset 20×8×5, value = linear index as double; hyperslab
 # offset=(2,1,0) count=(5,3,2) stride=(3,2,2) block=1.
@@ -276,8 +277,8 @@ def q15(spark, sf_dir):
         rows = sorted((k, str(v)) for k, v in t2.attrs.items())
         if rows != [("source", "survey"), ("version", "1")]:
             raise AssertionError(f"table-attrs leg diverged: {rows}")
-        return spark.createDataFrame(
-            rows, "attr_key string, attr_value string"
+        return local_frame(
+            spark, rows, "attr_key string, attr_value string"
         )
 
     def _leg_copy():
@@ -299,8 +300,8 @@ def q15(spark, sf_dir):
         ]
         if copy_rows != _Q15_COPY_ROWS:
             raise AssertionError(f"copy leg diverged: {copy_rows}")
-        return spark.createDataFrame(
-            copy_rows, "leg string, prop string, val string"
+        return local_frame(
+            spark, copy_rows, "leg string, prop string, val string"
         )
 
     def _leg_group_attrs():
@@ -319,8 +320,8 @@ def q15(spark, sf_dir):
         )
         if attr_rows != sorted(_Q15_ATTR_ROWS):
             raise AssertionError(f"group-attrs leg diverged: {attr_rows}")
-        return spark.createDataFrame(
-            attr_rows, "leg string, prop string, val string"
+        return local_frame(
+            spark, attr_rows, "leg string, prop string, val string"
         )
 
     def _leg_dim_scales():

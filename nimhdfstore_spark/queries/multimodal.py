@@ -541,8 +541,10 @@ def x186(spark, sf_dir):
     corpus = pngs.unionByName(wavs)
     sniffed = M.sniff_mime(corpus).select("doc_id", "sniffed_mime")
     routed_rows = corpus.join(sniffed, "doc_id")
-    routed = spark.createDataFrame(
-        routed_rows.collect(), routed_rows.schema
+    from nimhdfstore_spark.tables import local_frame
+
+    routed = local_frame(
+        spark, routed_rows.collect(), routed_rows.schema
     )
 
     png_leg = M.decode_images(

@@ -67,8 +67,22 @@ FROM clean GROUP BY lang ORDER BY lang
 def x_pipeline(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     # persist: the sample feeds the pair leg, the component node list and
-    # the final quality join — without it the scan+filter re-runs 4×
-    samp = SA.hash_sample(docs, "doc_id", _FRACTION, salt=_SALT).persist()
+    # the final quality join — without it the scan+filter re-runs 4×.
+    # The explicit hash-repartition on "text" pins the partitioning every
+    # downstream consumer needs anyway — the dedup groupBy("text") and the
+    # membership join on "text" reuse it with NO further exchange — at a
+    # width AQE cannot coalesce away: the one-row-group source scans as a
+    # single task and the sampled bytes are tiny, so AQE's byte-targeted
+    # coalescing collapsed the whole signing + quality pipeline onto one
+    # core (guide §2.5, unsplittable input). Width from the session: at
+    # real scale the same single exchange happens, just planner- vs
+    # user-sized.
+    par = spark.sparkContext.defaultParallelism
+    samp = (
+        SA.hash_sample(docs, "doc_id", _FRACTION, salt=_SALT)
+        .repartition(par, "text")
+        .persist()
+    )
     # Exact-dedup FIRST (the 100 TB recipe): identical texts always agree
     # on every minhash band and estimate Jaccard 1.0 ≥ τ, so an exact-dup
     # group is always one clique inside one component, and the group's

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from nimhdfstore_spark.queries import query, sweep_rotation
 from nimhdfstore_spark.queries.core import SCRATCH_ROOT
 from nimhdfstore_spark.rowid import ROWID
-from nimhdfstore_spark.tables import load, rowid_over
+from nimhdfstore_spark.tables import load, local_frame, rowid_over
 
 
 def _checksum(df: DataFrame):
@@ -434,7 +434,7 @@ def q33(spark, sf_dir):
         # appended rows at rowids n..n+2 in base-rowid order, and a
         # multi-split read's collect order is not guaranteed to agree
         for r in one_by_one.orderBy("n_nationkey").collect():  # 3 × 1-row appends
-            t.append(spark.createDataFrame([r], one_by_one.schema), n=1)
+            t.append(local_frame(spark, [r], one_by_one.schema), n=1)
         files_before = len(t._meta["files"])
         t.compact()
         files_after = len(t._meta["files"])
@@ -563,7 +563,8 @@ def x208(spark, sf_dir):
     # shards with the manifests past the inline threshold)
     entries_before = dict(t._bloom_files(t._meta["bloom"]["p_partkey"]))
 
-    syn = spark.createDataFrame(
+    syn = local_frame(
+        spark,
         [(_X208_NEW - 1, "synthetic", "synthetic", "synthetic", 0, 0.0),
          (_X208_NEW, "synthetic", "synthetic", "synthetic", 0, 0.0),
          (_X208_NEW + 1, "synthetic", "synthetic", "synthetic", 0, 0.0)],

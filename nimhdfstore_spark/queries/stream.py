@@ -735,8 +735,10 @@ def x196(spark, sf_dir):
         doc_limit=_DOC_LIMIT, num_hashes=_X196_NUM, bands=_X196_BANDS,
         threshold=_JACCARD_TAU,
     )
-    return spark.createDataFrame(
-        rows,
+    from nimhdfstore_spark.tables import local_frame
+
+    return local_frame(
+        spark, rows,
         "id long, batch_no long, is_dup long, n_dup_candidates long, "
         "best_match_id long, best_est double",
     ).orderBy("id")
