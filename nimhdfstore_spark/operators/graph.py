@@ -171,6 +171,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
     )
+    # Materialize the oriented DAG ONCE: e1/e2/e3 below reference it under
+    # three different join keys, so exchange reuse never fires and the
+    # whole pair-generation + distinct + degree-join pipeline would
+    # re-execute three times (guide §5: localCheckpoint to cut lineage of
+    # a reused intermediate whose fault tolerance is non-critical — an
+    # executor loss fails the query, which simply retries). The stored set
+    # is the edge list itself, orders of magnitude below the pair
+    # intermediate the joins bound.
+    oriented = oriented.localCheckpoint()
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))

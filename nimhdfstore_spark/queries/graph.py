@@ -132,6 +132,15 @@ def x148(spark, sf_dir):
         "event_type",
         F.expr("unix_micros(cast(ts as timestamp)) div 300000000").alias("h"),
     )
+    # Pin the co-occurrence join's partitioning on its bucket key (guide
+    # §2.5): the one-row-group events scan is a single task and the
+    # planner broadcasts the tiny build side, leaving 232k pair
+    # evaluations on one core; a user repartition is exempt from AQE's
+    # byte-targeted coalescing, and both aliases share the exchange, so
+    # the join itself adds none. Width from the session's parallelism.
+    ev = ev.repartition(
+        spark.sparkContext.defaultParallelism, "event_type", "h"
+    )
     a, b = ev.alias("a"), ev.alias("b")
     edges = (
         a.join(

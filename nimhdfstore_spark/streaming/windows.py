@@ -519,8 +519,20 @@ def stream_merge_into_store(
     src = spark.read.parquet(os.path.join(events_dir, "events.parquet"))
     staged = os.path.join(store.root, "_staged_events")
     _shutil.rmtree(staged, ignore_errors=True)
-    src.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(staged)
-    src.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(staged)
+    os.makedirs(staged)
+    # stage the two batch files from ONE collect (events are the bench
+    # fixture, driver-bounded; ts stays int64 under nanosAsLong) — the two
+    # coalesce(1) write jobs paid ~0.3-0.5 s of scheduler+committer fixed
+    # cost each. Explicit ascending mtimes keep batch order deterministic.
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    tbl = src.toArrow()
+    parity = _pc.bit_wise_and(tbl.column("event_id"), 1)
+    for k in (0, 1):
+        p = os.path.join(staged, f"batch-{k}.parquet")
+        _pq.write_table(tbl.filter(_pc.equal(parity, k)), p)
+        os.utime(p, (1_700_000_000 + 100 * k, 1_700_000_000 + 100 * k))
 
     stream = (
         spark.readStream.schema(src.schema)
@@ -796,17 +808,22 @@ def stream_deletes_into_store(
 
     cmds = os.path.join(store.root, "_staged_deletes")
     _shutil.rmtree(cmds, ignore_errors=True)
-    # VALUES → JVM LocalRelation. A python-list createDataFrame plans as a
-    # LogicalRDD with defaultParallelism python-backed slices, and
-    # coalesce(1) (narrow) evaluates all 32 in ONE task sequentially —
-    # ~140 ms of Python-worker round-trip per slice, 4.5 s per 1-row write
-    # (measured). The SQL literal form never leaves the JVM: 0.2 s.
-    spark.sql(
-        "SELECT CAST(100 AS BIGINT) AS a, CAST(199 AS BIGINT) AS b"
-    ).coalesce(1).write.parquet(cmds)
-    spark.sql(
-        "SELECT CAST(100 AS BIGINT) AS a, CAST(149 AS BIGINT) AS b"
-    ).coalesce(1).write.mode("append").parquet(cmds)
+    os.makedirs(cmds)
+    # the delete commands are driver literals: write them with pyarrow
+    # directly (zero Spark jobs — even the SQL-literal form paid ~0.2 s of
+    # write-job fixed cost per file). Ascending mtimes pin batch order,
+    # which is semantic here: (100,199) must apply before (100,149).
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    for k, (a, b) in enumerate(((100, 199), (100, 149))):
+        p = os.path.join(cmds, f"cmd-{k}.parquet")
+        _pq.write_table(
+            _pa.table({"a": _pa.array([a], _pa.int64()),
+                       "b": _pa.array([b], _pa.int64())}),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + 100 * k, 1_700_000_000 + 100 * k))
 
     stream = (
         spark.readStream.schema("a long, b long")
