@@ -364,9 +364,18 @@ def q09(spark, sf_dir):
     # pattern: wall time is the slowest write, not the sum)
     with ThreadPoolExecutor(max_workers=4) as ex:
         f_app = ex.submit(store.put, "orders_m", orders, overwrite=True)
-        f_ins = ex.submit(store.put, "cust_ins", cust, overwrite=True)
-        f_del = ex.submit(store.put, "cust_del", cust, overwrite=True)
-        f_upd = ex.submit(store.put, "cust_upd", cust, overwrite=True)
+        f_ins = ex.submit(
+            store.put, "cust_ins", cust, overwrite=True,
+            local_max_rows=n_cust,
+        )
+        f_del = ex.submit(
+            store.put, "cust_del", cust, overwrite=True,
+            local_max_rows=n_cust,
+        )
+        f_upd = ex.submit(
+            store.put, "cust_upd", cust, overwrite=True,
+            local_max_rows=n_cust,
+        )
         t_app, t_ins, t_del, t_upd = (
             f_app.result(), f_ins.result(), f_del.result(), f_upd.result()
         )
@@ -639,7 +648,8 @@ def q14(spark, sf_dir):
     def _leg_vlen_store():
         store = scratch_store(spark, f"q14-{tag}")
         t = store.put(
-            "vlen", _vlen_df(spark), order_by=["id"], overwrite=True
+            "vlen", _vlen_df(spark), order_by=["id"], overwrite=True,
+            local_max_rows=1000,
         )
         return _vlen_view(t.df())
 
@@ -818,7 +828,9 @@ def q20(spark, sf_dir):
 
     def _leg_evolution():
         store = scratch_store(spark, f"q20-{tag}")
-        t = store.put("nation_scratch", nation, overwrite=True)
+        t = store.put(
+            "nation_scratch", nation, overwrite=True, local_max_rows=n_nat
+        )
         t.add_field("n_flag", "long", 1)
         t.drop_field("n_name")
         return t.df()
@@ -831,11 +843,11 @@ def q20(spark, sf_dir):
             fr = inner.submit(store.put, "r_scratch", region.select(
                 ROWID, F.col("r_regionkey").alias("k"),
                 F.col("r_name").alias("name"),
-            ), overwrite=True)
+            ), overwrite=True, local_max_rows=n_reg)
             fn = inner.submit(store.put, "n_scratch", nation.select(
                 ROWID, F.col("n_nationkey").alias("k"),
                 F.col("n_name").alias("name"),
-            ), overwrite=True)
+            ), overwrite=True, local_max_rows=n_nat)
             fr.result(), fn.result()
         t = store.combine("r_scratch", "n_scratch", "both", overwrite=True)
         t.add_records_from(store.table("n_scratch"), start=1, n=3)
@@ -843,7 +855,9 @@ def q20(spark, sf_dir):
 
     def _leg_merge():
         store = scratch_store(spark, f"q27-{tag}")
-        t = store.put("nation_scratch", nation, overwrite=True)
+        t = store.put(
+            "nation_scratch", nation, overwrite=True, local_max_rows=n_nat
+        )
         pay = local_frame(
             spark, _Q27_PAYLOAD,
             "n_nationkey int, n_name string, n_regionkey int",
@@ -1037,7 +1051,10 @@ def q25(spark, sf_dir):
 
     def _leg_time_travel():
         store = Store(spark, os.path.join(root, "tt"), keep_snapshots=2)
-        t = store.put("nation_scratch", nation, overwrite=True)
+        t = store.put(
+            "nation_scratch", nation, overwrite=True,
+            local_max_rows=n_nat,
+        )
         first_snap = store.snapshots("nation_scratch")[-1]
         dts = dict(t.df().dtypes)
         patched = (
@@ -1060,7 +1077,10 @@ def q25(spark, sf_dir):
 
     def _leg_snapshot_diff():
         store = Store(spark, os.path.join(root, "diff"), keep_snapshots=2)
-        t = store.put("nation_scratch", nation, overwrite=True)
+        t = store.put(
+            "nation_scratch", nation, overwrite=True,
+            local_max_rows=n_nat,
+        )
         snap0 = store.snapshots("nation_scratch")[-1]
         t.add_records_from(t, 0, 3)
         return t.changes(snap0).select(
@@ -1073,7 +1093,9 @@ def q25(spark, sf_dir):
     def _leg_vacuum():
         # retention 3 so two mutations leave three snapshots on disk
         store = Store(spark, os.path.join(root, "vac"), keep_snapshots=3)
-        t = store.put("nation_v", nation, overwrite=True)
+        t = store.put(
+            "nation_v", nation, overwrite=True, local_max_rows=n_nat
+        )
         t.set_attrs(touch=1)
         t.update(0, t[0:1])                              # second snapshot
         t.update(1, t[1:2])                              # third snapshot
@@ -1354,7 +1376,9 @@ def q34(spark, sf_dir):
         initial = ev.where(F.col("event_id") % 10 != 0)
         late = ev.where(F.col("event_id") % 10 == 0)
         t = store.put(
-            "cagg", rollup(initial), order_by=["bucket"], overwrite=True
+            "cagg", rollup(initial), order_by=["bucket"], overwrite=True,
+            # bound: one row per bucket <= events rows (footer count)
+            local_max_rows=table_nrows(sf_dir, "events"),
         )
         # incremental refresh: combine ONLY the delta's buckets with their
         # current values, then keyed MERGE (touched files rewritten, rest
@@ -1382,6 +1406,7 @@ def q34(spark, sf_dir):
             "customer_scratch",
             load_pos(spark, sf_dir, "customer"),
             overwrite=True,
+            local_max_rows=table_nrows(sf_dir, "customer"),
         )
         t.delete_deferred(10, 19)
         t.delete_deferred(10, 14)  # logical, post-first-delete => raw 20..24
@@ -1418,7 +1443,11 @@ def q34(spark, sf_dir):
         # join. The view is skinny; a single-task window rank is cheaper.
         wv = Window.orderBy("o_orderkey")
         v0r = v0.withColumn(ROWID, (F.row_number().over(wv) - 1).cast("long"))
-        t = store.put("order_cust_view", v0r, overwrite=True)
+        # one row per order (FK join): the orders footer count bounds it
+        t = store.put(
+            "order_cust_view", v0r, overwrite=True,
+            local_max_rows=table_nrows(sf_dir, "orders"),
+        )
         dv = join_delta(
             base_o, delta_o, base_c, delta_c, "o_custkey", "c_custkey"
         )

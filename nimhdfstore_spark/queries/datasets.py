@@ -39,7 +39,10 @@ def _linear_dataset(spark, sf_dir, name, n, shape):
     df = spark.range(n).select(
         F.col("id").alias(ROWID), F.col("id").cast("double").alias("value")
     )
-    t = store.put("dset", df, overwrite=True, attrs={"shape": shape})
+    t = store.put(
+        "dset", df, overwrite=True, attrs={"shape": shape},
+        local_max_rows=n,
+    )
     return Dataset(t)
 
 

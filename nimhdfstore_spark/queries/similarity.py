@@ -954,15 +954,19 @@ def x189(spark, sf_dir):
     # pass (the q45 failure mode, 37 s in-bench at sf0.1; window: ~2 s)
     from nimhdfstore_spark.rowid import with_rowid
 
+    # one row per vector bounds both tables (footer count, no scan job)
+    n_vec = table_nrows(sf_dir, "embeddings")
     store.put(
         "ivf/centroids",
         with_rowid(cent, ["cluster_id"], strategy="window"),
         overwrite=True,
+        local_max_rows=n_vec,
     )
     store.put(
         "ivf/assignments",
         with_rowid(assigned, ["cluster_id", "id"], strategy="window"),
         overwrite=True,
+        local_max_rows=n_vec,
     )
 
     # probe phase: fresh read-only handles — everything comes off disk

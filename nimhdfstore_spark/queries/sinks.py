@@ -397,7 +397,10 @@ def q33(spark, sf_dir):
         ps = scratch_store(spark, f"q33p-{os.path.basename(sf_dir)}")
         ps.keep_snapshots = 4
         ps.rows_per_file = max(256, table_nrows(sf_dir, "part") // 12)
-        tp = ps.put("part_bloom", part, overwrite=True)
+        tp = ps.put(
+            "part_bloom", part, overwrite=True,
+            local_max_rows=table_nrows(sf_dir, "part"),
+        )
         tp.cluster_by(F.xxhash64("p_partkey"))
         tp.build_bloom("p_partkey", bits=16384, k=3)
         bl, scanned, total = tp.lookup_eq("p_partkey", _Q44_KEY)
@@ -556,7 +559,10 @@ def x208(spark, sf_dir):
     store = scratch_store(spark, f"x208-{os.path.basename(sf_dir)}")
     store.rows_per_file = max(256, table_nrows(sf_dir, "part") // 12)
     part = load_pos(spark, sf_dir, "part")
-    t = store.put("part_inc", part, overwrite=True)
+    t = store.put(
+        "part_inc", part, overwrite=True,
+        local_max_rows=table_nrows(sf_dir, "part"),
+    )
     t.cluster_by(F.xxhash64("p_partkey"))
     t.build_bloom("p_partkey", bits=16384, k=3)
     # _bloom_files materializes inline OR shard-packed bitmaps (the index
@@ -662,7 +668,10 @@ def q38(spark, sf_dir):
     # round-3 256-rows/file layout wrote 59 files at sf0.1 — the write,
     # not the connector, was the cost)
     store.rows_per_file = max(512, table_nrows(sf_dir, "customer") // 8)
-    t = store.put("cust", load_pos(spark, sf_dir, "customer"), overwrite=True)
+    t = store.put(
+        "cust", load_pos(spark, sf_dir, "customer"), overwrite=True,
+        local_max_rows=table_nrows(sf_dir, "customer"),
+    )
     back = (
         spark.read.format("nimhdfstore")
         .option("store", store.root)
@@ -777,7 +786,7 @@ def q26(spark, sf_dir):
     from nimhdfstore_spark.queries.core import (
         assert_legs_match, scratch_store,
     )
-    from nimhdfstore_spark.tables import load_pos
+    from nimhdfstore_spark.tables import load_pos, table_nrows
 
     tag = os.path.basename(sf_dir)
     nation_pos = load_pos(spark, sf_dir, "nation")
@@ -786,8 +795,14 @@ def q26(spark, sf_dir):
 
     def _leg_store_sql():
         store = scratch_store(spark, f"q26-{tag}")
-        store.put("nation_scratch", nation_pos, overwrite=True)
-        store.put("region_scratch", region_pos, overwrite=True)
+        store.put(
+            "nation_scratch", nation_pos, overwrite=True,
+            local_max_rows=table_nrows(sf_dir, "nation"),
+        )
+        store.put(
+            "region_scratch", region_pos, overwrite=True,
+            local_max_rows=table_nrows(sf_dir, "region"),
+        )
         return store.sql(f"""
             SELECT n.{ROWID} AS nation_rowid, n.n_name, r.r_name
             FROM nation_scratch n JOIN region_scratch r
@@ -817,7 +832,7 @@ def q26(spark, sf_dir):
         )
         store.put(
             "nation_ref", nation_ref, order_by=["n_nationkey"],
-            overwrite=True,
+            overwrite=True, local_max_rows=table_nrows(sf_dir, "nation"),
         )
         t = store.put(
             "customer_audited",
@@ -845,7 +860,10 @@ def q26(spark, sf_dir):
 
     def _leg_policies():
         store = scratch_store(spark, f"q48-{tag}")
-        store.put("cust", cust_pos, overwrite=True)
+        store.put(
+            "cust", cust_pos, overwrite=True,
+            local_max_rows=table_nrows(sf_dir, "customer"),
+        )
         store.table("cust").set_policy(
             "analyst",
             row_filter="c_mktsegment = 'BUILDING'",
