@@ -1493,15 +1493,19 @@ _X211_LEG = _leg_choice("x211_media_decode_suite", 5)
 def x211(spark, sf_dir):
     from nimhdfstore_spark.queries._fused import run_fused
 
-    legs = [
-        ("png_resize", x185(spark, sf_dir)),
-        ("apng_sample", x190(spark, sf_dir)),
-        ("jpeg_decode", x197(spark, sf_dir)),
-        ("avi_sample", x198(spark, sf_dir)),
-        ("gif_sample", x207(spark, sf_dir)),
+    # leg builds are independent driver-side plan construction — build
+    # them concurrently (the x210 pattern; py4j releases the GIL on IO)
+    from concurrent.futures import ThreadPoolExecutor
+
+    defs = [
+        ("png_resize", x185), ("apng_sample", x190),
+        ("jpeg_decode", x197), ("avi_sample", x198),
+        ("gif_sample", x207),
     ]
-    twins = {
-        2: _x197_closed_form(spark, sf_dir),
-        3: _x198_closed_form(spark, sf_dir),
-    }
+    with ThreadPoolExecutor(max_workers=len(defs) + 2) as ex:
+        legs_f = [(tag, ex.submit(fn, spark, sf_dir)) for tag, fn in defs]
+        tw197 = ex.submit(_x197_closed_form, spark, sf_dir)
+        tw198 = ex.submit(_x198_closed_form, spark, sf_dir)
+        legs = [(tag, f.result()) for tag, f in legs_f]
+        twins = {2: tw197.result(), 3: tw198.result()}
     return run_fused(spark, legs, _X211_LEG, twins)

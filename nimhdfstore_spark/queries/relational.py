@@ -2101,9 +2101,13 @@ _X216_LEG = _leg_choice("x216_window_cube_suite", len(_X216_LEGS))
 def _run_family(spark, sf_dir, legdefs, rot_idx):
     from nimhdfstore_spark.queries._fused import register_views, run_fused
 
-    legs = [
-        (tag, globals()[fn](spark, sf_dir)) for tag, fn, _, _ in legdefs
-    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    # independent driver-side plan builds — concurrent (the x210 pattern)
+    with ThreadPoolExecutor(max_workers=len(legdefs)) as ex:
+        legs = list(ex.map(
+            lambda d: (d[0], globals()[d[1]](spark, sf_dir)), legdefs
+        ))
     twins = {}
     tag, fn, sqlname, portable = legdefs[rot_idx]
     if portable:

@@ -362,7 +362,10 @@ _X214_LEG = _leg_choice("x214_sketch_suite", len(_X214_LEGS))
 def x214(spark, sf_dir):
     from nimhdfstore_spark.queries._fused import run_fused
 
-    legs = [
-        (tag, globals()[fn](spark, sf_dir)) for tag, fn, _ in _X214_LEGS
-    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_X214_LEGS)) as ex:
+        legs = list(ex.map(
+            lambda d: (d[0], globals()[d[1]](spark, sf_dir)), _X214_LEGS
+        ))
     return run_fused(spark, legs, _X214_LEG)

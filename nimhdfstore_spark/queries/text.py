@@ -1217,7 +1217,11 @@ _X212_LEG = _leg_choice("x212_text_quality_suite", len(_X212_LEGS))
 def x212(spark, sf_dir):
     from nimhdfstore_spark.queries._fused import run_fused
 
-    legs = [
-        (tag, globals()[fn](spark, sf_dir)) for tag, fn, _ in _X212_LEGS
-    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    # independent driver-side plan builds — concurrent (the x210 pattern)
+    with ThreadPoolExecutor(max_workers=len(_X212_LEGS)) as ex:
+        legs = list(ex.map(
+            lambda d: (d[0], globals()[d[1]](spark, sf_dir)), _X212_LEGS
+        ))
     return run_fused(spark, legs, _X212_LEG)

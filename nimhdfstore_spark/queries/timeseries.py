@@ -733,7 +733,10 @@ _X215_LEG = _leg_choice("x215_rollup_suite", len(_X215_LEGS))
 def x215(spark, sf_dir):
     from nimhdfstore_spark.queries._fused import run_fused
 
-    legs = [
-        (tag, globals()[fn](spark, sf_dir)) for tag, fn, _ in _X215_LEGS
-    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_X215_LEGS)) as ex:
+        legs = list(ex.map(
+            lambda d: (d[0], globals()[d[1]](spark, sf_dir)), _X215_LEGS
+        ))
     return run_fused(spark, legs, _X215_LEG)

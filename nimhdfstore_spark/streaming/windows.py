@@ -20,13 +20,18 @@ from pyspark.sql import functions as F
 
 #: state-store partitions for a bounded availableNow drain. Stateful
 #: shuffles create ONE state directory per shuffle partition and commit
-#: each per micro-batch; at bench scale (10^5 events, 2-3 batches) that
-#: fixed commit cost dominates — measured at sf0.1: the outer stream-stream
-#: join 14.6 s at 32 partitions vs 2.7 s at 4. A production deployment
-#: sizes this to the state volume (state must distribute across
+#: each per micro-batch — a stream-stream join keeps FOUR stores per
+#: partition (two per side) — so at bench scale (10^5 events, 2-3
+#: batches) that fixed commit cost dominates: measured at sf0.1 on
+#: local[32], the outer stream-stream join runs 14.6 s at 32 partitions,
+#: 13.4 s at 8, 7.2 s at 4, 3.7 s at 2; the inner join 10.7/3.3/2.4 s at
+#: 8/4/2 (round-13 re-measure). 4 balances that against keeping the
+#: drain parallel at the driver's lower-core bench runs. A production
+#: deployment sizes this to the state volume via
+#: ``SPARK_GRAFT_STATE_PARTITIONS`` (state must distribute across
 #: executors); the checkpoint pins whatever count the first batch ran
 #: with, and every drain here uses a fresh checkpoint.
-STATE_PARTITIONS = 8
+STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 
 
 def drain(spark: SparkSession, writer, timeout_s: int | None = None) -> None:
