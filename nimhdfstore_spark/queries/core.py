@@ -68,23 +68,24 @@ def assert_legs_match(legs: list[tuple[str, "DataFrame", "DataFrame"]]) -> None:
     order-insensitive SUM of row hashes — ADVICE r11: XOR alone cancels
     even-multiplicity differences; the sum breaks parity cancellation).
 
-    ALL frames fold into ONE Spark action — each frame becomes a 1-row
-    ``(leg, side, n, h, s)`` aggregate and the aggregates union — instead
-    of 2·len(legs) separate collect jobs (round-7 verdict "what's wrong"
-    #3: the merged q17 spent ~2.5 s of the driver's sweep budget on 6 jobs
-    of per-job scheduler overhead)."""
+    The per-frame 1-row aggregates collect CONCURRENTLY from a thread pool
+    (round-13: the same switch run_fused made in round 12 — measured
+    3.5 s -> 1.7 s for x210's 13 aggregates): Catalyst analyzes and
+    schedules each aggregate independently, so the checksum pass costs the
+    slowest single frame, not the sum. The earlier single union'd action
+    (round-7) serialized analysis of the whole union on the driver."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from nimhdfstore_spark.queries._fused import fused_agg
 
     aggs = []
     for tag, got, want in legs:
         for side, df in (("got", got), ("want", want)):
             aggs.append(fused_agg(tag, side, df))
-    frame = aggs[0]
-    for a in aggs[1:]:
-        frame = frame.unionByName(a)
+    with ThreadPoolExecutor(max_workers=min(16, len(aggs))) as ex:
+        collected = list(ex.map(lambda a: a.collect()[0], aggs))
     got_rows = {
-        (r["leg"], r["side"]): (r["n"], r["h"], r["s"])
-        for r in frame.collect()
+        (r["leg"], r["side"]): (r["n"], r["h"], r["s"]) for r in collected
     }
     for tag, _g, _w in legs:
         if got_rows[(tag, "got")] != got_rows[(tag, "want")]:
