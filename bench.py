@@ -246,6 +246,19 @@ def main() -> None:
             and attempts.get(n, 0) < 3
         ]
         out.sort(key=lambda n: prev_min[n] - best[n])  # biggest delta first
+        # Measurement-bug fix (round 13, documented in OPTIMIZATION_r13.md):
+        # a query with NO reference minimum — fingerprint reset after a code
+        # change, or newly registered — was invisible to this pass, so its
+        # published time AND its freshly seeded persisted minimum were its
+        # single first-pass wall time; one steal burst then poisoned every
+        # later ratio until enough clean runs re-lowered it (observed:
+        # x213 seeded at 18.05 s in a 1177-steal-s window vs 2.3 s real).
+        # Such rows get ONE mandatory second timing — min-of-2, same
+        # methodology, every published number still a real wall time.
+        out += [
+            n for n in sorted(best, key=lambda n: -best[n])
+            if n not in prev_min and attempts.get(n, 0) < 1
+        ]
         return out
 
     # Fixpoint re-time loop (round-8 verdict ask #4): the single-pass 180 s
@@ -261,7 +274,9 @@ def main() -> None:
     retime_fails: dict[str, str] = {}  # ADVICE r7: a re-time hiccup must not
     initial = _suspects()              # mark a successfully-timed query failed
     budget = max(
-        180.0, 2.0 * sum(prev_min[n] for n in initial) + 10.0 * len(initial)
+        180.0,
+        2.0 * sum(prev_min.get(n, best[n]) for n in initial)
+        + 10.0 * len(initial),
     )
     while budget > 0:
         pending = _suspects()
