@@ -65,8 +65,21 @@ def _query_fingerprints() -> dict[str, str]:
     return out
 
 
-def _load_minima(sf: str, fps: dict[str, str]) -> dict[str, float]:
-    """Persisted per-query minima for this scale factor, DROPPING entries
+def _minima_key(sf: str, cpus: str) -> str:
+    """Minima-table key for (scale factor, core count).
+
+    Round-13 verdict "what's wrong" #2: the table was keyed by sf ONLY, so
+    the driver's 8-core scaling run wrote its (often lower — fewer
+    shuffle/state partitions, fewer commits at this SF) walls into the same
+    table the 32-core runs chase, inflating re-time counts and making the
+    over_min/ratio telemetry reference cross-core minima. Non-default core
+    counts now get their own key; the bare-sf key keeps the 32-core history
+    comparable across rounds."""
+    return sf if str(cpus) == "32" else f"{sf}@{cpus}cpu"
+
+
+def _load_minima(key: str, fps: dict[str, str]) -> dict[str, float]:
+    """Persisted per-query minima for this (sf, cpus) key, DROPPING entries
     whose query source changed since the minimum was recorded."""
     path = os.path.join(REPO, "bench_minima.json")
     try:
@@ -74,7 +87,7 @@ def _load_minima(sf: str, fps: dict[str, str]) -> dict[str, float]:
             table = json.load(f)
     except (OSError, ValueError):
         return {}
-    mins = dict(table.get(sf, {}))
+    mins = dict(table.get(key, {}))
     old_fp = table.get("_fp", {})
     return {
         n: v for n, v in mins.items()
@@ -83,7 +96,7 @@ def _load_minima(sf: str, fps: dict[str, str]) -> dict[str, float]:
 
 
 def _update_minima(
-    sf: str, timings: dict[str, float], fps: dict[str, str]
+    key: str, timings: dict[str, float], fps: dict[str, str]
 ) -> float | None:
     """Fold this run's per-query times into the persisted minima table and
     return the sum of minima over THIS run's queries — the noise-free total
@@ -96,7 +109,7 @@ def _update_minima(
             table = json.load(f)
     except (OSError, ValueError):
         table = {}
-    mins = table.setdefault(sf, {})
+    mins = table.setdefault(key, {})
     old_fp = table.setdefault("_fp", {})
     # drop minima for names no longer in the registry (merged-away rows):
     # they are inert for min_total (which sums over THIS run's queries)
@@ -224,7 +237,8 @@ def main() -> None:
     # deltas first, stop past the budget) so an all-stolen window cannot
     # double the bench; raw first-pass totals stay in the record.
     fps = _query_fingerprints()
-    prev_min = _load_minima(str(sf_num), fps)
+    minima_key = _minima_key(str(sf_num), cpus)
+    prev_min = _load_minima(minima_key, fps)
     first_run = dict(timings)
     best = dict(timings)
 
@@ -255,11 +269,15 @@ def main() -> None:
         # x213 seeded at 18.05 s in a 1177-steal-s window vs 2.3 s real).
         # Such rows get ONE mandatory second timing — min-of-2, same
         # methodology, every published number still a real wall time.
-        out += [
+        # They are PREPENDED (r13 ADVICE): the second timing is mandatory
+        # while known-minimum suspects are best-effort, so on a
+        # budget-exhausted (heavily stolen) run the fresh seeds must not
+        # be the rows the drained budget skips.
+        mandatory = [
             n for n in sorted(best, key=lambda n: -best[n])
             if n not in prev_min and attempts.get(n, 0) < 1
         ]
-        return out
+        return mandatory + out
 
     # Fixpoint re-time loop (round-8 verdict ask #4): the single-pass 180 s
     # budget saturated inside r08's 28-steal-CPU-s window and left the
@@ -358,7 +376,7 @@ def main() -> None:
         steal_s = round((steal1 - steal0) / os.sysconf("SC_CLK_TCK"), 1)
     if iowait0 is not None and iowait1 is not None:
         iowait_s = round((iowait1 - iowait0) / os.sysconf("SC_CLK_TCK"), 1)
-    min_total = _update_minima(str(sf_num), best, fps)
+    min_total = _update_minima(minima_key, best, fps)
     raw_total = round(sum(first_run.values()), 3)
     timings = best
     detail = {

@@ -178,8 +178,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # a reused intermediate whose fault tolerance is non-critical — an
     # executor loss fails the query, which simply retries). The stored set
     # is the edge list itself, orders of magnitude below the pair
-    # intermediate the joins bound.
-    oriented = oriented.localCheckpoint()
+    # intermediate the joins bound. eager=False (r13 ADVICE): the operator
+    # stays LAZY — no job fires at plan-construction time (explain-only
+    # callers see no execution); the RDD's blocks materialize on the first
+    # action and the later join branches read them. Batch-only either way
+    # (checkpointing has no streaming form); blocks are freed by the
+    # ContextCleaner once the returned frame is garbage-collected.
+    oriented = oriented.localCheckpoint(eager=False)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))

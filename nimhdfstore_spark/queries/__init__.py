@@ -51,12 +51,15 @@ SUITE_LEGS: dict[str, int] = {
 #:     ``checked_legs``): front of the re-verification region, so each
 #:     green round hash-checks one NEW leg until all legs are covered;
 #:   * verified and fully leg-checked: no effect (self-draining).
-#: Round 13: the r11 streaming/backlog priorities all drained (r12 hit
-#: zero backlog), so the list now carries the seven fused suites whose
-#: leg coverage is 7/39, plus the two rows the r12 verdict named as the
-#: motivating staleness cases (dedup kernels rewritten r6-internal,
-#: driver-green r02/r05-era) so they re-verify THIS round rather than
-#: wherever the stale partition's cyclic shift happens to place them.
+#: Round 14 (r13 verdict ask #1): the 14 rows round 13 rewrote that the
+#: r13 rotation happened not to sample — their green records tested the
+#: PRE-rewrite code, so the driver must re-verify the current
+#: implementation this round. All 14 are fingerprint-stale (the r13
+#: rewrites touched their functions or 1-level module closure), so they
+#: front the stale partition at positions ~24-37 of ``sweep_order`` —
+#: inside the driver's ~50-row budget. The seven fused suites stay pinned
+#: for leg coverage (7/39 checked); x30/x32 drained (driver-green on the
+#: current code in r13).
 SWEEP_PRIORITY: list[str] = [
     "x210_tpch_suite",
     "x211_media_decode_suite",
@@ -65,8 +68,20 @@ SWEEP_PRIORITY: list[str] = [
     "x214_sketch_suite",
     "x215_rollup_suite",
     "x216_window_cube_suite",
-    "x30_dedup_exact",
-    "x32_dedup_minhash_lsh",
+    "x153_entity_resolution",
+    "x148_triangle_count",
+    "x196_stream_incremental_dedup",
+    "x186_media_dispatch_pipeline",
+    "x209_empty_table_lifecycle",
+    "x208_incremental_index_append",
+    "x189_ann_ivf_persisted",
+    "x140_dedup_incremental",
+    "x127_stream_merge_upsert",
+    "x166_stream_deferred_deletes",
+    "x131_stream_stream_left_outer",
+    "x132_stream_timeout_sessions",
+    "x65_stream_session_window",
+    "x66_stream_stream_join",
 ]
 
 

@@ -1751,7 +1751,16 @@ class Store:
                 schema=to_arrow_schema(schema),
             )
         else:
-            tbl = body.toArrow()
+            # The hinted bound is a CALLER promise, so enforce it BEFORE
+            # materializing (r13 ADVICE): collect through limit(bound+1) —
+            # executeTake, no shuffle, rows in partition order exactly like
+            # the plain collect — so a wrong promise moves at most bound+1
+            # rows to the driver instead of the whole frame. Within bound
+            # the limited table IS the full table. expected_rows
+            # (small_rewrite) is the committer's own accounting, not a
+            # promise — its equality check below stays the validator.
+            src = body.limit(local_max_rows + 1) if hinted else body
+            tbl = src.toArrow()
             if expected_rows is not None and tbl.num_rows != expected_rows:
                 raise StoreError(
                     f"rewrite produced {tbl.num_rows} rows but the commit "

@@ -113,9 +113,25 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
             "local_frame does not support timestamp columns; use "
             "spark.createDataFrame (classic conversion) for those payloads"
         )
+
+    # Rows bind positionally; a Mapping row would silently zip over its
+    # KEYS (field names written as values — a corrupt frame, not an error),
+    # so mappings pass through by name and sequences must match the schema
+    # width exactly (r13 ADVICE).
+    from collections.abc import Mapping
+
+    def _as_dict(r):
+        if isinstance(r, Mapping):
+            return dict(r)
+        if len(r) != len(schema.names):
+            raise ValueError(
+                f"local_frame row has {len(r)} values for "
+                f"{len(schema.names)} schema fields: {r!r}"
+            )
+        return dict(zip(schema.names, r))
+
     tbl = pa.Table.from_pylist(
-        [dict(zip(schema.names, r)) for r in rows],
-        schema=to_arrow_schema(schema),
+        [_as_dict(r) for r in rows], schema=to_arrow_schema(schema)
     )
     return spark.createDataFrame(tbl)
 
