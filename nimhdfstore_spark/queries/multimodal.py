@@ -532,20 +532,21 @@ def x186(spark, sf_dir):
         "doc_id", F.unhex(wav_hex).alias("payload")
     )
 
-    # materialize the tiny routed corpus ONCE, driver-side: three
-    # downstream legs each rescan it, and the PNG-encode mapInPandas +
-    # 44-term WAV hex assembly would otherwise re-execute per leg
-    # (measured 3× the work). collect+createDataFrame instead of persist:
-    # a lazy frame returned with pinned cache blocks would leak executor
-    # storage into the rest of a 200-query sweep session.
+    # materialize the tiny routed corpus ONCE, in the JVM: three downstream
+    # legs each rescan it, and the PNG-encode mapInPandas + 44-term WAV hex
+    # assembly would otherwise re-execute per leg (measured 3× the work).
+    # localCheckpoint instead of the r13 collect+local_frame round-trip
+    # (r13 verdict ask #4): the media payloads never cross to the driver —
+    # at 100 TB a collected blob corpus OOMs the driver, while checkpointed
+    # blocks stay distributed across executors. Lazy (eager=False): no job
+    # at plan-construction time; the first action materializes the blocks
+    # and the other legs read them (BlockManager locks serialize concurrent
+    # stage access, so the pipeline still executes once). Blocks are freed
+    # by the ContextCleaner when the returned frame is collected+dropped —
+    # the bench's per-query hygiene and the driver sweep both drop it.
     corpus = pngs.unionByName(wavs)
     sniffed = M.sniff_mime(corpus).select("doc_id", "sniffed_mime")
-    routed_rows = corpus.join(sniffed, "doc_id")
-    from nimhdfstore_spark.tables import local_frame
-
-    routed = local_frame(
-        spark, routed_rows.collect(), routed_rows.schema
-    )
+    routed = corpus.join(sniffed, "doc_id").localCheckpoint(eager=False)
 
     png_leg = M.decode_images(
         routed.where(F.col("sniffed_mime") == "image/png")

@@ -923,6 +923,27 @@ def stream_incremental_dedup(
     )
     log_by_id: dict = {}
 
+    # Cache the signed-index frame handle ACROSS micro-batches (r13 verdict
+    # ask #3: the probe plan re-read the store table per batch — catalog
+    # resolve + parquet scan subtree re-analyzed 3×). ``base`` is the index
+    # as of the drain start, lineage-cut to a checkpointed RDD leaf so each
+    # batch's probe plan carries a tiny LogicalRDD instead of the file-scan
+    # tree; ``extra`` accumulates the driver-collected signature rows each
+    # batch APPENDS (the append path already materializes them on the
+    # driver), so base ∪ extra ≡ the store table's content at every batch
+    # boundary — the Store table still grows per batch (that persistence IS
+    # the operator's contract); only the PROBE reads the in-session handle.
+    # Scale note: the handle is bounded by the same ``doc_limit`` that
+    # bounds the CTAS hint; an unbounded production index would drop
+    # ``index_state`` and take the per-batch table read below.
+    base = (
+        store.table("sig_index")
+        .df()
+        .select("id", "sig", "band", "bucket")
+        .localCheckpoint(eager=False)
+    )
+    index_state: dict = {"base": base, "extra": [], "schema": None}
+
     staged = os.path.join(store.root, "_staged_docs")
     _shutil.rmtree(staged, ignore_errors=True)
     os.makedirs(staged)
@@ -952,7 +973,8 @@ def stream_incremental_dedup(
 
     def ingest(batch_df, batch_id: int) -> None:
         _ingest_dedup_batch(
-            store, batch_df, num_hashes, bands, threshold, mod, log_by_id
+            store, batch_df, num_hashes, bands, threshold, mod, log_by_id,
+            index_state=index_state,
         )
 
     drain(
@@ -971,7 +993,7 @@ def stream_incremental_dedup(
 
 def _ingest_dedup_batch(
     store, batch_df, num_hashes: int, bands: int, threshold: float,
-    mod: int, log_by_id: dict,
+    mod: int, log_by_id: dict, index_state: dict | None = None,
 ) -> None:
     """One micro-batch of ``stream_incremental_dedup``, IDEMPOTENT under
     foreachBatch's at-least-once replay (module-level so the replay test can
@@ -984,7 +1006,19 @@ def _ingest_dedup_batch(
     - the verdict log is keyed by doc id, so a retry overwrites its own
       identical rows instead of double-counting.
     On a first (non-replayed) run all three guards are no-ops: batch id
-    ranges are disjoint from the corpus and from every other batch."""
+    ranges are disjoint from the corpus and from every other batch.
+
+    ``index_state`` (optional, round-14): the cross-batch probe handle
+    ``stream_incremental_dedup`` maintains — ``{"base": <index frame as of
+    drain start>, "extra": [appended signature rows], "schema": ...}``,
+    with the invariant that base ∪ extra ≡ the store table's content (the
+    drain is the table's only writer, and every append lands in ``extra``
+    too). With it, the probe plan reuses the checkpointed base leaf
+    instead of re-reading the store table, and the already-indexed check
+    is pure driver arithmetic (extra ids ∩ batch ids) instead of a third
+    union arm scanning the index. Without it (``None`` — e.g. a direct
+    replay-test call), the table is re-read and the index-side semi-join
+    computes the same set: identical verdicts, identical state."""
     if batch_df.isEmpty():
         return
     from pyspark.sql import Row
@@ -992,9 +1026,21 @@ def _ingest_dedup_batch(
     from nimhdfstore_spark.operators.dedup import (
         minhash_buckets, minhash_lsh_incremental,
     )
+    from nimhdfstore_spark.tables import local_frame
 
     tbl = store.table("sig_index")
-    raw_index = tbl.df().select("id", "sig", "band", "bucket")
+    if index_state is None:
+        raw_index = tbl.df().select("id", "sig", "band", "bucket")
+    else:
+        raw_index = index_state["base"]
+        if index_state["extra"]:
+            raw_index = raw_index.unionByName(
+                local_frame(
+                    batch_df.sparkSession,
+                    index_state["extra"],
+                    index_state["schema"],
+                )
+            )
     batch_ids = batch_df.select(F.col("doc_id").alias("id"))
     # broadcast anti: batch_ids is micro-batch-sized, the index is the big
     # side and streams through the probe scan it was doing anyway
@@ -1010,28 +1056,37 @@ def _ingest_dedup_batch(
         batch_buckets=bb,
     )
     # ONE fused action per micro-batch (round-13 optimization): the verdict
-    # rows, the batch's own signature rows, and the ids a replayed batch
-    # already indexed are kind-tagged and collected together — previously
-    # this was four jobs (verdict collect, new-sig count, rowid base agg,
-    # distributed append write). The micro-batch bounds every branch by
-    # construction; the corpus-sized index is only SCANNED (probe join +
-    # one broadcast-semi), never collected.
-    fused = (
-        verdicts.withColumn("kind", F.lit("v"))
-        .unionByName(bb.withColumn("kind", F.lit("b")), allowMissingColumns=True)
-        .unionByName(
+    # rows, the batch's own signature rows, and (handle-less path only) the
+    # ids a replayed batch already indexed are kind-tagged and collected
+    # together — previously this was four jobs (verdict collect, new-sig
+    # count, rowid base agg, distributed append write). The micro-batch
+    # bounds every branch by construction; the corpus-sized index is only
+    # SCANNED (probe join + at most one broadcast-semi), never collected.
+    fused = verdicts.withColumn("kind", F.lit("v")).unionByName(
+        bb.withColumn("kind", F.lit("b")), allowMissingColumns=True
+    )
+    if index_state is None:
+        fused = fused.unionByName(
             raw_index.join(F.broadcast(batch_ids), "id", "left_semi")
             .select("id").distinct().withColumn("kind", F.lit("o")),
             allowMissingColumns=True,
         )
-    )
     rows = fused.collect()
     bb.unpersist()
     vrow = Row(
         "id", "batch_no", "is_dup", "n_dup_candidates",
         "best_match_id", "best_est",
     )
-    own_already = {r["id"] for r in rows if r["kind"] == "o"}
+    if index_state is None:
+        own_already = {r["id"] for r in rows if r["kind"] == "o"}
+    else:
+        # the verdict arm emits one row per batch doc, so verdict ids ARE
+        # the batch ids; already-indexed ⇔ present among the appended rows
+        # (base ids are disjoint from every batch by the drain's staging)
+        extra_ids = {t[0] for t in index_state["extra"]}
+        own_already = {
+            r["id"] for r in rows if r["kind"] == "v" and r["id"] in extra_ids
+        }
     accepted = set()
     for r in rows:
         if r["kind"] != "v":
@@ -1057,7 +1112,8 @@ def _ingest_dedup_batch(
         key=lambda t: (t[0], t[2]),
     )
     if new_sigs:
-        from nimhdfstore_spark.tables import local_frame
-
         payload = local_frame(batch_df.sparkSession, new_sigs, bb.schema)
         tbl.append(payload, n=len(new_sigs))
+        if index_state is not None:
+            index_state["extra"].extend(new_sigs)
+            index_state["schema"] = bb.schema
