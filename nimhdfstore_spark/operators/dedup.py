@@ -1131,7 +1131,13 @@ def connected_components(
                 if m is None or x < m:
                     comp_min[rx] = x
             id_type = nodes.schema[id_col].dataType
-            mapping = pairs.sparkSession.createDataFrame(
+            from nimhdfstore_spark.tables import local_frame
+
+            # LocalRelation, not createDataFrame(list): the latter is
+            # Python-RDD-backed and schedules a Python-worker job every
+            # time the mapping is (re)read by the labeling join
+            mapping = local_frame(
+                pairs.sparkSession,
                 [(x, int(comp_min[find(x)])) for x in parent],
                 StructType(
                     [StructField("id", id_type), StructField("comp", LongType())]

@@ -629,20 +629,22 @@ def knn_graph(
     )
     out_schema = ["vec_id", "neighbor_id", "cosine", "rank"]
 
-    # Size gate BEFORE the driver collect (same contract as
+    # Size gate fused WITH the driver collect (same contract as
     # connected_components' driver_max_edges): exact all-points kNN is
     # inherently bounded by what one matrix broadcast can hold, and a
     # silent 100 TB collect would OOM the driver long before the matmul.
-    # limit(max_rows+1) bounds the gate's own transfer to one extra row.
-    probe = df.select(id_col).limit(max_rows + 1).count()
-    if probe > max_rows:
+    # limit(max_rows+1) bounds the transfer to one extra row past the gate
+    # and the collect IS the gate check — one job instead of the former
+    # count-then-collect pair (the count re-scanned the corpus).
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
             f"knn_graph is an exact all-points method bounded to max_rows="
             f"{max_rows} vectors (corpus exceeds it); use the approximate "
             "paths for larger corpora: ivf_topk (IVF), pq_topk (PQ-ADC), or "
             "embedding_lsh_pairs / embedding_multiprobe_pairs (LSH)."
         )
-    rows = [r for r in df.select(id_col, vec_col).collect() if r[1] is not None]
+    rows = [r for r in rows if r[1] is not None]
     if not rows:
         return df.sparkSession.createDataFrame([], schema).withColumn(
             "cosine", F.round(F.col("cosine_raw"), 6)

@@ -49,6 +49,14 @@ def x116(spark, sf_dir):
             F.col("s_nationkey").cast("long").alias("dst"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        # lineage cut (same pattern as x148): the 4-table edge build is
+        # referenced by nodes (twice), outw, and every rank iteration —
+        # without the cut the subtree repeats 44x (176 parquet scans,
+        # 3,397-line plan) and the fact-table join re-executes per
+        # reference. The aggregated edge list is bounded by |nations|^2,
+        # so the checkpointed blocks are tiny at any scale. Lazy: no job
+        # until the first action.
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))

@@ -1738,6 +1738,14 @@ def x167(spark, sf_dir):
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
         .distinct()
+        # lineage cut: items feeds n, freq (twice, as fa/fb) and both
+        # sides of the pair self-join — 5 references, and without the cut
+        # each re-scans lineitem and re-runs the distinct shuffle (5
+        # parquet scans in the before plan). The distinct basket-item
+        # list is a projection of the fact table (2 long columns), so the
+        # checkpointed blocks are small relative to the input at any
+        # scale. Lazy: materialized by the first action.
+        .localCheckpoint(eager=False)
     )
     n = items.agg(F.countDistinct("basket").alias("n_baskets"))
     freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))

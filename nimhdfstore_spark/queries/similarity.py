@@ -891,7 +891,16 @@ def x178(spark, sf_dir):
     from nimhdfstore_spark.operators import dedup as D
 
     emb = load(spark, sf_dir, "embeddings")
-    g = S.knn_graph(emb, "vec_id", "embedding", k=_KNN_K)
+    # project to the two id columns the mutual join needs, then cut the
+    # lineage: the self-join's two sides hash on OPPOSITE key orders, so
+    # without the cut the mapInPandas matmul kernel executes twice (no
+    # exchange reuse across different keys). Checkpointed blocks hold the
+    # skinny (vec_id, neighbor_id) edge list — k·n rows — never vectors.
+    g = (
+        S.knn_graph(emb, "vec_id", "embedding", k=_KNN_K)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     a, b = g.alias("a"), g.alias("b")
     mutual = (
         a.join(
