@@ -34,13 +34,27 @@ from pyspark.sql import functions as F
 STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "4"))
 
 
-def drain(spark: SparkSession, writer, timeout_s: int | None = None) -> None:
+def drain(
+    spark: SparkSession,
+    writer,
+    timeout_s: int | None = None,
+    partitions: int | None = None,
+) -> None:
     """Start an ``availableNow`` streaming writer with the bench-scale
     state-partition count and block until it drains, restoring the
     session's ``spark.sql.shuffle.partitions`` afterwards (the streaming
-    plan reads the conf at ``start()``)."""
+    plan reads the conf at ``start()``).
+
+    ``partitions`` overrides :data:`STATE_PARTITIONS` for drains whose
+    per-batch cost is Python-worker compute rather than state commits —
+    an ``applyInPandasWithState`` operator runs its per-group Python on
+    one core per state partition, so a commit-bound width (4) serializes
+    it; callers pass a core-proportional width instead."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(partitions if partitions is not None else STATE_PARTITIONS),
+    )
     try:
         q = writer.start()
         if timeout_s is None:
@@ -669,24 +683,30 @@ def timeout_sessions_stream(
     ).withWatermark("ts", "1 hour")
     gap_ms = gap_minutes * 60 * 1000
 
-    def mk_row(uid, start_ms, last_ms, n):
-        return {
-            "user_id": uid, "start_ms": start_ms, "end_ms": last_ms,
-            "n_events": n,
-        }
-
     def update(key, pdfs, state: GroupState):
+        # Python-boundary discipline (guide §4): most groups emit NOTHING
+        # in a given batch, and constructing an empty pandas DataFrame per
+        # group dominated the per-batch cost (~1 s of the zero-input
+        # timeout batch was per-key DataFrame builds). Yield only when
+        # there are closed sessions, build from column lists, and convert
+        # timestamps with one vectorized astype instead of a per-value
+        # Timestamp loop. Session semantics untouched.
         uid = key[0]
         out = []
         if state.hasTimedOut:
             start_ms, last_ms, n = state.get
             state.remove()
-            out.append(mk_row(uid, start_ms, last_ms, n))
+            out.append((start_ms, last_ms, n))
         else:
             ts_ms: list[int] = []
             for pdf in pdfs:
                 ts_ms.extend(
-                    int(v.value // 1_000_000) for v in pd.to_datetime(pdf["ts"])
+                    (
+                        pd.to_datetime(pdf["ts"])
+                        .to_numpy(dtype="datetime64[ns]")
+                        .astype("int64")
+                        // 1_000_000
+                    ).tolist()
                 )
             ts_ms.sort()
             if state.exists:
@@ -695,13 +715,21 @@ def timeout_sessions_stream(
                 start_ms, last_ms, n = ts_ms[0], ts_ms[0], 0
             for t in ts_ms:
                 if t - last_ms > gap_ms and n > 0:
-                    out.append(mk_row(uid, start_ms, last_ms, n))
+                    out.append((start_ms, last_ms, n))
                     start_ms, n = t, 0
                 last_ms = t
                 n += 1
             state.update((start_ms, last_ms, n))
             state.setTimeoutTimestamp(last_ms + gap_ms)
-        yield pd.DataFrame(out, columns=["user_id", "start_ms", "end_ms", "n_events"])
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(out),
+                    "start_ms": [r[0] for r in out],
+                    "end_ms": [r[1] for r in out],
+                    "n_events": [r[2] for r in out],
+                }
+            )
 
     out = stream.groupBy("user_id").applyInPandasWithState(
         update,
@@ -711,20 +739,28 @@ def timeout_sessions_stream(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     name = f"tsess_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        drain(
-            spark,
-            (
+    # Python-compute-bound drain (guide §4/§2): each state partition runs
+    # its groups' `update` on one core, and the state here is tiny (3
+    # longs/user) so commits are cheap — unlike the stream-stream joins
+    # that set STATE_PARTITIONS' commit-bound default of 4. Width scales
+    # with the session's cores (driver benches at different core counts;
+    # a cluster gets its executor parallelism), amplified over the
+    # commit-bound default but capped by it so the env knob still governs:
+    # measured at sf0.1/local[32]: 3.2 s at 4 partitions, 2.35 at 8,
+    # 2.0 at 16, 2.24 at 32 (commit overhead returns).
+    width = min(
+        spark.sparkContext.defaultParallelism, 4 * STATE_PARTITIONS
+    )
+    drain(
+        spark,
+        (
             out.writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
             .trigger(availableNow=True)
-            ),
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        ),
+        partitions=width,
+    )
     return spark.table(name)
 
 
