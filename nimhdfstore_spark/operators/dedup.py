@@ -964,8 +964,13 @@ def embedding_lsh_pairs(
             bucket_pairs, schema=pair_schema
         )
     else:
+        from nimhdfstore_spark.tables import local_frame
+
         spark = df.sparkSession
-        hot_df = spark.createDataFrame(
+        # LocalRelation (job-free broadcast side) instead of a
+        # Python-RDD-backed frame
+        hot_df = local_frame(
+            spark,
             [
                 (int(r["band"]), int(r["bucket"]),
                  int(min(_S_MAX, -(-int(r["count"]) // split))))

@@ -3266,8 +3266,12 @@ class Table:
         6.7 s for 10k literals vs 0.5 s for the anti-join) and payloads can
         reach ``PAYLOAD_MAX_ROWS``; the anti-join plan is O(1) in expression
         size and broadcast-hash at any table scale."""
-        ids_df = self.store.spark.createDataFrame(
-            [(int(i),) for i in ids], f"{ROWID} long"
+        from nimhdfstore_spark.tables import local_frame
+
+        # LocalRelation: a Python-RDD-backed id list would schedule a
+        # Python-worker job inside every delete/update commit
+        ids_df = local_frame(
+            self.store.spark, [(int(i),) for i in ids], f"{ROWID} long"
         )
         return df.join(F.broadcast(ids_df), on=ROWID, how="left_anti")
 
