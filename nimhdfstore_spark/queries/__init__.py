@@ -82,6 +82,18 @@ SWEEP_PRIORITY: list[str] = [
     "x132_stream_timeout_sessions",
     "x65_stream_session_window",
     "x66_stream_stream_join",
+    # round-14 rewrites (lineage cuts, knn_graph gate fuse,
+    # connected_components LocalRelation mapping, LSH hot-bucket spec):
+    # front these behind the round-13 block so this round's edits also
+    # land inside the driver's oracle window
+    "x116_pagerank_trade",
+    "x167_pair_lift",
+    "x177_knn_graph",
+    "x178_mutual_knn_clusters",
+    "x35_dedup_components",
+    "x90_pipeline_clean_corpus",
+    "x34_dedup_embedding_cosine",
+    "x183_dedup_multiprobe_lsh",
 ]
 
 
