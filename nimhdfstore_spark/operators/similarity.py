@@ -275,7 +275,14 @@ def kmeans_fixed_point(
     )
     for _ in range(iters):
         assigned = _kmeans_assign(sv_df, cents)
-        cents = _kmeans_recompute(assigned, dims)
+        # lineage cut per iteration (guide §5): the centroid table is k
+        # rows, but WITHOUT the cut iteration i's plan re-embeds every
+        # previous assignment+recompute subtree (the final x42 plan
+        # carried 18 parquet scans); with it each iteration's plan is
+        # flat — one corpus scan joined against a tiny checkpointed leaf
+        cents = _kmeans_recompute(assigned, dims).localCheckpoint(
+            eager=False
+        )
     return _kmeans_assign(sv_df, cents).select("id", "cluster_id")
 
 
@@ -309,7 +316,12 @@ def semantic_dedup(
 
     from nimhdfstore_spark.operators.dedup import _tile_pairs
 
-    final = kmeans_fixed_point(corpus, id_col, vec_col, k, iters)
+    # the assignment is referenced twice (the in-cluster verify's q_df
+    # join AND the returned kept-join) — cut its lineage so the k-means
+    # runs once; the stored set is (id, cluster_id), two longs per vector
+    final = kmeans_fixed_point(corpus, id_col, vec_col, k, iters).localCheckpoint(
+        eager=False
+    )
     q_df = corpus.select(
         F.col(id_col).alias("id"), fixed_point_vec(vec_col).alias("q")
     ).join(final, "id")
