@@ -148,3 +148,68 @@ def test_minima_key_is_cpu_scoped():
     assert b._minima_key("0.001", "16") == "0.001@16cpu"
     # distinct keys can never alias
     assert b._minima_key("0.1", "8") != b._minima_key("0.1", "32")
+
+
+# --------------------------------------------------------------------------
+# x196's cross-batch probe handle: the handle path (base checkpoint +
+# driver-tracked extras) must produce IDENTICAL verdicts and index state
+# to the handle-less per-batch table re-read, including under replay
+# (the handle's own_already comes from set arithmetic, not the index scan)
+# --------------------------------------------------------------------------
+
+
+def test_ingest_dedup_index_state_matches_handleless_path(spark):
+    from nimhdfstore_spark.operators.dedup import minhash_buckets
+    from nimhdfstore_spark.queries.core import scratch_store
+    from nimhdfstore_spark.streaming.windows import _ingest_dedup_batch
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (20, "a genuinely novel document nothing else resembles")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        # 30 duplicates doc 20 — only found if b1's append is visible to
+        # the probe (via the table on path A, via `extra` on path B)
+        [(30, "a genuinely novel document nothing else resembles")],
+        "doc_id long, text string",
+    )
+    num_hashes, bands, mod = 32, 8, 30
+
+    def run(with_handle: bool):
+        name = f"t-isx-{int(with_handle)}"
+        store = scratch_store(spark, name)
+        idx = minhash_buckets(corpus, "doc_id", "text", 3, num_hashes, bands)
+        if "sig_index" in store:
+            store.drop("sig_index")
+        store.put("sig_index", idx, order_by=["id", "band"])
+        state = None
+        if with_handle:
+            base = (
+                store.table("sig_index").df()
+                .select("id", "sig", "band", "bucket")
+                .localCheckpoint(eager=False)
+            )
+            state = {"base": base, "extra": [], "schema": None}
+        log: dict = {}
+        for batch in (b1, b2, b2):  # third call = replay of b2
+            _ingest_dedup_batch(
+                store, batch, num_hashes, bands, 0.7, mod, log,
+                index_state=state,
+            )
+        idx_rows = sorted(map(tuple, store.table("sig_index").df()
+                              .select("id", "band", "bucket").collect()))
+        return {k: v.asDict() for k, v in log.items()}, idx_rows
+
+    log_a, idx_a = run(with_handle=False)
+    log_b, idx_b = run(with_handle=True)
+    assert log_a == log_b, "handle path changed the verdicts"
+    assert idx_a == idx_b, "handle path changed the persisted index"
+    assert log_b[10]["is_dup"] == 1 and log_b[10]["best_match_id"] == 1
+    assert log_b[20]["is_dup"] == 0
+    assert log_b[30]["is_dup"] == 1 and log_b[30]["best_match_id"] == 20
